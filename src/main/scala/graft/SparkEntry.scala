@@ -1,13 +1,272 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.etl.Enrichment
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every query aliases its output columns identically to its oracle SQL,
+  * orders rows deterministically, and keeps numeric outputs in
+  * BIGINT/DOUBLE (double aggregates go through exact DECIMAL sums — see
+  * Analytics) so the DuckDB hash-compare is byte-stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: broadcast lookup-chain enrichment on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Enrichment.lookupEnrich(Tables(spark, "/root/testdata/sf0.001"))
+
+  private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tables(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— reference-mirror ETL (SURVEY §2 table 1) ——
+    "q_lookup_enrich"  -> q(Enrichment.lookupEnrich),
+    "q_time_extract"   -> q(Enrichment.timeExtract),
+    "q_text_clean"     -> q(Enrichment.textClean),
+    "q_dict_map"       -> q(Enrichment.dictMap),
+    "q_control_tags"   -> q(Enrichment.controlTags),
+    "q_geo_area"       -> q(Enrichment.geoArea),
+    "q_mint_ids"       -> q(Enrichment.mintIds),
+    "q_keywords"       -> q(Enrichment.keywords),
+    // —— core analytics (SURVEY §2 table 2) ——
+    "q1_agg"           -> q(Analytics.q1Agg),
+    "q3_shipping"      -> q(Analytics.q3Shipping),
+    "q5_local"         -> q(Analytics.q5Local),
+    "q_topk_group"     -> q(Analytics.topkGroup(_)),
+    "q_window_running" -> q(Analytics.windowRunning),
+    "q_rollup"         -> q(Analytics.rollupAgg),
+    "q_pivot"          -> q(Analytics.pivotEvents),
+    "q_json_extract"   -> q(Analytics.jsonExtract),
+    "q_distinct"       -> q(Analytics.distinctUsers),
+    "q_percentile"     -> q(Analytics.percentiles),
+    "q_asof_join"      -> q(AsOfJoin.purchaseToLastClick),
+    "q_sessionize"     -> q(Sessionize.sessionize)
+  )
+
+  // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
+  // mirror the Spark side exactly (see Analytics scaladoc).
+  private val SumDisc =
+    "SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_lookup_enrich" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_obs
+        |FROM events
+        |JOIN customer ON (CASE WHEN user_id = 13 THEN 20 ELSE user_id END) = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_time_extract" ->
+      """SELECT CAST(ts AS DATE) AS obs_date,
+        |       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS obs_hour,
+        |       COUNT(*) AS n,
+        |       MIN(CAST(EXTRACT(minute FROM ts) AS BIGINT)) AS first_minute
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_text_clean" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         lower(replace(replace(text, 'Ã¶', 'ö'), 'Ã¤', 'ä')) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       md5(CASE WHEN strpos(t, 'data') > 0
+        |                THEN substr(t, 1, strpos(t, 'data') - 1) || 'datum'
+        |                     || substr(t, strpos(t, 'data') + 4)
+        |                ELSE t END) AS clean_hash
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dict_map" ->
+      """SELECT lang,
+        |       CASE lang
+        |         WHEN 'en' THEN 'http://tun.fi/MX.38240'
+        |         WHEN 'de' THEN 'http://tun.fi/MX.39158'
+        |         WHEN 'fr' THEN 'http://tun.fi/MX.41695'
+        |         WHEN 'es' THEN 'http://tun.fi/MX.38947'
+        |         WHEN 'zh' THEN 'http://tun.fi/MX.38815'
+        |       END AS taxon_uri,
+        |       COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY lang""".stripMargin,
+
+    "q_control_tags" ->
+      """SELECT event_id,
+        |       CASE WHEN value > 120.0 THEN CAST(ts AS DATE) END AS control_date,
+        |       CASE WHEN value > 120.0 THEN 'INVASIVE_PARTIAL' END AS source_tag,
+        |       CASE WHEN value > 120.0
+        |            THEN 'Controlled: ' || CAST(CAST(ts AS DATE) AS VARCHAR) END AS notes
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_geo_area" ->
+      """SELECT l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(CEIL(l_quantity * (1.0 + l_discount)) AS BIGINT) AS area_m2
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_mint_ids" ->
+      """SELECT event_id,
+        |       'http://tun.fi/HR.5835/' || CAST(event_id AS VARCHAR) AS document_id,
+        |       'http://tun.fi/HR.5835/' || CAST(event_id AS VARCHAR) || '_G' AS gathering_id,
+        |       'http://tun.fi/HR.5835/' || CAST(event_id AS VARCHAR) || '_U' AS unit_id
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_keywords" ->
+      """SELECT event_id,
+        |       CAST(event_id AS VARCHAR) || ',crowdsorsa-' || n_name AS keywords
+        |FROM events
+        |JOIN customer ON (CASE WHEN user_id = 13 THEN 20 ELSE user_id END) = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY event_id""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST($SumDisc AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+        |           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST($SumDisc AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_local" ->
+      s"""SELECT n_name, CAST($SumDisc AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '2002-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+        |  LAG(o_totalprice) OVER (PARTITION BY o_custkey
+        |                          ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        |       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        |       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+        |       COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.25) AS p25,
+        |       quantile_cont(value, 0.5)  AS p50,
+        |       quantile_cont(value, 0.75) AS p75
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS p_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, p.user_id AS user_id, purchase_value, click_id, click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.p_ts >= c.click_ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM y
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
+  )
 }

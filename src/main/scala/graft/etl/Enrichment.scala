@@ -1,0 +1,134 @@
+package graft.etl
+
+import graft.functions.{GeoFunctions, TextFunctions}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference-mirror enrichment operators: each re-expresses one
+  * behavior of the R scripts as a declarative, distributed transform.
+  * The reference does all of this row-at-a-time inside a for loop
+  * (crowdsorsa-etl-2023.R:46-222); here each is one Catalyst plan with
+  * broadcast dimension lookups, so the fact side streams through
+  * codegen'd stages and never shuffles for enrichment.
+  */
+object Enrichment {
+
+  val CollectionId = "HR.5835"
+  val SourceId     = "KE.1721"
+
+  /** Mirrors the municipality-code override (2023.R:51: "864" → "20")
+    * before the key lookup: a data-repair remap applied pre-join. */
+  def overrideKey(c: Column): Column = when(c === 13, 20).otherwise(c)
+
+  /** R4: code→name lookup chain with override. events.user_id →
+    * customer → nation → region, dims broadcast (2023.R:50-53 does this
+    * with a lookup table per row; geofi municipality key). */
+  def lookupEnrich(t: Tables): DataFrame =
+    t.events.select(overrideKey(col("user_id")).as("obs_key"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("obs_key") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_obs"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** R5: timestamp parse + date/hour/minute extraction
+    * (2023.R:55-61 strptime "%FT%T" → format "%F"/"%H"/"%M"). */
+  def timeExtract(t: Tables): DataFrame =
+    t.events
+      .select(
+        col("ts").cast("date").as("obs_date"),
+        hour(col("ts")).cast("long").as("obs_hour"),
+        minute(col("ts")).cast("long").as("obs_minute"))
+      .groupBy(col("obs_date"), col("obs_hour"))
+      .agg(count(lit(1)).as("n"), min(col("obs_minute")).as("first_minute"))
+      .orderBy(col("obs_date"), col("obs_hour"))
+
+  /** R6+R7: mojibake repair + lowercase + first-occurrence-only
+    * substitution (R `sub`), hashed for a compact verifiable output. */
+  def textClean(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      md5(TextFunctions.cleanText(col("text"), "data", "datum")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+
+  /** R8: switch-style dictionary mapping to taxon URIs
+    * (2023.R:96-104). A literal map lookup, not a join — constant-
+    * folded per row, no shuffle, null for unmapped keys. */
+  val LangTaxon: Map[String, String] = Map(
+    "en" -> "http://tun.fi/MX.38240",
+    "de" -> "http://tun.fi/MX.39158",
+    "fr" -> "http://tun.fi/MX.41695",
+    "es" -> "http://tun.fi/MX.38947",
+    "zh" -> "http://tun.fi/MX.38815")
+
+  def dictMapCol(c: Column): Column = {
+    val m = typedlit(LangTaxon)
+    element_at(m, c)
+  }
+
+  def dictMap(t: Tables): DataFrame =
+    t.documents
+      .select(col("lang"), dictMapCol(col("lang")).as("taxon_uri"))
+      .groupBy(col("lang"), col("taxon_uri"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  /** R9: NULL-driven conditional tagging + notes concat (2023.R:106-118:
+    * control date NA → no tags; else INVASIVE_PARTIAL + notes). */
+  def controlTags(t: Tables): DataFrame = {
+    val controlDate = when(col("value") > 120.0, col("ts").cast("date"))
+    t.events.select(
+        col("event_id"),
+        controlDate.as("control_date"),
+        when(controlDate.isNotNull, lit("INVASIVE_PARTIAL")).as("source_tag"),
+        when(controlDate.isNotNull,
+          concat(lit("Controlled: "), controlDate.cast("string"))).as("notes"))
+      .orderBy(col("event_id"))
+  }
+
+  /** R2+R3: geometry make-valid + shoelace area + ceiling. The ring is
+    * built from row values (an axis-aligned quad, deliberately left
+    * unclosed so closeRing has work to do); the area function itself is
+    * fully general — see GeoFunctionsSpec for irregular polygons. */
+  def geoArea(t: Tables): DataFrame = {
+    val w = col("l_quantity")
+    val h = lit(1.0) + col("l_discount")
+    val ring = array(
+      struct(lit(0.0).as("x"), lit(0.0).as("y")),
+      struct(w.as("x"), lit(0.0).as("y")),
+      struct(w.as("x"), h.as("y")),
+      struct(lit(0.0).as("x"), h.as("y")))
+    t.lineitem.select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        GeoFunctions.areaCeilM2(ring).as("area_m2"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** R10: deterministic URI minting (2023.R:120-127,143-146,163-166:
+    * sprintf documentId / gatheringId / unitId). */
+  def mintIds(t: Tables): DataFrame =
+    t.events.select(
+        col("event_id"),
+        format_string(s"http://tun.fi/$CollectionId/%d", col("event_id")).as("document_id"),
+        format_string(s"http://tun.fi/$CollectionId/%d_G", col("event_id")).as("gathering_id"),
+        format_string(s"http://tun.fi/$CollectionId/%d_U", col("event_id")).as("unit_id"))
+      .orderBy(col("event_id"))
+
+  /** R11: keywords construction [id, "crowdsorsa-<municipality>"]
+    * (2023.R:131-133), municipality via the broadcast lookup chain.
+    * Emitted as a joined string for cross-engine comparability. */
+  def keywords(t: Tables): DataFrame =
+    t.events.select(col("event_id"), overrideKey(col("user_id")).as("obs_key"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("obs_key") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("event_id"),
+        concat_ws(",",
+          col("event_id").cast("string"),
+          concat(lit("crowdsorsa-"), col("n_name"))).as("keywords"))
+      .orderBy(col("event_id"))
+}

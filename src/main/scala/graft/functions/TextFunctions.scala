@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** String-cleaning primitives mirroring the reference's text handling,
+  * all as codegen'd Catalyst expressions (no UDFs).
+  */
+object TextFunctions {
+
+  /** Repair the common latin1-read-as-UTF8 mojibake the reference fixes
+    * one gsub at a time (crowdsorsa-etl-2023.R:90-94: "Ã¶"→"ö", "Ã¤"→"ä"). */
+  def fixMojibake(c: Column): Column =
+    Seq("Ã¶" -> "ö", "Ã¤" -> "ä")
+      .foldLeft(c) { case (acc, (bad, good)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(bad), good)
+      }
+
+  /** First-occurrence-only literal substitution — R's `sub` semantics
+    * (crowdsorsa-etl-2024.R:36-37 rewrites the year once per value),
+    * unlike Spark's replace-all `regexp_replace`. */
+  def subFirst(c: Column, find: String, repl: String): Column = {
+    val pos = instr(c, find)
+    when(pos > 0,
+      concat(
+        c.substr(lit(1), pos - 1),
+        lit(repl),
+        c.substr(pos + find.length, length(c))))
+      .otherwise(c)
+  }
+
+  /** The reference's full cleaning chain: mojibake repair → lowercase →
+    * one-shot substitution (2023.R:88-94 + 2024.R:36-37,58). */
+  def cleanText(c: Column, find: String, repl: String): Column =
+    subFirst(lower(fixMojibake(c)), find, repl)
+
+  /** Whitespace tokenization shared by the text-analysis operators. */
+  def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** Word n-grams as an array<string> (for shingling / Jaccard). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+  }
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the test star schema.
+  *
+  * Mirrors the reference's ingest step (crowdsorsa-etl-2023.R:28-32 reads
+  * a zipped shapefile into a data frame); here every table is a parquet
+  * scan so Catalyst can push filters and prune columns all the way into
+  * the file reader — at 100 TB the scan is the dominant cost and
+  * pushdown/pruning is what keeps it proportional to the query, not the
+  * dataset.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** events.ts is TIMESTAMP(NANOS) in the files; Spark reads it as a
+    * long (see GraftSession nanosAsLong). Convert to the engine's µs
+    * timestamp with integer division — ns epoch values exceed 2^53, so
+    * double math would silently lose precision. Matches DuckDB's own
+    * ns→µs truncation, keeping the oracle comparable. */
+  def events: DataFrame =
+    t("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
