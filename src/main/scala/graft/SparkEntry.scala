@@ -43,7 +43,20 @@ object SparkEntry {
     "q_distinct"       -> q(Analytics.distinctUsers),
     "q_percentile"     -> q(Analytics.percentiles),
     "q_asof_join"      -> q(AsOfJoin.purchaseToLastClick),
-    "q_sessionize"     -> q(Sessionize.sessionize)
+    "q_sessionize"     -> q(Sessionize.sessionize),
+    // —— LLM-training-data ops (SURVEY §2 table 3) ——
+    "q_langid"         -> q(TextAnalysis.langId),
+    "q_quality"        -> q(TextAnalysis.quality),
+    "q_tokens"         -> q(TextAnalysis.tokenCounts),
+    "q_fingerprint"    -> q(TextAnalysis.fingerprint),
+    "q_dedup_exact"    -> q(Dedup.exact),
+    "q_ngram_jaccard"  -> q(Dedup.ngramJaccard),
+    "q_knn_cosine"     -> q(Similarity.knnCosine(_)),
+    // approximate / not SQL-expressible → rows-only driver check,
+    // correctness covered by ScalaTest specs
+    "q_dedup_minhash"  -> q(Dedup.minhash),
+    "q_dedup_simhash"  -> q(Dedup.simhash),
+    "q_knn_ivf"        -> q(Similarity.knnIvf(_))
   )
 
   // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
@@ -267,6 +280,86 @@ object SparkEntry {
         |       MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM y
         |GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','a')))   AS score_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))) AS score_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','los','y','que','en')))   AS score_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','des','un')))  AS score_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('de','shi','le','wo','ni')))   AS score_zh
+        |  FROM documents)
+        |SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+        |  CASE
+        |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |    WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |    WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |    WHEN score_fr >= score_zh THEN 'fr'
+        |    ELSE 'zh'
+        |  END AS pred_lang
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |           t -> t IN ('the','and','of','to','a'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stopword_ratio,
+        |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS survivor_id, md5(text) AS content_hash,
+        |       COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY survivor_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+        |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |WHERE a.doc_id % 10 = 0
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_knn_cosine" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding, c.embedding) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM pairs) x
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -37,10 +37,13 @@ object TextFunctions {
   /** Whitespace tokenization shared by the text-analysis operators. */
   def tokens(c: Column): Column = split(c, "\\s+")
 
-  /** Word n-grams as an array<string> (for shingling / Jaccard). */
+  /** Word n-grams as an array<string> (for shingling / Jaccard).
+    * Guarded: Spark's `sequence(1, 0)` would count DOWN, so short
+    * inputs explicitly yield an empty array. */
   def wordNgrams(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
   }
 }

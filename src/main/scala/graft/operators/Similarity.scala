@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the query set is the broadcast side, so the corpus —
+  * the 100 TB side — is scanned exactly once with map-side similarity
+  * computation. Top-k selection is two-phase (per-input-partition local
+  * top-k, then a tiny global pass), so the shuffle carries
+  * O(partitions × k) rows, not O(|corpus| × |queries|). The IVF variant
+  * additionally prunes the corpus scan to the nprobe nearest centroid
+  * buckets via an equi-join on the bucket id.
+  */
+object Similarity {
+
+  /** float[] → double[] before arithmetic: the kernel accumulates in
+    * double regardless of storage precision. */
+  private def vd(c: Column): Column = transform(c, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Two-phase top-k per query: local top-k within each scan partition
+    * (cheap, no global sort), then global top-k over candidates. */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val local = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global).cast("long")).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Brute-force cosine top-k: exact baseline. */
+  def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      vd(col("embedding")).as("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), vd(col("embedding")).as("cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    topkPerQuery(scored, k)
+  }
+
+  /** The oracle instance: 10 query vectors against the whole corpus. */
+  def knnCosine(t: Tables, k: Int = 5): DataFrame =
+    bruteKnn(t.embeddings, t.embeddings.filter(col("vec_id") < 10), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Elementwise mean of vectors per bucket (posexplode → avg → rebuild),
+    * all distributed — no driver-side math. */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("bucket"), posexplode(col("cv")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("bucket"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** IVF index build: deterministic seed buckets (vec_id % nlist), then
+    * `iters` Lloyd rounds of assign-to-nearest / recompute-means. */
+  def ivfAssign(corpus: DataFrame, nlist: Int, iters: Int): (DataFrame, DataFrame) = {
+    val base = corpus.select(col("vec_id").as("neighbor_id"), vd(col("embedding")).as("cv"))
+    var assigned = base.withColumn("bucket", (col("neighbor_id") % nlist).cast("int"))
+    var cents: DataFrame = centroidsOf(assigned)
+    for (_ <- 0 until iters) {
+      val scored = base.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(col("cv"), col("centroid")))
+      assigned = scored
+        .groupBy(col("neighbor_id"))
+        .agg(max_by(col("bucket"), struct(col("sim"), col("bucket"))).as("bucket"),
+          first(col("cv")).as("cv"))
+      cents = centroidsOf(assigned)
+    }
+    (assigned, cents)
+  }
+
+  /** IVF approximate top-k: probe only the nprobe nearest buckets. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val (assigned, cents) = ivfAssign(corpus, nlist, iters)
+    val q = queries.select(col("vec_id").as("query_id"), vd(col("embedding")).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("bucket"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("prn", row_number().over(probeW)).filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("bucket"))
+    val scored = probes.join(assigned, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    topkPerQuery(scored, k)
+  }
+
+  /** Rows-only entry (approximate — verified by recall spec, not SQL). */
+  def knnIvf(t: Tables, k: Int = 5): DataFrame =
+    ivfKnn(t.embeddings, t.embeddings.filter(col("vec_id") < 10), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+}
