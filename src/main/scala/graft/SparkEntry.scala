@@ -56,7 +56,13 @@ object SparkEntry {
     // correctness covered by ScalaTest specs
     "q_dedup_minhash"  -> q(Dedup.minhash),
     "q_dedup_simhash"  -> q(Dedup.simhash),
-    "q_knn_ivf"        -> q(Similarity.knnIvf(_))
+    "q_knn_ivf"        -> q(Similarity.knnIvf(_)),
+    // —— document assembly, push log, streaming-equivalent, multimodal ——
+    "q_doc_assembly"   -> q(etl.DocumentAssembly.assemble),
+    "q_push_log"       -> q(graft.sinks.HttpPushSink.pushLog),
+    "q_stream_window"  -> q(graft.streaming.EventStreams.streamWindowBatch),
+    "q_multimodal_meta" -> q(Multimodal.mediaMeta),
+    "q_multimodal_feat" -> q(Multimodal.mediaFeatures(_))
   )
 
   // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
@@ -360,6 +366,73 @@ object SparkEntry {
         |                                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM pairs) x
         |WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_doc_assembly" ->
+      """SELECT event_id,
+        |  '{"schema":"laji-etl","sourceId":"http://tun.fi/KE.1721","collectionId":"http://tun.fi/HR.5835","documentId":"http://tun.fi/HR.5835/'
+        |  || CAST(event_id AS VARCHAR)
+        |  || '","publicDocument":{"concealment":"PUBLIC","keywords":["'
+        |  || CAST(event_id AS VARCHAR) || '","crowdsorsa-' || n_name || '"]'
+        |  || CASE WHEN value > 120.0
+        |       THEN ',"notes":"Controlled: ' || CAST(CAST(ts AS DATE) AS VARCHAR) || '"'
+        |       ELSE '' END
+        |  || ',"gatherings":[{"gatheringId":"http://tun.fi/HR.5835/'
+        |  || CAST(event_id AS VARCHAR) || '_G","eventDate":{"begin":"'
+        |  || CAST(CAST(ts AS DATE) AS VARCHAR) || '","end":"'
+        |  || CAST(CAST(ts AS DATE) AS VARCHAR)
+        |  || '"},"hourBegin":' || CAST(EXTRACT(hour FROM ts) AS VARCHAR)
+        |  || ',"hourEnd":' || CAST(EXTRACT(hour FROM ts) AS VARCHAR)
+        |  || ',"minuteBegin":' || CAST(EXTRACT(minute FROM ts) AS VARCHAR)
+        |  || ',"minuteEnd":' || CAST(EXTRACT(minute FROM ts) AS VARCHAR)
+        |  || ',"municipality":"' || n_name
+        |  || '","geo":{"type":"FeatureCollection","crs":"WGS84"},"units":[{"unitId":"http://tun.fi/HR.5835/'
+        |  || CAST(event_id AS VARCHAR) || '_U","taxonVerbatim":"' || event_type || '"'
+        |  || CASE WHEN event_type = 'purchase' THEN ',"reportedTaxonId":"http://tun.fi/MX.38947"'
+        |          WHEN event_type = 'click'    THEN ',"reportedTaxonId":"http://tun.fi/MX.38240"'
+        |          WHEN event_type = 'view'     THEN ',"reportedTaxonId":"http://tun.fi/MX.38815"'
+        |          WHEN event_type = 'signup'   THEN ',"reportedTaxonId":"http://tun.fi/MX.41695"'
+        |          ELSE '' END
+        |  || ',"sourceTags":' || CASE WHEN value > 120.0 THEN '["INVASIVE_PARTIAL"]' ELSE '[]' END
+        |  || ',"abundanceString":"' || printf('%.2f', value)
+        |  || '","abundanceUnit":"RELATIVE_DENSITY"'
+        |  || CASE WHEN CEIL(value - 100.0) > 0
+        |       THEN ',"facts":[{"fact":"http://tun.fi/MY.areaInSquareMeters","integerValue":'
+        |            || CAST(CAST(CEIL(value - 100.0) AS BIGINT) AS VARCHAR)
+        |            || ',"value":"' || CAST(CAST(CEIL(value - 100.0) AS BIGINT) AS VARCHAR) || '"}]'
+        |       ELSE '' END
+        |  || '}]}]}}' AS doc
+        |FROM events
+        |JOIN customer ON (CASE WHEN user_id = 13 THEN 20 ELSE user_id END) = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY event_id""".stripMargin,
+
+    "q_push_log" ->
+      """WITH x AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 97 = 0 THEN 500 ELSE 200 END AS status,
+        |         replace('POST /v0/warehouse/push?access_token=SECRET123 doc=http://tun.fi/HR.5835/'
+        |                 || CAST(event_id AS VARCHAR), 'SECRET123', '') AS logline
+        |  FROM events)
+        |SELECT CAST(status AS BIGINT) AS status, COUNT(*) AS n_docs,
+        |       bool_and(strpos(logline, 'SECRET123') = 0) AS all_redacted
+        |FROM x
+        |GROUP BY status
+        |ORDER BY status""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
+        |       'image/fake' AS format,
+        |       CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+        |       CAST(doc_id % 48 + 12 AS BIGINT) AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

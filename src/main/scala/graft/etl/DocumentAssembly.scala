@@ -1,0 +1,84 @@
+package graft.etl
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's core product: assembling each observation into a
+  * nested "laji-etl" JSON document (crowdsorsa-etl-2023.R:120-173,
+  * 2024.R:87-147 build the same shape with nested R lists, one row at a
+  * time). Here the whole document is ONE Catalyst struct expression
+  * serialized by `to_json` — null fields (notes, reportedTaxonId,
+  * facts) are omitted exactly like the reference's conditional list
+  * insertion, and the entire assembly is map-side: the only join is the
+  * broadcast municipality lookup, so the pipeline streams at scan speed
+  * at any scale.
+  */
+object DocumentAssembly {
+  import Enrichment.{CollectionId, SourceId}
+
+  /** event_type → taxon URI, the 2024.R:60-71 switch. 'error' is
+    * deliberately unmapped: the reference's switch yields NULL for
+    * unknown taxa and the field is then absent from the JSON. */
+  val TaxonMap: Map[String, String] = Map(
+    "purchase" -> "http://tun.fi/MX.38947",
+    "click"    -> "http://tun.fi/MX.38240",
+    "view"     -> "http://tun.fi/MX.38815",
+    "signup"   -> "http://tun.fi/MX.41695")
+
+  def assemble(t: Tables): DataFrame = {
+    val e = t.events
+      .select(Enrichment.overrideKey(col("user_id")).as("obs_key"),
+        col("event_id"), col("ts"), col("event_type"), col("value"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("obs_key") === col("c_custkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+
+    val idStr = col("event_id").cast("string")
+    val d = col("ts").cast("date")
+    val h = hour(col("ts"))
+    val m = minute(col("ts"))
+    val controlled = col("value") > 120.0
+    val area = ceil(col("value") - 100.0).cast("long")
+    val uri = (suffix: String) =>
+      format_string(s"http://tun.fi/$CollectionId/%d$suffix", col("event_id"))
+
+    val unit = struct(
+      uri("_U").as("unitId"),
+      col("event_type").as("taxonVerbatim"),
+      element_at(typedlit(TaxonMap), col("event_type")).as("reportedTaxonId"),
+      when(controlled, array(lit("INVASIVE_PARTIAL")))
+        .otherwise(array().cast("array<string>")).as("sourceTags"),
+      format_string("%.2f", col("value")).as("abundanceString"),
+      lit("RELATIVE_DENSITY").as("abundanceUnit"),
+      when(area > 0, array(struct(
+        lit("http://tun.fi/MY.areaInSquareMeters").as("fact"),
+        area.as("integerValue"),
+        area.cast("string").as("value")))).as("facts"))
+
+    val gathering = struct(
+      uri("_G").as("gatheringId"),
+      struct(d.as("begin"), d.as("end")).as("eventDate"),
+      h.as("hourBegin"), h.as("hourEnd"),
+      m.as("minuteBegin"), m.as("minuteEnd"),
+      col("n_name").as("municipality"),
+      struct(lit("FeatureCollection").as("type"), lit("WGS84").as("crs")).as("geo"),
+      array(unit).as("units"))
+
+    val document = struct(
+      lit("laji-etl").as("schema"),
+      lit(s"http://tun.fi/$SourceId").as("sourceId"),
+      lit(s"http://tun.fi/$CollectionId").as("collectionId"),
+      uri("").as("documentId"),
+      struct(
+        lit("PUBLIC").as("concealment"),
+        array(idStr, concat(lit("crowdsorsa-"), col("n_name"))).as("keywords"),
+        when(controlled,
+          concat(lit("Controlled: "), d.cast("string"))).as("notes"),
+        array(gathering).as("gatherings")).as("publicDocument"))
+
+    e.select(col("event_id"), to_json(document).as("doc"))
+      .orderBy(col("event_id"))
+  }
+}

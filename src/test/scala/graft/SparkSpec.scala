@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM under Test/fork). */
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = GraftSession.tune(
+      SparkSession.builder().master("local[4]").appName("graft-test"), 4)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+  def sfDir = "/root/testdata/sf0.001"
+  lazy val tables: sources.Tables = sources.Tables(spark, sfDir)
+}

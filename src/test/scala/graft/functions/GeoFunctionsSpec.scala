@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GeoFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ringDf(pts: Seq[(Double, Double)]) =
+    Seq(1).toDF("id").select(
+      array(pts.map { case (x, y) =>
+        struct(lit(x).as("x"), lit(y).as("y")) }: _*).as("ring"))
+
+  test("shoelace area of an irregular closed polygon") {
+    // pentagon; shoelace sum = 0+12+10+6+0 = 28 -> area 14
+    val pts = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (2.0, 4.0), (0.0, 3.0), (0.0, 0.0))
+    val a = ringDf(pts).select(GeoFunctions.polygonArea(col("ring"))).head.getDouble(0)
+    assert(math.abs(a - 14.0) < 1e-12, s"got $a")
+  }
+
+  test("closeRing closes an open ring; area unchanged vs pre-closed") {
+    val open = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
+    val a = ringDf(open).select(GeoFunctions.polygonAreaValid(col("ring"))).head.getDouble(0)
+    assert(a == 4.0)
+  }
+
+  test("orientation-independent (CW ring gives same unsigned area)") {
+    val cw = Seq((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0))
+    val a = ringDf(cw).select(GeoFunctions.polygonArea(col("ring"))).head.getDouble(0)
+    assert(a == 4.0)
+  }
+
+  test("areaCeilM2 rounds up like the reference's ceiling(st_area)") {
+    val tri = Seq((0.0, 0.0), (3.0, 0.0), (0.0, 2.1)) // area 3.15 -> 4
+    val a = ringDf(tri).select(GeoFunctions.areaCeilM2(col("ring"))).head.getLong(0)
+    assert(a == 4L)
+  }
+
+  test("bbox") {
+    val pts = Seq((1.0, -2.0), (5.0, 0.0), (3.0, 7.0), (1.0, -2.0))
+    val r = ringDf(pts).select(GeoFunctions.bbox(col("ring")).as("b"))
+      .select("b.xmin", "b.ymin", "b.xmax", "b.ymax").head
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) == ((1.0, -2.0, 5.0, 7.0)))
+  }
+}

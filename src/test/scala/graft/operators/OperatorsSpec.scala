@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks latest right row at-or-before left time, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3") // no click before -> null
+    ).toDF("user_id", "p_ts", "p")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "c1"),
+      (1L, ts("2024-01-01 11:59:00"), "c2"),
+      (1L, ts("2024-01-01 13:00:00"), "c3"), // after everything
+      (2L, ts("2024-01-01 09:30:00"), "c4")
+    ).toDF("user_id", "c_ts", "c")
+    val r = AsOfJoin.asofJoin(left, right, Seq("user_id"), "p_ts", "c_ts")
+      .select("p", "c").as[(String, Option[String])].collect().toMap
+    assert(r == Map("p1" -> Some("c1"), "p2" -> Some("c2"), "p3" -> None))
+  }
+
+  test("same-instant right row matches (>= semantics)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("user_id", "p_ts", "p")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), "c")).toDF("user_id", "c_ts", "c")
+    val r = AsOfJoin.asofJoin(left, right, Seq("user_id"), "p_ts", "c_ts")
+      .select("c").as[Option[String]].head()
+    assert(r.contains("c"))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap > 30min starts a new session") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2L),
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00"), 3L), // 50min gap -> new
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val r = Sessionize.sessions(ev)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "spark catalyst optimizes declarative plans into distributed executions across many partitions and executors with codegen"
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated docs") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("codegen", "vectorization")), // near-dup of 1
+      (3L, "entirely different content about zip archives and geometry rings with areas"),
+      (4L, base) // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact dedup groups identical texts under min-id survivor") {
+    val docs = Seq((10L, "aaa"), (11L, "aaa"), (12L, "bbb")).toDF("doc_id", "text")
+    val r = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("survivor"), count(lit(1)).as("n"))
+      .select("survivor", "n").as[(Long, Long)].collect().toSet
+    assert(r == Set((10L, 2L), (12L, 1L)))
+  }
+
+  test("simhash pairs find the exact duplicate at hamming 0") {
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, "other words entirely unrelated to anything above in this suite")
+    ).toDF("doc_id", "text")
+    val r = Dedup.simhashPairs(docs).select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r.contains((1L, 2L, 0L)))
+    assert(!r.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force knn ranks by cosine with exact math on axis vectors") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 0L)
+    val r = Similarity.bruteKnn(corpus, q, 3)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().sorted
+    assert(r.head == ((1L, 1L)))          // most similar
+    assert(r.last == ((3L, 3L)))          // opposite vector ranks last
+  }
+
+  test("IVF knn achieves reasonable recall vs brute force on real table") {
+    val emb = tables.embeddings
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteKnn(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(emb, queries, 5, nlist = 8, nprobe = 4, iters = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media plumbing: binary payloads with typed metadata, decoded per partition") {
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.withFakeMedia(tables.documents), dim = 8)
+    val r = feats.select("n_bytes", "feature_dim").distinct()
+      .as[(Long, Int)].collect().toSet
+    assert(r == Set((16L, 8)))           // md5 -> 16 bytes, 8 features
+    val f = feats.select("features").head.getSeq[Float](0)
+    assert(f.forall(v => v >= 0f && v <= 1f))
+    // deterministic across runs
+    val a = feats.orderBy("doc_id").select("features").head.getSeq[Float](0)
+    val b = feats.orderBy("doc_id").select("features").head.getSeq[Float](0)
+    assert(a == b)
+  }
+}

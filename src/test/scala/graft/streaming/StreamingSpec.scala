@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts: streaming result converges to the batch plan's") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = EventStreams.windowedCounts(df)
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 10:30:00"), "view"))
+      q.processAllAvailable()
+      val r = spark.table("wincounts")
+        .select(col("win_start").cast("string"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(r == Set(
+        ("2024-01-01 10:00:00", "click", 2L),
+        ("2024-01-01 11:00:00", "click", 1L),
+        ("2024-01-01 10:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session stream: flatMapGroupsWithState closes sessions on gap/watermark") {
+    import SessionStream._
+    val input = MemoryStream[Ev](spark)
+    val q = SessionStream.sessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessout")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        Ev(1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2L))
+      q.processAllAvailable()
+      // jump event time far ahead: watermark passes 10:10+30min -> session closes
+      input.addData(Ev(2L, Timestamp.valueOf("2024-01-01 13:00:00"), 3L))
+      q.processAllAvailable()
+      input.addData(Ev(2L, Timestamp.valueOf("2024-01-01 16:00:00"), 4L))
+      q.processAllAvailable()
+      val r = spark.table("sessout")
+        .select(col("user_id"), col("n_events"),
+          col("session_start").cast("string"), col("session_end").cast("string"))
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(r.contains((1L, 2L, "2024-01-01 10:00:00", "2024-01-01 10:10:00")), s"got $r")
+    } finally q.stop()
+  }
+
+  test("advance() transition function (pure kernel)") {
+    import SessionStream._
+    def ev(u: Long, s: String, id: Long) = Ev(u, Timestamp.valueOf(s), id)
+    val gap = gapMs(30)
+    val (closed, open) = advance(None, Seq(
+      ev(1, "2024-01-01 10:00:00", 1), ev(1, "2024-01-01 10:20:00", 2),
+      ev(1, "2024-01-01 11:30:00", 3)), gap)
+    assert(closed.map(_.n) == Seq(2))
+    assert(open.exists(_.n == 1))
+  }
+}
