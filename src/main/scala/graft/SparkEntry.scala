@@ -14,9 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship: broadcast lookup-chain enrichment on sf0.001. */
+  /** Flagship: the 6-table broadcast star join on sf0.001 (kept off the
+    * ns-timestamp events table so it runs on any vanilla session). */
   def entry(spark: SparkSession): DataFrame =
-    Enrichment.lookupEnrich(Tables(spark, "/root/testdata/sf0.001"))
+    Analytics.q5Local(Tables(spark, "/root/testdata/sf0.001"))
 
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables(s, dir))

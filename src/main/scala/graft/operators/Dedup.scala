@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Single-row-group inputs scan as one task; fan the rows out across
+    * the cluster BEFORE the compute-heavy shingle/hash stages. On a
+    * real multi-split 100 TB table this is a no-op cost-wise (the scan
+    * already parallelizes); on small benches it's the difference
+    * between 1 core and all of them. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup: group by content hash, keep the min-id survivor.
     * One shuffle on a 128-bit hash, partial-agg map-side. */
   def exact(t: Tables): DataFrame =
@@ -28,12 +36,33 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     array_distinct(TextFunctions.wordNgrams(text, n))
 
-  /** MinHash signature: `numPerm` permutations simulated with seeded
-    * xxhash64 (codegen'd); each signature slot is the min hash of the
-    * shingle set under that permutation. */
-  def minhashSignature(sh: Column, numPerm: Int): Column =
-    array((0 until numPerm).map(i =>
-      array_min(transform(sh, g => xxhash64(lit(i), g)))): _*)
+  /** (doc_id, sh) frame with the token array materialized in its own
+    * projection before the n-gram HOF — see TextFunctions.wordNgramsOf
+    * for why the two-step shape is ~6x faster. */
+  def shingled(docs: DataFrame, n: Int): DataFrame =
+    spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.wordNgramsOf(col("toks"), n)).as("sh"))
+
+  /** MinHash signatures for a (doc_id, sh: array<string>) frame.
+    *
+    * Shape matters: higher-order functions (`transform`) are interpreted
+    * in Spark, so 64 × transform-per-row is orders slower than codegen.
+    * Instead: explode shingles and take 64 codegen'd
+    * `min(xxhash64(seed_i, g))` aggregates — partial aggregation
+    * collapses each scan partition to one 64-slot row per doc before the
+    * shuffle, so network cost is |docs| × 64 longs no matter how big the
+    * shingle explosion is. */
+  def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
+    val mins = (0 until numPerm).map(i =>
+      min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+    sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH band keys: signature sliced into `bands` bands of `rowsPerBand`,
     * each band hashed to one 64-bit bucket key. Docs sharing any band
@@ -49,16 +78,27 @@ object Dedup {
   def minhashPairs(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val sh = docs.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+    val sh = shingled(docs, shingleN)
       .filter(size(col("sh")) > 0)
-    val banded = sh
-      .select(col("doc_id"), col("sh"),
-        explode(bandKeys(minhashSignature(col("sh"), numPerm), bands, rowsPerBand)).as("bk"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("bk"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("bk"))
-    a.join(b, a("bk") === b("bk") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .persist() // reused by candidate generation AND both verify joins
+    // Candidate generation is SKINNY: only (doc_id, band-bucket) rows go
+    // through the self-join shuffle — ~16 longs/doc, not the shingle
+    // arrays. At 100 TB that's the difference between shuffling ~1% of
+    // the corpus and shuffling 16 copies of it.
+    val banded = minhashSignatures(sh, numPerm)
+      .select(col("doc_id"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .persist() // self-joined: compute signatures once, not twice
+    val cand = banded.select(col("doc_id").as("doc_a"), col("bk"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // Verify step touches only candidates: join the shingle sets back by
+    // id (equi-joins) and compute exact Jaccard on the pair.
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -74,12 +114,14 @@ object Dedup {
     * 4 chunks guarantees one equal chunk by pigeonhole), verified by
     * exact popcount of the XOR. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col("doc_id"),
-      graft.functions.HashFunctions.simhash64(split(col("text"), " ")).as("fp"))
+    val fp = spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.simhash64(split(col("text"), " ")).as("fp"))
     val chunked = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
           shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("ck"))
+      .persist() // self-joined: hash each doc once
     val a = chunked.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("ck"))
     val b = chunked.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"), col("ck"))
     a.join(b, a("ck") === b("ck") && col("doc_a") < col("doc_b"))
@@ -97,8 +139,7 @@ object Dedup {
     * (each 10th doc vs its next 5 ids) — the SQL-verifiable instance
     * of the Jaccard kernel used by minhashPairs' verify step. */
   def ngramJaccard(t: Tables): DataFrame = {
-    val g = t.documents.select(col("doc_id"),
-      shingles(col("text"), 2).as("grams"))
+    val g = shingled(t.documents, 2).withColumnRenamed("sh", "grams")
     val a = g.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("doc_a"), col("grams").as("ga"))
     val b = g.select(col("doc_id").as("doc_b"), col("grams").as("gb"))

@@ -17,15 +17,22 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** See Dedup.spread: parallelize past single-row-group scans before
+    * the arithmetic-heavy stages. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** float[] → double[] before arithmetic: the kernel accumulates in
     * double regardless of storage precision. */
   private def vd(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Codegen'd kernels (see GraftVec) — bit-identical to the HOF
+    * spelling but run inside whole-stage codegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Two-phase top-k per query: local top-k within each scan partition
     * (cheap, no global sort), then global top-k over candidates. */
@@ -44,7 +51,8 @@ object Similarity {
   def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       vd(col("embedding")).as("qv")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), vd(col("embedding")).as("cv"))
+    val c = spread(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")))
+      .select(col("neighbor_id"), vd(col("embedding")).as("cv"))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
     topkPerQuery(scored, k)
@@ -70,9 +78,14 @@ object Similarity {
   /** IVF index build: deterministic seed buckets (vec_id % nlist), then
     * `iters` Lloyd rounds of assign-to-nearest / recompute-means. */
   def ivfAssign(corpus: DataFrame, nlist: Int, iters: Int): (DataFrame, DataFrame) = {
-    val base = corpus.select(col("vec_id").as("neighbor_id"), vd(col("embedding")).as("cv"))
+    val base = spread(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")))
+      .select(col("neighbor_id"), vd(col("embedding")).as("cv"))
+      .persist() // reused every Lloyd iteration + final probe join
     var assigned = base.withColumn("bucket", (col("neighbor_id") % nlist).cast("int"))
-    var cents: DataFrame = centroidsOf(assigned)
+    // persist() at each step cuts the lineage: without it, iteration k
+    // re-executes every previous Lloyd round each time the result (or
+    // the centroid broadcast) is materialized.
+    var cents: DataFrame = centroidsOf(assigned).persist()
     for (_ <- 0 until iters) {
       val scored = base.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("cv"), col("centroid")))
@@ -80,7 +93,8 @@ object Similarity {
         .groupBy(col("neighbor_id"))
         .agg(max_by(col("bucket"), struct(col("sim"), col("bucket"))).as("bucket"),
           first(col("cv")).as("cv"))
-      cents = centroidsOf(assigned)
+        .persist()
+      cents = centroidsOf(assigned).persist()
     }
     (assigned, cents)
   }

@@ -28,8 +28,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * timestamp with integer division — ns epoch values exceed 2^53, so
     * double math would silently lose precision. Matches DuckDB's own
     * ns→µs truncation, keeping the oracle comparable. */
-  def events: DataFrame =
+  def events: DataFrame = {
+    // defensive: a caller-provided session (driver smoke) may lack the conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
