@@ -63,7 +63,15 @@ object SparkEntry {
     "q_push_log"       -> q(graft.sinks.HttpPushSink.pushLog),
     "q_stream_window"  -> q(graft.streaming.EventStreams.streamWindowBatch),
     "q_multimodal_meta" -> q(Multimodal.mediaMeta),
-    "q_multimodal_feat" -> q(Multimodal.mediaFeatures(_))
+    "q_multimodal_feat" -> q(Multimodal.mediaFeatures(_)),
+    // —— relational completeness ——
+    "q_semi_anti"      -> q(Relational.semiAnti),
+    "q_setops"         -> q(Relational.setOps),
+    "q_cube"           -> q(Relational.cubeAgg),
+    "q_string_agg"     -> q(Relational.stringAgg),
+    "q_subquery"       -> q(Relational.subquery),
+    "q_range_window"   -> q(Relational.rangeWindow),
+    "q_first_last"     -> q(Relational.firstLast)
   )
 
   // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
@@ -434,6 +442,76 @@ object SparkEntry {
         |       CAST(doc_id % 64 + 16 AS BIGINT) AS width,
         |       CAST(doc_id % 48 + 12 AS BIGINT) AS height
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) FILTER (WHERE EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with,
+        |  COUNT(*) FILTER (WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_setops" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |     INTERSECT
+        |     SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)) AS n_both,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |     EXCEPT
+        |     SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)) AS n_only_95,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |     UNION
+        |     SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)) AS n_union""".stripMargin,
+
+    "q_cube" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |         o_totalprice
+        |  FROM orders)
+        |SELECT o_orderstatus, o_year,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price,
+        |       COUNT(*) AS n
+        |FROM o
+        |GROUP BY CUBE (o_orderstatus, o_year)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_name,
+        |       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+        |       COUNT(*) AS n_sup
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_subquery" -> Relational.SubquerySql,
+
+    "q_range_window" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY od_epoch
+        |                      RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS n_trailing_90d
+        |FROM o
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_first_last" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        |       LAST_VALUE(o_orderkey)  OVER w AS last_key
+        |FROM orders
+        |WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
   )
 }

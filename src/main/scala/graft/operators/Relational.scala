@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational-completeness operators: semi/anti joins, set operations,
+  * CUBE, ordered string aggregation, correlated subqueries (through the
+  * SQL surface), and RANGE-frame windows.
+  */
+object Relational {
+
+  private val P = DecimalType(9, 2)
+
+  /** Semi/anti joins: customers with vs without orders, per segment.
+    * left_semi/left_anti are Spark's EXISTS / NOT EXISTS — no
+    * row multiplication, build side only carries the key. */
+  def semiAnti(t: Tables): DataFrame = {
+    val ok = t.orders.select(col("o_custkey"))
+    val withO = t.customer.join(ok, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with"))
+    val withoutO = t.customer.join(ok, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full")
+      .na.fill(0L, Seq("n_with", "n_without"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** INTERSECT / EXCEPT / UNION over distinct key sets (one-row out). */
+  def setOps(t: Tables): DataFrame = {
+    def custs(y: Int) = t.orders
+      .filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    val a = custs(1995); val b = custs(1996)
+    val nBoth = a.intersect(b).agg(count(lit(1)).as("n_both"))
+    val nOnly = a.except(b).agg(count(lit(1)).as("n_only_95"))
+    val nUnion = a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+    nBoth.crossJoin(nOnly).crossJoin(nUnion)
+  }
+
+  /** CUBE over (status, order year) with exact decimal totals. */
+  def cubeAgg(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderstatus"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      .cube(col("o_orderstatus"), col("o_year"))
+      .agg(sum(col("o_totalprice").cast(P)).cast(DoubleType).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_year").asc_nulls_first)
+
+  /** Ordered string aggregation (listagg): deterministic via
+    * collect_list → array_sort → array_join (matches DuckDB's
+    * string_agg ... ORDER BY). */
+  def stringAgg(t: Tables): DataFrame =
+    t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"),
+        count(lit(1)).as("n_sup"))
+      .orderBy(col("n_name"))
+
+  /** Correlated scalar subquery through the SQL surface — Catalyst
+    * decorrelates it into an aggregate + join; the decimal-exact inner
+    * average keeps the predicate boundary deterministic cross-engine. */
+  val SubquerySql: String =
+    """SELECT o.o_custkey, COUNT(*) AS n_big
+      |FROM orders o
+      |WHERE o.o_totalprice > 1.5 * (
+      |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o.o_custkey
+      |ORDER BY o.o_custkey""".stripMargin
+
+  def subquery(t: Tables): DataFrame =
+    graft.GraftSql.query(t.spark, t.dir, SubquerySql)
+
+  /** RANGE-frame window: orders in the trailing 90 days per customer
+    * (value-based frame over the epoch, not a row count). */
+  def rangeWindow(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od_epoch"))
+      .rangeBetween(-90L * 86400, 0)
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("od_epoch"))
+      .withColumn("n_trailing_90d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("n_trailing_90d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** first/last over a fully-specified window frame. */
+  def firstLast(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.orders.filter(col("o_custkey") < 20)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+}

@@ -35,4 +35,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** All tables by name (for SQL-view registration). */
+  def all: Map[String, DataFrame] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+    "embeddings" -> embeddings)
 }
