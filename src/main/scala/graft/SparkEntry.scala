@@ -57,6 +57,7 @@ object SparkEntry {
     // correctness covered by ScalaTest specs
     "q_dedup_minhash"  -> q(Dedup.minhash),
     "q_dedup_simhash"  -> q(Dedup.simhash),
+    "q_dedup_embed"    -> q(Dedup.embedDedup),
     "q_knn_ivf"        -> q(Similarity.knnIvf(_)),
     // —— document assembly, push log, streaming-equivalent, multimodal ——
     "q_doc_assembly"   -> q(etl.DocumentAssembly.assemble),

@@ -135,6 +135,41 @@ object Dedup {
 
   def simhash(t: Tables): DataFrame = simhashPairs(t.documents)
 
+  /** Embedding-cosine near-dup: random-hyperplane LSH (sign-bit
+    * sketches). `nTables` independent tables of `bitsPerTable` bits —
+    * few bits per table keeps per-table recall high for moderate
+    * cosine thresholds; more tables drive overall recall up. Candidates
+    * are an equi-join on (table, bucket); exact cosine verifies. */
+  def embedPairs(emb: DataFrame, nTables: Int = 8, bitsPerTable: Int = 4,
+                 threshold: Double = 0.35, dim: Int = 64): DataFrame = {
+    val base = spread(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .persist()
+    val rng = new scala.util.Random(42) // fixed seed: index is reproducible
+    val planes = Seq.fill(nTables, bitsPerTable)(Seq.fill(dim)(rng.nextGaussian()))
+    val keys = planes.zipWithIndex.map { case (tp, t) =>
+      val bucket = tp.zipWithIndex.map { case (p, b) =>
+        when(graft.functions.VectorFunctions.dotProduct(col("v"), typedlit(p)) >= 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    val bucketed = base.select(col("vec_id"), explode(array(keys: _*)).as("bk")).persist()
+    val cand = bucketed.select(col("vec_id").as("id_a"), col("bk"))
+      .join(bucketed.select(col("vec_id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def embedDedup(t: Tables): DataFrame = embedPairs(t.embeddings)
+
   /** Exact n-gram Jaccard over a deterministic candidate window
     * (each 10th doc vs its next 5 ids) — the SQL-verifiable instance
     * of the Jaccard kernel used by minhashPairs' verify step. */

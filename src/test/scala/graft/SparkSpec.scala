@@ -6,8 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM under Test/fork). */
 object SparkSpec {
   lazy val session: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val s = GraftSession.tune(
-      SparkSession.builder().master("local[4]").appName("graft-test"), 4)
+      SparkSession.builder().master("local[4]").appName("graft-test")
+        .config("spark.sql.warehouse.dir", wh), 4)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

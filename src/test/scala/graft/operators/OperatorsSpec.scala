@@ -91,6 +91,22 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class EmbedDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hyperplane LSH finds identical/near-identical vectors, verifies by cosine") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v1 = vec()
+    val v1b = v1.map(x => x * 1.001f) // same direction -> cosine ~1
+    val rows = Seq((1L, v1), (2L, v1b)) ++ (3L to 40L).map(i => (i, vec()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embedPairs(emb, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
