@@ -54,6 +54,30 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize stub: recompute target dims preserving aspect ratio and
+    * derive the "resized" payload deterministically (a real impl swaps
+    * the kernel, not the plan). Pure column expressions — map-side. */
+  def resizeStub(media: DataFrame, maxSide: Long): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide) / greatest(col("width"), col("height")))
+    media
+      .withColumn("out_width", floor(col("width") * scale).cast("long"))
+      .withColumn("out_height", floor(col("height") * scale).cast("long"))
+      .withColumn("media", when(scale < 1.0, sha2(col("media"), 256).cast("binary"))
+        .otherwise(col("media")))
+  }
+
+  /** Frame sampling: one row per sampled frame index — the video
+    * analog of explode. A real decoder would slice the container; the
+    * stub derives per-frame bytes from (media, frame_idx). */
+  def frameSample(media: DataFrame, nFrames: Int = 120, everyNth: Int = 30): DataFrame =
+    media
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), lit(nFrames.toLong - 1), lit(everyNth.toLong))))
+      .withColumn("frame",
+        unhex(md5(concat(hex(col("media")), col("frame_idx").cast("string")))))
+      .select(col("doc_id"), col("frame_idx"), col("frame"))
+
   /** Oracle-verifiable slice: the metadata plumbing (binary length +
     * typed dims) — everything except the non-SQL decode kernel. */
   def mediaMeta(t: Tables): DataFrame =

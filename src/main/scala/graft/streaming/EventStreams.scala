@@ -28,4 +28,23 @@ object EventStreams {
   /** Batch oracle instance. */
   def streamWindowBatch(t: Tables): DataFrame =
     windowedCounts(t.events).orderBy(col("win_start"), col("event_type"))
+
+  /** Watermarked stream-stream join: each purchase joined to clicks of
+    * the same user within the preceding hour. Both watermarks bound the
+    * join state; the time-range condition lets Spark evict click state
+    * once the purchase watermark passes click_ts + 1h. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("p_ts") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("p_ts"), col("click_ts"))
+  }
 }

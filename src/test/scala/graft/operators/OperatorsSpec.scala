@@ -139,6 +139,29 @@ class SimilaritySpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("resize stub preserves aspect ratio and leaves small media untouched") {
+    val m = Multimodal.withFakeMedia(tables.documents)
+    val r = Multimodal.resizeStub(m, maxSide = 32)
+      .select("doc_id", "width", "height", "out_width", "out_height")
+      .collect()
+    r.foreach { row =>
+      val (w, h, ow, oh) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(math.max(ow, oh) <= 32)
+      if (math.max(w, h) <= 32) assert((ow, oh) == ((w, h)))
+    }
+  }
+
+  test("frame sampling explodes deterministic per-frame rows") {
+    val m = Multimodal.withFakeMedia(tables.documents.limit(5))
+    val f = Multimodal.frameSample(m, nFrames = 120, everyNth = 30)
+    val idx = f.filter(col("doc_id") === 0).select("frame_idx")
+      .as[Long].collect().sorted.toSeq
+    assert(idx == Seq(0L, 30L, 60L, 90L))
+    val a = f.orderBy("doc_id", "frame_idx").select("frame").head.getAs[Array[Byte]](0)
+    val b = f.orderBy("doc_id", "frame_idx").select("frame").head.getAs[Array[Byte]](0)
+    assert(a.sameElements(b) && a.length == 16)
+  }
+
   test("media plumbing: binary payloads with typed metadata, decoded per partition") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.withFakeMedia(tables.documents), dim = 8)

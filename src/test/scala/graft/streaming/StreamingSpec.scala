@@ -55,6 +55,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join: purchases match clicks in the preceding hour") {
+    val pIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    val cIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    def df(m: MemoryStream[(Long, Long, Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+    val q = EventStreams.purchaseClickJoin(df(pIn), df(cIn))
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      cIn.addData((1L, 100L, Timestamp.valueOf("2024-01-01 10:30:00")),
+                  (1L, 101L, Timestamp.valueOf("2024-01-01 08:00:00"))) // too old
+      pIn.addData((1L, 200L, Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val r = spark.table("ssjoin").select("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSet
+      assert(r == Set((200L, 100L)), s"got $r")
+    } finally q.stop()
+  }
+
   test("advance() transition function (pure kernel)") {
     import SessionStream._
     def ev(u: Long, s: String, id: Long) = Ev(u, Timestamp.valueOf(s), id)
