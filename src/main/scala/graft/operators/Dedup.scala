@@ -55,9 +55,20 @@ object Dedup {
     * shuffle, so network cost is |docs| × 64 longs no matter how big the
     * shingle explosion is. */
   def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
-    val mins = (0 until numPerm).map(i =>
-      min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+    // one string hash per shingle, then universal-hash mixing per
+    // permutation: 64 long multiplies instead of 64 string rehashes.
+    // Everything stays in a 31-bit domain (h31 * a31 + b31 < 2^63) —
+    // Spark 4 runs ANSI mode by default and THROWS on long overflow,
+    // so wrapping-multiply tricks are off the table.
+    val rng = new scala.util.Random(1234)
+    val m31 = 0x7FFFFFFFL
+    val mix = Seq.fill(numPerm)(
+      ((rng.nextLong() & m31) | 1L, rng.nextLong() & m31))
+    val mins = mix.zipWithIndex.map { case ((a, b), i) =>
+      min(col("h") * lit(a) + lit(b)).as(s"m$i")
+    }
     sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).bitwiseAND(lit(m31)).as("h"))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
