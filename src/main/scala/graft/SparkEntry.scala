@@ -72,7 +72,9 @@ object SparkEntry {
     "q_string_agg"     -> q(Relational.stringAgg),
     "q_subquery"       -> q(Relational.subquery),
     "q_range_window"   -> q(Relational.rangeWindow),
-    "q_first_last"     -> q(Relational.firstLast)
+    "q_first_last"     -> q(Relational.firstLast),
+    "q_date_math"      -> q(Relational.dateMath),
+    "q_str_funcs"      -> q(Relational.strFuncs)
   )
 
   // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
@@ -513,6 +515,30 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_date_math" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_days,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+        |  reverse(p_name) AS name_rev,
+        |  CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev,
+        |  repeat('*', p_size % 5) AS stars,
+        |  split_part(p_type, ' ', 2) AS type_mid,
+        |  left(p_name, 5) AS name_l
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin
   )
 }

@@ -90,6 +90,36 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Date/time arithmetic kernel coverage (add, diff, truncation,
+    * calendar fields) — all codegen'd scalar expressions. */
+  def dateMath(t: Tables): DataFrame = {
+    val od = col("o_orderdate").cast("date")
+    t.orders.select(
+        col("o_orderkey"),
+        od.as("od"),
+        date_add(od, 30).as("due_date"),
+        datediff(od, lit("1970-01-01").cast("date")).cast("long").as("epoch_days"),
+        last_day(od).as("month_end"),
+        quarter(od).cast("long").as("qtr"),
+        (dayofweek(od) - 1).cast("long").as("dow"), // Sunday=0, DuckDB convention
+        trunc(od, "month").as("month_start"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** String-function kernel coverage (pad, translate, reverse,
+    * levenshtein, repeat, split_part, left). */
+  def strFuncs(t: Tables): DataFrame =
+    t.part.select(
+        col("p_partkey"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+        reverse(col("p_name")).as("name_rev"),
+        levenshtein(col("p_brand"), lit("Brand#11")).cast("long").as("lev"),
+        expr("repeat('*', p_size % 5)").as("stars"),
+        expr("split_part(p_type, ' ', 2)").as("type_mid"),
+        expr("left(p_name, 5)").as("name_l"))
+      .orderBy(col("p_partkey"))
+
   /** first/last over a fully-specified window frame. */
   def firstLast(t: Tables): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
