@@ -86,11 +86,15 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard on
     * the shingle sets. Returns (doc_a, doc_b, jaccard) with
     * jaccard >= `threshold`. */
-  def minhashPairs(docs: DataFrame, numPerm: Int = 64, bands: Int = 16,
+  def minhashPairs(docs: DataFrame, numPerm: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     val rowsPerBand = numPerm / bands
+    // NOTE no size>0 filter here: a predicate on the computed column
+    // gets pushed below the repartition by PushDownPredicates and then
+    // re-evaluates the whole shingle expression on the unspread (single
+    // task) side — measured 7x slower. Empty shingle sets are harmless:
+    // explode() drops them, so they can never become candidates.
     val sh = shingled(docs, shingleN)
-      .filter(size(col("sh")) > 0)
       .persist() // reused by candidate generation AND both verify joins
     // Candidate generation is SKINNY: only (doc_id, band-bucket) rows go
     // through the self-join shuffle — ~16 longs/doc, not the shingle
