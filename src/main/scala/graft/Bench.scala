@@ -24,6 +24,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // operators persist() reused subplans; drop them so later queries
+      // aren't timed under earlier queries' memory pressure
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -73,6 +73,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark on content hash") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val docs = input.toDF().toDF("ts", "text")
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q = docs.writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "same text"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), "same text"),   // dup within watermark
+        (Timestamp.valueOf("2024-01-01 10:02:00"), "other text"))
+      q.processAllAvailable()
+      val texts = spark.table("streamdedup").select("text").as[String].collect().toSeq
+      assert(texts.sorted == Seq("other text", "same text"), s"got $texts")
+    } finally q.stop()
+  }
+
   test("advance() transition function (pure kernel)") {
     import SessionStream._
     def ev(u: Long, s: String, id: Long) = Ev(u, Timestamp.valueOf(s), id)
