@@ -75,7 +75,9 @@ object SparkEntry {
     "q_range_window"   -> q(Relational.rangeWindow),
     "q_first_last"     -> q(Relational.firstLast),
     "q_date_math"      -> q(Relational.dateMath),
-    "q_str_funcs"      -> q(Relational.strFuncs)
+    "q_str_funcs"      -> q(Relational.strFuncs),
+    "q_grouping_sets"  -> q(Relational.groupingSets),
+    "q_null_semantics" -> q(Relational.nullSemantics)
   )
 
   // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
@@ -540,6 +542,19 @@ object SparkEntry {
         |  split_part(p_type, ' ', 2) AS type_mid,
         |  left(p_name, 5) AS name_l
         |FROM part
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_grouping_sets" -> Relational.GroupingSetsSql,
+
+    "q_null_semantics" ->
+      """SELECT o_orderkey,
+        |  COALESCE(CASE WHEN o_orderkey % 3 != 0 THEN o_totalprice END, -1.0) AS price_or_default,
+        |  NULLIF(o_orderstatus, 'O') AS status_non_open,
+        |  (CASE WHEN o_orderkey % 3 != 0 THEN o_totalprice END
+        |     IS NOT DISTINCT FROM
+        |   CASE WHEN o_orderkey % 5 != 0 THEN o_totalprice END) AS nullsafe_eq,
+        |  (CASE WHEN o_orderkey % 3 != 0 THEN o_totalprice END IS NULL) AS was_null
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -90,6 +90,32 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Explicit GROUPING SETS (neither rollup nor cube) — same SQL text
+    * runs on both engines via the SQL surface. */
+  val GroupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price,
+      |       COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  def groupingSets(t: Tables): DataFrame =
+    graft.GraftSql.query(t.spark, t.dir, GroupingSetsSql)
+
+  /** NULL-semantics kernels: COALESCE, NULLIF, null-safe equality. */
+  def nullSemantics(t: Tables): DataFrame = {
+    val maybe = when(col("o_orderkey") % 3 =!= 0, col("o_totalprice"))
+    val maybe2 = when(col("o_orderkey") % 5 =!= 0, col("o_totalprice"))
+    t.orders.select(
+        col("o_orderkey"),
+        coalesce(maybe, lit(-1.0)).as("price_or_default"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_non_open"),
+        (maybe <=> maybe2).as("nullsafe_eq"),
+        maybe.isNull.as("was_null"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Date/time arithmetic kernel coverage (add, diff, truncation,
     * calendar fields) — all codegen'd scalar expressions. */
   def dateMath(t: Tables): DataFrame = {
