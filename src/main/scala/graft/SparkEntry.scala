@@ -77,7 +77,12 @@ object SparkEntry {
     "q_date_math"      -> q(Relational.dateMath),
     "q_str_funcs"      -> q(Relational.strFuncs),
     "q_grouping_sets"  -> q(Relational.groupingSets),
-    "q_null_semantics" -> q(Relational.nullSemantics)
+    "q_null_semantics" -> q(Relational.nullSemantics),
+    // —— corpus curation (composed training-data pipeline) ——
+    "q_corpus_curate"  -> q(Curation.curate),
+    "q_corpus_stats"   -> q(Curation.corpusStats),
+    "q_shard_balance"  -> q(Curation.shardBalance(_)),
+    "q_sample_hash"    -> q(Curation.sampleHash)
   )
 
   // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
@@ -555,6 +560,57 @@ object SparkEntry {
         |   CASE WHEN o_orderkey % 5 != 0 THEN o_totalprice END) AS nullsafe_eq,
         |  (CASE WHEN o_orderkey % 3 != 0 THEN o_totalprice END IS NULL) AS was_null
         |FROM orders
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_corpus_curate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','a')))   AS s_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','los','y','que','en')))   AS s_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','des','un')))  AS s_fr,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('de','shi','le','wo','ni')))   AS s_zh,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CASE
+        |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh'
+        |    END AS pred_lang
+        |  FROM scored
+        |  WHERE n_tokens BETWEEN 20 AND 80)
+        |SELECT MIN(doc_id) AS doc_id, MIN(pred_lang) AS pred_lang, COUNT(*) AS n_copies
+        |FROM pred
+        |GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents""".stripMargin,
+
+    "q_shard_balance" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |x AS (
+        |  SELECT tok,
+        |         CAST((ROW_NUMBER() OVER (ORDER BY tok DESC, doc_id) - 1) % 8 AS BIGINT) AS shard
+        |  FROM s)
+        |SELECT shard, CAST(SUM(tok) AS BIGINT) AS shard_tokens, COUNT(*) AS n_docs
+        |FROM x
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators: the composed end-to-end shapes a
+  * training-data pipeline actually runs (filter → dedup → shard →
+  * sample). Each step is the already-verified kernel; the composition
+  * itself is one declarative plan.
+  */
+object Curation {
+
+  /** Quality + language filter → exact-dedup survivors. The whole
+    * pipeline is map-side until the single dedup shuffle. */
+  def curate(t: Tables): DataFrame = {
+    val docs = t.documents
+    val toks = split(col("text"), " ")
+    val nToks = size(toks).cast("long")
+    val filtered = docs
+      .select(col("doc_id"), col("text"), col("lang"),
+        TextAnalysis.langIdCols(col("text")).last.as("pred_lang"), nToks.as("n_tokens"))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 80)
+    filtered
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+        min(col("pred_lang")).as("pred_lang"))
+      .select(col("doc_id"), col("pred_lang"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One-row corpus statistics (the sanity dashboard numbers). */
+  def corpusStats(t: Tables): DataFrame =
+    t.documents.agg(
+      count(lit(1)).as("n_docs"),
+      sum(regexp_count(col("text"), lit("[^ ]+"))).cast("long").as("total_tokens"),
+      sum(col("n_chars")).cast("long").as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+
+  /** Global row_number WITHOUT a single-partition window (the naive
+    * `Window.orderBy(...)` with no partition key funnels the entire
+    * table through one task). Range-repartition on the total order,
+    * number rows locally per partition, and add broadcast partition
+    * offsets. The total order must be unique (include a tie-break id)
+    * so the result is identical to a global ROW_NUMBER regardless of
+    * where the range boundaries land. */
+  def globalRowNumber(df: DataFrame, sortCols: org.apache.spark.sql.Column*): DataFrame = {
+    val parts = df
+      .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val offW = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(offW), lit(0L)))
+      .select(col("_pid"), col("_off")) // numPartitions rows — tiny
+    val local = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    parts.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_rn", col("_off") + row_number().over(local))
+      .drop("_pid", "_off")
+  }
+
+  /** Balanced shard assignment: order by size desc, round-robin over
+    * `shards` — the deterministic approximation of greedy bin packing
+    * (within one item of optimal for the max shard), built on the
+    * scalable global row number. */
+  def shardBalance(t: Tables, shards: Int = 8): DataFrame = {
+    val tok = regexp_count(col("text"), lit("[^ ]+")).cast("long")
+    val sized = t.documents.select(col("doc_id"), tok.as("tok"))
+    globalRowNumber(sized, col("tok").desc, col("doc_id"))
+      .withColumn("shard", ((col("_rn") - 1) % shards).cast("long"))
+      .groupBy(col("shard"))
+      .agg(sum(col("tok")).cast("long").as("shard_tokens"), count(lit(1)).as("n_docs"))
+      .orderBy(col("shard"))
+  }
+
+  /** Deterministic content-hash sampling: reproducible across engines,
+    * runs, and machines — no RNG state, the sample is a pure function
+    * of content. */
+  def sampleHash(t: Tables): DataFrame =
+    t.documents
+      .filter(substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+}
