@@ -62,6 +62,7 @@ object SparkEntry {
     "q_knn_ivf"        -> q(Similarity.knnIvf(_)),
     // —— document assembly, push log, streaming-equivalent, multimodal ——
     "q_doc_assembly"   -> q(etl.DocumentAssembly.assemble),
+    "q_doc_assembly24" -> q(etl.DocumentAssembly.assemble2024),
     "q_push_log"       -> q(graft.sinks.HttpPushSink.pushLog),
     "q_stream_window"  -> q(graft.streaming.EventStreams.streamWindowBatch),
     "q_multimodal_meta" -> q(Multimodal.mediaMeta),
@@ -414,14 +415,44 @@ object SparkEntry {
         |          WHEN event_type = 'signup'   THEN ',"reportedTaxonId":"http://tun.fi/MX.41695"'
         |          ELSE '' END
         |  || ',"sourceTags":' || CASE WHEN value > 120.0 THEN '["INVASIVE_PARTIAL"]' ELSE '[]' END
-        |  || ',"abundanceString":"' || printf('%.2f', value)
-        |  || '","abundanceUnit":"RELATIVE_DENSITY"'
         |  || CASE WHEN CEIL(value - 100.0) > 0
         |       THEN ',"facts":[{"fact":"http://tun.fi/MY.areaInSquareMeters","integerValue":'
         |            || CAST(CAST(CEIL(value - 100.0) AS BIGINT) AS VARCHAR)
         |            || ',"value":"' || CAST(CAST(CEIL(value - 100.0) AS BIGINT) AS VARCHAR) || '"}]'
         |       ELSE '' END
         |  || '}]}]}}' AS doc
+        |FROM events
+        |JOIN customer ON (CASE WHEN user_id = 13 THEN 20 ELSE user_id END) = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY event_id""".stripMargin,
+
+    "q_doc_assembly24" ->
+      """SELECT event_id,
+        |  '{"schema":"laji-etl","sourceId":"http://tun.fi/KE.1721","collectionId":"http://tun.fi/HR.5835","documentId":"http://tun.fi/HR.5835/'
+        |  || CAST(event_id AS VARCHAR)
+        |  || '","publicDocument":{"concealment":"PUBLIC","keywords":["'
+        |  || CAST(event_id AS VARCHAR) || '","crowdsorsa-' || n_name || '"]'
+        |  || CASE WHEN value > 120.0
+        |       THEN ',"notes":"Controlled: ' || CAST(CAST(ts AS DATE) AS VARCHAR) || '"'
+        |       ELSE '' END
+        |  || ',"gatherings":[{"gatheringId":"http://tun.fi/HR.5835/'
+        |  || CAST(event_id AS VARCHAR) || '_G","eventDate":{"begin":"'
+        |  || CAST(CAST(ts AS DATE) AS VARCHAR) || '","end":"'
+        |  || CAST(CAST(ts AS DATE) AS VARCHAR)
+        |  || '"},"municipality":"' || n_name
+        |  || '","geo":{"type":"FeatureCollection","crs":"EUREF"},"units":[{"unitId":"http://tun.fi/HR.5835/'
+        |  || CAST(event_id AS VARCHAR) || '_U","taxonVerbatim":"' || event_type || '"'
+        |  || CASE WHEN event_type = 'purchase' THEN ',"reportedTaxonId":"http://tun.fi/MX.38947"'
+        |          WHEN event_type = 'click'    THEN ',"reportedTaxonId":"http://tun.fi/MX.38240"'
+        |          WHEN event_type = 'view'     THEN ',"reportedTaxonId":"http://tun.fi/MX.38815"'
+        |          WHEN event_type = 'signup'   THEN ',"reportedTaxonId":"http://tun.fi/MX.41695"'
+        |          ELSE '' END
+        |  || ',"sourceTags":' || CASE WHEN value > 120.0 THEN '["INVASIVE_PARTIAL"]' ELSE '[]' END
+        |  || ',"abundanceString":"' || printf('%.2f', value)
+        |  || '","abundanceUnit":"RELATIVE_DENSITY","facts":[{"fact":"http://tun.fi/MY.areaInSquareMeters","integerValue":'
+        |  || CAST(CAST(GREATEST(CEIL(value - 100.0), 1.0) AS BIGINT) AS VARCHAR)
+        |  || ',"value":"' || CAST(CAST(GREATEST(CEIL(value - 100.0), 1.0) AS BIGINT) AS VARCHAR)
+        |  || '"}]}]}]}}' AS doc
         |FROM events
         |JOIN customer ON (CASE WHEN user_id = 13 THEN 20 ELSE user_id END) = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

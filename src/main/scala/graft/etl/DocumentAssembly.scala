@@ -26,6 +26,9 @@ object DocumentAssembly {
     "view"     -> "http://tun.fi/MX.38815",
     "signup"   -> "http://tun.fi/MX.41695")
 
+  /** 2023-script variant (crowdsorsa-etl-2023.R): hour/minute fields,
+    * WGS84 crs, municipality via the key lookup — and NO abundance
+    * fields (those are 2024-only; 2024.R:133-136). */
   def assemble(t: Tables): DataFrame = {
     val e = t.events
       .select(Enrichment.overrideKey(col("user_id")).as("obs_key"),
@@ -50,8 +53,6 @@ object DocumentAssembly {
       element_at(typedlit(TaxonMap), col("event_type")).as("reportedTaxonId"),
       when(controlled, array(lit("INVASIVE_PARTIAL")))
         .otherwise(array().cast("array<string>")).as("sourceTags"),
-      format_string("%.2f", col("value")).as("abundanceString"),
-      lit("RELATIVE_DENSITY").as("abundanceUnit"),
       when(area > 0, array(struct(
         lit("http://tun.fi/MY.areaInSquareMeters").as("fact"),
         area.as("integerValue"),
@@ -64,6 +65,66 @@ object DocumentAssembly {
       m.as("minuteBegin"), m.as("minuteEnd"),
       col("n_name").as("municipality"),
       struct(lit("FeatureCollection").as("type"), lit("WGS84").as("crs")).as("geo"),
+      array(unit).as("units"))
+
+    val document = struct(
+      lit("laji-etl").as("schema"),
+      lit(s"http://tun.fi/$SourceId").as("sourceId"),
+      lit(s"http://tun.fi/$CollectionId").as("collectionId"),
+      uri("").as("documentId"),
+      struct(
+        lit("PUBLIC").as("concealment"),
+        array(idStr, concat(lit("crowdsorsa-"), col("n_name"))).as("keywords"),
+        when(controlled,
+          concat(lit("Controlled: "), d.cast("string"))).as("notes"),
+        array(gathering).as("gatherings")).as("publicDocument"))
+
+    e.select(col("event_id"), to_json(document).as("doc"))
+      .orderBy(col("event_id"))
+  }
+
+  /** 2024-script variant (crowdsorsa-etl-2024.R): no hour/minute
+    * fields, EUREF crs, municipality passed through directly
+    * (2024.R:46), abundanceString formatted to one-decimal minimum
+    * (R `format(nsmall=1)`) + RELATIVE_DENSITY, facts always present
+    * (2024.R:137-144). */
+  def assemble2024(t: Tables): DataFrame = {
+    val e = t.events
+      .select(Enrichment.overrideKey(col("user_id")).as("obs_key"),
+        col("event_id"), col("ts"), col("event_type"), col("value"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("obs_key") === col("c_custkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+
+    val idStr = col("event_id").cast("string")
+    val d = col("ts").cast("date")
+    val controlled = col("value") > 120.0
+    val area = greatest(ceil(col("value") - 100.0), lit(1.0)).cast("long")
+    val uri = (suffix: String) =>
+      format_string(s"http://tun.fi/$CollectionId/%d$suffix", col("event_id"))
+
+    val unit = struct(
+      uri("_U").as("unitId"),
+      col("event_type").as("taxonVerbatim"),
+      element_at(typedlit(TaxonMap), col("event_type")).as("reportedTaxonId"),
+      when(controlled, array(lit("INVASIVE_PARTIAL")))
+        .otherwise(array().cast("array<string>")).as("sourceTags"),
+      // %.2f, not %.1f: inputs carry 2 decimals, so 2-dp formatting never
+      // rounds a representable tie (Java HALF_UP vs C half-even diverge
+      // on exact .x5 doubles like 185.25)
+      format_string("%.2f", col("value")).as("abundanceString"),
+      lit("RELATIVE_DENSITY").as("abundanceUnit"),
+      array(struct(
+        lit("http://tun.fi/MY.areaInSquareMeters").as("fact"),
+        area.as("integerValue"),
+        area.cast("string").as("value"))).as("facts"))
+
+    val gathering = struct(
+      uri("_G").as("gatheringId"),
+      struct(d.as("begin"), d.as("end")).as("eventDate"),
+      col("n_name").as("municipality"),
+      struct(lit("FeatureCollection").as("type"), lit("EUREF").as("crs")).as("geo"),
       array(unit).as("units"))
 
     val document = struct(
