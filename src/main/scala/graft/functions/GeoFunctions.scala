@@ -47,6 +47,12 @@ object GeoFunctions {
   def areaCeilM2(ring: Column): Column =
     ceil(polygonAreaValid(ring)).cast("long")
 
+  /** Multipolygon area: `array<array<struct<x,y>>>` — outer area = sum
+    * of component polygon areas (the reference casts everything to
+    * MULTIPOLYGON before st_area; 2023.R:36-40). */
+  def multiPolygonArea(rings: Column): Column =
+    aggregate(transform(rings, r => polygonAreaValid(r)), lit(0.0), (a, v) => a + v)
+
   /** Axis-aligned bounding box of a ring as struct(xmin,ymin,xmax,ymax). */
   def bbox(ring: Column): Column = struct(
     array_min(transform(ring, px(_))).as("xmin"),

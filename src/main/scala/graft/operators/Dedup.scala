@@ -49,26 +49,29 @@ object Dedup {
     *
     * Shape matters: higher-order functions (`transform`) are interpreted
     * in Spark, so 64 × transform-per-row is orders slower than codegen.
-    * Instead: explode shingles and take 64 codegen'd
-    * `min(xxhash64(seed_i, g))` aggregates — partial aggregation
+    * Instead: explode shingles and take `numPerm` codegen'd
+    * `min((a_i·h + b_i) mod p)` aggregates — partial aggregation
     * collapses each scan partition to one 64-slot row per doc before the
     * shuffle, so network cost is |docs| × 64 longs no matter how big the
     * shingle explosion is. */
   def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
-    // one string hash per shingle, then universal-hash mixing per
-    // permutation: 64 long multiplies instead of 64 string rehashes.
-    // Everything stays in a 31-bit domain (h31 * a31 + b31 < 2^63) —
-    // Spark 4 runs ANSI mode by default and THROWS on long overflow,
-    // so wrapping-multiply tricks are off the table.
+    // one string hash per shingle, then the classic universal family
+    // h_i(x) = (a_i·x + b_i) mod p per permutation: long multiplies
+    // instead of string rehashes. The mod p is ESSENTIAL — without it
+    // a_i·x + b_i is monotonic in x, every "permutation" elects the same
+    // global-min shingle, and signature slots stop being independent
+    // (caught by MinhashEstimationSpec). Operands stay in a 31-bit
+    // domain (a·h < 2^62) because Spark 4's default ANSI mode throws on
+    // long overflow — wrapping-multiply mixing is off the table.
+    val p31 = 2147483647L // 2^31 - 1, prime
     val rng = new scala.util.Random(1234)
-    val m31 = 0x7FFFFFFFL
     val mix = Seq.fill(numPerm)(
-      ((rng.nextLong() & m31) | 1L, rng.nextLong() & m31))
+      (1L + rng.nextLong().abs % (p31 - 1), rng.nextLong().abs % p31))
     val mins = mix.zipWithIndex.map { case ((a, b), i) =>
-      min(col("h") * lit(a) + lit(b)).as(s"m$i")
+      min((col("h") * lit(a) + lit(b)) % lit(p31)).as(s"m$i")
     }
     sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).bitwiseAND(lit(m31)).as("h"))
+      .select(col("doc_id"), xxhash64(col("g")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),

@@ -36,6 +36,16 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(a == 4L)
   }
 
+  test("multiPolygonArea sums component polygons (MULTIPOLYGON cast analog)") {
+    val r1 = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))          // 4
+    val r2 = Seq((10.0, 10.0), (13.0, 10.0), (13.0, 11.0), (10.0, 11.0))  // 3
+    val df = Seq(1).toDF("id").select(
+      array(Seq(r1, r2).map(r => array(r.map { case (x, y) =>
+        struct(lit(x).as("x"), lit(y).as("y")) }: _*)): _*).as("mp"))
+    val a = df.select(GeoFunctions.multiPolygonArea(col("mp"))).head.getDouble(0)
+    assert(a == 7.0)
+  }
+
   test("bbox") {
     val pts = Seq((1.0, -2.0), (5.0, 0.0), (3.0, 7.0), (1.0, -2.0))
     val r = ringDf(pts).select(GeoFunctions.bbox(col("ring")).as("b"))

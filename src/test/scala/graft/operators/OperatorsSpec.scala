@@ -91,6 +91,28 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class MinhashEstimationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("signature slot-agreement estimates true Jaccard") {
+    // two docs sharing exactly half their shingle vocabulary
+    val shared = (1 to 40).map(i => s"s$i w$i x$i")
+    val a = shared ++ (1 to 40).map(i => s"a$i b$i c$i")
+    val b = shared ++ (1 to 40).map(i => s"d$i e$i f$i")
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text")
+    val numPerm = 64
+    val sh = Dedup.shingled(docs, 3)
+    val sigs = Dedup.minhashSignatures(sh, numPerm)
+      .orderBy("doc_id").select("sig").as[Seq[Long]].collect()
+    val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }.toDouble / numPerm
+    // true jaccard of the shingle sets
+    val sets = sh.orderBy("doc_id").select("sh").as[Seq[String]].collect().map(_.toSet)
+    val j = (sets(0) intersect sets(1)).size.toDouble / (sets(0) union sets(1)).size
+    assert(math.abs(agree - j) < 0.2, s"estimate=$agree true=$j")
+    assert(j > 0.2 && j < 0.8) // the construction actually produced partial overlap
+  }
+}
+
 class EmbedDedupSpec extends SparkSpec {
   import spark.implicits._
 
