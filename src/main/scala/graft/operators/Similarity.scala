@@ -101,7 +101,7 @@ object Similarity {
 
   /** IVF approximate top-k: probe only the nprobe nearest buckets. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+             nlist: Int = 16, nprobe: Int = 6, iters: Int = 2): DataFrame = {
     val (assigned, cents) = ivfAssign(corpus, nlist, iters)
     val q = queries.select(col("vec_id").as("query_id"), vd(col("embedding")).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
