@@ -73,6 +73,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: incremental parquet appends with batch ids") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    val q = input.toDF().toDF("ts", "event_type")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "view"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 2)
+      assert(out.select("batch_id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark on content hash") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val docs = input.toDF().toDF("ts", "text")
