@@ -36,10 +36,14 @@ object HttpPushSink {
   }
 
   /** Push every (id, doc) row; write one JSONL log file per partition
-    * under `logDir`, with `token` redacted from every line. */
+    * under `logDir`, with `token` redacted from every line. 5xx
+    * responses are retried up to `maxRetries` times (the reference just
+    * logs and moves on — 2023.R:202-211; at cluster scale transient
+    * 5xx from a loaded warehouse is the common case and retry-with-cap
+    * keeps the pipeline idempotent since documentId re-push replaces). */
   def push(docs: DataFrame, idCol: String, docCol: String,
            transport: PushTransport, url: String, logDir: String,
-           token: String): Unit = {
+           token: String, maxRetries: Int = 2): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
     docs.select(col(idCol).cast("string"), col(docCol))
       .foreachPartition { rows: Iterator[Row] =>
@@ -48,10 +52,15 @@ object HttpPushSink {
           new java.io.File(logDir, f"push-$pid%05d.jsonl"), "UTF-8")
         try rows.foreach { r =>
           val (id, doc) = (r.getString(0), r.getString(1))
-          val status = transport.post(s"$url?access_token=$token", doc)
+          var status = transport.post(s"$url?access_token=$token", doc)
+          var attempts = 1
+          while (status >= 500 && attempts <= maxRetries) {
+            status = transport.post(s"$url?access_token=$token", doc)
+            attempts += 1
+          }
           val level = if (status == 200) "INFO" else "ERROR"
           val line =
-            s"""{"level":"$level","documentId":"$id","status":$status,"url":"$url?access_token=$token"}"""
+            s"""{"level":"$level","documentId":"$id","status":$status,"attempts":$attempts,"url":"$url?access_token=$token"}"""
           out.println(line.replace(token, "")) // redaction, as 2023.R:226
         } finally out.close()
       }
