@@ -78,6 +78,9 @@ object SparkEntry {
     "q_date_math"      -> q(Relational.dateMath),
     "q_str_funcs"      -> q(Relational.strFuncs),
     "q_grouping_sets"  -> q(Relational.groupingSets),
+    "q_regex"          -> q(Relational.regexExtract),
+    "q_having"         -> q(Relational.havingAgg),
+    "q_histogram"      -> q(Relational.histogram),
     "q_null_semantics" -> q(Relational.nullSemantics),
     // —— corpus curation (composed training-data pipeline) ——
     "q_corpus_curate"  -> q(Curation.curate),
@@ -581,6 +584,27 @@ object SparkEntry {
         |ORDER BY p_partkey""".stripMargin,
 
     "q_grouping_sets" -> Relational.GroupingSetsSql,
+
+    "q_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_first,
+        |  regexp_extract(p_name, '(\w+)$', 1) AS name_last,
+        |  regexp_matches(p_brand, '[0-9]') AS brand_has_digit
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(value / 20.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
 
     "q_null_semantics" ->
       """SELECT o_orderkey,

@@ -146,6 +146,29 @@ object Relational {
         expr("left(p_name, 5)").as("name_l"))
       .orderBy(col("p_partkey"))
 
+  /** Regex kernel coverage: group extraction, anchors, rlike. */
+  def regexExtract(t: Tables): DataFrame =
+    t.part.select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_first"),
+        regexp_extract(col("p_name"), "(\\w+)$", 1).as("name_last"),
+        col("p_brand").rlike("[0-9]").as("brand_has_digit"))
+      .orderBy(col("p_partkey"))
+
+  /** GROUP BY ... HAVING (post-aggregation predicate). */
+  def havingAgg(t: Tables): DataFrame =
+    t.orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("o_custkey"))
+
+  /** Fixed-width histogram bucketing of a continuous column. */
+  def histogram(t: Tables): DataFrame =
+    t.events
+      .groupBy(floor(col("value") / 20.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
   /** first/last over a fully-specified window frame. */
   def firstLast(t: Tables): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
