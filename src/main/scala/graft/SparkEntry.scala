@@ -81,6 +81,7 @@ object SparkEntry {
     "q_regex"          -> q(Relational.regexExtract),
     "q_having"         -> q(Relational.havingAgg),
     "q_histogram"      -> q(Relational.histogram),
+    "q_ntile"          -> q(Relational.ntileQuartiles),
     "q_null_semantics" -> q(Relational.nullSemantics),
     // —— corpus curation (composed training-data pipeline) ——
     "q_corpus_curate"  -> q(Curation.curate),
@@ -592,6 +593,17 @@ object SparkEntry {
         |  regexp_matches(p_brand, '[0-9]') AS brand_has_digit
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_ntile" ->
+      """WITH x AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |                             ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+        |  FROM orders)
+        |SELECT o_orderpriority, quartile, COUNT(*) AS n, MIN(o_orderkey) AS first_key
+        |FROM x
+        |GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
 
     "q_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders

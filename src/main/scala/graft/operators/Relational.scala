@@ -169,6 +169,18 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
+  /** NTILE quartiles per group (full deterministic order). */
+  def ntileQuartiles(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
+
   /** first/last over a fully-specified window frame. */
   def firstLast(t: Tables): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
