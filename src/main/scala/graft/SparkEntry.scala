@@ -282,16 +282,23 @@ object SparkEntry {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // not DuckDB's ASOF (its tie pick among equal click_ts is arbitrary):
+    // an explicit row_number spells out the same deterministic choice the
+    // Spark operator makes — latest click_ts, then greatest click_id
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS purchase_id, ts AS p_ts, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase'),
         |c AS (
         |  SELECT user_id, event_id AS click_id, ts AS click_ts
-        |  FROM events WHERE event_type = 'click')
-        |SELECT purchase_id, p.user_id AS user_id, purchase_value, click_id, click_ts
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.p_ts >= c.click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, p.purchase_value, c.click_id, c.click_ts,
+        |         row_number() OVER (PARTITION BY p.purchase_id
+        |                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.click_ts <= p.p_ts)
+        |SELECT purchase_id, user_id, purchase_value, click_id, click_ts
+        |FROM j WHERE rn = 1
         |ORDER BY purchase_id""".stripMargin,
 
     "q_sessionize" ->

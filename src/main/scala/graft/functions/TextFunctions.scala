@@ -34,8 +34,18 @@ object TextFunctions {
   def cleanText(c: Column, find: String, repl: String): Column =
     subFirst(lower(fixMojibake(c)), find, repl)
 
-  /** Whitespace tokenization shared by the text-analysis operators. */
-  def tokens(c: Column): Column = split(c, "\\s+")
+  /** THE canonical tokenizer, shared by every oracle-verified text
+    * operator (shingles, lang-ID, quality, token counts): split on a
+    * single literal space, exactly `string_split(text, ' ')` in the
+    * DuckDB oracles. Both engines then agree on arbitrary input —
+    * runs of spaces / tabs / newlines produce the same (possibly
+    * empty-string) tokens on both sides. Do NOT tokenize with an ad-hoc
+    * split elsewhere; one tokenizer, one definition. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Robust whitespace tokenizer (\s+) for non-oracled paths that want
+    * linguistic tokens rather than oracle-bit-exactness. */
+  def wsTokens(c: Column): Column = split(c, "\\s+")
 
   /** Word n-grams over an ALREADY-MATERIALIZED token-array column.
     * Callers must project `tokens(text)` into its own column first:

@@ -21,10 +21,18 @@ object AsOfJoin {
 
   /** Generic as-of join. `left`/`right` must have disjoint column names
     * apart from `keys`. Right-side non-key columns come back null when
-    * no right row precedes the left row (left-outer as-of semantics,
-    * matching DuckDB's ASOF LEFT JOIN with >=). */
+    * no right row precedes the left row (left-outer as-of semantics).
+    *
+    * `rightTieBreak` names right-payload columns that break ties among
+    * right rows sharing the same (key, time): the row GREATEST on the
+    * tie-break wins (it sorts last in the ascending carry-forward
+    * window, so `last(...)` picks it). Without it, which same-timestamp
+    * right row is carried would depend on partition-internal sort order
+    * — nondeterministic across runs. Callers with a unique (key, time)
+    * on the right may leave it empty. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               rightTieBreak: Seq[String] = Nil): DataFrame = {
     val payload = right.columns.filterNot(keys.contains).toSeq
     val leftOnly = left.columns.filterNot(keys.contains).toSeq
     val rightTypes = payload.map(c => c -> right.schema(c).dataType).toMap
@@ -41,8 +49,10 @@ object AsOfJoin {
         leftOnly.map(c => lit(null).cast(leftTypes(c)).as(c)) ++
         payload.map(col): _*)
 
+    // left rows carry null tie-break cols; they order among themselves
+    // arbitrarily, which is harmless — only right rows feed `last`.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t") +: col("_side") +: rightTieBreak.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.map(c => F.last(col(c), ignoreNulls = true).over(w).as(c))
 
@@ -53,7 +63,8 @@ object AsOfJoin {
   }
 
   /** The verifiable instance: each purchase event matched to the user's
-    * most recent prior (or same-instant) click. */
+    * most recent prior (or same-instant) click; ties on click_ts go to
+    * the greatest click_id, mirrored exactly in the oracle SQL. */
   def purchaseToLastClick(t: Tables): DataFrame = {
     val purchases = t.events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
@@ -61,7 +72,8 @@ object AsOfJoin {
     val clicks = t.events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
-    asofJoin(purchases, clicks, Seq("user_id"), "p_ts", "click_ts")
+    asofJoin(purchases, clicks, Seq("user_id"), "p_ts", "click_ts",
+        rightTieBreak = Seq("click_id"))
       .select(col("purchase_id"), col("user_id"), col("purchase_value"),
         col("click_id"), col("click_ts"))
       .orderBy(col("purchase_id"))

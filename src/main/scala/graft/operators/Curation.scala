@@ -16,7 +16,7 @@ object Curation {
     * pipeline is map-side until the single dedup shuffle. */
   def curate(t: Tables): DataFrame = {
     val docs = t.documents
-    val toks = split(col("text"), " ")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
     val nToks = size(toks).cast("long")
     val filtered = docs
       .select(col("doc_id"), col("text"), col("lang"),

@@ -134,7 +134,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
-        graft.functions.HashFunctions.simhash64(split(col("text"), " ")).as("fp"))
+        graft.functions.HashFunctions.simhash64(graft.functions.TextFunctions.tokens(col("text"))).as("fp"))
     val chunked = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),

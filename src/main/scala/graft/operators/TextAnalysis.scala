@@ -22,7 +22,7 @@ object TextAnalysis {
 
   /** Count of tokens of `c` (split on single space) present in `words`. */
   private def markerCount(c: Column, words: Seq[String]): Column =
-    size(filter(split(c, " "), t => t.isInCollection(words))).cast("long")
+    size(filter(graft.functions.TextFunctions.tokens(c), t => t.isInCollection(words))).cast("long")
 
   /** n-gram/stopword language ID: argmax of marker counts with
     * first-listed-wins tie-break (a chained CASE, same as the oracle). */
@@ -50,7 +50,7 @@ object TextAnalysis {
     * counts — bit-identical across engines, no rounding needed. */
   def quality(t: Tables): DataFrame = {
     val txt = col("text")
-    val toks = split(txt, " ")
+    val toks = graft.functions.TextFunctions.tokens(txt)
     val nChars = length(txt).cast("long")
     val nToks = size(toks).cast("long")
     val nPunct = (length(txt) - length(regexp_replace(txt, "[.,;:!?]", ""))).cast("long")

@@ -13,14 +13,24 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * into graft's codegen'd `DotProduct(a, b)` kernel. Higher-order
   * functions evaluate interpreted (one closure call per element); the
   * kernel is a primitive-array loop inside whole-stage codegen with
-  * identical ascending-index accumulation, so the rewrite is
-  * result-preserving bit-for-bit. Users keep writing the declarative
-  * form; the plan gets the kernel.
+  * identical ascending-index accumulation.
+  *
+  * Result preservation is enforced, not assumed: the rule only fires
+  * when both arrays are `ArrayType(DoubleType, containsNull = false)`
+  * (a null element makes the HOF fold NULL, which the kernel cannot
+  * reproduce), and the kernel is wrapped in a length-equality check —
+  * `zip_with` pads the shorter array with nulls so unequal lengths
+  * make the HOF yield NULL, and the substituted form returns NULL for
+  * exactly those rows too. A NULL array input short-circuits to NULL
+  * on both spellings (Size(null) = null → If condition not true →
+  * null branch; the HOF is null-propagating). With those guards the
+  * rewrite is result-preserving bit-for-bit on every input, which is
+  * what lets GraftExtensions inject it cluster-wide.
   */
 object KernelSubstitution extends Rule[LogicalPlan] {
 
-  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
+  private def isNonNullDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
     case _ => false
   }
 
@@ -30,8 +40,8 @@ object KernelSubstitution extends Rule[LogicalPlan] {
           Literal(0.0, DoubleType),
           LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _),
           LambdaFunction(fin: NamedLambdaVariable, _, _))
-        if isDoubleArray(a) && isDoubleArray(b) &&
+        if isNonNullDoubleArray(a) && isNonNullDoubleArray(b) &&
           x.dataType == DoubleType && y.dataType == DoubleType =>
-      DotProduct(a, b)
+      If(EqualTo(Size(a), Size(b)), DotProduct(a, b), Literal(null, DoubleType))
   }
 }

@@ -34,6 +34,33 @@ class UpsertWriterSpec extends SparkSpec {
     assert(r == Seq((1L, "a2", 2L)))
   }
 
+  test("duplicate keys at the same version resolve deterministically") {
+    // two updates with the same (key, version): survivor must be the same
+    // across repeated merges from differently-partitioned inputs
+    def run(parts: Int): String = {
+      val path = java.nio.file.Files.createTempDirectory("graft-upsert3").toString + "/t"
+      UpsertWriter.init(Seq((1L, "a", 1L)).toDF("id", "v", "version"), path)
+      val up = Seq((1L, "x", 2L), (1L, "y", 2L), (1L, "z", 2L))
+        .toDF("id", "v", "version").repartition(parts)
+      UpsertWriter.merge(spark, up, path, "id", "version")
+      spark.read.parquet(path).select("v").as[String].collect().head
+    }
+    val picks = Seq(run(1), run(3), run(8), run(1))
+    assert(picks.distinct.size == 1, s"nondeterministic survivor: $picks")
+  }
+
+  test("old directory is preserved aside until the new table is live") {
+    // _old leftovers from a prior crashed merge must not break the next one
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert4").toString + "/t"
+    UpsertWriter.init(Seq((1L, "a", 1L)).toDF("id", "v", "version"), path)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(path + "_old"))
+    UpsertWriter.merge(spark, Seq((1L, "b", 2L)).toDF("id", "v", "version"),
+      path, "id", "version")
+    assert(spark.read.parquet(path).select("v").as[String].collect().toSeq == Seq("b"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + "_old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + "_merge_tmp")))
+  }
+
   test("push sink retries transient 5xx and logs attempt counts") {
     import graft.etl.DocumentAssembly
     val docs = DocumentAssembly.assemble(tables).limit(10)
