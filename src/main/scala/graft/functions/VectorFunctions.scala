@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -25,6 +25,35 @@ object GraftVec {
   }
   def cosine(a: ArrayData, b: ArrayData): Double =
     dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  /** All random-hyperplane sign-bit buckets of `v` in ONE pass: planes
+    * is [table][bit][dim]; element t of the result packs that table's
+    * sign bits (bit b set iff v·planes(t)(b) >= 0). Equivalent to
+    * nTables×bits separate DotProduct-vs-literal columns, but the input
+    * vector is unpacked from ArrayData once per row instead of once per
+    * plane — the dominant cost at 60k vectors × 32 planes. */
+  def hyperplaneSketch(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val x = v.toDoubleArray()
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var key = 0L
+      var b = 0
+      while (b < table.length) {
+        val p = table(b)
+        var s = 0.0
+        var i = 0
+        val n = math.min(x.length, p.length)
+        while (i < n) { s += x(i) * p(i); i += 1 }
+        if (s >= 0) key |= (1L << b)
+        b += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
@@ -49,9 +78,29 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "graft_dot"
 }
 
+/** LSH sketch as a native expression; the plane matrix rides along as a
+  * codegen reference object (serialized once per task, not per row). */
+case class HyperplaneSketch(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftVec.hyperplaneSketch(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.hyperplaneSketch($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSketch =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_sketch"
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hyperplaneSketch(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(HyperplaneSketch(ColumnBridge.expression(v), planes))
 }

@@ -164,23 +164,26 @@ object Dedup {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .persist()
     val rng = new scala.util.Random(42) // fixed seed: index is reproducible
-    val planes = Seq.fill(nTables, bitsPerTable)(Seq.fill(dim)(rng.nextGaussian()))
-    val keys = planes.zipWithIndex.map { case (tp, t) =>
-      val bucket = tp.zipWithIndex.map { case (p, b) =>
-        when(graft.functions.VectorFunctions.dotProduct(col("v"), typedlit(p)) >= 0,
-          lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    val bucketed = base.select(col("vec_id"), explode(array(keys: _*)).as("bk")).persist()
+    val planes: Array[Array[Array[Double]]] =
+      Array.fill(nTables, bitsPerTable)(Array.fill(dim)(rng.nextGaussian()))
+    // all nTables×bits sign-bit dots in ONE kernel pass per row (the
+    // per-plane DotProduct spelling unpacked the vector 32×per row)
+    val bucketed = base.select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.hyperplaneSketch(col("v"), planes)))
+      .select(col("vec_id"), struct(col("pos").as("table"), col("col").as("bucket")).as("bk"))
+      .persist()
     val cand = bucketed.select(col("vec_id").as("id_a"), col("bk"))
       .join(bucketed.select(col("vec_id").as("id_b"), col("bk")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    // verify with norms precomputed per VECTOR, not per pair: the float
+    // op sequence (dot / (sqrt(aa)*sqrt(bb))) is unchanged, so results
+    // stay bit-identical to GraftVec.cosine
+    val withNorm = base.withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
     cand
-      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .join(withNorm.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(withNorm.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))

@@ -47,14 +47,20 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** Brute-force cosine top-k: exact baseline. */
+  /** Brute-force cosine top-k: exact baseline. Norms are computed once
+    * per vector, not once per (query, neighbor) pair — the float op
+    * sequence dot/(sqrt(qq)*sqrt(cc)) is unchanged, so sims stay
+    * bit-identical to the naive cosine while the scan does 1 dot per
+    * pair instead of 3. */
   def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      vd(col("embedding")).as("qv")))
+        vd(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv")))))
     val c = spread(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")))
       .select(col("neighbor_id"), vd(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topkPerQuery(scored, k)
   }
 
@@ -110,9 +116,11 @@ object Similarity {
       .withColumn("csim", cosine(col("qv"), col("centroid")))
       .withColumn("prn", row_number().over(probeW)).filter(col("prn") <= nprobe)
       .select(col("query_id"), col("qv"), col("bucket"))
-    val scored = probes.join(assigned, Seq("bucket"))
+    // norms once per side (see bruteKnn) — bit-identical sims
+    val scored = probes.withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .join(assigned.withColumn("cn", sqrt(dot(col("cv"), col("cv")))), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topkPerQuery(scored, k)
   }
 
