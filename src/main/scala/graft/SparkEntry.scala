@@ -87,7 +87,20 @@ object SparkEntry {
     "q_corpus_curate"  -> q(Curation.curate),
     "q_corpus_stats"   -> q(Curation.corpusStats),
     "q_shard_balance"  -> q(Curation.shardBalance(_)),
-    "q_sample_hash"    -> q(Curation.sampleHash)
+    "q_sample_hash"    -> q(Curation.sampleHash),
+    "q_stratified_sample" -> q(Curation.stratifiedSample(_)),
+    // —— round 2: interval join, graph, text-pipeline, TPC-H widening ——
+    "q_range_join"     -> q(RangeJoin.clicksBeforePurchase),
+    "q_components"     -> q(Components.copurchaseClusters(_)),
+    "q_pii_redact"     -> q(TextAnalysis.piiRedact),
+    "q_tfidf"          -> q(TextAnalysis.tfIdf),
+    "q_word_count"     -> q(TextAnalysis.wordCount),
+    "q_array_funcs"    -> q(Relational.arrayFuncs),
+    "q_window_dedup"   -> q(Relational.windowDedup),
+    "q6_forecast"      -> q(Relational.q6Forecast),
+    "q4_priority"      -> q(Relational.q4Priority),
+    "q12_shipmode"     -> q(Relational.q12Shipmode),
+    "q14_promo"        -> q(Relational.q14Promo)
   )
 
   // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
@@ -685,6 +698,150 @@ object SparkEntry {
     "q_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT lang, n_lang,
+        |             printf('%04x', CAST(floor(least(1.0, 60.0 / n_lang) * 65536) AS INT)) AS thresh
+        |      FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t USING (lang)
+        |WHERE t.n_lang <= 60 OR substr(md5(d.text), 1, 4) < t.thresh
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts, value
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.purchase_id, COUNT(c.c_ts) AS n_clicks,
+        |             CAST(SUM(CAST(c.value AS DECIMAL(9,2))) AS DOUBLE) AS click_value
+        |      FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |        AND c.c_ts > p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+        |      GROUP BY 1)
+        |SELECT purchase_id, n_clicks, COALESCE(click_value, 0.0) AS click_value
+        |FROM m
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b AS src, a AS dst FROM e),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src AS node, src AS lbl FROM sym
+        |  UNION
+        |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+        |SELECT node AS part_id, cluster_id,
+        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc
+        |ORDER BY part_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or 555-'
+        |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS footer
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(footer, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(footer, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |        regexp_replace(footer, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |        '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |x AS (SELECT tf.doc_id, tf.term, CAST(tf.tf * n.n AS DOUBLE) / df.df AS tfidf
+        |      FROM tf JOIN df USING (term) CROSS JOIN n
+        |      WHERE tf.doc_id % 25 = 0),
+        |r AS (SELECT doc_id, term, tfidf,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                     ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+        |      FROM x)
+        |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_word_count" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, COUNT(*) AS n FROM tok
+        |      WHERE length(term) >= 4 GROUP BY term)
+        |SELECT term, n FROM c
+        |ORDER BY n DESC, term
+        |LIMIT 100""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(p_name, ' '))) AS BIGINT) AS n_distinct,
+        |  array_to_string(list_slice(list_sort(string_split(p_name, ' ')), 1, 3), '-') AS first3_sorted,
+        |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        |  list_reverse_sort(string_split(p_name, ' '))[1] AS max_word
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_window_dedup" ->
+      """SELECT lang, source, doc_id, n_chars FROM (
+        |  SELECT lang, source, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn = 1
+        |ORDER BY lang, source""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+        |               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |         THEN CAST(l_extendedprice AS DECIMAL(9,2))
+        |              * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |         ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE) * 100.0
+        |       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+        |              * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |         AS promo_revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
   )
 }

@@ -82,4 +82,27 @@ object Curation {
       .filter(substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3"))
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
+
+  /** Stratified sampling: cap every language stratum at ~`target` docs
+    * by comparing a content-hash prefix against a per-stratum
+    * threshold. The per-stratum fraction comes from one tiny aggregate
+    * (broadcast back — strata counts are dimension-sized at any SF);
+    * the keep decision is then pure map-side, no RNG, no
+    * sampleBy/collect. The 4-hex-digit prefix compares lexicographically
+    * exactly like the 16-bit integer it encodes, so the same predicate
+    * is expressible in any engine; fraction→threshold uses only
+    * correctly-rounded IEEE ops (one divide, one multiply, one floor),
+    * bit-identical cross-engine. */
+  def stratifiedSample(t: Tables, target: Int = 60): DataFrame = {
+    val counts = t.documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val frac = least(lit(1.0), lit(target.toDouble) / col("n_lang"))
+    val thresh = lpad(lower(hex(floor(frac * 65536).cast("int"))), 4, "0")
+    t.documents
+      .join(broadcast(counts), Seq("lang"))
+      .filter(col("n_lang") <= target ||
+        substring(md5(col("text")), 1, 4) < thresh)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
 }

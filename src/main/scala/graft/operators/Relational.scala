@@ -192,4 +192,96 @@ object Relational {
         last(col("o_orderkey")).over(w).as("last_key"))
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
+
+  /** Array kernel coverage: split → sort / distinct-count / slice /
+    * membership / join — the list algebra the nested document model
+    * (SURVEY R11/R13 keywords, units arrays) leans on, as codegen'd
+    * scalar expressions rather than explode→re-aggregate round-trips. */
+  def arrayFuncs(t: Tables): DataFrame = {
+    val toks = split(col("p_name"), " ")
+    t.part.select(
+        col("p_partkey"),
+        size(toks).cast("long").as("n_words"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        array_join(slice(sort_array(toks), 1, 3), "-").as("first3_sorted"),
+        array_contains(toks, "green").as("has_green"),
+        element_at(sort_array(toks, asc = false), 1).as("max_word"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** TPC-H Q6 shape: single-table filter + exact-decimal agg — the
+    * pushdown showcase (both predicates reach the parquet reader;
+    * only 3 columns are read). */
+  def q6Forecast(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice").cast(P) * col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q4 shape: EXISTS (left-semi) against a filtered lineitem,
+    * counted per order priority. The semi join carries only the key —
+    * no row multiplication on multi-line orders. (This schema has no
+    * l_commitdate; returned lines (l_returnflag='R') stand in as the
+    * "problem lines" predicate.) */
+  def q4Priority(t: Tables): DataFrame = {
+    val returned = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    t.orders
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q12 shape: conditional two-way aggregation (CASE inside
+    * SUM) after a join — one shuffle, the CASE runs map-side. (No
+    * l_shipmode in this schema; l_linestatus plays the group key.) */
+  def q12Shipmode(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** TPC-H Q14 shape: promo-revenue ratio — conditional exact-decimal
+    * numerator over exact-decimal denominator, one double division at
+    * the end (broadcast join on part). */
+  def q14Promo(t: Tables): DataFrame = {
+    val disc = col("l_extendedprice").cast(P) *
+      (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type").startsWith("PROMO"), disc).otherwise(lit(0).cast(P)))
+          .cast(DoubleType) * 100.0 /
+          sum(disc).cast(DoubleType)).as("promo_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Keep-first dedup by business key (the pipeline "latest record
+    * wins" pattern, inverted to earliest): one row per (lang, source)
+    * — a single window shuffle, no self-join. */
+  def windowDedup(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+    t.documents
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
 }

