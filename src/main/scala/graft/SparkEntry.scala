@@ -100,7 +100,13 @@ object SparkEntry {
     "q6_forecast"      -> q(Relational.q6Forecast),
     "q4_priority"      -> q(Relational.q4Priority),
     "q12_shipmode"     -> q(Relational.q12Shipmode),
-    "q14_promo"        -> q(Relational.q14Promo)
+    "q14_promo"        -> q(Relational.q14Promo),
+    // —— event-sequence analytics + text indexing ——
+    "q_funnel"         -> q(EventAnalytics.funnel),
+    "q_cohort"         -> q(EventAnalytics.cohortRetention),
+    "q_transitions"    -> q(EventAnalytics.transitions),
+    "q_zscore"         -> q(EventAnalytics.zscore),
+    "q_inverted_index" -> q(TextAnalysis.invertedIndex(_))
   )
 
   // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
@@ -842,6 +848,75 @@ object SparkEntry {
         |       COUNT(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
+        |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+        |       (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin,
+
+    "q_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         CAST(floor(date_diff('day', DATE '1970-01-01', CAST(MIN(ts) AS DATE)) / 7) AS BIGINT) AS cohort_w
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS active_w
+        |  FROM events)
+        |SELECT f.cohort_w, a.active_w - f.cohort_w AS weeks_since,
+        |       COUNT(DISTINCT f.user_id) AS n_users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_w, weeks_since""".stripMargin,
+
+    "q_transitions" ->
+      """WITH x AS (
+        |  SELECT event_type AS next_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, next_type, COUNT(*) AS n
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type
+        |ORDER BY prev_type, next_type""".stripMargin,
+
+    "q_zscore" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS q,
+        |         CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |       (e.value - m.s / m.n) / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)) AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |band AS (
+        |  SELECT term, COUNT(*) AS df FROM tok
+        |  GROUP BY term HAVING COUNT(*) BETWEEN 5 AND 20)
+        |SELECT t.term, b.df,
+        |       string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
+        |FROM tok t JOIN band b ON t.term = b.term
+        |GROUP BY t.term, b.df
+        |ORDER BY t.term""".stripMargin
   )
 }

@@ -135,6 +135,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Inverted index: term → sorted posting list of doc ids, for the
+    * mid-frequency band (5 ≤ df ≤ 20 — high-df terms are stopwords,
+    * df<5 noise). Two passes so postings are only ever materialized
+    * for banded terms: pass 1 counts df per term (skinny), pass 2
+    * semi-joins the postings build to the band — a one-pass
+    * collect_list would buffer a stopword's full posting list (the
+    * whole corpus) before the filter could drop it. Postings sort
+    * numerically inside the aggregate; no global sort of postings. */
+  def invertedIndex(t: Tables, dfLo: Int = 5, dfHi: Int = 20): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+    val band = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(dfLo, dfHi))
+    tok.join(band, Seq("term"))
+      .groupBy(col("term"))
+      .agg(min(col("df")).as("df"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))), _.cast("string")), ",")
+          .as("postings"))
+      .orderBy(col("term"))
+  }
+
   /** Corpus-wide word count (the canonical explode→aggregate): top 100
     * terms of length ≥ 4 by frequency. One shuffle (partial map-side
     * counts per term), then a top-k sort of the vocabulary — never the

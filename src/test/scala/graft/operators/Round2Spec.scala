@@ -81,6 +81,52 @@ class RangeJoinSpec extends SparkSpec {
   }
 }
 
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel requires strict stage ordering per user") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: click BEFORE view -> stalls at view
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 11:00:00")), // no click after view
+      // user 3: view only
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      // user 4: purchase only -> not even in stage 1
+      (4L, "purchase", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val r = EventAnalytics.funnelOf(ev).as[(Long, Long, Long)].head()
+    assert(r == ((3L, 1L, 1L))) // 3 viewers, 1 ordered click, 1 ordered purchase
+  }
+
+  test("zscore: per-group mean ~0 and unit variance") {
+    val r = EventAnalytics.zscore(tables)
+      .groupBy("event_type")
+      .agg(avg(col("z")).as("m"), avg(col("z") * col("z")).as("v"))
+      .collect()
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(1)) < 1e-9, s"mean ${row.getDouble(1)}")
+      assert(math.abs(row.getDouble(2) - 1.0) < 1e-6, s"var ${row.getDouble(2)}")
+    }
+  }
+
+  test("inverted index postings are sorted and df matches posting length") {
+    val r = TextAnalysis.invertedIndex(tables, dfLo = 2, dfHi = 50).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val ids = row.getString(2).split(",").map(_.toLong)
+      assert(ids.length == row.getLong(1))
+      assert(ids.sorted.sameElements(ids))
+    }
+  }
+}
+
 class Round2TextSpec extends SparkSpec {
   import spark.implicits._
 
