@@ -96,6 +96,76 @@ case class HyperplaneSketch(child: Expression, planes: Array[Array[Array[Double]
   override def prettyName: String = "graft_hyperplane_sketch"
 }
 
+/** Elementwise sum of double-array vectors as a typed imperative
+  * aggregate. The declarative alternative — posexplode to (row × dim)
+  * pairs, avg per (key, pos), re-assemble with collect_list — inflates
+  * every row 64× BEFORE the shuffle and then shuffles scalar cells.
+  * This aggregate keeps partial sums map-side: what crosses the wire is
+  * ONE dim-length array per (group, input partition), making centroid
+  * recomputation (k-means/IVF) network cost O(groups × partitions ×
+  * dim) instead of O(corpus × dim). Buffer serialization is the raw
+  * little-endian double array. */
+case class VectorSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buf: Array[Double],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData].toDoubleArray()
+      if (buf.isEmpty) arr
+      else {
+        var i = 0; val n = math.min(buf.length, arr.length)
+        while (i < n) { buf(i) += arr(i); i += 1 }
+        buf
+      }
+    }
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      var i = 0; val n = math.min(b1.length, b2.length)
+      while (i < n) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def withNewMutableAggBufferOffset(offset: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumAgg =
+    copy(child = newChild)
+  override def prettyName: String = "graft_vector_sum"
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -103,4 +173,6 @@ object VectorFunctions {
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def hyperplaneSketch(v: Column, planes: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(HyperplaneSketch(ColumnBridge.expression(v), planes))
+  def vectorSum(v: Column): Column =
+    ColumnBridge.column(VectorSumAgg(ColumnBridge.expression(v)).toAggregateExpression())
 }

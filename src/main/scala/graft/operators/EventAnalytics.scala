@@ -26,12 +26,16 @@ object EventAnalytics {
 
   /** Same contract over any (user_id, event_type, ts) frame. */
   def funnelOf(ev: DataFrame): DataFrame = {
+    // v and c each feed the next stage AND a final count; persist the
+    // skinny per-user mins so the events scan isn't re-run per use
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      .persist()
     val c = ev.filter(col("event_type") === "click")
       .join(v, Seq("user_id"))
       .filter(col("ts") > col("v_ts"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      .persist()
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id"))
       .filter(col("ts") > col("c_ts"))

@@ -70,16 +70,18 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
 
-  /** Elementwise mean of vectors per bucket (posexplode → avg → rebuild),
-    * all distributed — no driver-side math. */
+  /** Elementwise mean of vectors per bucket via the native vector-sum
+    * aggregate (VectorSumAgg): partial sums map-side, one dim-length
+    * array per (bucket, partition) over the wire — replaces the
+    * posexplode → per-cell avg → collect_list re-assembly that
+    * inflated every row dim× before its shuffle. The final /n runs on
+    * nlist rows, so the interpreted HOF cost is nil. */
   private def centroidsOf(assigned: DataFrame): DataFrame =
     assigned
-      .select(col("bucket"), posexplode(col("cv")))
-      .groupBy(col("bucket"), col("pos"))
-      .agg(avg(col("col")).as("m"))
       .groupBy(col("bucket"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+      .agg(graft.functions.VectorFunctions.vectorSum(col("cv")).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col("bucket"), transform(col("vs"), _ / col("n")).as("centroid"))
 
   /** IVF index build: deterministic seed buckets (vec_id % nlist), then
     * `iters` Lloyd rounds of assign-to-nearest / recompute-means. */

@@ -120,8 +120,13 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = t.documents
       .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    // tf has exactly one row per (doc, term), so df is a plain COUNT
+    // over tf — no second explode/distinct pass over the corpus. tf is
+    // persisted because it feeds both the df aggregate and the output
+    // join (Catalyst evaluates duplicate subtrees independently).
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .persist()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = t.documents.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
@@ -147,6 +152,7 @@ object TextAnalysis {
     val tok = t.documents
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      .persist() // feeds both the df pass and the postings build
     val band = tok.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(dfLo, dfHi))
