@@ -105,6 +105,7 @@ object SparkEntry {
     "q_funnel"         -> q(EventAnalytics.funnel),
     "q_cohort"         -> q(EventAnalytics.cohortRetention),
     "q_transitions"    -> q(EventAnalytics.transitions),
+    "q_gap_fill"       -> q(EventAnalytics.gapFill),
     "q_zscore"         -> q(EventAnalytics.zscore),
     "q_inverted_index" -> q(TextAnalysis.invertedIndex(_))
   )
@@ -893,6 +894,26 @@ object SparkEntry {
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, next_type
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS day_value
+        |  FROM events WHERE user_id < 20
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |        FROM daily GROUP BY user_id))
+        |SELECT s.user_id, s.day,
+        |       COALESCE(d.n_events, 0) AS n_events,
+        |       last_value(d.day_value IGNORE NULLS)
+        |         OVER (PARTITION BY s.user_id ORDER BY s.day
+        |               ROWS UNBOUNDED PRECEDING) AS filled_value
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
 
     "q_zscore" ->
       """WITH m AS (

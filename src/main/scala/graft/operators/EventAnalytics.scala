@@ -79,6 +79,33 @@ object EventAnalytics {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Time-series gap fill + forward fill (resample to a daily grid):
+    * per-user daily aggregates are left-joined onto each user's full
+    * day spine (sequence + explode — the spine is generated
+    * distributed, sized by each user's own span, never a global
+    * calendar cross-join), then value gaps carry the last observation
+    * forward via an IGNORE NULLS running window. Two shuffles: the
+    * daily aggregate and the spine join share the user hash; the
+    * window reuses it. */
+  def gapFill(t: Tables): DataFrame = {
+    val d = DecimalType(9, 2)
+    val daily = t.events.filter(col("user_id") < 20)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(d)).cast(DoubleType).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Per-group z-scores with EXACT moments: sum and sum-of-squares go
     * through decimal aggregation (associative-exact, so partition
     * order can't perturb them — unlike Welford-style stddev whose

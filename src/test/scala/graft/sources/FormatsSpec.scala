@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ORC round-trip: the engine's tables are parquet, but a warehouse
+  * ingest surface must also read/write ORC (Spark bundles the reader —
+  * same pushdown/pruning machinery as parquet). */
+class OrcRoundTripSpec extends SparkSpec {
+
+  test("documents survive an ORC write/read round-trip bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"
+    val docs = tables.documents
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema)
+    // bit_xor: order-independent row-hash fold that can't overflow ANSI
+    val h = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(bit_xor(xxhash64(df.columns.sorted.map(col): _*)).as("h"),
+        count(lit(1)).as("n")).head()
+    assert(h(back) == h(docs))
+  }
+
+  test("ORC scan prunes columns and pushes filters like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc2").toString + "/docs"
+    tables.documents.write.mode("overwrite").orc(dir)
+    val q = spark.read.orc(dir).filter(col("doc_id") < 10).select(col("doc_id"), col("lang"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]") ||
+      plan.contains("LessThan(doc_id,10)"), plan)
+    assert(q.count() == tables.documents.filter(col("doc_id") < 10).count())
+  }
+}
+
+/** Count-min sketch: the frequency-estimation companion to the HLL
+  * distinct sketches (SketchSpec) — overestimates only, bounded by
+  * eps × stream size with the configured confidence. */
+class CountMinSpec extends SparkSpec {
+
+  test("count-min estimates are overestimates within the eps bound") {
+    val ev = tables.events.select(col("event_type"))
+    val total = ev.count()
+    val eps = 0.01
+    val sketch = ev.stat.countMinSketch("event_type", eps = eps, confidence = 0.99, seed = 42)
+    val truth = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      val est = sketch.estimateCount(k)
+      assert(est >= n, s"$k: count-min must never underestimate")
+      assert(est <= n + math.ceil(eps * total).toLong * 2,
+        s"$k: est $est too far above $n")
+    }
+  }
+}
