@@ -97,6 +97,9 @@ object SparkEntry {
     "q_word_count"     -> q(TextAnalysis.wordCount),
     "q_array_funcs"    -> q(Relational.arrayFuncs),
     "q_window_dedup"   -> q(Relational.windowDedup),
+    "q_rank_funcs"     -> q(Relational.rankFuncs),
+    "q_unpivot"        -> q(Relational.unpivotCounts),
+    "q_hop_window"     -> q(Relational.hopWindow),
     "q6_forecast"      -> q(Relational.q6Forecast),
     "q4_priority"      -> q(Relational.q4Priority),
     "q12_shipmode"     -> q(Relational.q12Shipmode),
@@ -850,6 +853,50 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin,
+
+    "q_rank_funcs" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+        |FROM orders
+        |WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        |    COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |    COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        |    COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, metric, v FROM (
+        |  SELECT user_id, 'n_click' AS metric, n_click AS v FROM wide
+        |  UNION ALL SELECT user_id, 'n_error', n_error FROM wide
+        |  UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM wide
+        |  UNION ALL SELECT user_id, 'n_signup', n_signup FROM wide
+        |  UNION ALL SELECT user_id, 'n_view', n_view FROM wide) x
+        |WHERE user_id < 200
+        |ORDER BY user_id, metric""".stripMargin,
+
+    "q_hop_window" ->
+      """WITH x AS (
+        |  SELECT event_type, ts, epoch_us(ts) // 1800000000 AS b
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |         unnest(ARRAY[to_timestamp((b - 1) * 1800), to_timestamp(b * 1800)]) AS w
+        |  FROM x)
+        |SELECT CAST(w AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n
+        |FROM h
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (

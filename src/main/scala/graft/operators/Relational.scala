@@ -271,6 +271,50 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Ranking-function kernels: percent_rank, cume_dist, nth_value over
+    * an explicit full frame (nth_value's default running frame would
+    * make the first two rows NULL — the full frame pins one global
+    * answer per partition). All exact rational outputs. */
+  def rankFuncs(t: Tables): DataFrame = {
+    val ord = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.orders.filter(col("o_custkey") < 50)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        percent_rank().over(ord).as("pr"),
+        cume_dist().over(ord).as("cd"),
+        nth_value(col("o_orderkey"), 3).over(full).as("third_key"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  /** Wide→long unpivot of the per-user event-type counts (the inverse
+    * of q_pivot): melt runs map-side — each wide row emits its k
+    * (metric, value) pairs with no shuffle beyond the source pivot's. */
+  def unpivotCounts(t: Tables): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = t.events.groupBy(col("user_id"))
+      .pivot(col("event_type"), types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+    wide.unpivot(Array(col("user_id")),
+        types.map(tp => col(tp).as(s"n_$tp")).toArray,
+        "metric", "v")
+      .filter(col("user_id") < 200)
+      .orderBy(col("user_id"), col("metric"))
+  }
+
+  /** Hopping (sliding) time windows as a batch query: Spark's
+    * `window(ts, 1h, 30m)` assigns each row to length/slide = 2
+    * epoch-aligned windows — the same generator the streaming engine
+    * uses, so the batch oracle doubles as the streaming semantics
+    * check. The explode is map-side; one shuffle for the aggregate. */
+  def hopWindow(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+
   /** Keep-first dedup by business key (the pipeline "latest record
     * wins" pattern, inverted to earliest): one row per (lang, source)
     * — a single window shuffle, no self-join. */
