@@ -191,6 +191,22 @@ object Dedup {
 
   def embedDedup(t: Tables): DataFrame = embedPairs(t.embeddings)
 
+  /** End-to-end near-dup corpus dedup: MinHash+LSH pairs → connected
+    * components (a doc transitively near-dup with a kept doc must also
+    * drop, even if the pairwise match was indirect) → min-id survivor
+    * per cluster → anti-join the corpus. This is the composition a
+    * training-data pipeline actually ships: pair detection alone
+    * under-deletes chains (A~B, B~C but A!~C). All stages are the
+    * already-verified kernels; the anti-join carries only doc ids. */
+  def nearDupSurvivors(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(docs, threshold = threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val drop = Components.connectedComponents(pairs)
+      .filter(col("lbl") =!= col("node")) // survivors keep their own id
+      .select(col("node").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard over a deterministic candidate window
     * (each 10th doc vs its next 5 ids) — the SQL-verifiable instance
     * of the Jaccard kernel used by minhashPairs' verify step. */

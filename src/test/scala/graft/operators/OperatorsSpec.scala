@@ -79,6 +79,23 @@ class DedupSpec extends SparkSpec {
     assert(r == Set((10L, 2L), (12L, 1L)))
   }
 
+  test("near-dup survivors drop transitive chains, keep unrelated docs") {
+    // 1~2 and 2~4 are near-dups; 1~4 exact; 3 unrelated. The whole
+    // {1,2,4} chain must collapse to its min id even if some pair was
+    // only reachable transitively.
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("codegen", "vectorization")),
+      (3L, "entirely different content about zip archives and geometry rings with areas"),
+      (4L, base)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDupSurvivors(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(3L))
+    assert(!kept.contains(4L)) // exact dup always collapses
+    assert(kept.size < 4) // at least one of the near-dups dropped
+  }
+
   test("simhash pairs find the exact duplicate at hamming 0") {
     val docs = Seq(
       (1L, base), (2L, base),

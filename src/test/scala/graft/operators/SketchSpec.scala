@@ -39,4 +39,16 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(a - e).toDouble / e < 0.1, s"$row")
     }
   }
+
+  test("approx_percentile lands within the accuracy-implied rank error") {
+    val acc = 100 // rank error <= n/acc
+    val n = tables.events.count()
+    val approx = tables.events
+      .select(percentile_approx(col("value"), lit(0.5), lit(acc)).as("p"))
+      .head.getDouble(0)
+    // exact rank of the approximate answer must be within n/acc of n/2
+    val below = tables.events.filter(col("value") <= approx).count()
+    val rankErr = math.abs(below - n / 2.0) / n
+    assert(rankErr <= 1.0 / acc + 0.01, s"approx=$approx rankErr=$rankErr")
+  }
 }
