@@ -47,4 +47,26 @@ object EventStreams {
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         col("p_ts"), col("click_ts"))
   }
+
+  /** Left-outer variant: purchases with NO click in the preceding hour
+    * still emit (click_id null) — but only once the click watermark
+    * has passed the end of their match window, i.e. when the state
+    * store can PROVE no match can still arrive. Same bounded state as
+    * the inner join; the eviction deadline is what turns "no match
+    * yet" into "no match ever". */
+  def purchaseClickJoinOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = clicks.select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("p_ts") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("p_ts"), col("click_ts"))
+  }
 }

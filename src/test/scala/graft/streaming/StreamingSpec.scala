@@ -73,6 +73,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after eviction") {
+    val pIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    val cIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    def df(m: MemoryStream[(Long, Long, Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+    val q = EventStreams.purchaseClickJoinOuter(df(pIn), df(cIn))
+      .writeStream.format("memory").queryName("ssjoin_outer").outputMode("append").start()
+    try {
+      cIn.addData((1L, 100L, Timestamp.valueOf("2024-01-01 10:30:00")))
+      pIn.addData((1L, 200L, Timestamp.valueOf("2024-01-01 11:00:00")), // matches 100
+                  (2L, 201L, Timestamp.valueOf("2024-01-01 11:00:00"))) // no click ever
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 11:00 so 201's window provably
+      // can't match anymore and the null row is evicted+emitted
+      cIn.addData((9L, 900L, Timestamp.valueOf("2024-01-01 15:00:00")))
+      pIn.addData((9L, 901L, Timestamp.valueOf("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      cIn.addData((9L, 902L, Timestamp.valueOf("2024-01-01 16:00:00")))
+      pIn.addData((9L, 903L, Timestamp.valueOf("2024-01-01 16:00:00")))
+      q.processAllAvailable()
+      val r = spark.table("ssjoin_outer").select("purchase_id", "click_id")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(r(200L).contains(100L), s"matched row wrong: $r")
+      assert(r.contains(201L) && r(201L).isEmpty, s"unmatched purchase missing: $r")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: incremental parquet appends with batch ids") {
     val input = MemoryStream[(Timestamp, String)](spark)
     val outDir = java.nio.file.Files.createTempDirectory("graft-fb").toString
