@@ -100,6 +100,7 @@ object SparkEntry {
     "q_rank_funcs"     -> q(Relational.rankFuncs),
     "q_unpivot"        -> q(Relational.unpivotCounts),
     "q_hop_window"     -> q(Relational.hopWindow),
+    "q_snapshot_diff"  -> q(Relational.snapshotDiff),
     "q6_forecast"      -> q(Relational.q6Forecast),
     "q4_priority"      -> q(Relational.q4Priority),
     "q12_shipmode"     -> q(Relational.q12Shipmode),
@@ -897,6 +898,26 @@ object SparkEntry {
         |FROM h
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |old AS (SELECT o_orderkey AS k, o_orderstatus AS st_o, o_totalprice AS pr_o
+        |        FROM o WHERE o_orderkey % 10 != 0),
+        |neu AS (SELECT o_orderkey AS k, o_orderstatus AS st_n,
+        |               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |                    ELSE o_totalprice END AS pr_n
+        |        FROM o WHERE o_orderkey % 7 != 0),
+        |d AS (
+        |  SELECT COALESCE(old.k, neu.k) AS k,
+        |    CASE WHEN st_o IS NULL THEN 'I'
+        |         WHEN st_n IS NULL THEN 'D'
+        |         WHEN pr_o IS DISTINCT FROM pr_n OR st_o IS DISTINCT FROM st_n THEN 'U'
+        |         ELSE 'S' END AS change
+        |  FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+        |SELECT change, COUNT(*) AS n, MIN(k) AS first_key, MAX(k) AS last_key
+        |FROM d
+        |GROUP BY change
+        |ORDER BY change""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (

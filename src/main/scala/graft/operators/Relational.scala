@@ -315,6 +315,32 @@ object Relational {
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** CDC-style snapshot diff: classify every key across two table
+    * versions as inserted / deleted / updated / same via ONE full
+    * outer join on the key — the incremental-pipeline primitive that
+    * turns periodic full snapshots into a change stream. Both
+    * "snapshots" are deterministic slices of orders so the oracle sees
+    * identical inputs. One shuffle; the classify CASE is map-side. */
+  def snapshotDiff(t: Tables): DataFrame = {
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val old = o.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st_o"),
+        col("o_totalprice").as("pr_o"))
+    val neu = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st_n"),
+        (when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice"))).as("pr_n"))
+    old.join(neu, Seq("k"), "full")
+      .select(col("k"),
+        when(col("st_o").isNull, "I")
+          .when(col("st_n").isNull, "D")
+          .when(!(col("pr_o") <=> col("pr_n")) || !(col("st_o") <=> col("st_n")), "U")
+          .otherwise("S").as("change"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("first_key"), max(col("k")).as("last_key"))
+      .orderBy(col("change"))
+  }
+
   /** Keep-first dedup by business key (the pipeline "latest record
     * wins" pattern, inverted to earliest): one row per (lang, source)
     * — a single window shuffle, no self-join. */

@@ -32,6 +32,27 @@ class OrcRoundTripSpec extends SparkSpec {
   }
 }
 
+/** Schema evolution: a long-lived table accretes columns over time;
+  * readers must see the union schema with nulls for pre-evolution
+  * files (parquet mergeSchema). */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeSchema reads old+new files under the union schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.select(col("id"), col("score"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty) // pre-evolution files -> null
+    assert(rows(3L).contains(9.5))
+  }
+}
+
 /** Count-min sketch: the frequency-estimation companion to the HLL
   * distinct sketches (SketchSpec) — overestimates only, bounded by
   * eps × stream size with the configured confidence. */
