@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.sources.Tables
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -24,11 +26,28 @@ import org.apache.spark.sql.expressions.Window
   *
   * The driver-side loop holds only a change COUNT per round (one
   * action), never row data; convergence is data-dependent but bounded
-  * by maxIter. Labels converge to the component's minimum node id —
+  * by maxIter. Each round's state is freed once the next round
+  * materializes; only the FINAL label frame stays cached — it IS the
+  * returned data (lineage was severed), so the caller owns its
+  * lifetime. Labels converge to the component's minimum node id —
   * deterministic regardless of execution order, which is what makes the
   * result oracle-checkable against a recursive-CTE transitive closure.
   */
-object Components {
+object Components extends Logging {
+
+  /** Release the cached blocks behind a `localCheckpoint`'ed frame.
+    * A checkpointed Dataset's plan is a [[LogicalRDD]] whose RDD holds
+    * the materialized blocks; `Dataset.unpersist` can't reach them
+    * (the Dataset-level cache manager never saw them), so without this
+    * every iteration of a loop leaks one full copy of its state for
+    * the lifetime of the session. Only call once NOTHING downstream
+    * can recompute through the frame — checkpointing severed the
+    * lineage, so evicted blocks are gone for good. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _              => ()
+    }
 
   /** Resolve components of an undirected edge list (columns `a`, `b`).
     * Returns (node, cluster_id = min node id reachable). Only nodes
@@ -85,10 +104,19 @@ object Components {
           .select(col("node"), col("old"), coalesce(col("ll"), col("lbl")).as("lbl"))
       }.localCheckpoint(false) // materialized by the count below: 1 job/round
       changed = jumped.filter(col("lbl") =!= col("old")).count()
+      // the count above materialized this round's checkpoint; the
+      // previous round's blocks can never be read again — free them
+      // now or the loop retains O(rounds) copies of the label state
+      freeCheckpoint(lab)
       lab = jumped.select(col("node"), col("lbl"))
       iter += 1
     }
+    if (changed > 0)
+      logWarning(s"connectedComponents exhausted maxIter=$maxIter with " +
+        s"$changed labels still moving — returned labels are NOT converged " +
+        "(downstream dedup would under-merge); raise maxIter")
     sym.unpersist()
+    freeCheckpoint(e) // sym (materialized) was its only consumer
     lab
   }
 

@@ -97,7 +97,12 @@ object Curation {
     val counts = t.documents.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_lang"))
     val frac = least(lit(1.0), lit(target.toDouble) / col("n_lang"))
-    val thresh = lpad(lower(hex(floor(frac * 65536).cast("int"))), 4, "0")
+    // clamp to 0xffff: frac=1.0 would encode 65536 → 5 hex digits, and
+    // lpad TRUNCATES to 4 ('1000'), silently sampling ~6% instead of
+    // 100%. The n_lang <= target short-circuit below also covers that
+    // stratum, but the threshold must be safe on its own.
+    val thresh = lpad(lower(hex(
+      least(floor(frac * 65536), lit(65535L)).cast("int"))), 4, "0")
     t.documents
       .join(broadcast(counts), Seq("lang"))
       .filter(col("n_lang") <= target ||

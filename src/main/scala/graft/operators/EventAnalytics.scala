@@ -27,7 +27,11 @@ object EventAnalytics {
   /** Same contract over any (user_id, event_type, ts) frame. */
   def funnelOf(ev: DataFrame): DataFrame = {
     // v and c each feed the next stage AND a final count; persist the
-    // skinny per-user mins so the events scan isn't re-run per use
+    // skinny per-user mins so the events scan isn't re-run per use.
+    // Deliberately NOT unpersisted here: the result is lazy, so an
+    // unpersist before the caller materializes it would re-duplicate
+    // the shared subtrees. The caches live until the caller's
+    // clearCache()/session end — skinny per-user rows, bounded cost.
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
       .persist()

@@ -124,6 +124,8 @@ object TextAnalysis {
     // over tf — no second explode/distinct pass over the corpus. tf is
     // persisted because it feeds both the df aggregate and the output
     // join (Catalyst evaluates duplicate subtrees independently).
+    // Left persisted on purpose — the result is lazy, so unpersisting
+    // here would undo the reuse; caller/clearCache owns the lifetime.
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -152,7 +154,8 @@ object TextAnalysis {
     val tok = t.documents
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("term"))
-      .persist() // feeds both the df pass and the postings build
+      .persist() // feeds both the df pass and the postings build;
+                 // lazily leaked by design (result is lazy — see tfIdf)
     val band = tok.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(dfLo, dfHi))

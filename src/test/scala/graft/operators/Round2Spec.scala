@@ -25,6 +25,17 @@ class ComponentsSpec extends SparkSpec {
     assert(r.length == 64 && r.forall(_._2 == 1L))
   }
 
+  test("loop state is freed: at most one cached label copy survives") {
+    // each round localCheckpoints its label frame; without the explicit
+    // per-round unpersist a K-round run leaves K+2 cached RDDs alive
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    Components.connectedComponents(edges, maxIter = 25).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the returned final label frame may remain cached
+    assert(after - before <= 1, s"leaked ${after - before} cached RDDs")
+  }
+
   test("copurchase clusters: ids are component minima, sizes consistent") {
     val r = Components.copurchaseClusters(tables).collect()
     assert(r.nonEmpty)
