@@ -24,8 +24,10 @@ import org.apache.spark.sql.expressions.Window
   * and explicitly unpersisted so lineage doesn't re-execute the whole
   * history each iteration.
   *
-  * The driver-side loop holds only a change COUNT per round (one
-  * action), never row data; convergence is data-dependent but bounded
+  * The driver-side loop holds only one aggregate per round (the exact
+  * decimal label MASS — monotone under min-propagation, so two equal
+  * consecutive masses prove a fixpoint), never row data; convergence
+  * is data-dependent but bounded
   * by maxIter. Each round's state is freed once the next round
   * materializes; only the FINAL label frame stays cached — it IS the
   * returned data (lineage was severed), so the caller owns its
@@ -61,60 +63,105 @@ object Components extends Logging {
     * (a 20-round run materializes a 2^20-node plan). On a real cluster
     * swap localCheckpoint for a reliable `checkpoint` dir so executor
     * loss can't sever the truncated lineage. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** @param jumps pointer jumps per round. 1 (default) moves the least
+    *   data per round and measured identical round counts on the
+    *   low-diameter graphs near-dup/co-occurrence clustering produces;
+    *   raise to 2 for path-like graphs where halving rounds is worth
+    *   two extra label-frame shuffles per round. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          jumps: Int = 1): DataFrame = {
+    val spark = edges.sparkSession
     // materialize the incoming edge plan ONCE: the symmetrization union
     // references it twice, and Spark computes duplicate subtrees
     // independently (ReuseExchange only kicks in for identical shuffle
     // outputs) — for an expensive edge pipeline that doubles its cost
     val e = edges.select(col("a"), col("b")).localCheckpoint()
-    // persist sym already hashed by dst: the per-round neighbor join
-    // then re-shuffles only the (small) label frame, never the edges
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+    val symN = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("dst"))
-      .persist()
     // round 0 folded into init: label = min(self, direct neighbors)
-    var lab = sym.groupBy(col("src").as("node"))
+    var lab = symN.groupBy(col("src").as("node"))
       .agg(least(col("node"), min(col("dst"))).as("lbl"))
       .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
-        .join(lab.select(col("node").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("nlbl")).as("nbr_lbl"))
-      // carry the pre-round label through the round so convergence is a
-      // plain aggregate at the end, not one more join against old state
-      val stepped = lab
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-      // pointer jump TWICE: lbl := lbl(lbl(lbl)) — each jump is one more
-      // small self-join inside the same job and multiplies how far a
-      // round reaches, cutting the round count (each round is a full
-      // job whose scheduling + small shuffles dominate at the tail
-      // where only a handful of labels still move). Intermediates are
-      // NOT checkpointed — recomputing cheap joins inside one job beats
-      // an extra materialization job per round; the lazy checkpoint of
-      // the final frame still bounds the plan at one round's depth.
-      val jumped = (1 to 2).foldLeft(stepped) { (cur, _) =>
-        cur.join(cur.select(col("node").as("lbl"), col("lbl").as("ll")),
-            Seq("lbl"), "left")
-          .select(col("node"), col("old"), coalesce(col("ll"), col("lbl")).as("lbl"))
-      }.localCheckpoint(false) // materialized by the count below: 1 job/round
-      changed = jumped.filter(col("lbl") =!= col("old")).count()
-      // the count above materialized this round's checkpoint; the
-      // previous round's blocks can never be read again — free them
-      // now or the loop retains O(rounds) copies of the label state
-      freeCheckpoint(lab)
-      lab = jumped.select(col("node"), col("lbl"))
-      iter += 1
+    // Size the loop's shuffles to the LABEL frame, not the session
+    // default: one (node,lbl) row is ~16 bytes, so ~250k rows/partition
+    // keeps partitions a few MB. At bench scale that collapses 32
+    // near-empty sort/join tasks per stage to 8; at 10^9 nodes it
+    // grows to thousands of partitions. Restored in the finally below
+    // (the loop is driver-blocking, so the scoped override can only
+    // leak into concurrent same-session queries — documented trade).
+    val nNodes = lab.count()
+    val parts = math.max(8L, math.min(20000L, nNodes / 250000L + 1)).toInt
+    // sym gains one SELF-loop row per node (from the already-computed
+    // label keys, not a distinct over edges): with self-edges present,
+    // min-over-neighbor-labels already includes the node's own label,
+    // which deletes the old lab⋈nbrMin "carry" join from every round.
+    // Persisted hashed by dst so per-round joins re-shuffle only the
+    // (skinny) label frame, never the edges.
+    val sym = symN.union(lab.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(parts, col("dst"))
+      .persist()
+    // Small-graph fast path (the loop-level analogue of what AQE does
+    // per-stage, which it can't see across rounds): when the whole
+    // label frame fits a broadcast (~64 MB at 16 B/row), hint every
+    // per-round join broadcast — label joins become map-side, and a
+    // round collapses from ~6 scheduled stages to 2 — and switch AQE
+    // off so each round is one classically-scheduled job instead of
+    // one job per query stage. Big graphs keep shuffle joins + AQE
+    // (runtime skew splitting on hub nodes matters more than
+    // scheduling latency there).
+    val small = nNodes < 4000000L
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    if (small) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // Convergence by monotone label mass: labels only ever decrease,
+      // so sum(lbl) is strictly decreasing until the fixpoint and
+      // equality with the previous round means NO label moved. That
+      // replaces the old/new comparison join + filter-count with one
+      // single-row aggregate (exact DECIMAL sum — overflow-proof at
+      // any node count, order-independent).
+      var prevMass: java.math.BigDecimal = null
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val nbrMin = sym
+          .join(hint(lab.select(col("node").as("dst"), col("lbl").as("nlbl"))), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(min(col("nlbl")).as("lbl"))
+        // pointer jump: lbl := lbl(lbl) — each jump is one more small
+        // self-join inside the same job and multiplies how far a round
+        // reaches. Intermediates are NOT checkpointed — recomputing
+        // cheap joins inside one job beats an extra materialization
+        // job per round; the lazy checkpoint of the final frame still
+        // bounds the plan at one round's depth.
+        val jumped = (1 to jumps).foldLeft(nbrMin) { (cur, _) =>
+          cur.join(hint(cur.select(col("node").as("lbl"), col("lbl").as("ll"))),
+              Seq("lbl"), "left")
+            .select(col("node"), coalesce(col("ll"), col("lbl")).as("lbl"))
+        }.localCheckpoint(false) // materialized by the mass agg: 1 job/round
+        val mass = jumped.agg(sum(col("lbl").cast("decimal(38,0)")).as("m"))
+          .head().getDecimal(0)
+        // the aggregate above materialized this round's checkpoint; the
+        // previous round's blocks can never be read again — free them
+        // now or the loop retains O(rounds) copies of the label state
+        freeCheckpoint(lab)
+        lab = jumped
+        // scale-insensitive compare; nulls (empty edge set) converge round 1
+        done = (mass == null && prevMass == null) ||
+          (mass != null && prevMass != null && mass.compareTo(prevMass) == 0)
+        prevMass = mass
+        iter += 1
+      }
+      if (!done)
+        logWarning(s"connectedComponents exhausted maxIter=$maxIter before " +
+          "label mass stabilized — returned labels are NOT converged " +
+          "(downstream dedup would under-merge); raise maxIter")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    if (changed > 0)
-      logWarning(s"connectedComponents exhausted maxIter=$maxIter with " +
-        s"$changed labels still moving — returned labels are NOT converged " +
-        "(downstream dedup would under-merge); raise maxIter")
     sym.unpersist()
     freeCheckpoint(e) // sym (materialized) was its only consumer
     lab
