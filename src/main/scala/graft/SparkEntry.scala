@@ -111,7 +111,18 @@ object SparkEntry {
     "q_transitions"    -> q(EventAnalytics.transitions),
     "q_gap_fill"       -> q(EventAnalytics.gapFill),
     "q_zscore"         -> q(EventAnalytics.zscore),
-    "q_inverted_index" -> q(TextAnalysis.invertedIndex(_))
+    "q_inverted_index" -> q(TextAnalysis.invertedIndex(_)),
+    // —— remaining TPC-H suite shapes (operators/TpcHShapes.scala) ——
+    "q7_volume"        -> q(TpcHShapes.q7Volume(_)),
+    "q8_share"         -> q(TpcHShapes.q8Share(_)),
+    "q9_profit"        -> q(TpcHShapes.q9Profit(_)),
+    "q10_returns"      -> q(TpcHShapes.q10Returns),
+    "q13_custdist"     -> q(TpcHShapes.q13CustDist),
+    "q15_topsupp"      -> q(TpcHShapes.q15TopSupp),
+    "q17_smallqty"     -> q(TpcHShapes.q17SmallQty(_)),
+    "q18_bigorder"     -> q(TpcHShapes.q18BigOrder(_)),
+    "q19_disc"         -> q(TpcHShapes.q19Disc),
+    "q22_idle"         -> q(TpcHShapes.q22Idle)
   )
 
   // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
@@ -1006,6 +1017,144 @@ object SparkEntry {
         |       string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
         |FROM tok t JOIN band b ON t.term = b.term
         |GROUP BY t.term, b.df
-        |ORDER BY t.term""".stripMargin
+        |ORDER BY t.term""".stripMargin,
+
+    // —— remaining TPC-H suite shapes ——
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |       CAST($SumDisc AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11') OR
+        |       (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_share" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CASE WHEN n2.n_name = 'NATION_9'
+        |                     THEN CAST(l_extendedprice AS DECIMAL(9,2))
+        |                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |                     ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE)
+        |       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+        |                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |       AS mkt_share
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q9_profit" ->
+      s"""SELECT n_name AS nation,
+        |       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |       CAST($SumDisc AS DOUBLE)
+        |       - CAST(SUM(CAST(p_retailprice AS DECIMAL(9,2))
+        |                  * CAST(l_quantity AS DECIMAL(9,2))
+        |                  * CAST(0.8 AS DECIMAL(4,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY 1 ASC, 2 DESC""".stripMargin,
+
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, CAST($SumDisc AS DOUBLE) AS revenue,
+        |       c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer
+        |      LEFT JOIN orders ON c_custkey = o_custkey
+        |                      AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_topsupp" ->
+      s"""WITH rev AS (
+        |  SELECT l_suppkey, CAST($SumDisc AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_smallqty" ->
+      """WITH lines AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |avgq AS (
+        |  SELECT l_partkey AS ap,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lines GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       COUNT(*) AS n_lines
+        |FROM lines JOIN avgq ON l_partkey = ap
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q18_bigorder" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_disc" ->
+      s"""SELECT CAST($SumDisc AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q22_idle" ->
+      """SELECT c_custkey % 7 AS cohort, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }
