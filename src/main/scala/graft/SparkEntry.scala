@@ -112,6 +112,13 @@ object SparkEntry {
     "q_gap_fill"       -> q(EventAnalytics.gapFill),
     "q_zscore"         -> q(EventAnalytics.zscore),
     "q_inverted_index" -> q(TextAnalysis.invertedIndex(_)),
+    // —— training-pipeline corpus ops (round 3) ——
+    "q_bigram_lm"      -> q(TextAnalysis.bigramLm(_)),
+    "q_ttr"            -> q(TextAnalysis.typeTokenRatio(_)),
+    "q_filter_funnel"  -> q(TextAnalysis.filterFunnel),
+    "q_decontaminate"  -> q(TextAnalysis.decontaminate(_)),
+    "q_token_pack"     -> q(Curation.tokenPack(_)),
+    "q_partial_reagg"  -> q(Analytics.partialReagg),
     // —— remaining TPC-H suite shapes (operators/TpcHShapes.scala) ——
     "q7_volume"        -> q(TpcHShapes.q7Volume(_)),
     "q8_share"         -> q(TpcHShapes.q8Share(_)),
@@ -1018,6 +1025,69 @@ object SparkEntry {
         |FROM tok t JOIN band b ON t.term = b.term
         |GROUP BY t.term, b.df
         |ORDER BY t.term""".stripMargin,
+
+    // —— training-pipeline corpus ops (round 3) ——
+    "q_bigram_lm" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |pos AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM tok)
+        |SELECT l[i] || ' ' || l[i+1] AS bigram, COUNT(*) AS n
+        |FROM pos GROUP BY 1
+        |ORDER BY n DESC, bigram
+        |LIMIT 30""".stripMargin,
+
+    "q_ttr" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS ttr
+        |FROM documents
+        |ORDER BY ttr, doc_id
+        |LIMIT 20""".stripMargin,
+
+    "q_filter_funnel" ->
+      """WITH r AS (
+        |  SELECT CASE
+        |    WHEN n_chars < 100 THEN 'too_short'
+        |    WHEN n_chars > 400 THEN 'too_long'
+        |    WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) < 0.45 THEN 'too_repetitive'
+        |    ELSE 'kept' END AS rule, n_chars
+        |  FROM documents)
+        |SELECT rule, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY rule
+        |ORDER BY rule""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle FROM pos)
+        |SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc, COUNT(*) AS n_shared
+        |FROM sh c JOIN sh b ON c.shingle = b.shingle
+        |WHERE b.doc_id % 100 = 0 AND c.doc_id % 100 <> 0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY corpus_doc, bench_doc""".stripMargin,
+
+    "q_token_pack" ->
+      """WITH s AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |        SUM(tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
+        |SELECT CAST(floor((cum - tok) / 4000.0) AS BIGINT) AS shard,
+        |       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS shard_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q_partial_reagg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS total,
+        |       MIN(value) AS mn, MAX(value) AS mx,
+        |       CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // —— remaining TPC-H suite shapes ——
     "q7_volume" ->

@@ -170,4 +170,25 @@ object Analytics {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.75)").as("p75"))
       .orderBy(col("event_type"))
+
+  /** Two-level algebraic re-aggregation: daily partial states
+    * (count / exact-decimal sum / min / max) merged into per-type
+    * totals — the incremental-rollup pattern (materialize partials
+    * once a day, merge on demand) and exactly the map-side-combine
+    * contract made explicit. The partial SUM stays DECIMAL until the
+    * final merge, so merged == direct bit-for-bit; avg is derived from
+    * the merged moments, never averaged-of-averages. */
+  def partialReagg(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("_n"), sum(d(col("value"))).as("_s"),
+        min(col("value")).as("_mn"), max(col("value")).as("_mx"))
+    daily.groupBy(col("event_type"))
+      .agg(sum(col("_n")).as("n_events"),
+        sum(col("_s")).cast(DoubleType).as("total"),
+        min(col("_mn")).as("mn"), max(col("_mx")).as("mx"),
+        (sum(col("_s")).cast(DoubleType) / sum(col("_n"))).as("avg_value"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"))
+  }
 }

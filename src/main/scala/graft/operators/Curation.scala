@@ -60,6 +60,49 @@ object Curation {
       .drop("_pid", "_off")
   }
 
+  /** Global running sum WITHOUT a single-partition window — same
+    * construction as [[globalRowNumber]]: range-repartition on the
+    * total order, per-partition local running sums, plus broadcast
+    * per-partition totals as offsets. `valueCol` must be an exact
+    * (integer/long) column so offset addition is associative. */
+  def globalRunningSum(df: DataFrame, valueCol: String,
+                       sortCols: org.apache.spark.sql.Column*): DataFrame = {
+    val parts = df
+      .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val offW = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("_pid"))
+      .agg(sum(col(valueCol)).as("_s")) // numPartitions rows — tiny
+      .withColumn("_off", coalesce(sum(col("_s")).over(offW), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val local = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_cum", col("_off") + sum(col(valueCol)).over(local))
+      .drop("_pid", "_off")
+  }
+
+  /** Token-budget shard packing: documents in doc_id order fill shards
+    * of ~`budget` tokens each (shard = exclusive-prefix-sum DIV
+    * budget) — how a training run cuts a corpus into fixed-cost chunks
+    * while preserving order. Built on the scalable running sum; the
+    * per-shard rollup is one skinny aggregate. The prefix sums stay
+    * well under 2^53, so the floor(double) division is exact (and
+    * matches any engine's DIV). */
+  def tokenPack(t: Tables, budget: Long = 4000L): DataFrame = {
+    val sized = t.documents.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"))
+    globalRunningSum(sized, "tok", col("doc_id"))
+      .withColumn("shard",
+        floor((col("_cum") - col("tok")) / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
   /** Balanced shard assignment: order by size desc, round-robin over
     * `shards` — the deterministic approximation of greedy bin packing
     * (within one item of optimal for the max shard), built on the

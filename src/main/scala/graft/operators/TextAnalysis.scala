@@ -178,4 +178,78 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))
       .limit(100)
+
+  /** Bigram language-model statistics: top-30 adjacent token pairs —
+    * the counting pass behind BPE merge selection and n-gram LM
+    * estimation. The n-gram expansion is map-side (array transform on
+    * a materialized token column, no self-join on position); only
+    * (bigram, partial count) rows shuffle. */
+  def bigramLm(t: Tables, k: Int = 30): DataFrame =
+    t.documents
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), 2))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+
+  /** Type-token ratio: the 20 most repetitive documents (lowest
+    * distinct-token share — the cheap repetition signal quality
+    * pipelines cut on). Entirely map-side except the final top-k. */
+  def typeTokenRatio(t: Tables, k: Int = 20): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    t.documents
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .orderBy(col("ttr"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** Filter-funnel report: every document labeled with the FIRST
+    * quality rule it fails (or 'kept'), counted per rule — the
+    * drop-accounting dashboard a curation run publishes. One scan, one
+    * skinny shuffle of (rule, partial count); the rules are a single
+    * chained CASE evaluated inside codegen. */
+  def filterFunnel(t: Tables): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val ttr = size(array_distinct(toks)).cast("double") / size(toks)
+    val rule = when(col("n_chars") < 100, "too_short")
+      .when(col("n_chars") > 400, "too_long")
+      .when(ttr < 0.45, "too_repetitive")
+      .otherwise("kept")
+    t.documents
+      .select(rule.as("rule"), col("n_chars"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("rule"))
+  }
+
+  /** Benchmark decontamination: for every corpus document, the count of
+    * word 3-gram shingles it shares with any "benchmark" document
+    * (stand-in membership: doc_id % 100 == 0) — pairs sharing ≥
+    * `minShared` shingles are contamination suspects. The shingle
+    * frames carry DISTINCT (shingle, doc) rows only — never full text —
+    * and the join is an equi-join on the shingle, so candidate
+    * generation is linear in shared shingles, not |corpus|×|bench|.
+    * At 100 TB the join key would be xxhash64(shingle) to keep the
+    * shuffle skinny; the raw string is kept here for oracle
+    * bit-parity (counts are identical absent 64-bit collisions). */
+  def decontaminate(t: Tables, n: Int = 3, minShared: Int = 2): DataFrame = {
+    val sh = t.documents
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), n)).as("shingle"))
+      .distinct()
+      .persist() // feeds both sides of the join; lazy leak (see tfIdf)
+    val bench = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("bench_doc"), col("shingle"))
+    val corpus = sh.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("corpus_doc"), col("shingle"))
+    corpus.join(bench, Seq("shingle"))
+      .groupBy(col("corpus_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("corpus_doc"), col("bench_doc"))
+  }
 }

@@ -7,6 +7,18 @@ import org.apache.spark.sql.expressions.Window
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("globalRunningSum equals the single-partition running-sum window") {
+    val df = tables.orders.select(col("o_orderkey"),
+      (col("o_orderkey") % 97).cast("long").as("v"))
+    val scalable = Curation.globalRunningSum(df, "v", col("o_orderkey"))
+      .select(col("o_orderkey"), col("_cum"))
+    val naive = df.withColumn("_cum",
+        sum(col("v")).over(Window.orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("o_orderkey"), col("_cum"))
+    assert(scalable.exceptAll(naive).isEmpty && naive.exceptAll(scalable).isEmpty)
+  }
+
   test("globalRowNumber equals the single-partition global window") {
     val df = tables.orders.select(col("o_orderkey"), col("o_totalprice"))
     val scalable = Curation.globalRowNumber(df, col("o_totalprice").desc, col("o_orderkey"))
