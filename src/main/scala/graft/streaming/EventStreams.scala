@@ -29,6 +29,19 @@ object EventStreams {
   def streamWindowBatch(t: Tables): DataFrame =
     windowedCounts(t.events).orderBy(col("win_start"), col("event_type"))
 
+  /** Stream-static enrichment: a streaming event feed joined to a
+    * static dimension (user → segment) with a broadcast hint, then
+    * windowed counts per segment. The static side is re-read per
+    * micro-batch at planning time but never shuffles the stream —
+    * map-side enrichment is exactly the 100 TB/day posture (the
+    * stream's watermark alone bounds state; a static join adds none). */
+  def enrichedWindowCounts(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .join(broadcast(userDim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("segment"), col("n"))
+
   /** Watermarked stream-stream join: each purchase joined to clicks of
     * the same user within the preceding hour. Both watermarks bound the
     * join state; the time-range condition lets Spark evict click state

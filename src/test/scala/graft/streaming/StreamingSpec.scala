@@ -55,6 +55,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: events enriched by a broadcast dimension, counted per segment") {
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val dim = Seq((1L, "free"), (2L, "pro"), (3L, "pro")).toDF("user_id", "segment")
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = EventStreams.enrichedWindowCounts(df, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:15:00"), 2L),
+        (Timestamp.valueOf("2024-01-01 10:25:00"), 3L),
+        (Timestamp.valueOf("2024-01-01 11:25:00"), 3L),
+        (Timestamp.valueOf("2024-01-01 10:35:00"), 99L)) // no dim row -> dropped
+      q.processAllAvailable()
+      val r = spark.table("enriched")
+        .select(col("win_start").cast("string"), col("segment"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(r == Set(
+        ("2024-01-01 10:00:00", "free", 1L),
+        ("2024-01-01 10:00:00", "pro", 2L),
+        ("2024-01-01 11:00:00", "pro", 1L)))
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream join: purchases match clicks in the preceding hour") {
     val pIn = MemoryStream[(Long, Long, Timestamp)](spark)
     val cIn = MemoryStream[(Long, Long, Timestamp)](spark)
