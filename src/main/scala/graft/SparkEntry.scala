@@ -119,6 +119,7 @@ object SparkEntry {
     "q_decontaminate"  -> q(TextAnalysis.decontaminate(_)),
     "q_token_pack"     -> q(Curation.tokenPack(_)),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
+    "q_quantize"       -> q(Similarity.quantizeInt8),
     // —— remaining TPC-H suite shapes (operators/TpcHShapes.scala) ——
     "q7_volume"        -> q(TpcHShapes.q7Volume(_)),
     "q8_share"         -> q(TpcHShapes.q8Share(_)),
@@ -1088,6 +1089,19 @@ object SparkEntry {
         |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> floor(x * scale + 0.5)) AS qv FROM s)
+        |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims, scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS checksum,
+        |       CAST(len(list_filter(qv, x -> abs(x) >= 127.0)) AS BIGINT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     // —— remaining TPC-H suite shapes ——
     "q7_volume" ->

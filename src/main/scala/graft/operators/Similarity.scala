@@ -131,4 +131,29 @@ object Similarity {
     ivfKnn(t.embeddings, t.embeddings.filter(col("vec_id") < 10), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
+
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * shrink (4×) every large vector corpus applies before indexing.
+    * Per-vector absmax scaling: scale = 127/max|x|, q_i = floor(x_i ·
+    * scale + 0.5). floor(+0.5) instead of round() because round-half
+    * semantics differ across engines while floor is IEEE-exact in all
+    * of them; the scaled values stay in [-127, 127] by construction so
+    * no clamp is needed. Entirely map-side (one projection per stage,
+    * arrays materialized before the interpreted HOFs — see
+    * TextFunctions.wordNgramsOf on why); emits per-vector audit
+    * columns (dims, scale, checksum, saturated count) rather than the
+    * int8 payload so the result is oracle-comparable. */
+  def quantizeInt8(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("vec_id"), vd(col("embedding")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("mx") === 0.0, 0.0).otherwise(lit(127.0) / col("mx")))
+      .withColumn("qv", transform(col("v"), x => floor(x * col("scale") + 0.5)))
+      .select(col("vec_id"),
+        size(col("qv")).cast("long").as("n_dims"),
+        col("scale"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("checksum"),
+        size(filter(col("qv"), x => abs(x) >= 127L)).cast("long").as("n_sat"))
+      .orderBy(col("vec_id"))
 }

@@ -23,6 +23,19 @@ object TableWriter {
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Z-ordered rewrite: cluster rows by the Morton code of `dims` so
+    * every output file covers a compact hyper-rectangle of the dim
+    * space — min/max footer stats then prune files for range filters
+    * on ANY of the dims, not just the leading sort key. One skinny
+    * stats aggregate + one range shuffle on `_z`. */
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
+                    files: Int): Unit =
+    graft.functions.ZOrder.withZ(df, dims)
+      .repartitionByRange(files, org.apache.spark.sql.functions.col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Small-file compaction — the table-maintenance pass every
     * long-running 100 TB lake needs: streaming/micro-batch appends and
     * over-parallel writes leave thousands of KB-sized files whose
