@@ -120,6 +120,8 @@ object SparkEntry {
     "q_token_pack"     -> q(Curation.tokenPack(_)),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
+    "q_scd2"           -> q(EventAnalytics.scd2(_)),
+    "q_salted_join"    -> q(SkewJoin.saltedEnrich),
     // —— remaining TPC-H suite shapes (operators/TpcHShapes.scala) ——
     "q7_volume"        -> q(TpcHShapes.q7Volume(_)),
     "q8_share"         -> q(TpcHShapes.q8Share(_)),
@@ -1102,6 +1104,22 @@ object SparkEntry {
         |       CAST(list_sum(qv) AS BIGINT) AS checksum,
         |       CAST(len(list_filter(qv, x -> abs(x) >= 127.0)) AS BIGINT) AS n_sat
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, event_id, ts AS valid_from, event_type AS state,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |            AS BIGINT) AS is_current
+        |FROM events
+        |WHERE user_id < 100
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     // —— remaining TPC-H suite shapes ——
     "q7_volume" ->

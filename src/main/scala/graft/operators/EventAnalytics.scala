@@ -130,4 +130,21 @@ object EventAnalytics {
         ((col("value") - mean) / sqrt(variance)).as("z"))
       .orderBy(col("event_id"))
   }
+
+  /** SCD Type-2 interval build: an append-only change feed becomes the
+    * warehouse dimension-history table — each state row valid from its
+    * own timestamp until the key's NEXT change (open-ended for the
+    * latest). One window shuffle on the key; at any SF the state per
+    * key is one sort run, never a collect_list. `is_current` is a
+    * BIGINT flag (0/1) for cross-engine type parity. */
+  def scd2(t: Tables, maxUser: Long = 100): DataFrame =
+    t.events.filter(col("user_id") < maxUser)
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("event_type").as("state"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from"), col("event_id"))))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
 }

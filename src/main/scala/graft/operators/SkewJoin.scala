@@ -24,4 +24,22 @@ object SkewJoin {
       .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Oracled instance: events (user 13 is the reference's hot-key
+    * override, and synthetic traffic is zipf-ish anyway) salted-joined
+    * to the customer dim, aggregated per nation. The salt is plumbing
+    * only — the result must equal the plain join, which is exactly
+    * what the DuckDB oracle runs. Forces the shuffle path (no
+    * broadcast) so the salt actually spreads the hot key's rows. */
+  def saltedEnrich(t: graft.sources.Tables): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("value"))
+    val cust = t.customer.select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      .hint("shuffle_hash") // keep the salted shuffle join honest
+    SkewJoin.saltedJoin(ev, cust, "user_id", salts = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(9, 2)))
+          .cast("double").as("total_value"))
+      .orderBy(col("c_nationkey"))
+  }
 }
