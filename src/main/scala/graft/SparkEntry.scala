@@ -122,6 +122,8 @@ object SparkEntry {
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
     "q_salted_join"    -> q(SkewJoin.saltedEnrich),
+    "q_spatial_join"   -> q(SpatialJoin.eventsInZones),
+    "q_fuzzy_match"    -> q(Dedup.fuzzyMatches(_)),
     // —— remaining TPC-H suite shapes (operators/TpcHShapes.scala) ——
     "q7_volume"        -> q(TpcHShapes.q7Volume(_)),
     "q8_share"         -> q(TpcHShapes.q8Share(_)),
@@ -1120,6 +1122,36 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+
+    "q_spatial_join" ->
+      """WITH pts AS (
+        |  SELECT event_id, value AS x, CAST(user_id % 128 AS DOUBLE) AS y
+        |  FROM events),
+        |rects AS (
+        |  SELECT c_custkey,
+        |         CAST(c_custkey % 97 AS DOUBLE) AS x0,
+        |         CAST(c_custkey % 53 AS DOUBLE) AS y0,
+        |         CAST(c_custkey % 97 AS DOUBLE) + 2.0
+        |           + CAST(c_nationkey % 5 AS DOUBLE) AS x1,
+        |         CAST(c_custkey % 53 AS DOUBLE) + 3.0 AS y1
+        |  FROM customer)
+        |SELECT c_custkey, COUNT(*) AS n_points
+        |FROM rects JOIN pts
+        |  ON x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH pairs AS (
+        |  SELECT a.p_partkey AS pk, b.p_partkey AS other
+        |  FROM part a JOIN part b
+        |    ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        |   AND a.p_partkey <> b.p_partkey
+        |   AND a.p_name <> b.p_name
+        |   AND levenshtein(a.p_name, b.p_name) <= 3)
+        |SELECT pk AS p_partkey, COUNT(*) AS n_matches, MIN(other) AS best_match
+        |FROM pairs GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // —— remaining TPC-H suite shapes ——
     "q7_volume" ->

@@ -221,4 +221,27 @@ object Dedup {
           size(array_union(col("ga"), col("gb")))).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Blocked fuzzy matching (entity resolution): candidate pairs come
+    * from an equi-join on a cheap BLOCKING key (here the name's first
+    * word), then the expensive edit-distance predicate runs only
+    * within blocks — the classic way record linkage avoids the n²
+    * levenshtein matrix. Output is a skinny per-record match summary.
+    * At 100 TB the blocking key must carry enough cardinality to keep
+    * blocks executor-sized (compose several keys — first-token +
+    * length bucket + soundex — and union the candidate sets); a hot
+    * block is ordinary join skew for AQE. */
+  def fuzzyMatches(t: Tables, maxDist: Int = 3): DataFrame = {
+    val p = t.part.select(col("p_partkey"), col("p_name"),
+      substring_index(col("p_name"), " ", 1).as("blk"))
+    val b = p.select(col("blk"), col("p_partkey").as("other"),
+      col("p_name").as("other_name"))
+    p.join(b, Seq("blk"))
+      .filter(col("other") =!= col("p_partkey") &&
+        col("other_name") =!= col("p_name") &&
+        levenshtein(col("p_name"), col("other_name")) <= maxDist)
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_matches"), min(col("other")).as("best_match"))
+      .orderBy(col("p_partkey"))
+  }
 }
