@@ -1142,12 +1142,14 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_fuzzy_match" ->
-      """WITH pairs AS (
+      """WITH sm AS (SELECT p_partkey, p_name FROM part WHERE p_size <= 5),
+        |pairs AS (
         |  SELECT a.p_partkey AS pk, b.p_partkey AS other
-        |  FROM part a JOIN part b
+        |  FROM sm a JOIN sm b
         |    ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
         |   AND a.p_partkey <> b.p_partkey
         |   AND a.p_name <> b.p_name
+        |   AND abs(len(a.p_name) - len(b.p_name)) <= 3
         |   AND levenshtein(a.p_name, b.p_name) <= 3)
         |SELECT pk AS p_partkey, COUNT(*) AS n_matches, MIN(other) AS best_match
         |FROM pairs GROUP BY 1
