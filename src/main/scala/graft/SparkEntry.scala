@@ -124,6 +124,7 @@ object SparkEntry {
     "q_salted_join"    -> q(SkewJoin.saltedEnrich),
     "q_spatial_join"   -> q(SpatialJoin.eventsInZones),
     "q_fuzzy_match"    -> q(Dedup.fuzzyMatches(_)),
+    "q_hierarchy"      -> q(Components.customerHierarchy),
     // —— remaining TPC-H suite shapes (operators/TpcHShapes.scala) ——
     "q7_volume"        -> q(TpcHShapes.q7Volume(_)),
     "q8_share"         -> q(TpcHShapes.q8Share(_)),
@@ -1154,6 +1155,23 @@ object SparkEntry {
         |SELECT pk AS p_partkey, COUNT(*) AS n_matches, MIN(other) AS best_match
         |FROM pairs GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q_hierarchy" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT c_custkey AS node, c_custkey // 10 AS parent FROM customer),
+        |walk(node, cur, depth, path) AS (
+        |  SELECT node, node, 0, CAST(node AS VARCHAR) FROM t
+        |  UNION ALL
+        |  SELECT w.node, t2.parent, w.depth + 1,
+        |         CAST(t2.parent AS VARCHAR) || '/' || w.path
+        |  FROM walk w JOIN t t2 ON w.cur = t2.node
+        |  WHERE t2.parent <> t2.node)
+        |SELECT node, CAST(split_part(path, '/', 1) AS BIGINT) AS root,
+        |       CAST(depth AS BIGINT) AS depth, path
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+        |                                   ORDER BY depth DESC) AS rn FROM walk)
+        |WHERE rn = 1
+        |ORDER BY node""".stripMargin,
 
     // —— remaining TPC-H suite shapes ——
     "q7_volume" ->

@@ -167,6 +167,67 @@ object Components extends Logging {
     lab
   }
 
+  /** Hierarchy flatten: (node, parent) edges → (node, root, depth,
+    * path). Same iterative-join discipline as connectedComponents
+    * (localCheckpoint per round, O(log depth) rounds via pointer
+    * DOUBLING: each round concatenates every node's resolved prefix
+    * with its current ancestor's, so resolved path length doubles),
+    * but directed — the result is the dimension-table form every
+    * BOM / org-chart / category-tree query wants. Roots are nodes
+    * whose parent is null or themselves. */
+  def hierarchyFlatten(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    // state: (node, anc, depth, path); anc == -1 marks resolved-to-root
+    var cur = edges.select(col("node"),
+        when(col("parent").isNull || col("parent") === col("node"), lit(-1L))
+          .otherwise(col("parent")).as("anc"),
+        lit(0L).as("depth"),
+        col("node").cast("string").as("path"))
+      .localCheckpoint()
+    val parts = math.max(8L, math.min(20000L,
+      cur.count() / 250000L + 1)).toInt
+    val small = true // path strings stay dimension-sized; see CC for the gate
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var iter = 0
+      var open = 1L
+      while (open > 0 && iter < maxIter) {
+        val anc = cur.select(col("node").as("anc"), col("anc").as("anc2"),
+          col("depth").as("d2"), col("path").as("p2"))
+        val stepped = cur.join(hint(anc), Seq("anc"), "left")
+          .select(col("node"),
+            when(col("anc") === -1L, lit(-1L))
+              .otherwise(coalesce(col("anc2"), lit(-1L))).as("anc"),
+            when(col("anc") === -1L, col("depth"))
+              .otherwise(col("depth") + coalesce(col("d2"), lit(0L)) + 1).as("depth"),
+            when(col("anc") === -1L, col("path"))
+              .otherwise(concat(coalesce(col("p2"), col("anc").cast("string")),
+                lit("/"), col("path"))).as("path"))
+          .localCheckpoint(false)
+        open = stepped.filter(col("anc") =!= -1L).count()
+        freeCheckpoint(cur)
+        cur = stepped
+        iter += 1
+      }
+      if (open > 0)
+        logWarning(s"hierarchyFlatten exhausted maxIter=$maxIter with $open " +
+          "unresolved nodes (cycle or depth > 2^maxIter)")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    cur.select(col("node"),
+        split(col("path"), "/").getItem(0).cast("long").as("root"),
+        col("depth"), col("path"))
+      .orderBy(col("node"))
+  }
+
+  /** Oracled hierarchy instance: the decimal-digit tree over customer
+    * keys (node k's parent is k DIV 10 — dense keys make every
+    * ancestor a real node; depth ≤ 5 at any SF). */
+  def customerHierarchy(t: Tables): DataFrame =
+    hierarchyFlatten(t.customer.select(col("c_custkey").as("node"),
+      org.apache.spark.sql.functions.expr("c_custkey DIV 10").as("parent")))
+
   /** Co-purchase part clusters: parts are connected when they appear
     * in the same order at least twice (the repeat threshold prunes the
     * one-off noise that would otherwise glue everything into a single

@@ -36,6 +36,32 @@ class ComponentsSpec extends SparkSpec {
     assert(after - before <= 1, s"leaked ${after - before} cached RDDs")
   }
 
+  test("hierarchy flatten: roots, depths and paths on a handmade tree") {
+    //      1            10 (self-parent root)
+    //     / \            |
+    //    2   3          11
+    //        |
+    //        4
+    val edges = Seq((1L, Option.empty[Long]), (2L, Some(1L)), (3L, Some(1L)),
+      (4L, Some(3L)), (10L, Some(10L)), (11L, Some(10L)))
+      .toDF("node", "parent")
+    val r = Components.hierarchyFlatten(edges)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(r == Set(
+      (1L, 1L, 0L, "1"), (2L, 1L, 1L, "1/2"), (3L, 1L, 1L, "1/3"),
+      (4L, 1L, 2L, "1/3/4"), (10L, 10L, 0L, "10"), (11L, 10L, 1L, "10/11")))
+  }
+
+  test("hierarchy flatten: pointer doubling resolves a deep chain in O(log d) rounds") {
+    // 200-deep chain; 20 maxIter would NOT suffice for one-step walking
+    val edges = (1L to 200L).map(i => (i, Some(i - 1))).toDF("node", "parent")
+      .union(Seq((0L, Option.empty[Long])).toDF("node", "parent"))
+    val r = Components.hierarchyFlatten(edges, maxIter = 12)
+      .filter(col("node") === 200L)
+      .as[(Long, Long, Long, String)].head()
+    assert(r._2 == 0L && r._3 == 200L && r._4.startsWith("0/1/2/"))
+  }
+
   test("copurchase clusters: ids are component minima, sizes consistent") {
     val r = Components.copurchaseClusters(tables).collect()
     assert(r.nonEmpty)
