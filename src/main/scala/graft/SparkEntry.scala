@@ -125,6 +125,8 @@ object SparkEntry {
     "q_spatial_join"   -> q(SpatialJoin.eventsInZones),
     "q_fuzzy_match"    -> q(Dedup.fuzzyMatches(_)),
     "q_hierarchy"      -> q(Components.customerHierarchy),
+    "q_ratio_report"   -> q(Analytics.ratioToReport),
+    "q_dedup_best"     -> q(Dedup.keepBest),
     // —— remaining TPC-H suite shapes (operators/TpcHShapes.scala) ——
     "q7_volume"        -> q(TpcHShapes.q7Volume(_)),
     "q8_share"         -> q(TpcHShapes.q8Share(_)),
@@ -1172,6 +1174,24 @@ object SparkEntry {
         |                                   ORDER BY depth DESC) AS rn FROM walk)
         |WHERE rn = 1
         |ORDER BY node""".stripMargin,
+
+    "q_ratio_report" ->
+      """SELECT event_id, CAST(ts AS DATE) AS d, value,
+        |       value / CAST(SUM(CAST(value AS DECIMAL(9,2)))
+        |                    OVER (PARTITION BY CAST(ts AS DATE)) AS DOUBLE) AS share
+        |FROM events
+        |QUALIFY event_id % 100 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "q_dedup_best" ->
+      """SELECT doc_id, n_chars, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM (SELECT doc_id, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |                                ORDER BY n_chars DESC, doc_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+        |      FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // —— remaining TPC-H suite shapes ——
     "q7_volume" ->

@@ -171,6 +171,21 @@ object Analytics {
         expr("percentile(value, 0.75)").as("p75"))
       .orderBy(col("event_type"))
 
+  /** Ratio-to-report: each event's share of its day's total value —
+    * the window form of percent-of-total (no self-join against a
+    * pre-aggregate). The denominator is an exact-decimal window sum
+    * surfaced as double, so the single division is bit-stable.
+    * Output sampled to every 100th event to stay bounded. */
+  def ratioToReport(t: Tables): DataFrame = {
+    val w = Window.partitionBy(to_date(col("ts")))
+    t.events
+      .withColumn("day_total", sum(d(col("value"))).over(w).cast(DoubleType))
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"), to_date(col("ts")).as("d"), col("value"),
+        (col("value") / col("day_total")).as("share"))
+      .orderBy(col("event_id"))
+  }
+
   /** Two-level algebraic re-aggregation: daily partial states
     * (count / exact-decimal sum / min / max) merged into per-type
     * totals — the incremental-rollup pattern (materialize partials

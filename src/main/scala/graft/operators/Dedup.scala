@@ -222,6 +222,23 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Keep-BEST dedup: within each exact-content group the survivor is
+    * the highest-quality copy (longest, doc_id tie-break), not the
+    * arbitrary first — the policy real corpus dedup wants when copies
+    * differ in truncation. One window shuffle on the content hash. */
+  def keepBest(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    t.documents
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_chars"), col("n_copies").cast("long").as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Blocked fuzzy matching (entity resolution): candidate pairs come
     * from an equi-join on a cheap BLOCKING key (here the name's first
     * word), then the expensive edit-distance predicate runs only
