@@ -127,6 +127,7 @@ object SparkEntry {
     "q_hierarchy"      -> q(Components.customerHierarchy),
     "q_ratio_report"   -> q(Analytics.ratioToReport),
     "q_dedup_best"     -> q(Dedup.keepBest),
+    "q_not_in_null"    -> q(Relational.notInNull),
     // —— remaining TPC-H suite shapes (operators/TpcHShapes.scala) ——
     "q7_volume"        -> q(TpcHShapes.q7Volume(_)),
     "q8_share"         -> q(TpcHShapes.q8Share(_)),
@@ -1192,6 +1193,8 @@ object SparkEntry {
         |      FROM documents)
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_not_in_null" -> graft.operators.Relational.NotInNullSql,
 
     // —— remaining TPC-H suite shapes ——
     "q7_volume" ->

@@ -76,6 +76,26 @@ object Relational {
   def subquery(t: Tables): DataFrame =
     graft.GraftSql.query(t.spark, t.dir, SubquerySql)
 
+  /** NOT IN vs a NULL-bearing subquery — the three-valued-logic trap
+    * SQL engines must agree on: a NULL in the IN-list makes every
+    * non-match UNKNOWN, so the null-polluted NOT IN keeps ONLY nothing,
+    * while the null-filtered twin behaves like a plain anti join. Spark
+    * plans the former as a null-aware anti join (broadcast of the
+    * in-list + null flag), not a per-row subquery. Same SQL text runs
+    * on both engines. */
+  val NotInNullSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT NULLIF(user_id, 13) FROM events)) AS n_polluted,
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT NULLIF(user_id, 13) FROM events
+      |                           WHERE NULLIF(user_id, 13) IS NOT NULL)) AS n_filtered,
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey IN (SELECT NULLIF(user_id, 13) FROM events)) AS n_in""".stripMargin
+
+  def notInNull(t: Tables): DataFrame =
+    graft.GraftSql.query(t.spark, t.dir, NotInNullSql)
+
   /** RANGE-frame window: orders in the trailing 90 days per customer
     * (value-based frame over the epoch, not a row count). */
   def rangeWindow(t: Tables): DataFrame = {
