@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // local[32] IS the whole cluster: one JVM hosts driver + all 32
+  // executor threads + every cached/broadcast block. Measured full-
+  // bench totals at 8g vs 24g overlap within the machine's ±30%
+  // run-to-run noise, so the default stays modest; override with
+  // SPARK_DRIVER_MEM for memory-hungry workloads.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
