@@ -1026,9 +1026,15 @@ object SparkEntry {
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
+        |bounds AS (
+        |  SELECT GREATEST(2, CAST(floor(COUNT(*) / 100.0) AS BIGINT)) AS df_lo,
+        |         CAST(floor(COUNT(*) * 4 / 5.0) AS BIGINT) AS df_hi
+        |  FROM documents),
         |band AS (
         |  SELECT term, COUNT(*) AS df FROM tok
-        |  GROUP BY term HAVING COUNT(*) BETWEEN 5 AND 20)
+        |  GROUP BY term
+        |  HAVING COUNT(*) BETWEEN (SELECT df_lo FROM bounds)
+        |                      AND (SELECT df_hi FROM bounds))
         |SELECT t.term, b.df,
         |       string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
         |FROM tok t JOIN band b ON t.term = b.term

@@ -143,22 +143,38 @@ object TextAnalysis {
   }
 
   /** Inverted index: term → sorted posting list of doc ids, for the
-    * mid-frequency band (5 ≤ df ≤ 20 — high-df terms are stopwords,
-    * df<5 noise). Two passes so postings are only ever materialized
-    * for banded terms: pass 1 counts df per term (skinny), pass 2
-    * semi-joins the postings build to the band — a one-pass
-    * collect_list would buffer a stopword's full posting list (the
-    * whole corpus) before the filter could drop it. Postings sort
-    * numerically inside the aggregate; no global sort of postings. */
-  def invertedIndex(t: Tables, dfLo: Int = 5, dfHi: Int = 20): DataFrame = {
+    * mid-frequency band. The band is derived from corpus size n —
+    * [max(2, ⌊n/100⌋), ⌊4n/5⌋] — so it stays meaningful at any scale:
+    * terms in >80% of documents are stopwords, terms in <1% noise.
+    * (A fixed absolute band silently goes empty when the corpus grows —
+    * it did at sf0.01.) Explicit dfLo/dfHi override the derivation for
+    * callers that know their vocabulary. Two passes so postings are
+    * only ever materialized for banded terms: pass 1 counts df per
+    * term (skinny), pass 2 semi-joins the postings build to the band —
+    * a one-pass collect_list would buffer a stopword's full posting
+    * list (the whole corpus) before the filter could drop it. Postings
+    * sort numerically inside the aggregate; no global sort of
+    * postings. floor(x/k.0) on both engines — int-div/cast rounding
+    * differs between Spark and DuckDB. */
+  def invertedIndex(t: Tables, dfLo: Option[Int] = None, dfHi: Option[Int] = None): DataFrame = {
     val tok = t.documents
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("term"))
       .persist() // feeds both the df pass and the postings build;
                  // lazily leaked by design (result is lazy — see tfIdf)
+    // One aggregate row (n) → broadcast; the band bounds ride along as
+    // columns so the whole derivation stays in the plan (no collect).
+    val bounds = broadcast(t.documents.agg(count(lit(1)).as("n"))
+      .select(
+        dfLo.map(v => lit(v.toLong)).getOrElse(
+          greatest(lit(2L), floor(col("n") / lit(100.0)).cast("long"))).as("df_lo"),
+        dfHi.map(v => lit(v.toLong)).getOrElse(
+          floor(col("n") * lit(4) / lit(5.0)).cast("long")).as("df_hi")))
     val band = tok.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(dfLo, dfHi))
+      .crossJoin(bounds)
+      .filter(col("df").between(col("df_lo"), col("df_hi")))
+      .select(col("term"), col("df"))
     tok.join(band, Seq("term"))
       .groupBy(col("term"))
       .agg(min(col("df")).as("df"),

@@ -154,7 +154,7 @@ class EventAnalyticsSpec extends SparkSpec {
   }
 
   test("inverted index postings are sorted and df matches posting length") {
-    val r = TextAnalysis.invertedIndex(tables, dfLo = 2, dfHi = 50).collect()
+    val r = TextAnalysis.invertedIndex(tables, dfLo = Some(2), dfHi = Some(50)).collect()
     assert(r.nonEmpty)
     r.foreach { row =>
       val ids = row.getString(2).split(",").map(_.toLong)
