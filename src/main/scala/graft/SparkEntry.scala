@@ -54,10 +54,13 @@ object SparkEntry {
     "q_dedup_exact"    -> q(Dedup.exact),
     "q_ngram_jaccard"  -> q(Dedup.ngramJaccard),
     "q_knn_cosine"     -> q(Similarity.knnCosine(_)),
-    // approximate / not SQL-expressible → rows-only driver check,
-    // correctness covered by ScalaTest specs
+    // fully oracled LSH: md5-derived hashes reproduce every
+    // intermediate integer in DuckDB (see Dedup.md5Hash31 /
+    // simhashMd5Fingerprints scaladoc)
     "q_dedup_minhash"  -> q(Dedup.minhash),
     "q_dedup_simhash"  -> q(Dedup.simhash),
+    // RNG-seeded hyperplanes / Lloyd iterations → rows-only driver
+    // check, correctness covered by ScalaTest specs
     "q_dedup_embed"    -> q(Dedup.embedDedup),
     "q_knn_ivf"        -> q(Similarity.knnIvf(_)),
     // —— document assembly, push log, streaming-equivalent, multimodal ——
@@ -435,6 +438,58 @@ object SparkEntry {
         |         / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
         |WHERE a.doc_id % 10 = 0
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Full MinHash+LSH pipeline, reproduced integer-for-integer: the
+    // md5-derived 31-bit shingle hash, the universal-family signature
+    // (same (a,b) constants, baked into the VALUES list below from the
+    // same seeded RNG), the band equi-join, and the exact-Jaccard
+    // verify. DuckDB's `('0x'||substr(md5(g),1,8))::BIGINT` equals
+    // Spark's `conv(substring(md5(g),1,8),16,10)` by construction.
+    "q_dedup_minhash" -> {
+      val perms = graft.operators.Dedup.mixConstants(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tok),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS hv FROM sh),
+         |perm(i, a, b) AS (VALUES $perms),
+         |sig AS (SELECT doc_id, i, MIN((a * hv + b) % 2147483647) AS m
+         |        FROM h CROSS JOIN perm GROUP BY doc_id, i),
+         |bk AS (SELECT doc_id, i // 4 AS band,
+         |              array_to_string(list(m ORDER BY i), ',') AS key
+         |       FROM sig GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bk x JOIN bk y
+         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |gl AS (SELECT doc_id, list(DISTINCT g) AS gs FROM sh GROUP BY doc_id),
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(len(list_intersect(xa.gs, yb.gs)) AS DOUBLE)
+         |          / (len(xa.gs) + len(yb.gs) - len(list_intersect(xa.gs, yb.gs))) AS jaccard
+         |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
+         |                  JOIN gl yb ON yb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // 60-bit md5-nibble SimHash; the oracle brute-forces all pairs —
+    // pigeonhole (hamming ≤ 3 over 4 chunks) proves the Spark side's
+    // chunk-bucketed join returns the identical set.
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        |tkh AS (SELECT doc_id, md5(tk) AS m FROM tok),
+        |bits AS (SELECT doc_id, j,
+        |           CASE WHEN ((strpos('0123456789abcdef', substr(m, (j // 4) + 1, 1)) - 1)
+        |                      >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |         FROM tkh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js),
+        |s AS (SELECT doc_id, j, SUM(v) AS sv FROM bits GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id,
+        |              CAST(SUM(CASE WHEN sv > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS fp
+        |       FROM s GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_knn_cosine" ->

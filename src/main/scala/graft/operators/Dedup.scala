@@ -54,7 +54,33 @@ object Dedup {
     * collapses each scan partition to one 64-slot row per doc before the
     * shuffle, so network cost is |docs| × 64 longs no matter how big the
     * shingle explosion is. */
-  def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
+  val P31 = 2147483647L // 2^31 - 1, prime modulus of the universal family
+
+  /** Permutation constants of the universal hash family, shared by the
+    * Spark kernel AND the oracle-SQL generator (SparkEntry bakes the
+    * same integers into a VALUES list) so both engines run identical
+    * integer arithmetic. Fixed seed → reproducible index. */
+  def mixConstants(numPerm: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(1234)
+    Seq.fill(numPerm)(
+      (1L + rng.nextLong().abs % (P31 - 1), rng.nextLong().abs % P31))
+  }
+
+  /** Fast 31-bit shingle hash (xxhash64 folded) — the throughput path. */
+  def xxHash31(g: Column): Column =
+    xxhash64(g).bitwiseAND(lit(0x7FFFFFFFL))
+
+  /** Cross-engine-reproducible 31-bit shingle hash: first 8 hex chars
+    * of md5, parsed base-16, folded to 31 bits. DuckDB computes the
+    * identical value as `('0x' || substr(md5(g),1,8))::BIGINT &
+    * 2147483647`, which is what lets the WHOLE MinHash+LSH pipeline —
+    * not just its verify step — be hash-compared against the oracle. */
+  def md5Hash31(g: Column): Column =
+    conv(substring(md5(g), 1, 8), 16, 10).cast("long")
+      .bitwiseAND(lit(0x7FFFFFFFL))
+
+  def minhashSignatures(sh: DataFrame, numPerm: Int,
+                        shingleHash: Column => Column = xxHash31): DataFrame = {
     // one string hash per shingle, then the classic universal family
     // h_i(x) = (a_i·x + b_i) mod p per permutation: long multiplies
     // instead of string rehashes. The mod p is ESSENTIAL — without it
@@ -63,15 +89,11 @@ object Dedup {
     // (caught by MinhashEstimationSpec). Operands stay in a 31-bit
     // domain (a·h < 2^62) because Spark 4's default ANSI mode throws on
     // long overflow — wrapping-multiply mixing is off the table.
-    val p31 = 2147483647L // 2^31 - 1, prime
-    val rng = new scala.util.Random(1234)
-    val mix = Seq.fill(numPerm)(
-      (1L + rng.nextLong().abs % (p31 - 1), rng.nextLong().abs % p31))
-    val mins = mix.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * lit(a) + lit(b)) % lit(p31)).as(s"m$i")
+    val mins = mixConstants(numPerm).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * lit(a) + lit(b)) % lit(P31)).as(s"m$i")
     }
     sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+      .select(col("doc_id"), shingleHash(col("g")).as("h"))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -86,11 +108,24 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("key"))): _*)
 
+  /** Structural band keys: the slot values themselves, joined into a
+    * string — no second-level hash, so the oracle can rebuild the
+    * identical key with `array_to_string(list(m ORDER BY i), ',')`.
+    * Slightly wider rows than the hashed key (4 longs as text vs one
+    * long) but the band join stays a skinny equi-join. */
+  def bandKeysStr(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        array_join(transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          _.cast("string")), ",").as("key"))): _*)
+
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard on
     * the shingle sets. Returns (doc_a, doc_b, jaccard) with
     * jaccard >= `threshold`. */
   def minhashPairs(docs: DataFrame, numPerm: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+                   threshold: Double = 0.5, shingleN: Int = 3,
+                   shingleHash: Column => Column = xxHash31,
+                   bandKeyOf: (Column, Int, Int) => Column = bandKeys): DataFrame = {
     val rowsPerBand = numPerm / bands
     // NOTE no size>0 filter here: a predicate on the computed column
     // gets pushed below the repartition by PushDownPredicates and then
@@ -103,9 +138,9 @@ object Dedup {
     // through the self-join shuffle — ~16 longs/doc, not the shingle
     // arrays. At 100 TB that's the difference between shuffling ~1% of
     // the corpus and shuffling 16 copies of it.
-    val banded = minhashSignatures(sh, numPerm)
+    val banded = minhashSignatures(sh, numPerm, shingleHash)
       .select(col("doc_id"),
-        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        explode(bandKeyOf(col("sig"), bands, rowsPerBand)).as("bk"))
       .persist() // self-joined: compute signatures once, not twice
     val cand = banded.select(col("doc_id").as("doc_a"), col("bk"))
       .join(banded.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
@@ -125,20 +160,28 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def minhash(t: Tables): DataFrame = minhashPairs(t.documents)
+  /** The oracled MinHash instance: same LSH pipeline end-to-end
+    * (shingle → 31-bit hash → universal-family signature → band
+    * equi-join → exact-Jaccard verify), but with the md5-derived
+    * shingle hash and structural band keys so DuckDB reproduces every
+    * intermediate integer exactly. xxHash31/bandKeys stay the
+    * throughput variant used by nearDupSurvivors. */
+  def minhash(t: Tables): DataFrame =
+    minhashPairs(t.documents, shingleHash = md5Hash31, bandKeyOf = bandKeysStr)
 
-  /** SimHash near-dup: 64-bit fingerprint per doc (custom codegen'd
-    * expression), candidates = equal 16-bit chunk (Hamming ≤3 within
-    * 4 chunks guarantees one equal chunk by pigeonhole), verified by
-    * exact popcount of the XOR. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = spread(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        graft.functions.HashFunctions.simhash64(graft.functions.TextFunctions.tokens(col("text"))).as("fp"))
+  /** Chunk-bucketed Hamming pairs over a (doc_id, fp) frame: candidates
+    * = equal `chunkBits`-bit chunk (Hamming ≤ maxHamming < nChunks
+    * guarantees ≥1 equal chunk by pigeonhole, so the bucketed join is
+    * EXACTLY the brute-force all-pairs result — that identity is what
+    * the oracle checks), verified by exact popcount of the XOR. */
+  private def hammingPairs(fp: DataFrame, nChunks: Int, chunkBits: Int,
+                           maxHamming: Int): DataFrame = {
+    require(maxHamming < nChunks, "pigeonhole needs maxHamming < nChunks")
+    val mask = (1L << chunkBits) - 1
     val chunked = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until nChunks).map(i =>
         struct(lit(i).as("chunk"),
-          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))): _*)).as("ck"))
+          shiftright(col("fp"), i * chunkBits).bitwiseAND(lit(mask)).as("bits"))): _*)).as("ck"))
       .persist() // self-joined: hash each doc once
     val a = chunked.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("ck"))
     val b = chunked.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"), col("ck"))
@@ -151,7 +194,55 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def simhash(t: Tables): DataFrame = simhashPairs(t.documents)
+  /** SimHash near-dup, throughput variant: 64-bit fingerprint per doc
+    * (custom codegen'd FNV-vote expression), 4 × 16-bit chunks. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      spread(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          graft.functions.HashFunctions.simhash64(graft.functions.TextFunctions.tokens(col("text"))).as("fp")),
+      nChunks = 4, chunkBits = 16, maxHamming = maxHamming)
+
+  /** Cross-engine-reproducible 60-bit SimHash: per token, the first 15
+    * md5 hex nibbles are the token's hash bits; bit j of the
+    * fingerprint is the sign of Σ_tokens (±1 by bit j of the token
+    * hash). 60 bits (not 64) keeps every intermediate in non-negative
+    * BIGINT range on both engines. Same per-bit-vote semantics as the
+    * FNV simhash64 kernel; only the token-hash family differs. */
+  def simhashMd5Fingerprints(docs: DataFrame): DataFrame = {
+    // 15 nibble columns materialized once per token, then 60 codegen'd
+    // conditional-sum aggregates — partial aggregation collapses each
+    // partition to one 60-slot row per doc before the shuffle, exactly
+    // like minhashSignatures.
+    val nib = spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tk"))
+      .select(col("doc_id"), md5(col("tk")).as("m"))
+      .select(col("doc_id") +: (0 until 15).map(c =>
+        conv(substring(col("m"), c + 1, 1), 16, 10).cast("int").as(s"n$c")): _*)
+    val votes = (0 until 60).map { j =>
+      sum(when(shiftright(col(s"n${j / 4}"), j % 4).bitwiseAND(lit(1)) === 1,
+        lit(1)).otherwise(lit(-1))).as(s"s$j")
+    }
+    val fp = (0 until 60).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    nib.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** The oracled SimHash instance: md5-nibble fingerprints, 4 × 15-bit
+    * pigeonhole chunks. DuckDB's oracle computes the identical
+    * fingerprints and brute-forces all pairs — equality with this
+    * bucketed join is guaranteed, not sampled. */
+  def simhashPairsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashMd5Fingerprints(docs),
+      nChunks = 4, chunkBits = 15, maxHamming = maxHamming)
+
+  def simhash(t: Tables): DataFrame = simhashPairsMd5(t.documents)
+
+  /** FNV-64 variant retained under its own name for specs/perf work. */
+  def simhashFnv(t: Tables): DataFrame = simhashPairs(t.documents)
 
   /** Embedding-cosine near-dup: random-hyperplane LSH (sign-bit
     * sketches). `nTables` independent tables of `bitsPerTable` bits —
@@ -209,13 +300,24 @@ object Dedup {
 
   /** Exact n-gram Jaccard over a deterministic candidate window
     * (each 10th doc vs its next 5 ids) — the SQL-verifiable instance
-    * of the Jaccard kernel used by minhashPairs' verify step. */
+    * of the Jaccard kernel used by minhashPairs' verify step.
+    *
+    * The window is an EQUI-join, not a non-equi band join: because
+    * doc_a is a multiple of 10, `doc_b ∈ (doc_a, doc_a+5]` holds iff
+    * `(doc_b-1) div 5 = doc_a div 5` — a bucket key both sides can
+    * hash-partition on, so the plan is a shuffled/broadcast hash join
+    * instead of a BroadcastNestedLoopJoin that streams every b row
+    * past every a row. The band predicate stays as a (redundant)
+    * post-join filter documenting the intended semantics. */
   def ngramJaccard(t: Tables): DataFrame = {
     val g = shingled(t.documents, 2).withColumnRenamed("sh", "grams")
     val a = g.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("doc_a"), col("grams").as("ga"))
-    val b = g.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
-    a.join(b, col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 5)
+      .select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+        floor(col("doc_id") / lit(5.0)).cast("long").as("bkt"))
+    val b = g.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+      floor((col("doc_id") - 1) / lit(5.0)).cast("long").as("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 5)
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb")))).as("jaccard"))

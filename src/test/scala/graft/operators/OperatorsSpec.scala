@@ -106,6 +106,44 @@ class DedupSpec extends SparkSpec {
     assert(r.contains((1L, 2L, 0L)))
     assert(!r.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("md5-hash minhash variant (the oracled instance) finds the same planted dups") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("codegen", "vectorization")),
+      (3L, "entirely different content about zip archives and geometry rings with areas"),
+      (4L, base)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5,
+        shingleHash = Dedup.md5Hash31, bandKeyOf = Dedup.bandKeysStr)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("md5 simhash: chunk-bucketed pairs equal brute-force hamming (pigeonhole)") {
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base.replace("codegen", "vectorization")),
+      (4L, "other words entirely unrelated to anything above in this suite"),
+      (5L, "more filler prose that shares nothing with the planted near dup cluster")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.simhashMd5Fingerprints(docs).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val bucketed = Dedup.simhashPairsMd5(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bucketed == brute)
+    assert(brute.contains((1L, 2L, 0L))) // planted exact dup
+  }
+
+  test("ngramJaccard bucketed window plans a hash join, not a nested loop") {
+    val qe = Dedup.ngramJaccard(tables).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"expected equi-join on the DIV-5 bucket, got:\n$plan")
+  }
 }
 
 class MinhashEstimationSpec extends SparkSpec {
