@@ -92,9 +92,14 @@ object Similarity {
     var assigned = base.withColumn("bucket", (col("neighbor_id") % nlist).cast("int"))
     // persist() at each step cuts the lineage: without it, iteration k
     // re-executes every previous Lloyd round each time the result (or
-    // the centroid broadcast) is materialized.
+    // the centroid broadcast) is materialized. cents.count() forces the
+    // round's frames THROUGH the caches so the previous round's blocks
+    // can be freed immediately — storage stays O(1) in iters instead of
+    // accumulating one persisted frame pair per Lloyd round
+    // (IvfStorageSpec pins this).
     var cents: DataFrame = centroidsOf(assigned).persist()
     for (_ <- 0 until iters) {
+      val (prevA, prevC) = (assigned, cents)
       val scored = base.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("cv"), col("centroid")))
       assigned = scored
@@ -103,6 +108,9 @@ object Similarity {
           first(col("cv")).as("cv"))
         .persist()
       cents = centroidsOf(assigned).persist()
+      cents.count() // materializes assigned + cents into their caches
+      prevA.unpersist(false) // no-op for the unpersisted round-0 seed
+      prevC.unpersist(false)
     }
     (assigned, cents)
   }

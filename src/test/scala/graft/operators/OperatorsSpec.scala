@@ -201,6 +201,16 @@ class SimilaritySpec extends SparkSpec {
     assert(r.last == ((3L, 3L)))          // opposite vector ranks last
   }
 
+  test("IVF Lloyd loop frees prior rounds' caches: storage is O(1) in iters") {
+    spark.catalog.clearCache()
+    val (_, cents) = Similarity.ivfAssign(tables.embeddings, nlist = 16, iters = 4)
+    cents.count()
+    // hold only base + final assigned + final cents, regardless of iters
+    val n = spark.sparkContext.getPersistentRDDs.size
+    assert(n <= 3, s"expected <=3 persisted frames after 4 Lloyd rounds, got $n")
+    spark.catalog.clearCache()
+  }
+
   test("IVF knn achieves reasonable recall vs brute force on real table") {
     val emb = tables.embeddings
     val queries = emb.filter(col("vec_id") < 5)
