@@ -31,6 +31,7 @@ object SparkEntry {
     "q_dict_map"       -> q(Enrichment.dictMap),
     "q_control_tags"   -> q(Enrichment.controlTags),
     "q_geo_area"       -> q(Enrichment.geoArea),
+    "q_geo_area_sph"   -> q(Enrichment.geoAreaSpherical),
     "q_mint_ids"       -> q(Enrichment.mintIds),
     "q_keywords"       -> q(Enrichment.keywords),
     // —— core analytics (SURVEY §2 table 2) ——
@@ -209,6 +210,26 @@ object SparkEntry {
         |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |       CAST(CEIL(l_quantity * (1.0 + l_discount)) AS BIGINT) AS area_m2
         |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Chamberlain–Duquette spherical excess, term-for-term: the four
+    // edge terms appear in Spark's fold order (two are exact zeros from
+    // the axis-aligned quad), so the double arithmetic is identical
+    // before the final ceil-to-m² guard.
+    "q_geo_area_sph" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         24.93 + l_quantity * 0.001 AS lonw,
+        |         60.17 + (1.0 + l_discount) * 0.001 AS lath
+        |  FROM lineitem)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(CEIL(ABS(
+        |           (radians(lonw) - radians(24.93)) * (sin(radians(60.17)) + sin(radians(60.17)))
+        |         + (radians(lonw) - radians(lonw)) * (sin(radians(60.17)) + sin(radians(lath)))
+        |         + (radians(24.93) - radians(lonw)) * (sin(radians(lath)) + sin(radians(lath)))
+        |         + (radians(24.93) - radians(24.93)) * (sin(radians(lath)) + sin(radians(60.17)))
+        |       ) * (6371008.8 * 6371008.8 / 2.0)) AS BIGINT) AS area_m2
+        |FROM g
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_mint_ids" ->

@@ -107,6 +107,28 @@ object Enrichment {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** R2+R3 geodesic variant: the same quad interpreted as a WGS84
+    * lon/lat ring near Helsinki (~100 m scale), measured with the
+    * spherical-excess closed form instead of the planar shoelace —
+    * mirrors `sf::st_area` on geographic coordinates (2023.R:40),
+    * where planar degree-space area is simply wrong. Vertex grid:
+    * lon spans l_quantity·0.001°, lat spans (1+l_discount)·0.001°. */
+  def geoAreaSpherical(t: Tables): DataFrame = {
+    val lon0 = lit(24.93)
+    val lat0 = lit(60.17)
+    val lonW = lit(24.93) + col("l_quantity") * lit(0.001)
+    val latH = lit(60.17) + (lit(1.0) + col("l_discount")) * lit(0.001)
+    val ring = array( // unclosed on purpose — closeRing has work to do
+      struct(lon0.as("x"), lat0.as("y")),
+      struct(lonW.as("x"), lat0.as("y")),
+      struct(lonW.as("x"), latH.as("y")),
+      struct(lon0.as("x"), latH.as("y")))
+    t.lineitem.select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        GeoFunctions.sphericalAreaCeilM2(ring).as("area_m2"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** R10: deterministic URI minting (2023.R:120-127,143-146,163-166:
     * sprintf documentId / gatheringId / unitId). */
   def mintIds(t: Tables): DataFrame =

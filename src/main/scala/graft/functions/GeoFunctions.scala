@@ -53,6 +53,38 @@ object GeoFunctions {
   def multiPolygonArea(rings: Column): Column =
     aggregate(transform(rings, r => polygonAreaValid(r)), lit(0.0), (a, v) => a + v)
 
+  /** IUGG mean Earth radius, meters. */
+  val EarthRadiusM = 6371008.8
+
+  /** Spherical polygon area in m² of a closed ring with x = longitude,
+    * y = latitude in degrees (Chamberlain & Duquette, "Some algorithms
+    * for polygons on a sphere", JPL 2007):
+    *   A = R²/2 · |Σ_i (λ_{i+1} − λ_i)(sin φ_i + sin φ_{i+1})|
+    * The geodesic analog of `sf::st_area` on WGS84 geometry
+    * (crowdsorsa-etl-2023.R:40), which the planar shoelace gets wrong
+    * in degree space — at 60°N a 1°×1° "square" is half as wide as it
+    * is tall. Spherical (not ellipsoidal) radius: within ~0.3% of
+    * st_area's ellipsoid for small features, and a public closed-form
+    * both the engine and the oracle can evaluate term-for-term.
+    * Cross-engine note: sin/radians were verified bit-identical
+    * between the JVM and DuckDB's libm over this dataset's coordinate
+    * grid; the oracled query still ceils to whole m² so a 1-ulp libm
+    * divergence on future data cannot flip the compare. */
+  def sphericalArea(ring: Column): Column = {
+    val r = closeRing(ring)
+    val idx = sequence(lit(1), size(r) - 1)
+    val terms = transform(idx, i =>
+      (radians(px(element_at(r, i + 1))) - radians(px(element_at(r, i)))) *
+        (sin(radians(py(element_at(r, i)))) + sin(radians(py(element_at(r, i + 1))))))
+    abs(aggregate(terms, lit(0.0), (a, v) => a + v)) *
+      lit(EarthRadiusM * EarthRadiusM / 2.0)
+  }
+
+  /** Spherical area rounded up to whole m², mirroring the reference's
+    * `ceiling(as.numeric(st_area(...)))` (2023.R:40). */
+  def sphericalAreaCeilM2(ring: Column): Column =
+    ceil(sphericalArea(ring)).cast("long")
+
   /** Axis-aligned bounding box of a ring as struct(xmin,ymin,xmax,ymax). */
   def bbox(ring: Column): Column = struct(
     array_min(transform(ring, px(_))).as("xmin"),

@@ -52,4 +52,29 @@ class GeoFunctionsSpec extends SparkSpec {
       .select("b.xmin", "b.ymin", "b.xmax", "b.ymax").head
     assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) == ((1.0, -2.0, 5.0, 7.0)))
   }
+
+  test("spherical area matches the exact lat-lon zone closed form") {
+    // for an axis-aligned lon/lat quad the spherical-excess sum reduces
+    // to the exact zone formula R²·Δλ·(sin φ2 − sin φ1)
+    val quad = Seq((10.0, 20.0), (11.0, 20.0), (11.0, 21.0), (10.0, 21.0))
+    val a = ringDf(quad).select(GeoFunctions.sphericalArea(col("ring"))).head.getDouble(0)
+    val R = GeoFunctions.EarthRadiusM
+    val expect = R * R * math.toRadians(1.0) *
+      (math.sin(math.toRadians(21.0)) - math.sin(math.toRadians(20.0)))
+    assert(math.abs(a - expect) / expect < 1e-12, s"got $a expect $expect")
+  }
+
+  test("spherical area shrinks with latitude like cos(φ); planar shoelace does not") {
+    def quadAt(lat: Double) = Seq((0.0, lat), (1.0, lat), (1.0, lat + 1.0), (0.0, lat + 1.0))
+    def sph(lat: Double) =
+      ringDf(quadAt(lat)).select(GeoFunctions.sphericalArea(col("ring"))).head.getDouble(0)
+    val equator = sph(0.0)
+    val at60 = sph(60.0)
+    val ratio = at60 / equator
+    // cos(60.5°) ≈ 0.492 — the degree-space shoelace would say 1.0
+    assert(ratio > 0.45 && ratio < 0.53, s"ratio $ratio")
+    val planar = ringDf(quadAt(60.0))
+      .select(GeoFunctions.polygonArea(col("ring"))).head.getDouble(0)
+    assert(planar == 1.0) // same degree-space area regardless of latitude
+  }
 }
