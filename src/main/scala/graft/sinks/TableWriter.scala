@@ -43,13 +43,23 @@ object TableWriter {
     * directory into ~`targetBytes`-sized files (computed from the
     * CURRENT on-disk size, so already-compacted data is a no-op
     * rewrite), sorted within files by `sortCols` so min/max row-group
-    * stats stay selective for data-skipping readers. Writes to a
-    * temp sibling then swaps, so a crashed compaction never corrupts
-    * the live directory (readers see old or new, not a mix). */
+    * stats stay selective for data-skipping readers.
+    *
+    * Swap protocol: write to a temp sibling, rename live → trash,
+    * rename tmp → live, verify the new live dir is readable, then drop
+    * trash. The two renames are NOT one atomic step: a crash between
+    * them leaves no live directory — but the data is intact in
+    * `.compact-old`, and the next compact() (or any caller invoking
+    * `recover`) renames it back before proceeding. A failed second
+    * rename rolls the first one back, so an in-process failure never
+    * strands the table. True single-rename atomicity needs a
+    * metadata/manifest layer (Delta/Iceberg-style), out of scope here.
+    */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20,
               sortCols: Seq[String] = Nil): Long = {
     val dir = new java.io.File(path)
+    recover(path) // heal a previous compaction's crash window first
     val bytes = Option(dir.listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.length()).sum
@@ -58,17 +68,39 @@ object TableWriter {
     val out = if (sortCols.nonEmpty)
       df.repartition(nFiles).sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
     else df.coalesce(nFiles)
-    val tmp = path.stripSuffix("/") + ".compact-tmp"
-    out.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap: rename live -> trash, tmp -> live, drop trash
+    val tmp = new java.io.File(path.stripSuffix("/") + ".compact-tmp")
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
     val trash = new java.io.File(path.stripSuffix("/") + ".compact-old")
-    def delete(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(delete); f.delete(): Unit
+    delete(trash)
+    if (!dir.renameTo(trash))
+      throw new java.io.IOException(s"compact: cannot move live dir aside for $path")
+    if (!tmp.renameTo(dir)) {
+      // roll back so the table is never left without a live directory
+      trash.renameTo(dir)
+      throw new java.io.IOException(s"compact: cannot promote rewrite for $path")
+    }
+    // only drop the old data once the new live dir provably serves reads
+    try spark.read.parquet(path).head(1)
+    catch { case e: Throwable =>
+      throw new java.io.IOException(
+        s"compact: rewrite unreadable for $path; previous data kept in ${trash.getName}", e)
     }
     delete(trash)
-    if (!dir.renameTo(trash) || !new java.io.File(tmp).renameTo(dir))
-      throw new java.io.IOException(s"compact swap failed for $path")
-    delete(trash)
     nFiles.toLong
+  }
+
+  /** Crash-window repair for `compact`: if the live directory is gone
+    * but `.compact-old` survives (crash between the two renames),
+    * rename the old data back into place. Called on every compact()
+    * entry; safe to call any time. */
+  def recover(path: String): Boolean = {
+    val dir = new java.io.File(path)
+    val trash = new java.io.File(path.stripSuffix("/") + ".compact-old")
+    if (!dir.exists() && trash.isDirectory) trash.renameTo(dir)
+    else false
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(delete); f.delete(): Unit
   }
 }
