@@ -28,7 +28,8 @@ object Bench {
         sfDir)
       .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
     selected.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+      try fn(spark, warmDir).count()
+      catch { case scala.util.control.NonFatal(_) => }
     }
     // prime sfDir parquet footer/file-listing caches so the first timed
     // query isn't charged metadata I/O the others never pay
@@ -36,18 +37,24 @@ object Bench {
         (_, n) => n.endsWith(".parquet"))).toSeq.flatten
       .foreach { f =>
         try spark.read.parquet(f.getPath).count()
-        catch { case _: Throwable => }
+        catch { case scala.util.control.NonFatal(_) => }
       }
     spark.catalog.clearCache()
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(_) => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       // operators persist() reused subplans; drop them so later queries
-      // aren't timed under earlier queries' memory pressure
+      // aren't timed under earlier queries' memory pressure. clearCache
+      // only covers DataFrame persists — localCheckpoint blocks (the
+      // iterative operators' FINAL frames, whose blocks ARE the data
+      // and so can't be freed inside the query) live at the RDD layer
+      // and would otherwise accumulate across the whole suite.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -59,8 +66,12 @@ object Bench {
     // stdout capture has truncated the per-query tail in past rounds —
     // also write the full line to a file the driver/judge can read whole
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // bench result on stdout is the contract; the file is best-effort —
+    // but only swallow non-fatal errors (an OOM here means the line
+    // above is suspect too and MUST surface)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case _: Throwable => } // bench result on stdout is the contract
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: could not write $outFile: $e") }
     spark.stop()
   }
 }

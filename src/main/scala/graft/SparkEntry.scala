@@ -60,6 +60,12 @@ object SparkEntry {
     // simhashMd5Fingerprints scaladoc)
     "q_dedup_minhash"  -> q(Dedup.minhash),
     "q_dedup_simhash"  -> q(Dedup.simhash),
+    // throughput twins of the two above (xxhash64 / FNV kernels — the
+    // path a 100 TB run ships): benched under their own keys so the
+    // production kernels' regressions stay visible; rows-only driver
+    // check (no DuckDB twin for the hash family), spec-verified
+    "q_dedup_minhash_fast" -> q(Dedup.minhashFast),
+    "q_dedup_simhash_fast" -> q(Dedup.simhashFnv),
     // RNG-seeded hyperplanes / Lloyd iterations → rows-only driver
     // check, correctness covered by ScalaTest specs
     "q_dedup_embed"    -> q(Dedup.embedDedup),
@@ -1149,12 +1155,16 @@ object SparkEntry {
         |FROM r GROUP BY rule
         |ORDER BY rule""".stripMargin,
 
+    // mirrors the Spark side's hub-shingle df cap (maxDf = 20): hub
+    // shingles are dropped before the join on BOTH engines
     "q_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tok),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle FROM pos)
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle FROM pos),
+        |hub AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 20),
+        |kept AS (SELECT sh.* FROM sh ANTI JOIN hub USING (shingle))
         |SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc, COUNT(*) AS n_shared
-        |FROM sh c JOIN sh b ON c.shingle = b.shingle
+        |FROM kept c JOIN kept b ON c.shingle = b.shingle
         |WHERE b.doc_id % 100 = 0 AND c.doc_id % 100 <> 0
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY corpus_doc, bench_doc""".stripMargin,

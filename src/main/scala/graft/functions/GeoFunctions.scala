@@ -66,10 +66,14 @@ object GeoFunctions {
     * is tall. Spherical (not ellipsoidal) radius: within ~0.3% of
     * st_area's ellipsoid for small features, and a public closed-form
     * both the engine and the oracle can evaluate term-for-term.
-    * Cross-engine note: sin/radians were verified bit-identical
-    * between the JVM and DuckDB's libm over this dataset's coordinate
-    * grid; the oracled query still ceils to whole m² so a 1-ulp libm
-    * divergence on future data cannot flip the compare. */
+    * Cross-engine note: parity with the DuckDB oracle rests on
+    * sin/radians being bit-identical between the JVM and DuckDB's
+    * libm, verified empirically over this dataset's coordinate grid.
+    * The trailing ceil-to-whole-m² does NOT protect the compare — the
+    * opposite: ceil is exactly where a 1-ulp divergence near an
+    * integer boundary becomes a full off-by-one — so new data or a
+    * different libm needs the grid re-verified (or the oracle compare
+    * moved to the pre-ceil double at a coarse epsilon). */
   def sphericalArea(ring: Column): Column = {
     val r = closeRing(ring)
     val idx = sequence(lit(1), size(r) - 1)
@@ -84,6 +88,42 @@ object GeoFunctions {
     * `ceiling(as.numeric(st_area(...)))` (2023.R:40). */
   def sphericalAreaCeilM2(ring: Column): Column =
     ceil(sphericalArea(ring)).cast("long")
+
+  /** WGS84 semi-major axis (m) and first eccentricity squared. */
+  val WgsA  = 6378137.0
+  val WgsE2 = 6.69437999014e-3
+
+  /** Snyder's authalic q (Map Projections — A Working Manual, eq 3-12):
+    * sin of the authalic latitude is q(φ)/q(π/2), and the authalic
+    * mapping preserves area between the WGS84 ellipsoid and the sphere
+    * of radius R_q = a·√(q(π/2)/2). */
+  private def qAuthalic(sinphi: Column): Column = {
+    val e = math.sqrt(WgsE2)
+    lit(1.0 - WgsE2) * (
+      sinphi / (lit(1.0) - lit(WgsE2) * sinphi * sinphi) -
+        lit(1.0 / (2.0 * e)) *
+          log((lit(1.0) - lit(e) * sinphi) / (lit(1.0) + lit(e) * sinphi)))
+  }
+
+  /** Ellipsoidal (WGS84) polygon area in m²: the Chamberlain-Duquette
+    * trapezoid sum evaluated in AUTHALIC latitude on the authalic
+    * sphere, which algebraically reduces to
+    *   A = a²/4 · |Σ_i (λ_{i+1} − λ_i)(q(φ_i) + q(φ_{i+1}))|.
+    * This removes the ~0.23% sphere-vs-ellipsoid bias of
+    * [[sphericalArea]] against `sf::st_area`'s WGS84 geodesic area
+    * (crowdsorsa-etl-2023.R:40); the residual is the shared
+    * edge-model approximation (rhumb-trapezoid edges vs geodesics),
+    * negligible for survey-plot-sized features. Closed form, public
+    * constants, stays entirely inside codegen'd HOFs. */
+  def ellipsoidalArea(ring: Column): Column = {
+    val r = closeRing(ring)
+    val idx = sequence(lit(1), size(r) - 1)
+    val terms = transform(idx, i =>
+      (radians(px(element_at(r, i + 1))) - radians(px(element_at(r, i)))) *
+        (qAuthalic(sin(radians(py(element_at(r, i))))) +
+          qAuthalic(sin(radians(py(element_at(r, i + 1)))))))
+    abs(aggregate(terms, lit(0.0), (a, v) => a + v)) * lit(WgsA * WgsA / 4.0)
+  }
 
   /** Axis-aligned bounding box of a ring as struct(xmin,ymin,xmax,ymax). */
   def bbox(ring: Column): Column = struct(

@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Single-row-group inputs scan as one task; fan the rows out across
-    * the cluster BEFORE the compute-heavy shingle/hash stages. On a
-    * real multi-split 100 TB table this is a no-op cost-wise (the scan
-    * already parallelizes); on small benches it's the difference
-    * between 1 core and all of them. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * the cluster BEFORE the compute-heavy shingle/hash stages — but
+    * ONLY when the scan actually under-parallelizes. A 100 TB table
+    * already splits into far more tasks than cores, and an
+    * unconditional `repartition` there is a full round-robin shuffle
+    * of the raw text/vectors for zero benefit, so the fan-out is gated
+    * on the input's physical partition count (inspected lazily — no
+    * job runs). SpreadSpec pins both directions. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   /** Exact dedup: group by content hash, keep the min-id survivor.
     * One shuffle on a 128-bit hash, partial-agg map-side. */
@@ -169,6 +175,15 @@ object Dedup {
   def minhash(t: Tables): DataFrame =
     minhashPairs(t.documents, shingleHash = md5Hash31, bandKeyOf = bandKeysStr)
 
+  /** The throughput MinHash instance — xxhash64 shingle hashing and
+    * hashed band keys, the kernels a 100 TB run ships (and what
+    * nearDupSurvivors composes). Not SQL-oracled (xxhash64 has no
+    * DuckDB twin); correctness is pinned by DedupSpec and by the md5
+    * twin above sharing every stage but the hash family. Registered as
+    * its own bench query so regressions in the production path stay
+    * visible next to the oracle-parity variant. */
+  def minhashFast(t: Tables): DataFrame = minhashPairs(t.documents)
+
   /** Chunk-bucketed Hamming pairs over a (doc_id, fp) frame: candidates
     * = equal `chunkBits`-bit chunk (Hamming ≤ maxHamming < nChunks
     * guarantees ≥1 equal chunk by pigeonhole, so the bucketed join is
@@ -245,26 +260,44 @@ object Dedup {
   def simhashFnv(t: Tables): DataFrame = simhashPairs(t.documents)
 
   /** Embedding-cosine near-dup: random-hyperplane LSH (sign-bit
-    * sketches). `nTables` independent tables of `bitsPerTable` bits —
-    * few bits per table keeps per-table recall high for moderate
-    * cosine thresholds; more tables drive overall recall up. Candidates
-    * are an equi-join on (table, bucket); exact cosine verifies. */
-  def embedPairs(emb: DataFrame, nTables: Int = 8, bitsPerTable: Int = 4,
-                 threshold: Double = 0.35, dim: Int = 64): DataFrame = {
+    * sketches). `nTables` independent tables; bits per table SCALE
+    * with corpus size — `ceil(log2(n / targetBucket))` — so bucket
+    * occupancy stays ~`targetBucket` rows no matter how big the corpus
+    * is (a fixed bit width means candidates grow O(n²/2^bits): fine at
+    * one SF, quadratic at the next). The recall the extra bits cost is
+    * bought back by MULTI-PROBE: each vector also probes the `bits`
+    * buckets at Hamming distance 1 from its own, so a pair collides in
+    * a table when their sketches differ in ≤1 bit. Candidates stay an
+    * equi-join on (table, bucket) — probes × targetBucket rows per
+    * vector per table, linear in n — and exact cosine verifies. */
+  def embedPairs(emb: DataFrame, nTables: Int = 8, bitsPerTable: Int = 0,
+                 threshold: Double = 0.35, dim: Int = 64,
+                 targetBucket: Int = 64): DataFrame = {
     val base = spread(emb.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .persist()
+    val bits = if (bitsPerTable > 0) bitsPerTable else {
+      // parquet metadata count — no scan. ceil(log2(x)) = 64 - nlz(x-1).
+      val buckets = math.max(1L, emb.count() / targetBucket)
+      math.min(16, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+    }
     val rng = new scala.util.Random(42) // fixed seed: index is reproducible
     val planes: Array[Array[Array[Double]]] =
-      Array.fill(nTables, bitsPerTable)(Array.fill(dim)(rng.nextGaussian()))
+      Array.fill(nTables, bits)(Array.fill(dim)(rng.nextGaussian()))
     // all nTables×bits sign-bit dots in ONE kernel pass per row (the
     // per-plane DotProduct spelling unpacked the vector 32×per row)
     val bucketed = base.select(col("vec_id"),
         posexplode(graft.functions.VectorFunctions.hyperplaneSketch(col("v"), planes)))
-      .select(col("vec_id"), struct(col("pos").as("table"), col("col").as("bucket")).as("bk"))
+      .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
       .persist()
-    val cand = bucketed.select(col("vec_id").as("id_a"), col("bk"))
-      .join(bucketed.select(col("vec_id").as("id_b"), col("bk")), Seq("bk"))
+    // probe side: own bucket + every 1-bit flip. Only ONE side expands
+    // (id_a); pair symmetry of Hamming distance covers the other.
+    val probes = bucketed.select(col("vec_id").as("id_a"), col("table"),
+      explode(array(col("bucket") +: (0 until bits).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    val cand = probes
+      .join(bucketed.select(col("vec_id").as("id_b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     // verify with norms precomputed per VECTOR, not per pair: the float

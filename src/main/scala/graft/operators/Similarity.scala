@@ -18,9 +18,9 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** See Dedup.spread: parallelize past single-row-group scans before
-    * the arithmetic-heavy stages. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * the arithmetic-heavy stages (gated — no shuffle when the scan
+    * already parallelizes). */
+  private def spread(df: DataFrame): DataFrame = Dedup.spread(df)
 
   /** float[] → double[] before arithmetic: the kernel accumulates in
     * double regardless of storage precision. */

@@ -248,19 +248,38 @@ object TextAnalysis {
     * frames carry DISTINCT (shingle, doc) rows only — never full text —
     * and the join is an equi-join on the shingle, so candidate
     * generation is linear in shared shingles, not |corpus|×|bench|.
+    *
+    * HUB-SHINGLE CAP: without a document-frequency ceiling the join
+    * output is Σ_shingle d_bench·d_corpus — one boilerplate phrase
+    * appearing in 10⁴ bench docs and 10⁶ corpus docs emits 10¹⁰ join
+    * rows on its own, the guaranteed quadratic failure of any real
+    * corpus. Shingles with df > `maxDf` carry no contamination signal
+    * (they're common phrases, not copied benchmark text), so they are
+    * dropped BEFORE the join via a broadcast anti-join against the
+    * (tiny, by definition ≤ |instances|/maxDf) hub set — bounding join
+    * output at maxDf² rows per shingle. The df aggregate itself is
+    * safe: partial map-side counting collapses a hub's rows to one per
+    * partition before its shuffle.
+    *
     * At 100 TB the join key would be xxhash64(shingle) to keep the
     * shuffle skinny; the raw string is kept here for oracle
     * bit-parity (counts are identical absent 64-bit collisions). */
-  def decontaminate(t: Tables, n: Int = 3, minShared: Int = 2): DataFrame = {
+  def decontaminate(t: Tables, n: Int = 3, minShared: Int = 2,
+                    maxDf: Int = 20): DataFrame = {
     val sh = t.documents
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), n)).as("shingle"))
       .distinct()
-      .persist() // feeds both sides of the join; lazy leak (see tfIdf)
-    val bench = sh.filter(col("doc_id") % 100 === 0)
+      .persist() // feeds df agg + both sides of the join; lazy leak (see tfIdf)
+    val hubs = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
+    val kept = sh.join(broadcast(hubs), Seq("shingle"), "left_anti")
+    val bench = kept.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("bench_doc"), col("shingle"))
-    val corpus = sh.filter(col("doc_id") % 100 =!= 0)
+    val corpus = kept.filter(col("doc_id") % 100 =!= 0)
       .select(col("doc_id").as("corpus_doc"), col("shingle"))
     corpus.join(bench, Seq("shingle"))
       .groupBy(col("corpus_doc"), col("bench_doc"))

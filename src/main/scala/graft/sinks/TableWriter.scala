@@ -51,42 +51,66 @@ object TableWriter {
     * them leaves no live directory — but the data is intact in
     * `.compact-old`, and the next compact() (or any caller invoking
     * `recover`) renames it back before proceeding. A failed second
-    * rename rolls the first one back, so an in-process failure never
-    * strands the table. True single-rename atomicity needs a
-    * metadata/manifest layer (Delta/Iceberg-style), out of scope here.
-    */
+    * rename — and a failed post-swap verification — rolls the first
+    * one back, so the live directory is ALWAYS verified-good data (the
+    * suspect rewrite is kept aside in `.compact-bad` for inspection).
+    * True single-rename atomicity needs a metadata/manifest layer
+    * (Delta/Iceberg-style), out of scope here.
+    *
+    * Concurrency: one compaction per table at a time, enforced by an
+    * O_EXCL `.compact-lock` marker (concurrent callers fail fast
+    * rather than interleave the swap). The lock is in-process-crash
+    * safe via the finally, but a kill -9 mid-compact leaves it behind
+    * — operator removes it after running `recover`. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20,
               sortCols: Seq[String] = Nil): Long = {
     val dir = new java.io.File(path)
-    recover(path) // heal a previous compaction's crash window first
-    val bytes = Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length()).sum
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(path)
-    val out = if (sortCols.nonEmpty)
-      df.repartition(nFiles).sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
-    else df.coalesce(nFiles)
-    val tmp = new java.io.File(path.stripSuffix("/") + ".compact-tmp")
-    out.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-    val trash = new java.io.File(path.stripSuffix("/") + ".compact-old")
-    delete(trash)
-    if (!dir.renameTo(trash))
-      throw new java.io.IOException(s"compact: cannot move live dir aside for $path")
-    if (!tmp.renameTo(dir)) {
-      // roll back so the table is never left without a live directory
-      trash.renameTo(dir)
-      throw new java.io.IOException(s"compact: cannot promote rewrite for $path")
-    }
-    // only drop the old data once the new live dir provably serves reads
-    try spark.read.parquet(path).head(1)
-    catch { case e: Throwable =>
+    val lock = new java.io.File(path.stripSuffix("/") + ".compact-lock")
+    if (!lock.createNewFile())
       throw new java.io.IOException(
-        s"compact: rewrite unreadable for $path; previous data kept in ${trash.getName}", e)
-    }
-    delete(trash)
-    nFiles.toLong
+        s"compact: ${lock.getName} exists — concurrent compaction, or a crashed one (run recover, then remove the lock)")
+    try {
+      recover(path) // heal a previous compaction's crash window first
+      val bytes = Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val df = spark.read.parquet(path)
+      val out = if (sortCols.nonEmpty)
+        df.repartition(nFiles).sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.coalesce(nFiles)
+      val tmp = new java.io.File(path.stripSuffix("/") + ".compact-tmp")
+      out.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+      val trash = new java.io.File(path.stripSuffix("/") + ".compact-old")
+      delete(trash)
+      if (!dir.renameTo(trash))
+        throw new java.io.IOException(s"compact: cannot move live dir aside for $path")
+      if (!tmp.renameTo(dir)) {
+        // roll back so the table is never left without a live directory
+        trash.renameTo(dir)
+        throw new java.io.IOException(s"compact: cannot promote rewrite for $path")
+      }
+      // only drop the old data once the new live dir provably serves
+      // reads (count() touches every file's footer, not just the head)
+      try spark.read.parquet(path).count()
+      catch { case scala.util.control.NonFatal(e) =>
+        // swap BACK: live must never be left pointing at a suspect
+        // rewrite while the known-good copy sits in a trash dir the
+        // next compact() would delete
+        val bad = new java.io.File(path.stripSuffix("/") + ".compact-bad")
+        delete(bad)
+        val restored = dir.renameTo(bad) && trash.renameTo(dir)
+        throw new java.io.IOException(
+          if (restored)
+            s"compact: rewrite unreadable for $path; previous data restored, rewrite kept in ${bad.getName}"
+          else
+            s"compact: rewrite unreadable for $path AND restore failed; data intact in ${trash.getName}",
+          e)
+      }
+      delete(trash)
+      nFiles.toLong
+    } finally { lock.delete(): Unit }
   }
 
   /** Crash-window repair for `compact`: if the live directory is gone

@@ -182,6 +182,46 @@ class EmbedDedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("multi-probe LSH recall vs brute force at the default threshold; precision exact") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val v = org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double"))
+    val d = emb.select(col("vec_id"), v.as("v"))
+    val brute = d.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .join(d.select(col("vec_id").as("id_b"), col("v").as("vb")), col("id_a") < col("id_b"))
+      .filter(graft.operators.Similarity.cosine(col("va"), col("vb")) >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embedPairs(emb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verify step recomputes exact cosine -> no false positives, ever
+    assert((lsh diff brute).isEmpty, s"false positives: ${(lsh diff brute).take(5)}")
+    val recall = (lsh intersect brute).size.toDouble / math.max(1, brute.size)
+    // corpus-scaled bits + Hamming-1 multi-probe: ~0.99 expected at
+    // n=500/bits=4; the bound leaves room for unlucky hyperplanes
+    assert(recall >= 0.7, s"recall $recall over ${brute.size} true pairs")
+  }
+}
+
+class SpreadSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spread fans an under-parallel input out to all cores") {
+    val one = (1 to 100).toDF("x").coalesce(1)
+    assert(Dedup.spread(one).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
+  test("spread is the identity on an already-parallel input (no round-robin shuffle)") {
+    val par = spark.sparkContext.defaultParallelism
+    val wide = (1 to 100).toDF("x").repartition(par * 2, col("x"))
+    val spreaded = Dedup.spread(wide)
+    assert(spreaded eq wide) // literally the same frame: zero plan change
+    // and through a real pipeline: no RoundRobinPartitioning exchange
+    val docs = (1 to 64).map(i => (i.toLong, s"alpha beta gamma delta $i"))
+      .toDF("doc_id", "text").repartition(par * 2, col("doc_id"))
+    val plan = Dedup.shingled(docs, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("RoundRobinPartitioning"), s"unexpected round-robin:\n$plan")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
