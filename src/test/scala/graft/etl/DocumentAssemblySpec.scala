@@ -27,4 +27,72 @@ class DocumentAssemblySpec extends SparkSpec {
     val errorDocs = all.filter(_.contains("\"taxonVerbatim\":\"error\""))
     assert(errorDocs.nonEmpty && errorDocs.forall(!_.contains("reportedTaxonId")))
   }
+
+  test("golden documents: byte-exact JSON for hand-built rows (both script variants)") {
+    // Five rows covering every conditional branch of the assembly
+    // (2023.R:110-179, 2024.R:87-147): controlled/uncontrolled, facts
+    // present/omitted, unmapped taxon, and the key override. Expected
+    // strings are hand-derived from the reference's nested-list
+    // insertion order — this pins struct-field order, null omission,
+    // value formatting, and ID minting byte-for-byte.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-golden").toString
+    val tNs = 1705314600000000000L // 2024-01-15 10:30:00 UTC, as TIMESTAMP(NANOS)
+    Seq(
+      (1L, 1L, tNs, "purchase", 150.25), // controlled, area 51
+      (2L, 2L, tNs, "click", 100.5),     // area ceil(0.5)=1
+      (3L, 3L, tNs, "view", 95.0),       // area<=0 -> 2023 facts omitted
+      (4L, 4L, tNs, "error", 120.0),     // unmapped taxon; 120 NOT controlled
+      (5L, 13L, tNs, "signup", 130.0)    // key override 13 -> 20
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((1L, 101L), (2L, 102L), (3L, 103L), (4L, 104L), (20L, 105L))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    Seq((101L, "espoo"), (102L, "vantaa"), (103L, "turku"), (104L, "oulu"), (105L, "tampere"))
+      .toDF("n_nationkey", "n_name").write.parquet(s"$dir/nation.parquet")
+    val t = graft.sources.Tables(spark, dir)
+
+    def doc(id: Long, muni: String, publicTail: String): String =
+      s"""{"schema":"laji-etl","sourceId":"http://tun.fi/KE.1721","collectionId":"http://tun.fi/HR.5835",""" +
+        s""""documentId":"http://tun.fi/HR.5835/$id","publicDocument":{"concealment":"PUBLIC",""" +
+        s""""keywords":["$id","crowdsorsa-$muni"]$publicTail}}"""
+    def gath23(id: Long, muni: String, unitTail: String): String =
+      s""""gatherings":[{"gatheringId":"http://tun.fi/HR.5835/${id}_G","eventDate":{"begin":"2024-01-15","end":"2024-01-15"},""" +
+        s""""hourBegin":10,"hourEnd":10,"minuteBegin":30,"minuteEnd":30,"municipality":"$muni",""" +
+        s""""geo":{"type":"FeatureCollection","crs":"WGS84"},"units":[{"unitId":"http://tun.fi/HR.5835/${id}_U"$unitTail}]}]"""
+    def facts(a: Long): String =
+      s""","facts":[{"fact":"http://tun.fi/MY.areaInSquareMeters","integerValue":$a,"value":"$a"}]"""
+
+    val expected2023 = Map(
+      1L -> doc(1, "espoo", ""","notes":"Controlled: 2024-01-15",""" + gath23(1, "espoo",
+        ""","taxonVerbatim":"purchase","reportedTaxonId":"http://tun.fi/MX.38947","sourceTags":["INVASIVE_PARTIAL"]""" + facts(51))),
+      2L -> doc(2, "vantaa", "," + gath23(2, "vantaa",
+        ""","taxonVerbatim":"click","reportedTaxonId":"http://tun.fi/MX.38240","sourceTags":[]""" + facts(1))),
+      3L -> doc(3, "turku", "," + gath23(3, "turku",
+        ""","taxonVerbatim":"view","reportedTaxonId":"http://tun.fi/MX.38815","sourceTags":[]""")),
+      4L -> doc(4, "oulu", "," + gath23(4, "oulu",
+        ""","taxonVerbatim":"error","sourceTags":[]""" + facts(20))),
+      5L -> doc(5, "tampere", ""","notes":"Controlled: 2024-01-15",""" + gath23(5, "tampere",
+        ""","taxonVerbatim":"signup","reportedTaxonId":"http://tun.fi/MX.41695","sourceTags":["INVASIVE_PARTIAL"]""" + facts(30))))
+    val got2023 = DocumentAssembly.assemble(t)
+      .as[(Long, String)].collect().toMap
+    expected2023.foreach { case (id, exp) =>
+      assert(got2023(id) == exp, s"2023 doc $id:\n got ${got2023(id)}\n exp $exp")
+    }
+
+    def gath24(id: Long, muni: String, unitTail: String): String =
+      s""""gatherings":[{"gatheringId":"http://tun.fi/HR.5835/${id}_G","eventDate":{"begin":"2024-01-15","end":"2024-01-15"},""" +
+        s""""municipality":"$muni","geo":{"type":"FeatureCollection","crs":"EUREF"},""" +
+        s""""units":[{"unitId":"http://tun.fi/HR.5835/${id}_U"$unitTail}]}]"""
+    val expected2024 = Map(
+      2L -> doc(2, "vantaa", "," + gath24(2, "vantaa",
+        ""","taxonVerbatim":"click","reportedTaxonId":"http://tun.fi/MX.38240","sourceTags":[],"abundanceString":"100.50","abundanceUnit":"RELATIVE_DENSITY"""" + facts(1))),
+      3L -> doc(3, "turku", "," + gath24(3, "turku",
+        ""","taxonVerbatim":"view","reportedTaxonId":"http://tun.fi/MX.38815","sourceTags":[],"abundanceString":"95.00","abundanceUnit":"RELATIVE_DENSITY"""" + facts(1))))
+    val got2024 = DocumentAssembly.assemble2024(t)
+      .as[(Long, String)].collect().toMap
+    expected2024.foreach { case (id, exp) =>
+      assert(got2024(id) == exp, s"2024 doc $id:\n got ${got2024(id)}\n exp $exp")
+    }
+  }
 }
