@@ -265,8 +265,14 @@ object TextAnalysis {
     * shuffle skinny; the raw string is kept here for oracle
     * bit-parity (counts are identical absent 64-bit collisions). */
   def decontaminate(t: Tables, n: Int = 3, minShared: Int = 2,
-                    maxDf: Int = 20): DataFrame = {
-    val sh = t.documents
+                    maxDf: Int = 20): DataFrame =
+    decontaminateDocs(t.documents, n, minShared, maxDf)
+
+  /** Docs-frame core of [[decontaminate]] (specs inject synthetic
+    * corpora here). */
+  def decontaminateDocs(docs: DataFrame, n: Int = 3, minShared: Int = 2,
+                        maxDf: Int = 20): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), n)).as("shingle"))

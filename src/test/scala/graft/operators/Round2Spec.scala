@@ -184,6 +184,28 @@ class Round2TextSpec extends SparkSpec {
     assert(top1.count(stop) < top1.length / 2)
   }
 
+  test("decontaminate drops hub shingles above the df cap, via broadcast anti-join") {
+    // The 4-word hub phrase yields two shingles with df 13 (> cap 10);
+    // docs 2..12 share ONLY those with the bench doc, doc 1 also shares
+    // two RARE shingles. Uncapped, every hub doc would be reported; the
+    // cap keeps just the genuine overlap.
+    val hub = "alpha beta gamma delta"
+    val rare = "quux corge grault garply" // two overlapping 3-gram shingles
+    val docs = ((2L to 12L).map(i => (i, s"$hub filler$i end$i")) ++
+      Seq((1L, s"$hub $rare"), (100L, s"other lead-in $hub end $rare")))
+      .toDF("doc_id", "text")
+    val frame = TextAnalysis.decontaminateDocs(docs, maxDf = 10)
+    val rows = frame.select("corpus_doc", "bench_doc", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 100L, 2L)), s"got $rows")
+    val uncapped = TextAnalysis.decontaminateDocs(docs, maxDf = 1000)
+      .select("corpus_doc").as[Long].collect().toSet
+    assert(uncapped == (1L to 12L).toSet, s"uncapped control: $uncapped")
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hub cap should be a broadcast anti-join:\n$plan")
+  }
+
   test("stratified sample caps every stratum near the target") {
     val full = tables.documents.groupBy("lang").count()
       .as[(String, Long)].collect().toMap
