@@ -124,6 +124,8 @@ object SparkEntry {
     "q_inverted_index" -> q(TextAnalysis.invertedIndex(_)),
     // —— training-pipeline corpus ops (round 3) ——
     "q_bigram_lm"      -> q(TextAnalysis.bigramLm(_)),
+    "q_dup_spans"      -> q(TextAnalysis.dupSpans(_)),
+    "q_lm_novelty"     -> q(TextAnalysis.lmNovelty(_)),
     "q_ttr"            -> q(TextAnalysis.typeTokenRatio(_)),
     "q_filter_funnel"  -> q(TextAnalysis.filterFunnel),
     "q_decontaminate"  -> q(TextAnalysis.decontaminate(_)),
@@ -1131,6 +1133,31 @@ object SparkEntry {
         |FROM pos GROUP BY 1
         |ORDER BY n DESC, bigram
         |LIMIT 30""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 4)) AS i FROM tok),
+        |sp AS (SELECT doc_id, array_to_string(l[i:i+4], ' ') AS g FROM pos),
+        |c AS (SELECT g, COUNT(*) AS cg FROM sp GROUP BY g)
+        |SELECT sp.doc_id, COUNT(*) AS n_spans,
+        |       CAST(SUM(CASE WHEN cg >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(SUM(CASE WHEN cg >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+        |FROM sp JOIN c USING (g)
+        |GROUP BY sp.doc_id
+        |ORDER BY sp.doc_id""".stripMargin,
+
+    "q_lm_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM tok),
+        |bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram FROM pos),
+        |c AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram)
+        |SELECT bg.doc_id, COUNT(*) AS n_bg,
+        |       CAST(SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(SUM(CASE WHEN cb >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |       CAST(SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+        |FROM bg JOIN c USING (bigram)
+        |GROUP BY bg.doc_id
+        |ORDER BY bg.doc_id""".stripMargin,
 
     "q_ttr" ->
       """SELECT doc_id,

@@ -209,6 +209,51 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** Duplicated n-gram span fraction per document — the corpus-level
+    * repetition/boilerplate signal web-scale curation filters on (a
+    * doc whose 5-gram spans mostly reappear elsewhere is boilerplate
+    * or a near-copy even when no single pair-wise dup fires). Two
+    * shuffles, both bounded: span occurrences group by the span for
+    * corpus counts (partial agg collapses repeats map-side), then the
+    * count joins back and a per-doc integer aggregate reduces. At
+    * 100 TB the join key would be xxhash64(span); the raw string is
+    * kept for oracle bit-parity. All aggregates are integers — the
+    * only double is one final division — so the result is
+    * order-independent and hash-comparable. */
+  def dupSpans(t: Tables, n: Int = 5): DataFrame = {
+    val sp = t.documents
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), n)).as("g"))
+    val c = sp.groupBy(col("g")).agg(count(lit(1)).as("cg"))
+    sp.join(c, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cg") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram-LM novelty score per document: how many of a doc's bigram
+    * occurrences are corpus-unique (n_rare: fluency/novelty signal —
+    * machine-garbled text is rare-heavy) vs corpus-common (n_common).
+    * Same two-shuffle shape as [[dupSpans]]; integer aggregates only,
+    * one final division, so cross-engine deterministic. */
+  def lmNovelty(t: Tables, commonMin: Int = 5): DataFrame = {
+    val bg = t.documents
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), 2)).as("bigram"))
+    val c = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    bg.join(c, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"),
+        sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n_rare"),
+        sum(when(col("cb") >= commonMin, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("novelty", col("n_rare").cast("double") / col("n_bg"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Type-token ratio: the 20 most repetitive documents (lowest
     * distinct-token share — the cheap repetition signal quality
     * pipelines cut on). Entirely map-side except the final top-k. */
