@@ -317,11 +317,15 @@ object TextAnalysis {
     * corpora here). */
   def decontaminateDocs(docs: DataFrame, n: Int = 3, minShared: Int = 2,
                         maxDf: Int = 20): DataFrame = {
+    // within-doc shingle dedup happens MAP-SIDE (array_distinct before
+    // the explode), which makes (doc_id, shingle) rows globally
+    // distinct with no shuffle — a `.distinct()` here would shuffle
+    // every shingle occurrence just to drop within-doc repeats
     val sh = docs
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), n)).as("shingle"))
-      .distinct()
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordNgramsOf(col("toks"), n))).as("shingle"))
       .persist() // feeds df agg + both sides of the join; lazy leak (see tfIdf)
     val hubs = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
