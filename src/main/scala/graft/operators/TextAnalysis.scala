@@ -225,11 +225,16 @@ object TextAnalysis {
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), n)).as("g"))
-    val c = sp.groupBy(col("g")).agg(count(lit(1)).as("cg"))
-    sp.join(c, Seq("g"))
+    // collapse to one row per (doc, span) FIRST — boilerplate-heavy
+    // docs repeat spans many times, and this partial-aggregates those
+    // repeats map-side so the corpus-count shuffle and the count-back
+    // join move collapsed rows, never raw occurrences
+    val dg = sp.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c_dg"))
+    val c = dg.groupBy(col("g")).agg(sum(col("c_dg")).as("cg"))
+    dg.join(c, Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("cg") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("c_dg")).as("n_spans"),
+        sum(when(col("cg") >= 2, col("c_dg")).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac", col("n_dup").cast("double") / col("n_spans"))
       .orderBy(col("doc_id"))
   }
@@ -244,12 +249,16 @@ object TextAnalysis {
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), 2)).as("bigram"))
-    val c = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
-    bg.join(c, Seq("bigram"))
+    // same collapsed-rows shape as dupSpans: common bigrams repeat a
+    // lot within a doc, so per-(doc, bigram) counts go through the
+    // shuffles instead of raw occurrences
+    val db = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c_db"))
+    val c = db.groupBy(col("bigram")).agg(sum(col("c_db")).as("cb"))
+    db.join(c, Seq("bigram"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bg"),
-        sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n_rare"),
-        sum(when(col("cb") >= commonMin, 1L).otherwise(0L)).as("n_common"))
+      .agg(sum(col("c_db")).as("n_bg"),
+        sum(when(col("cb") === 1, col("c_db")).otherwise(0L)).as("n_rare"),
+        sum(when(col("cb") >= commonMin, col("c_db")).otherwise(0L)).as("n_common"))
       .withColumn("novelty", col("n_rare").cast("double") / col("n_bg"))
       .orderBy(col("doc_id"))
   }
