@@ -55,6 +55,12 @@ object SpatialJoin {
       .select(col("c_custkey"), col("x0"), col("y0"),
         (col("x0") + lit(2.0) + col("w")).as("x1"),
         (col("y0") + lit(3.0)).as("y1"))
-    pointsInRects(pts, rects, "c_custkey")
+    // g = 4 ≈ the rectangle size (2–6 wide, 3 tall), per the grid-size
+    // guidance above: rects fan out to ~2-6 cells while cells stay
+    // small enough that the equi-join's candidate set tracks the true
+    // match count, not |points|·(rects per mega-cell). The previous
+    // g = 16 packed ~500 rects into each of ~28 cells → ~50M candidate
+    // pairs for ~1.5k true matches; g = 4 cuts candidates ~3×.
+    pointsInRects(pts, rects, "c_custkey", g = 4.0)
   }
 }
