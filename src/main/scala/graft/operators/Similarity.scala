@@ -86,33 +86,44 @@ object Similarity {
   /** IVF index build: deterministic seed buckets (vec_id % nlist), then
     * `iters` Lloyd rounds of assign-to-nearest / recompute-means. */
   def ivfAssign(corpus: DataFrame, nlist: Int, iters: Int): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
     val base = spread(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")))
       .select(col("neighbor_id"), vd(col("embedding")).as("cv"))
       .persist() // reused every Lloyd iteration + final probe join
-    var assigned = base.withColumn("bucket", (col("neighbor_id") % nlist).cast("int"))
-    // persist() at each step cuts the lineage: without it, iteration k
-    // re-executes every previous Lloyd round each time the result (or
-    // the centroid broadcast) is materialized. cents.count() forces the
-    // round's frames THROUGH the caches so the previous round's blocks
-    // can be freed immediately — storage stays O(1) in iters instead of
-    // accumulating one persisted frame pair per Lloyd round
-    // (IvfStorageSpec pins this).
-    var cents: DataFrame = centroidsOf(assigned).persist()
-    for (_ <- 0 until iters) {
-      val (prevA, prevC) = (assigned, cents)
-      val scored = base.crossJoin(broadcast(cents))
-        .withColumn("sim", cosine(col("cv"), col("centroid")))
-      assigned = scored
-        .groupBy(col("neighbor_id"))
-        .agg(max_by(col("bucket"), struct(col("sim"), col("bucket"))).as("bucket"),
-          first(col("cv")).as("cv"))
-        .persist()
-      cents = centroidsOf(assigned).persist()
-      cents.count() // materializes assigned + cents into their caches
-      prevA.unpersist(false) // no-op for the unpersisted round-0 seed
-      prevC.unpersist(false)
-    }
-    (assigned, cents)
+    // Lloyd wall-clock on a cache-resident corpus is per-round JOB
+    // SCHEDULING, not arithmetic (see Components): with AQE each round
+    // is one job per query stage. For corpora far below cluster scale,
+    // classic scheduling collapses the round to one job; huge corpora
+    // keep AQE (runtime skew handling matters more than latency there).
+    val small = base.count() < 10000000L
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    if (small) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var assigned = base.withColumn("bucket", (col("neighbor_id") % nlist).cast("int"))
+      // persist() at each step cuts the lineage: without it, iteration k
+      // re-executes every previous Lloyd round each time the result (or
+      // the centroid broadcast) is materialized. cents.count() forces the
+      // round's frames THROUGH the caches so the previous round's blocks
+      // can be freed immediately — storage stays O(1) in iters instead of
+      // accumulating one persisted frame pair per Lloyd round
+      // (IvfStorageSpec pins this).
+      var cents: DataFrame = centroidsOf(assigned).persist()
+      for (_ <- 0 until iters) {
+        val (prevA, prevC) = (assigned, cents)
+        val scored = base.crossJoin(broadcast(cents))
+          .withColumn("sim", cosine(col("cv"), col("centroid")))
+        assigned = scored
+          .groupBy(col("neighbor_id"))
+          .agg(max_by(col("bucket"), struct(col("sim"), col("bucket"))).as("bucket"),
+            first(col("cv")).as("cv"))
+          .persist()
+        cents = centroidsOf(assigned).persist()
+        cents.count() // materializes assigned + cents into their caches
+        prevA.unpersist(false) // no-op for the unpersisted round-0 seed
+        prevC.unpersist(false)
+      }
+      (assigned, cents)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   /** IVF approximate top-k: probe only the nprobe nearest buckets. */
