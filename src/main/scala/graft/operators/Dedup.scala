@@ -225,24 +225,32 @@ object Dedup {
     * BIGINT range on both engines. Same per-bit-vote semantics as the
     * FNV simhash64 kernel; only the token-hash family differs. */
   def simhashMd5Fingerprints(docs: DataFrame): DataFrame = {
-    // 15 nibble columns materialized once per token, then 60 codegen'd
-    // conditional-sum aggregates — partial aggregation collapses each
-    // partition to one 60-slot row per doc before the shuffle, exactly
-    // like minhashSignatures.
+    // 15 nibble columns materialized once per token, then the per-bit
+    // set-counts aggregated as 15 LANE-PACKED sums (each nibble's 4
+    // bit-counts ride in 16-bit lanes of one long) + one token count —
+    // 16 aggregate expressions instead of 60 conditional sums, still
+    // fully codegen'd with map-side partial aggregation collapsing each
+    // partition to one row per doc before the shuffle. Lanes can't
+    // overflow below 65536 tokens per document. The sign vote
+    // `sum(±1) > 0` is recovered as `2·count_set > n_tokens`
+    // (identical, including the tie → 0 case).
     val nib = spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("tk"))
       .select(col("doc_id"), md5(col("tk")).as("m"))
       .select(col("doc_id") +: (0 until 15).map(c =>
         conv(substring(col("m"), c + 1, 1), 16, 10).cast("int").as(s"n$c")): _*)
-    val votes = (0 until 60).map { j =>
-      sum(when(shiftright(col(s"n${j / 4}"), j % 4).bitwiseAND(lit(1)) === 1,
-        lit(1)).otherwise(lit(-1))).as(s"s$j")
+    val packs = (0 until 15).map { c =>
+      sum((0 until 4).map(b =>
+          shiftleft(shiftright(col(s"n$c"), b).bitwiseAND(lit(1)).cast("long"), 16 * b))
+        .reduce(_ + _)).as(s"p$c")
     }
-    val fp = (0 until 60).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val fp = (0 until 60).map { j =>
+      val cnt = shiftright(col(s"p${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
+      when(cnt * 2 > col("ntok"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     nib.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
+      .agg(packs.head, (packs.tail :+ count(lit(1)).as("ntok")): _*)
       .select(col("doc_id"), fp.as("fp"))
   }
 
