@@ -117,6 +117,57 @@ object Curation {
       .orderBy(col("shard"))
   }
 
+  /** Sliding-window chunking (retrieval / context-window prep): each
+    * document yields chunks of `size` tokens starting every `stride`
+    * tokens (overlap = size − stride), the standard RAG chunker.
+    * Entirely map-side — the start offsets come from a `sequence`
+    * explode on the already-materialized token array, so at 100 TB
+    * this runs at scan speed with zero shuffles before the output
+    * sort. chunk_id = start/stride is exact (start is a multiple of
+    * stride); the tail chunk is short by construction (`slice`
+    * truncates at the end of the array). */
+  def chunkOverlap(t: Tables, size: Int = 50, stride: Int = 40): DataFrame = {
+    require(stride > 0 && size >= stride, "chunks must cover every token")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    t.documents
+      .select(col("doc_id"), toks.as("toks"),
+        org.apache.spark.sql.functions.size(toks).cast("long").as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(stride.toLong))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        least(lit(size.toLong), col("n") - col("start")).as("n_tok"),
+        md5(concat_ws(" ", slice(col("toks"), (col("start") + 1).cast("int"), size)))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Source-mixture balancing: per-source token counts → the sampling
+    * weight (in ppm) that levels every source to the uniform share
+    * total/n_sources, capped at `maxWeightPpm` (an over-represented
+    * source is down-sampled; an under-represented one is up-weighted /
+    * repeated up to the cap — the standard mixture-rebalance step
+    * before training). One skinny per-source aggregate + a broadcast
+    * one-row total; ALL arithmetic is bigint (floor division), so the
+    * published weights are exact and engine-independent. */
+  def mixtureWeights(t: Tables, maxWeightPpm: Long = 4000000L): DataFrame = {
+    val per = t.documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("text"), lit("[^ ]+"))).cast("long").as("src_tokens"))
+    val tot = per.agg(sum(col("src_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("total_tokens DIV n_sources"))
+      .withColumn("weight_ppm",
+        least(lit(maxWeightPpm), expr("target_tokens * 1000000 DIV src_tokens")))
+      .withColumn("sampled_tokens", expr("src_tokens * weight_ppm DIV 1000000"))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("target_tokens"), col("weight_ppm"), col("sampled_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic content-hash sampling: reproducible across engines,
     * runs, and machines — no RNG state, the sample is a pure function
     * of content. */

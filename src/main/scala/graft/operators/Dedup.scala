@@ -38,6 +38,35 @@ object Dedup {
       .select(col("survivor_id"), col("content_hash"), col("n_copies"))
       .orderBy(col("survivor_id"))
 
+  /** Block-level exact dedup (RefinedWeb-style "remove repeated
+    * passages"): each document is cut into consecutive `block`-token
+    * blocks map-side (struct array → explode, no shuffle before the
+    * hash), the FIRST occurrence of every distinct block survives
+    * (global min over (doc_id, block_idx) — deterministic, no
+    * window), and the per-document report counts kept vs dropped
+    * blocks. Two shuffles, both on the 128-bit block hash: the
+    * arg-min aggregate and the count-back join; per-doc totals then
+    * reduce on doc_id. Integer counts + one final division. */
+  def blockDedup(t: Tables, block: Int = 20): DataFrame = {
+    val blocks = spread(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), ceil(size(col("toks")) / lit(block.toDouble)).cast("int") - 1),
+        b => struct(b.cast("long").as("b_idx"),
+          md5(concat_ws(" ", slice(col("toks"), b * block + 1, block))).as("h")))).as("x"))
+      .select(col("doc_id"), col("x.b_idx").as("b_idx"), col("x.h").as("h"))
+    val firsts = blocks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("b_idx"))).as("first"))
+    blocks.join(firsts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(struct(col("doc_id"), col("b_idx")) === col("first"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_blocks") - col("n_kept"))
+      .withColumn("kept_frac", col("n_kept").cast("double") / col("n_blocks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinct word-n-gram shingle set of a text column. */
   def shingles(text: Column, n: Int = 3): Column =
     array_distinct(TextFunctions.wordNgrams(text, n))

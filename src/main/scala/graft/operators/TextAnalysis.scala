@@ -295,6 +295,63 @@ object TextAnalysis {
       .orderBy(col("rule"))
   }
 
+  /** Gopher-style repetition signals: for every document and gram size
+    * n ∈ {1,2,3}, the total gram occurrences, the count of the single
+    * most-frequent gram, and the fraction of occurrences it accounts
+    * for (quality pipelines cut on "fraction of tokens in the top
+    * n-gram"). All three gram sizes ride ONE scan: the per-row gram
+    * arrays are concatenated map-side as (gram_n, g) structs, so the
+    * corpus is read once and only collapsed (doc, gram_n, g, count)
+    * rows shuffle — same two-shuffle shape as [[dupSpans]]. Integer
+    * aggregates with one final division: order-independent,
+    * hash-comparable. */
+  def repetition(t: Tables): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordNgramsOf}
+    val base = t.documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    def tagged(n: Int): Column = {
+      val grams = if (n == 1) col("toks") else wordNgramsOf(col("toks"), n)
+      transform(grams, g => struct(lit(n).as("gram_n"), g.as("g")))
+    }
+    base
+      .select(col("doc_id"), explode(concat(tagged(1), tagged(2), tagged(3))).as("x"))
+      .select(col("doc_id"), col("x.gram_n").as("gram_n"), col("x.g").as("g"))
+      .groupBy(col("doc_id"), col("gram_n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("gram_n"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_count"))
+      .withColumn("top_frac", col("top_count").cast("double") / col("n_grams"))
+      .orderBy(col("doc_id"), col("gram_n"))
+  }
+
+  /** PMI collocations: the top-k adjacent token pairs by pointwise
+    * mutual information — the association score behind collocation
+    * extraction and phrase mining. PMI is kept in INTEGER micro-units,
+    * pmi_ppm = ⌊c_xy·N·10⁶ / (c_x·c_y)⌋ (N = total bigram count), so
+    * the ranking is exact and cross-engine bit-stable — no libm log
+    * (monotone transform; the induced order is the PMI order). The
+    * unigram joins are vocabulary-sized equi-joins (skinny at any
+    * corpus size); the one-row N aggregate broadcasts. The bigint
+    * product needs c_xy·N·10⁶ < 2⁶³ — fine to ~10¹⁴ total tokens per
+    * corpus shard; beyond that, widen to DECIMAL(38,0). */
+  def pmiColloc(t: Tables, k: Int = 30, minCount: Int = 20): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordNgramsOf}
+    val base = t.documents.select(tokens(col("text")).as("toks"))
+    val uni = base.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = base.select(explode(wordNgramsOf(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_xy"))
+    val nBg = bi.agg(sum(col("c_xy")).as("n_bg"))
+    bi.filter(col("c_xy") >= minCount)
+      .withColumn("t1", element_at(split(col("g"), " "), 1))
+      .withColumn("t2", element_at(split(col("g"), " "), 2))
+      .join(uni.select(col("tok").as("t1"), col("c").as("c_x")), Seq("t1"))
+      .join(uni.select(col("tok").as("t2"), col("c").as("c_y")), Seq("t2"))
+      .crossJoin(broadcast(nBg))
+      .withColumn("pmi_ppm", expr("c_xy * n_bg * 1000000 DIV (c_x * c_y)"))
+      .select(col("g"), col("c_xy"), col("c_x"), col("c_y"), col("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("g"))
+      .limit(k)
+  }
+
   /** Benchmark decontamination: for every corpus document, the count of
     * word 3-gram shingles it shares with any "benchmark" document
     * (stand-in membership: doc_id % 100 == 0) — pairs sharing ≥
