@@ -138,7 +138,7 @@ object Curation {
         col("doc_id"),
         (col("start") / stride).cast("long").as("chunk_id"),
         least(lit(size.toLong), col("n") - col("start")).as("n_tok"),
-        md5(concat_ws(" ", slice(col("toks"), (col("start") + 1).cast("int"), size)))
+        md5(concat_ws(" ", slice(col("toks"), (col("start") + 1).cast("int"), lit(size))))
           .as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }

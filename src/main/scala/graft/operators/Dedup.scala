@@ -53,7 +53,7 @@ object Dedup {
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), ceil(size(col("toks")) / lit(block.toDouble)).cast("int") - 1),
         b => struct(b.cast("long").as("b_idx"),
-          md5(concat_ws(" ", slice(col("toks"), b * block + 1, block))).as("h")))).as("x"))
+          md5(concat_ws(" ", slice(col("toks"), b * lit(block) + 1, lit(block)))).as("h")))).as("x"))
       .select(col("doc_id"), col("x.b_idx").as("b_idx"), col("x.h").as("h"))
     val firsts = blocks.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("b_idx"))).as("first"))
