@@ -130,6 +130,12 @@ object SparkEntry {
     "q_filter_funnel"  -> q(TextAnalysis.filterFunnel),
     "q_decontaminate"  -> q(TextAnalysis.decontaminate(_)),
     "q_token_pack"     -> q(Curation.tokenPack(_)),
+    // —— round-5 curation ops, registered round 7 ——
+    "q_block_dedup"    -> q(Dedup.blockDedup(_)),
+    "q_chunk_overlap"  -> q(Curation.chunkOverlap(_)),
+    "q_repetition"     -> q(TextAnalysis.repetition),
+    "q_pmi_colloc"     -> q(TextAnalysis.pmiColloc(_)),
+    "q_mixture_weights" -> q(Curation.mixtureWeights(_)),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -1207,6 +1213,81 @@ object SparkEntry {
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q_block_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, l,
+        |        unnest(generate_series(0, CAST(ceil(len(l) / 20.0) AS BIGINT) - 1)) AS b_idx
+        |      FROM tok),
+        |h AS (SELECT doc_id, b_idx,
+        |        md5(array_to_string(l[b_idx*20+1 : b_idx*20+20], ' ')) AS h
+        |      FROM b),
+        |r AS (SELECT doc_id, b_idx,
+        |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, b_idx) AS rn
+        |      FROM h)
+        |SELECT doc_id, COUNT(*) AS n_blocks,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_frac
+        |FROM r GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |p AS (SELECT doc_id, l, n, unnest(generate_series(0, n - 1, 40)) AS start FROM tok)
+        |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+        |       least(50, n - start) AS n_tok,
+        |       md5(array_to_string(l[start+1 : start+50], ' ')) AS chunk_hash
+        |FROM p
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, n, unnest(generate_series(1, len(l) - n + 1)) AS i
+        |      FROM tok CROSS JOIN (SELECT unnest([1, 2, 3]) AS n)),
+        |gr AS (SELECT doc_id, CAST(n AS INT) AS gram_n,
+        |         array_to_string(l[i : i+n-1], ' ') AS g FROM p),
+        |c AS (SELECT doc_id, gram_n, g, COUNT(*) AS c FROM gr GROUP BY 1, 2, 3)
+        |SELECT doc_id, gram_n, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |       CAST(MAX(c) AS BIGINT) AS top_count,
+        |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_frac
+        |FROM c GROUP BY doc_id, gram_n
+        |ORDER BY doc_id, gram_n""".stripMargin,
+
+    "q_pmi_colloc" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |u AS (SELECT unnest(l) AS tok FROM tok),
+        |uc AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+        |p AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM tok),
+        |bg AS (SELECT l[i] || ' ' || l[i+1] AS g FROM p),
+        |b AS (SELECT g, COUNT(*) AS c_xy FROM bg GROUP BY g),
+        |n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bg FROM b),
+        |b2 AS (SELECT g, c_xy, string_split(g, ' ')[1] AS t1, string_split(g, ' ')[2] AS t2
+        |       FROM b WHERE c_xy >= 20)
+        |SELECT b2.g, CAST(b2.c_xy AS BIGINT) AS c_xy,
+        |       CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y,
+        |       CAST(b2.c_xy * n.n_bg * 1000000 // (u1.c * u2.c) AS BIGINT) AS pmi_ppm
+        |FROM b2 CROSS JOIN n
+        |JOIN uc u1 ON b2.t1 = u1.tok
+        |JOIN uc u2 ON b2.t2 = u2.tok
+        |ORDER BY pmi_ppm DESC, g
+        |LIMIT 30""".stripMargin,
+
+    "q_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS src_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+        |             COUNT(*) AS n_sources FROM per)
+        |SELECT source, n_docs, src_tokens,
+        |       total_tokens // n_sources AS target_tokens,
+        |       least(4000000, (total_tokens // n_sources) * 1000000 // src_tokens) AS weight_ppm,
+        |       src_tokens * least(4000000, (total_tokens // n_sources) * 1000000 // src_tokens)
+        |         // 1000000 AS sampled_tokens
+        |FROM per CROSS JOIN t
+        |ORDER BY source""".stripMargin,
 
     "q_partial_reagg" ->
       """SELECT event_type, COUNT(*) AS n_events,

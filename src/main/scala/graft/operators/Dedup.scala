@@ -25,7 +25,21 @@ object Dedup {
     * job runs). SpreadSpec pins both directions. */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // Gate WITHOUT `.rdd` — that forces a second physical planning of
+    // the upstream plan just to read a partition count. An explicit
+    // repartition in the logical plan states its count directly; for
+    // scans, estimate splits from the relation's size stat (file-index
+    // metadata, no planning). Over-estimating is safe: we only skip
+    // the fan-out when the input is already wide.
+    val declared = df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+        BigInt(r.numPartitions)
+    }
+    val estimated = declared.getOrElse {
+      val maxPart = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+      df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart
+    }
+    if (estimated >= target) df
     else df.repartition(target)
   }
 

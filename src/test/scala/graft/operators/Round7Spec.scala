@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-7 registrations: blockDedup, chunkOverlap, repetition,
+  * pmiColloc, mixtureWeights — boundary cases the sf oracles can't pin
+  * (exact tie semantics, tail chunks, threshold edges) on tiny crafted
+  * corpora. */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Crafted documents table written to a temp dir so the operators see
+    * the same parquet-backed `Tables` shape the driver uses. */
+  private def docTables(rows: Seq[(Long, String, String)]): Tables = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  test("chunkOverlap: stride grid with short tail chunk") {
+    val t = docTables(Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "), "s")))
+    val r = Curation.chunkOverlap(t, size = 4, stride = 3)
+      .select("chunk_id", "n_tok").as[(Long, Long)].collect().toSeq
+    // starts 0,3,6,9 over 10 tokens: three full chunks, tail of 1
+    assert(r == Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 1L)))
+  }
+
+  test("chunkOverlap: stride==size partitions the tokens exactly, no overlap") {
+    val t = docTables(Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "), "s")))
+    val r = Curation.chunkOverlap(t, size = 5, stride = 5)
+    assert(r.count() == 2)
+    assert(r.agg(sum("n_tok")).as[Long].head() == 10L)
+    // disjoint chunks of distinct tokens never collide
+    assert(r.select("chunk_hash").distinct().count() == 2)
+  }
+
+  test("blockDedup: global first occurrence (min doc_id, block_idx) is the keeper") {
+    val t = docTables(Seq(
+      (1L, "a b c a b c", "s"), // block 0 and block 1 identical
+      (2L, "a b c x y z", "s"))) // block 0 duplicates doc 1's, block 1 unique
+    val r = Dedup.blockDedup(t, block = 3)
+      .select("doc_id", "n_blocks", "n_kept", "n_dropped")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1 keeps only its first copy of "a b c"; doc 2's copy also drops
+    assert(r == Seq((1L, 2L, 1L, 1L), (2L, 2L, 1L, 1L)))
+  }
+
+  test("repetition: per-gram-size totals and top fraction; short docs emit no row") {
+    val t = docTables(Seq((1L, "x x x y", "s"), (2L, "p q", "s")))
+    val r = TextAnalysis.repetition(t)
+      .select("doc_id", "gram_n", "n_grams", "top_count")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 1, 4L, 3L), (1L, 2, 3L, 2L), (1L, 3, 2L, 1L),
+      (2L, 1, 2L, 1L), (2L, 2, 1L, 1L))) // no trigram row for a 2-token doc
+  }
+
+  test("pmiColloc: bigram at exactly minCount survives, below drops; integer PMI exact") {
+    val t = docTables(Seq((1L, "a b", "s"), (2L, "a b", "s"), (3L, "c d", "s")))
+    val r = TextAnalysis.pmiColloc(t, k = 10, minCount = 2)
+      .select("g", "c_xy", "c_x", "c_y", "pmi_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // N=3 bigrams; "c d" (count 1) is under minCount; pmi = 2*3*1e6 / (2*2)
+    assert(r == Seq(("a b", 2L, 2L, 2L, 1500000L)))
+  }
+
+  test("mixtureWeights: uniform target, ppm cap binds on tiny sources, bigint-exact") {
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val t = docTables(Seq(
+      (1L, doc(10), "A"), (2L, doc(10), "A"), (3L, doc(10), "A"),
+      (4L, doc(10), "B"),
+      (5L, doc(1), "C")))
+    val r = Curation.mixtureWeights(t)
+      .select("source", "src_tokens", "target_tokens", "weight_ppm", "sampled_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // total=41, 3 sources → target = 41 DIV 3 = 13
+    assert(r == Seq(
+      ("A", 30L, 13L, 433333L, 12L),  // 13e6 DIV 30;  30*433333 DIV 1e6
+      ("B", 10L, 13L, 1300000L, 13L),
+      ("C", 1L, 13L, 4000000L, 4L))) // 13e6 DIV 1 capped at 4e6
+  }
+}
