@@ -136,6 +136,11 @@ object SparkEntry {
     "q_repetition"     -> q(TextAnalysis.repetition),
     "q_pmi_colloc"     -> q(TextAnalysis.pmiColloc(_)),
     "q_mixture_weights" -> q(Curation.mixtureWeights(_)),
+    // —— round-7 additions: corpus profiling / tokenizer / vector audit ——
+    "q_doclen_hist"    -> q(TextAnalysis.doclenHist),
+    "q_bpe_pairs"      -> q(TextAnalysis.bpePairs(_)),
+    "q_source_audit"   -> q(Curation.sourceAudit),
+    "q_embed_stats"    -> q(Similarity.embedStats),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -1273,6 +1278,54 @@ object SparkEntry {
         |JOIN uc u2 ON b2.t2 = u2.tok
         |ORDER BY pmi_ppm DESC, g
         |LIMIT 30""".stripMargin,
+
+    "q_doclen_hist" ->
+      """WITH s AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT n, CAST(length(bin(n)) AS INT) AS bucket FROM s)
+        |SELECT bucket,
+        |       CAST(2 ** (bucket - 1) AS BIGINT) AS lo,
+        |       CAST(2 ** bucket AS BIGINT) - 1 AS hi,
+        |       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH v AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vc AS (SELECT tok, COUNT(*) AS c FROM v GROUP BY tok),
+        |p AS (SELECT tok, c, unnest(generate_series(1, length(tok) - 1)) AS i
+        |      FROM vc WHERE length(tok) >= 2),
+        |pr AS (SELECT tok, c, tok[i : i+1] AS pair FROM p)
+        |SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occ, COUNT(DISTINCT tok) AS n_types
+        |FROM pr GROUP BY pair
+        |ORDER BY n_occ DESC, pair
+        |LIMIT 40""".stripMargin,
+
+    "q_source_audit" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS src_tokens,
+        |         COUNT(DISTINCT lang) AS n_langs,
+        |         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM per)
+        |SELECT source, n_docs, src_tokens, n_langs, min_chars, max_chars,
+        |       CAST(src_tokens AS DOUBLE) / n_docs AS mean_tokens,
+        |       n_docs * 1000000 // tot_docs AS share_ppm
+        |FROM per CROSS JOIN t
+        |ORDER BY source""".stripMargin,
+
+    "q_embed_stats" ->
+      """WITH p AS (SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |m AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+        |      FROM p)
+        |SELECT dim, COUNT(*) AS n_vals, CAST(SUM(m) AS BIGINT) AS sum_micro,
+        |       CAST(SUM(m * m) AS DECIMAL(38,0)) AS ssq_micro,
+        |       MIN(m) AS min_micro, MAX(m) AS max_micro,
+        |       CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean
+        |FROM m GROUP BY dim
+        |ORDER BY dim""".stripMargin,
 
     "q_mixture_weights" ->
       """WITH per AS (

@@ -168,6 +168,31 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Per-source corpus audit — the "where did my tokens come from"
+    * dashboard (docs, tokens, language spread, length extremes, corpus
+    * share). One skinny per-source aggregate with map-side partials +
+    * a broadcast one-row total. The corpus share is integer ppm
+    * (bigint floor division) and the mean doc length is ONE
+    * correctly-rounded double division of two exact longs — both
+    * engine-independent. */
+  def sourceAudit(t: Tables): DataFrame = {
+    val tok = regexp_count(col("text"), lit("[^ ]+")).cast("long")
+    val per = t.documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tok).cast("long").as("src_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    val tot = per.agg(sum(col("n_docs")).as("tot_docs"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("mean_tokens", col("src_tokens").cast("double") / col("n_docs"))
+      .withColumn("share_ppm", expr("n_docs * 1000000 DIV tot_docs"))
+      .select(col("source"), col("n_docs"), col("src_tokens"), col("n_langs"),
+        col("min_chars"), col("max_chars"), col("mean_tokens"), col("share_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic content-hash sampling: reproducible across engines,
     * runs, and machines — no RNG state, the sample is a pure function
     * of content. */

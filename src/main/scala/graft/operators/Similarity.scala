@@ -175,4 +175,30 @@ object Similarity {
         aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("checksum"),
         size(filter(col("qv"), x => abs(x) >= 127L)).cast("long").as("n_sat"))
       .orderBy(col("vec_id"))
+
+  /** Per-dimension embedding moments — the drift/collapse monitor a
+    * vector pipeline runs per ingest batch. Values are snapped to
+    * integer micro-units with floor(x·10⁶ + 0.5) (floor on a double is
+    * exact, so the snap is bit-identical in any engine); all moments
+    * are then EXACT integer sums: sum_micro in bigint, the second
+    * moment in DECIMAL(38,0) (sums of m² overflow int64 at ~10⁷
+    * vectors — decimal partials stay map-side combinable), and the
+    * mean is one correctly-rounded double division at the end. The
+    * posexplode inflates rows map-side only: partial aggregation
+    * collapses to dims×partitions rows before the shuffle. */
+  def embedStats(t: Tables): DataFrame = {
+    val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
+    t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), m.as("m"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vals"),
+        sum(col("m")).cast("long").as("sum_micro"),
+        sum((col("m") * col("m")).cast("decimal(38,0)")).as("ssq_micro"),
+        min(col("m")).as("min_micro"),
+        max(col("m")).as("max_micro"))
+      .withColumn("mean",
+        col("sum_micro").cast("double") / (col("n_vals") * 1000000L).cast("double"))
+      .orderBy(col("dim"))
+  }
 }

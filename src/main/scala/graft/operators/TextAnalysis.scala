@@ -408,4 +408,47 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("corpus_doc"), col("bench_doc"))
   }
+
+  /** Power-of-two document-length histogram: bucket b holds docs with
+    * 2^(b−1) ≤ n_tokens < 2^b — the corpus length profile every data
+    * card publishes. The bucket index is length(bin(n)) = ⌊log2 n⌋+1,
+    * computed with integer/string ops only (no libm log, so the bucket
+    * boundaries are exact and engine-independent). One map-side pass +
+    * a ≤64-group aggregate: scan-bound at any scale. */
+  def doclenHist(t: Tables): DataFrame = {
+    val n = size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+    t.documents
+      .select(n.as("n"), length(bin(n)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("sum_tokens"))
+      .withColumn("lo", pow(lit(2.0), col("bucket") - 1).cast("long"))
+      .withColumn("hi", pow(lit(2.0), col("bucket")).cast("long") - 1)
+      .select(col("bucket"), col("lo"), col("hi"), col("n_docs"), col("sum_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  /** BPE merge-candidate counting — the inner statistic of byte-pair
+    * tokenizer training: for every adjacent character pair inside a
+    * word type, the corpus-frequency-weighted occurrence count. The
+    * corpus-sized work is ONE vocabulary aggregate (map-side partial on
+    * the token); the pair explosion then runs over the vocabulary —
+    * dimension-sized at any corpus scale, which is exactly why real BPE
+    * trainers operate on (word, count) tables rather than raw text.
+    * n_occ = Σ word_count over pair occurrences (a pair occurring twice
+    * in one word counts twice, as the merge step would). */
+  def bpePairs(t: Tables, k: Int = 40): DataFrame = {
+    val vocab = t.documents
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    vocab
+      .filter(length(col("tok")) >= 2)
+      .select(col("tok"), col("c"),
+        explode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("c")).cast("long").as("n_occ"),
+        countDistinct(col("tok")).as("n_types"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -69,6 +69,45 @@ class Round7Spec extends SparkSpec {
     assert(r == Seq(("a b", 2L, 2L, 2L, 1500000L)))
   }
 
+  test("doclenHist: power-of-two buckets have exact boundaries") {
+    val t = docTables(Seq(
+      (1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"), (4L, "a b c d", "s")))
+    val r = TextAnalysis.doclenHist(t)
+      .select("bucket", "lo", "hi", "n_docs", "sum_tokens")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1, 1L, 1L, 1L, 1L), (2, 2L, 3L, 2L, 5L), (3, 4L, 7L, 1L, 4L)))
+  }
+
+  test("bpePairs: pair counts weight by word frequency, repeats inside a word count each") {
+    val t = docTables(Seq((1L, "aaa ab aaa", "s")))
+    val r = TextAnalysis.bpePairs(t, k = 10)
+      .select("pair", "n_occ", "n_types").as[(String, Long, Long)].collect().toSeq
+    // "aaa" (count 2) contributes "aa" twice per occurrence → 4; "ab" once
+    assert(r == Seq(("aa", 4L, 1L), ("ab", 1L, 1L)))
+  }
+
+  test("sourceAudit: exact integer share and single-division mean") {
+    val t = docTables(Seq(
+      (1L, "a b c", "A"), (2L, "a b c d e f", "A"), (3L, "x", "B")))
+    val r = Curation.sourceAudit(t)
+      .select("source", "n_docs", "src_tokens", "mean_tokens", "share_ppm")
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(r == Seq(("A", 2L, 9L, 4.5, 666666L), ("B", 1L, 1L, 1.0, 333333L)))
+  }
+
+  test("embedStats: micro-unit snap gives exact integer moments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    Seq((1L, Array(0.5f, -0.25f)), (2L, Array(0.25f, 0.75f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.embedStats(Tables(spark, dir))
+      .select("dim", "n_vals", "sum_micro", "min_micro", "max_micro", "mean")
+      .as[(Int, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (0, 2L, 750000L, 250000L, 500000L, 0.375),
+      (1, 2L, 500000L, -250000L, 750000L, 0.25)))
+  }
+
   test("mixtureWeights: uniform target, ppm cap binds on tiny sources, bigint-exact") {
     def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val t = docTables(Seq(
