@@ -138,6 +138,8 @@ object SparkEntry {
     "q_mixture_weights" -> q(Curation.mixtureWeights(_)),
     // —— round-7 additions: corpus profiling / tokenizer / vector audit ——
     "q_doclen_hist"    -> q(TextAnalysis.doclenHist),
+    "q_winnowing"      -> q(TextAnalysis.winnowing(_)),
+    "q_dedup_clusters" -> q(Dedup.dedupClusters),
     "q_bpe_pairs"      -> q(TextAnalysis.bpePairs(_)),
     "q_source_audit"   -> q(Curation.sourceAudit),
     "q_embed_stats"    -> q(Similarity.embedStats),
@@ -168,6 +170,35 @@ object SparkEntry {
   // mirror the Spark side exactly (see Analytics scaladoc).
   private val SumDisc =
     "SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+
+  /** Shared WITH-pipeline of the md5 MinHash oracle (shingle → 31-bit
+    * hash → universal-family signatures → structural band keys →
+    * candidates → exact Jaccard in CTE `j`) — the common prefix of
+    * q_dedup_minhash (pair list) and q_dedup_clusters (recursive
+    * closure of the pair graph). */
+  private lazy val minhashOracleCore: String = {
+    val perms = graft.operators.Dedup.mixConstants(32).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tok),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS hv FROM sh),
+       |perm(i, a, b) AS (VALUES $perms),
+       |sig AS (SELECT doc_id, i, MIN((a * hv + b) % 2147483647) AS m
+       |        FROM h CROSS JOIN perm GROUP BY doc_id, i),
+       |bk AS (SELECT doc_id, i // 4 AS band,
+       |              array_to_string(list(m ORDER BY i), ',') AS key
+       |       FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bk x JOIN bk y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |gl AS (SELECT doc_id, list(DISTINCT g) AS gs FROM sh GROUP BY doc_id),
+       |j AS (SELECT c.doc_a, c.doc_b,
+       |        CAST(len(list_intersect(xa.gs, yb.gs)) AS DOUBLE)
+       |          / (len(xa.gs) + len(yb.gs) - len(list_intersect(xa.gs, yb.gs))) AS jaccard
+       |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
+       |                  JOIN gl yb ON yb.doc_id = c.doc_b)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_lookup_enrich" ->
@@ -486,31 +517,27 @@ object SparkEntry {
     // same seeded RNG), the band equi-join, and the exact-Jaccard
     // verify. DuckDB's `('0x'||substr(md5(g),1,8))::BIGINT` equals
     // Spark's `conv(substring(md5(g),1,8),16,10)` by construction.
-    "q_dedup_minhash" -> {
-      val perms = graft.operators.Dedup.mixConstants(32).zipWithIndex
-        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tok),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS hv FROM sh),
-         |perm(i, a, b) AS (VALUES $perms),
-         |sig AS (SELECT doc_id, i, MIN((a * hv + b) % 2147483647) AS m
-         |        FROM h CROSS JOIN perm GROUP BY doc_id, i),
-         |bk AS (SELECT doc_id, i // 4 AS band,
-         |              array_to_string(list(m ORDER BY i), ',') AS key
-         |       FROM sig GROUP BY doc_id, i // 4),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bk x JOIN bk y
-         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |gl AS (SELECT doc_id, list(DISTINCT g) AS gs FROM sh GROUP BY doc_id),
-         |j AS (SELECT c.doc_a, c.doc_b,
-         |        CAST(len(list_intersect(xa.gs, yb.gs)) AS DOUBLE)
-         |          / (len(xa.gs) + len(yb.gs) - len(list_intersect(xa.gs, yb.gs))) AS jaccard
-         |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
-         |                  JOIN gl yb ON yb.doc_id = c.doc_b)
+    "q_dedup_minhash" ->
+      s"""$minhashOracleCore
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the pair graph above closed into clusters: recursive-CTE label
+    // propagation mirrors the Spark pointer-jumping loop exactly
+    "q_dedup_clusters" ->
+      s"""${minhashOracleCore.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM pairs
+         |        UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src AS node, src AS lbl FROM sym
+         |  UNION
+         |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node),
+         |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT node AS doc_id, cluster_id,
+         |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cc
+         |ORDER BY doc_id""".stripMargin,
 
     // 60-bit md5-nibble SimHash; the oracle brute-forces all pairs —
     // pigeonhole (hamming ≤ 3 over 4 chunks) proves the Spark side's
@@ -1278,6 +1305,23 @@ object SparkEntry {
         |JOIN uc u2 ON b2.t2 = u2.tok
         |ORDER BY pmi_ppm DESC, g
         |LIMIT 30""".stripMargin,
+
+    "q_winnowing" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, len(l) - 3),
+        |          i -> md5(array_to_string(l[i : i+3], ' '))) AS hs
+        |      FROM tok WHERE len(l) >= 4),
+        |f AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+        |        list_distinct(list_transform(
+        |          generate_series(1, greatest(len(hs) - 4, 1)),
+        |          j -> list_min(hs[j : j+4]))) AS fps
+        |      FROM g)
+        |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
+        |       list_min(fps) AS min_fp,
+        |       md5(array_to_string(list_sort(fps), ',')) AS fp_sig
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
 
     "q_doclen_hist" ->
       """WITH s AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),

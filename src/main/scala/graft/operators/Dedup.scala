@@ -459,4 +459,22 @@ object Dedup {
       .agg(count(lit(1)).as("n_matches"), min(col("other")).as("best_match"))
       .orderBy(col("p_partkey"))
   }
+
+  /** Near-dup CLUSTERS: the verified MinHash pair graph closed into
+    * connected components — the product step a dedup pipeline actually
+    * ships (pick one survivor per cluster, not per pair, so transitive
+    * chains A~B~C collapse together even when A~C was never a
+    * candidate). Pair generation is the banded LSH pipeline (never
+    * all-pairs); the closure is the O(log n)-round pointer-jumping
+    * loop, whose input is only the pair graph — a vanishing fraction
+    * of corpus rows. Uses the md5 oracle-parity kernel so DuckDB
+    * reproduces the pairs, then a recursive CTE mirrors the closure. */
+  def dedupClusters(t: Tables): DataFrame = {
+    val pairs = minhash(t).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    Components.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+      .orderBy(col("doc_id"))
+  }
 }

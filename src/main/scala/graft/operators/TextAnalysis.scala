@@ -427,6 +427,34 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): per
+    * document, hash every word k-gram, then keep the MINIMUM hash of
+    * each sliding window of w consecutive grams — the fingerprint set
+    * that guarantees any shared run of ≥ w+k−1 tokens between two
+    * documents shares a fingerprint, at ~2/(w+1) the density of the
+    * full gram set. Entirely map-side (per-row array ops, no shuffle
+    * before the output sort); the md5 gram hash keeps every
+    * fingerprint engine-reproducible. Emits audit columns (counts,
+    * global min, digest of the sorted set) rather than the exploded
+    * set so the result stays one row per doc. */
+  def winnowing(t: Tables, k: Int = 4, w: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordNgramsOf}
+    t.documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(wordNgramsOf(col("toks"), k), g => md5(g)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          j => array_min(slice(col("hs"), j, lit(w))))).as("fps"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        md5(concat_ws(",", array_sort(col("fps")))).as("fp_sig"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE merge-candidate counting — the inner statistic of byte-pair
     * tokenizer training: for every adjacent character pair inside a
     * word type, the corpus-frequency-weighted occurrence count. The

@@ -108,6 +108,43 @@ class Round7Spec extends SparkSpec {
       (1, 2L, 500000L, -250000L, 750000L, 0.25)))
   }
 
+  test("winnowing: fingerprint density below gram density; single-gram doc keeps its hash") {
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val t = docTables(Seq((1L, long, "s"), (2L, long, "s"), (3L, "a b c d", "s")))
+    val r = TextAnalysis.winnowing(t)
+      .select("doc_id", "n_grams", "n_fp", "min_fp", "fp_sig")
+      .as[(Long, Long, Long, String, String)].collect()
+    val byId = r.map(x => x._1 -> x).toMap
+    // identical docs → identical fingerprint digests
+    assert(byId(1L)._5 == byId(2L)._5 && byId(1L)._4 == byId(2L)._4)
+    // winnowing selects ~2/(w+1) of grams — far fewer than all of them
+    assert(byId(1L)._2 == 57L && byId(1L)._3 < 30L)
+    // a doc with exactly k tokens has one gram, which IS its fingerprint
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byId(3L)._2 == 1L && byId(3L)._3 == 1L && byId(3L)._4 == expect)
+  }
+
+  test("dedupClusters: transitive near-dup chain collapses into one cluster") {
+    val base = "spark catalyst optimizes declarative plans into distributed " +
+      "executions across many partitions and executors with codegen enabled today"
+    val t = docTables(Seq(
+      (1L, base, "s"),
+      (2L, base.replace("codegen", "vectorization"), "s"), // near-dup of 1
+      (3L, base.replace("codegen", "vectorization")
+        .replace("declarative", "logical"), "s"), // near-dup of 2, farther from 1
+      (4L, "entirely different content about zip archives and geometry " +
+        "rings with areas and shapefile decoding logic", "s")))
+    val r = Dedup.dedupClusters(t)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 1-3 form one cluster labeled by the min id; doc 4 is absent
+    assert(r.forall(_._1 != 4L))
+    val chain = r.filter(x => Set(1L, 2L, 3L)(x._1))
+    assert(chain.map(_._2).distinct == Seq(1L))
+    assert(chain.forall(_._3 == chain.size.toLong))
+  }
+
   test("mixtureWeights: uniform target, ppm cap binds on tiny sources, bigint-exact") {
     def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val t = docTables(Seq(
