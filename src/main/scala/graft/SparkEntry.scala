@@ -142,6 +142,7 @@ object SparkEntry {
     "q_dedup_clusters" -> q(Dedup.dedupClusters),
     "q_bpe_pairs"      -> q(TextAnalysis.bpePairs(_)),
     "q_source_audit"   -> q(Curation.sourceAudit),
+    "q_seq_pack"       -> q(Curation.seqPack(_)),
     "q_embed_stats"    -> q(Similarity.embedStats),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
@@ -1343,6 +1344,24 @@ object SparkEntry {
         |FROM pr GROUP BY pair
         |ORDER BY n_occ DESC, pair
         |LIMIT 40""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH s AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |        CAST(SUM(tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM s),
+        |x AS (SELECT doc_id, tok, cum, cum - tok AS st,
+        |        unnest(generate_series((cum - tok) // 512, (cum - 1) // 512)) AS seq_id
+        |      FROM c)
+        |SELECT seq_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN st // 512 = seq_id AND (cum - 1) // 512 = seq_id
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+        |       CAST(SUM(least(cum, (seq_id + 1) * 512) - greatest(st, seq_id * 512))
+        |            AS BIGINT) AS fill_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM x GROUP BY seq_id
+        |ORDER BY seq_id""".stripMargin,
 
     "q_source_audit" ->
       """WITH per AS (

@@ -3,6 +3,59 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+/** One-pass sliding-window minimum over a string array — the winnowing
+  * kernel. The HOF spelling (`transform(sequence(...), j =>
+  * array_min(slice(hs, j, w)))`) allocates a w-element array per window
+  * and runs interpreted; this loops over the UTF8String array once per
+  * row inside whole-stage codegen. O(n·w) comparisons — w is a small
+  * constant (5), so a monotonic deque would cost more in bookkeeping
+  * than it saves. Output i = min(a[i..i+w-1]) for i in 0..max(n-w, 0)
+  * (the tail window truncates like `slice`); empty input → empty. */
+object GraftTextKernels {
+  def slidingMin(a: org.apache.spark.sql.catalyst.util.ArrayData, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[AnyRef])
+    val nOut = math.max(n - w + 1, 1)
+    val out = new Array[AnyRef](nOut)
+    var j = 0
+    while (j < nOut) {
+      var m = a.getUTF8String(j)
+      var i = j + 1
+      val end = math.min(j + w, n)
+      while (i < end) {
+        val c = a.getUTF8String(i)
+        if (c.compareTo(m) < 0) m = c
+        i += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class SlidingMin(child: org.apache.spark.sql.catalyst.expressions.Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(w >= 1, "window must be at least 1")
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType,
+      containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftTextKernels.slidingMin(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftTextKernels.slidingMin($c, $w)")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): SlidingMin =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sliding_min"
+}
+
 /** String-cleaning primitives mirroring the reference's text handling,
   * all as codegen'd Catalyst expressions (no UDFs).
   */
@@ -42,6 +95,12 @@ object TextFunctions {
     * empty-string) tokens on both sides. Do NOT tokenize with an ad-hoc
     * split elsewhere; one tokenizer, one definition. */
   def tokens(c: Column): Column = split(c, " ")
+
+  /** Sliding-window minimum over a string-array column (winnowing
+    * kernel) as a native codegen'd expression — see [[SlidingMin]]. */
+  def slidingMin(arr: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      SlidingMin(org.apache.spark.sql.graftbridge.ColumnBridge.expression(arr), w))
 
   /** Robust whitespace tokenizer (\s+) for non-oracled paths that want
     * linguistic tokens rather than oracle-bit-exactness. */

@@ -168,6 +168,37 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Fixed-length SEQUENCE packing — the final training-prep step:
+    * concatenate documents in doc_id order and cut the token stream
+    * into training rows of exactly `seqLen` tokens (documents span cut
+    * points; the last sequence is short). Built on the scalable global
+    * running sum: each doc knows its exclusive start offset, so the
+    * sequences it overlaps are start DIV L .. (end−1) DIV L — a
+    * map-side `sequence` explode, no window over the corpus. Per
+    * sequence: overlapping docs, docs fully inside, exact token fill
+    * (= L everywhere but the tail), and the doc range — all bigint
+    * arithmetic, engine-exact. A doc longer than L simply spans
+    * multiple sequences (fill sums stay exact), so the operator needs
+    * no max-doc-length precondition. */
+  def seqPack(t: Tables, seqLen: Long = 512L): DataFrame = {
+    val sized = t.documents.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"))
+    globalRunningSum(sized, "tok", col("doc_id"))
+      .withColumn("s", col("_cum") - col("tok")) // exclusive start offset
+      .withColumn("seq_id", explode(sequence(
+        expr(s"s DIV $seqLen"), expr(s"(_cum - 1) DIV $seqLen"))))
+      .withColumn("fill", least(col("_cum"), (col("seq_id") + 1) * seqLen)
+        - greatest(col("s"), col("seq_id") * seqLen))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"s DIV $seqLen") === col("seq_id") &&
+          expr(s"(_cum - 1) DIV $seqLen") === col("seq_id"), 1L)
+          .otherwise(0L)).as("n_full_docs"),
+        sum(col("fill")).cast("long").as("fill_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
+  }
+
   /** Per-source corpus audit — the "where did my tokens come from"
     * dashboard (docs, tokens, language spread, length extremes, corpus
     * share). One skinny per-source aggregate with map-side partials +

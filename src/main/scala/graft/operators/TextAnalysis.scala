@@ -439,15 +439,24 @@ object TextAnalysis {
     * set so the result stays one row per doc. */
   def winnowing(t: Tables, k: Int = 4, w: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.{tokens, wordNgramsOf}
-    t.documents
+    // the per-doc window-min pass is pure CPU: fan a narrow scan out
+    // across cores first (no-op on an already-wide input)
+    Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      // "has at least one gram" as a CHEAP predicate on the raw text:
+      // a filter on size(hs) would be pushed below the fan-out
+      // exchange by PushDownPredicates and re-evaluate the whole
+      // md5/ngram pipeline on the narrow pre-spread side (the trap
+      // documented in Dedup.minhashPairs)
+      .filter(size(tokens(col("text"))) >= k)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         transform(wordNgramsOf(col("toks"), k), g => md5(g)).as("hs"))
-      .filter(size(col("hs")) > 0)
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
-          j => array_min(slice(col("hs"), j, lit(w))))).as("fps"))
+        // one-pass codegen'd window-min kernel; the HOF spelling
+        // (transform(sequence) → array_min(slice)) is semantically
+        // identical but interpreted with a per-window array alloc —
+        // Round7Spec pins the two equal
+        array_distinct(graft.functions.TextFunctions.slidingMin(col("hs"), w)).as("fps"))
       .select(col("doc_id"), col("n_grams"),
         size(col("fps")).cast("long").as("n_fp"),
         array_min(col("fps")).as("min_fp"),

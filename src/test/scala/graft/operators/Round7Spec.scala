@@ -108,6 +108,21 @@ class Round7Spec extends SparkSpec {
       (1, 2L, 500000L, -250000L, 750000L, 0.25)))
   }
 
+  test("seqPack: docs span cut points; fills are exact and sum to the corpus") {
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val t = docTables(Seq(
+      (1L, doc(3), "s"), (2L, doc(4), "s"), (3L, doc(6), "s"), (4L, doc(2), "s")))
+    val r = Curation.seqPack(t, seqLen = 5L)
+      .select("seq_id", "n_docs", "n_full_docs", "fill_tokens", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // stream of 15 tokens in doc order → 3 exactly-full sequences;
+    // docs 2 and 3 straddle the cuts, docs 1 and 4 sit fully inside
+    assert(r == Seq(
+      (0L, 2L, 1L, 5L, 1L, 2L),
+      (1L, 2L, 0L, 5L, 2L, 3L),
+      (2L, 2L, 1L, 5L, 3L, 4L)))
+  }
+
   test("winnowing: fingerprint density below gram density; single-gram doc keeps its hash") {
     val long = (1 to 60).map(i => s"tok$i").mkString(" ")
     val t = docTables(Seq((1L, long, "s"), (2L, long, "s"), (3L, "a b c d", "s")))
@@ -123,6 +138,21 @@ class Round7Spec extends SparkSpec {
     val expect = java.security.MessageDigest.getInstance("MD5")
       .digest("a b c d".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(byId(3L)._2 == 1L && byId(3L)._3 == 1L && byId(3L)._4 == expect)
+  }
+
+  test("slidingMin kernel equals the declarative HOF spelling on real docs") {
+    import graft.functions.TextFunctions
+    val hs = transform(TextFunctions.wordNgramsOf(
+      TextFunctions.tokens(col("text")), 4), g => md5(g))
+    val df = tables.documents.limit(200)
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        TextFunctions.slidingMin(col("hs"), 5).as("kernel"),
+        transform(sequence(lit(1), greatest(size(col("hs")) - 4, lit(1))),
+          j => array_min(slice(col("hs"), j, lit(5)))).as("hof"))
+    assert(df.filter(col("kernel") =!= col("hof")).count() == 0)
+    assert(df.count() > 0)
   }
 
   test("dedupClusters: transitive near-dup chain collapses into one cluster") {
