@@ -118,7 +118,7 @@ object TextAnalysis {
     * sampled to every 25th doc's top 3 to keep the result bounded. */
   def tfIdf(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = t.documents
+    val toks = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
     // tf has exactly one row per (doc, term), so df is a plain COUNT
     // over tf — no second explode/distinct pass over the corpus. tf is
@@ -157,7 +157,7 @@ object TextAnalysis {
     * postings. floor(x/k.0) on both engines — int-div/cast rounding
     * differs between Spark and DuckDB. */
   def invertedIndex(t: Tables, dfLo: Option[Int] = None, dfHi: Option[Int] = None): DataFrame = {
-    val tok = t.documents
+    val tok = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("term"))
       .persist() // feeds both the df pass and the postings build;
@@ -188,7 +188,7 @@ object TextAnalysis {
     * counts per term), then a top-k sort of the vocabulary — never the
     * corpus. */
   def wordCount(t: Tables): DataFrame =
-    t.documents
+    Dedup.spread(t.documents.select(col("text")))
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
       .filter(length(col("term")) >= 4)
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
@@ -201,7 +201,7 @@ object TextAnalysis {
     * a materialized token column, no self-join on position); only
     * (bigram, partial count) rows shuffle. */
   def bigramLm(t: Tables, k: Int = 30): DataFrame =
-    t.documents
+    Dedup.spread(t.documents.select(col("text")))
       .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), 2))
         .as("bigram"))
@@ -221,7 +221,7 @@ object TextAnalysis {
     * only double is one final division — so the result is
     * order-independent and hash-comparable. */
   def dupSpans(t: Tables, n: Int = 5): DataFrame = {
-    val sp = t.documents
+    val sp = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), n)).as("g"))
@@ -245,7 +245,7 @@ object TextAnalysis {
     * Same two-shuffle shape as [[dupSpans]]; integer aggregates only,
     * one final division, so cross-engine deterministic. */
   def lmNovelty(t: Tables, commonMin: Int = 5): DataFrame = {
-    val bg = t.documents
+    val bg = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), 2)).as("bigram"))
@@ -307,7 +307,8 @@ object TextAnalysis {
     * hash-comparable. */
   def repetition(t: Tables): DataFrame = {
     import graft.functions.TextFunctions.{tokens, wordNgramsOf}
-    val base = t.documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val base = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
     def tagged(n: Int): Column = {
       val grams = if (n == 1) col("toks") else wordNgramsOf(col("toks"), n)
       transform(grams, g => struct(lit(n).as("gram_n"), g.as("g")))
@@ -334,7 +335,12 @@ object TextAnalysis {
     * corpus shard; beyond that, widen to DECIMAL(38,0). */
   def pmiColloc(t: Tables, k: Int = 30, minCount: Int = 20): DataFrame = {
     import graft.functions.TextFunctions.{tokens, wordNgramsOf}
-    val base = t.documents.select(tokens(col("text")).as("toks"))
+    // No spread here: both consumers are vocabulary-sized aggregates
+    // with map-side partials, so the serial scan work is one cheap
+    // explode — paying a fan-out shuffle to parallelize it measured
+    // net-slower. The persist dedups tokenization across the unigram
+    // and bigram passes (lazy leak by design; clearCache owns it).
+    val base = t.documents.select(tokens(col("text")).as("toks")).persist()
     val uni = base.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val bi = base.select(explode(wordNgramsOf(col("toks"), 2)).as("g"))
@@ -387,7 +393,7 @@ object TextAnalysis {
     // the explode), which makes (doc_id, shingle) rows globally
     // distinct with no shuffle — a `.distinct()` here would shuffle
     // every shingle occurrence just to drop within-doc repeats
-    val sh = docs
+    val sh = Dedup.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(
@@ -474,7 +480,7 @@ object TextAnalysis {
     * n_occ = Σ word_count over pair occurrences (a pair occurring twice
     * in one word counts twice, as the merge step would). */
   def bpePairs(t: Tables, k: Int = 40): DataFrame = {
-    val vocab = t.documents
+    val vocab = Dedup.spread(t.documents.select(col("text")))
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     vocab
