@@ -1384,7 +1384,7 @@ object SparkEntry {
         |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
         |      FROM p)
         |SELECT dim, COUNT(*) AS n_vals, CAST(SUM(m) AS BIGINT) AS sum_micro,
-        |       CAST(SUM(m * m) AS DECIMAL(38,0)) AS ssq_micro,
+        |       CAST(CAST(SUM(m * m) AS DECIMAL(38,0)) AS VARCHAR) AS ssq_micro,
         |       MIN(m) AS min_micro, MAX(m) AS max_micro,
         |       CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean
         |FROM m GROUP BY dim

@@ -10,13 +10,23 @@ import org.apache.spark.sql.functions._
   * row inside whole-stage codegen. O(n·w) comparisons — w is a small
   * constant (5), so a monotonic deque would cost more in bookkeeping
   * than it saves. Output i = min(a[i..i+w-1]) for i in 0..max(n-w, 0)
-  * (the tail window truncates like `slice`); empty input → empty. */
+  * (the tail window truncates like `slice`); empty input → empty.
+  * Input elements MUST be non-null (winnowing feeds it hash strings);
+  * a null element fails with a descriptive error rather than a deep
+  * NPE inside UTF8String.compareTo. */
 object GraftTextKernels {
   def slidingMin(a: org.apache.spark.sql.catalyst.util.ArrayData, w: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = a.numElements()
     if (n == 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[AnyRef])
+    var k = 0
+    while (k < n) {
+      if (a.isNullAt(k))
+        throw new IllegalArgumentException(
+          s"graft_sliding_min: null element at index $k — input must be a non-null string array")
+      k += 1
+    }
     val nOut = math.max(n - w + 1, 1)
     val out = new Array[AnyRef](nOut)
     var j = 0
@@ -39,6 +49,20 @@ object GraftTextKernels {
 case class SlidingMin(child: org.apache.spark.sql.catalyst.expressions.Expression, w: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(w >= 1, "window must be at least 1")
+  // Elements must be non-null at runtime (enforced with a descriptive
+  // error in the kernel); the static check only pins array<string>
+  // because upstream HOF types routinely widen to containsNull=true
+  // even when values never are.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_sliding_min requires array<string>, got ${other.catalogString}")
+    }
   override def dataType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType,
       containsNull = false)

@@ -183,6 +183,13 @@ object Curation {
   def seqPack(t: Tables, seqLen: Long = 512L): DataFrame = {
     val sized = t.documents.select(col("doc_id"),
       size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"))
+      // A zero-token doc overlaps no sequence; without this guard, one
+      // whose start offset lands exactly on a seqLen boundary hits
+      // Spark's auto-descending sequence(s, s-1) and emits spurious
+      // rows the oracle's generate_series (empty when stop < start)
+      // never produces. Unreachable with the current tokenizer (>= 1
+      // token/doc) but the operator/oracle parity must not rely on it.
+      .filter(col("tok") > 0L)
     globalRunningSum(sized, "tok", col("doc_id"))
       .withColumn("s", col("_cum") - col("tok")) // exclusive start offset
       .withColumn("seq_id", explode(sequence(

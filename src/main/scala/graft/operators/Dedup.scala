@@ -28,16 +28,33 @@ object Dedup {
     // Gate WITHOUT `.rdd` — that forces a second physical planning of
     // the upstream plan just to read a partition count. An explicit
     // repartition in the logical plan states its count directly; for
-    // scans, estimate splits from the relation's size stat (file-index
-    // metadata, no planning). Over-estimating is safe: we only skip
-    // the fan-out when the input is already wide.
+    // file scans, estimate splits from the relation's size stat
+    // (file-index metadata, no planning). The stat is trusted ONLY
+    // when every leaf is a file-backed relation: for in-memory /
+    // joined plans, stats fall back to defaultSizeInBytes-style
+    // over-estimates, and an OVER-estimate is the harmful direction
+    // here — it wrongly skips the fan-out and leaves a narrow input
+    // serial. Unknown size ⇒ treat as narrow and repartition: the
+    // worst case of that choice is one redundant round-robin shuffle
+    // on an already-wide input, vs a serial stage on 32 cores.
     val declared = df.queryExecution.logical.collectFirst {
       case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
         BigInt(r.numPartitions)
     }
     val estimated = declared.getOrElse {
-      val maxPart = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
-      df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart
+      val optimized = df.queryExecution.optimizedPlan
+      val fileBacked = optimized.collectLeaves().nonEmpty &&
+        optimized.collectLeaves().forall {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          case _ => false
+        }
+      if (!fileBacked) BigInt(0)
+      else {
+        val maxPart = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+        optimized.stats.sizeInBytes / maxPart
+      }
     }
     if (estimated >= target) df
     else df.repartition(target)

@@ -181,8 +181,10 @@ object Similarity {
     * integer micro-units with floor(x·10⁶ + 0.5) (floor on a double is
     * exact, so the snap is bit-identical in any engine); all moments
     * are then EXACT integer sums: sum_micro in bigint, the second
-    * moment in DECIMAL(38,0) (sums of m² overflow int64 at ~10⁷
-    * vectors — decimal partials stay map-side combinable), and the
+    * moment accumulated in DECIMAL(38,0) (sums of m² overflow int64 at
+    * ~10⁷ vectors — decimal partials stay map-side combinable) and
+    * emitted as STRING since decimals sit outside the driver's
+    * output-type contract, and the
     * mean is one correctly-rounded double division at the end. The
     * posexplode inflates rows map-side only: partial aggregation
     * collapses to dims×partitions rows before the shuffle. */
@@ -194,7 +196,7 @@ object Similarity {
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n_vals"),
         sum(col("m")).cast("long").as("sum_micro"),
-        sum((col("m") * col("m")).cast("decimal(38,0)")).as("ssq_micro"),
+        sum((col("m") * col("m")).cast("decimal(38,0)")).cast("string").as("ssq_micro"),
         min(col("m")).as("min_micro"),
         max(col("m")).as("max_micro"))
       .withColumn("mean",
