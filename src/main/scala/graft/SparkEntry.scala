@@ -144,6 +144,11 @@ object SparkEntry {
     "q_source_audit"   -> q(Curation.sourceAudit),
     "q_seq_pack"       -> q(Curation.seqPack(_)),
     "q_embed_stats"    -> q(Similarity.embedStats),
+    // —— round-8 additions: retrieval / data-selection / blocked ER ——
+    "q_bm25"           -> q(Retrieval.bm25(_)),
+    "q_dsir"           -> q(Retrieval.dsirWeights(_)),
+    "q_domain_cap"     -> q(Curation.domainCap(_)),
+    "q_dedup_embed_exact" -> q(Dedup.embedDedupExact),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -1347,7 +1352,8 @@ object SparkEntry {
 
     "q_seq_pack" ->
       """WITH s AS (SELECT doc_id,
-        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents
+        |        WHERE len(string_split(text, ' ')) > 0),
         |c AS (SELECT doc_id, tok,
         |        CAST(SUM(tok) OVER (ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM s),
@@ -1389,6 +1395,78 @@ object SparkEntry {
         |       CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean
         |FROM m GROUP BY dim
         |ORDER BY dim""".stripMargin,
+
+    // the float score expression text is SHARED with the Spark plan
+    // (Retrieval.bm25ScoreSql) — identical parse → identical IEEE op
+    // order → byte-stable micro snap
+    "q_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dln AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+        |       WHERE term IN ('vector', 'stream', 'window', 'merge') GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |${operators.Retrieval.bm25ScoreSql} AS s_micro
+        |       FROM tf JOIN dfr USING (term) JOIN dln USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+        |       CAST(SUM(s_micro) AS BIGINT) AS score_micro
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    "q_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id, lang, array_to_string(l[i:i+1], ' ') AS g
+        |      FROM (SELECT doc_id, lang, l,
+        |              unnest(generate_series(1, len(l) - 1)) AS i FROM tok)),
+        |bk AS (SELECT doc_id, lang,
+        |         ('0x' || substr(md5(g), 1, 8))::BIGINT & 255 AS b FROM g),
+        |raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw FROM bk GROUP BY 1),
+        |tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM bk WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_raw,
+        |          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tot_tgt FROM bk),
+        |ct AS (SELECT raw.b,
+        |         COALESCE(c_tgt, 0) * 1000000 // tot_tgt - c_raw * 1000000 // tot_raw AS dppm
+        |       FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+        |dc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+        |       CAST(SUM(c * dppm) AS BIGINT) AS score
+        |FROM dc JOIN ct USING (b) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |                                ORDER BY n_chars DESC, doc_id) AS rnk
+        |           FROM documents),
+        |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(n_chars) AS BIGINT) AS chars_total FROM documents GROUP BY 1),
+        |k AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |        CAST(SUM(n_chars) AS BIGINT) AS chars_kept FROM r WHERE rnk <= 10 GROUP BY 1)
+        |SELECT source, n_docs, n_kept, chars_kept,
+        |       chars_total - chars_kept AS chars_dropped
+        |FROM t JOIN k USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // cos-ppm snap text shared with the Spark plan (Dedup.cosPpmSql)
+    "q_dedup_embed_exact" ->
+      s"""WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |w AS (SELECT vec_id, label, m,
+        |        CAST(list_sum(list_transform(m, x -> x * x)) AS BIGINT) AS aa FROM q),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        CAST(list_sum(list_transform(generate_series(1, len(a.m)),
+        |          i -> a.m[i] * b.m[i])) AS BIGINT) AS dot,
+        |        a.aa AS aa, b.aa AS bb
+        |      FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |s AS (SELECT id_a, id_b, ${operators.Dedup.cosPpmSql} AS cos_ppm FROM p)
+        |SELECT id_a, id_b, cos_ppm FROM s
+        |WHERE cos_ppm >= 300000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_mixture_weights" ->
       """WITH per AS (

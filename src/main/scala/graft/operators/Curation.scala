@@ -267,4 +267,41 @@ object Curation {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-domain document caps (RefinedWeb-style "no domain dominates"):
+    * within every source keep the `cap` best documents (by n_chars
+    * desc, doc_id asc tiebreak) and report what the cap cost each
+    * domain. `source` stands in for the registrable domain — the real
+    * pipeline keys on eTLD+1.
+    *
+    * Scale: NO corpus-wide window. The kept set is found two-phase —
+    * a per-(source, input-partition) top-`cap` first (row_number over
+    * a partition-local key, so each scan task emits ≤ cap rows per
+    * source it sees), then the exact per-source top-`cap` over those
+    * ≤ cap·partitions survivors. A giant domain therefore never sorts
+    * its full document list in one task — the global pass ranks at
+    * most cap·partitions skinny rows per source. Totals come from an
+    * ordinary map-side-combined aggregate; both sides of the final
+    * join are per-source skinny. */
+  def domainCap(t: Tables, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t.documents.select(col("source"), col("doc_id"), col("n_chars"))
+    val local = Window.partitionBy(col("source"), spark_partition_id())
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = Dedup.spread(docs)
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= cap)
+      .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= cap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sum(col("n_chars")).cast("long").as("chars_kept"))
+    val totals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_total"))
+    totals.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("chars_kept"),
+        (col("chars_total") - col("chars_kept")).as("chars_dropped"))
+      .orderBy(col("source"))
+  }
 }

@@ -383,6 +383,59 @@ object Dedup {
 
   def embedDedup(t: Tables): DataFrame = embedPairs(t.embeddings)
 
+  /** cos·10⁶ snap shared verbatim with the DuckDB oracle: every input
+    * (dot, aa, bb) is an exact integer ≤ dims·10¹² < 2⁵³, SQRT is
+    * IEEE-correctly-rounded in both engines, and both parsers
+    * left-associate — so the full float sequence is bit-identical. */
+  private[graft] val cosPpmSql: String =
+    "CAST(FLOOR(1000000.0 * CAST(dot AS DOUBLE) / " +
+      "(SQRT(CAST(aa AS DOUBLE)) * SQRT(CAST(bb AS DOUBLE)))) AS BIGINT)"
+
+  /** EXACT embedding near-dup pairs under a blocking key — the
+    * entity-resolution complement to [[embedPairs]]. LSH (the scale
+    * path) is probabilistic, so it can't be oracled; this variant is
+    * deterministic end-to-end: embeddings snap to integer micro-units
+    * (floor(x·10⁶+0.5) — exact on a double), candidates are all pairs
+    * sharing the blocking key (`label` here; a real corpus blocks on a
+    * high-cardinality key — shard, cluster id, domain), and the cosine
+    * is computed over the micro-int vectors with every intermediate
+    * exact: products ≤ 10¹², 64-dim sums ≤ 6.4·10¹³ < 2⁵³, so even the
+    * double-arithmetic kernel is integer-exact and the only rounding is
+    * the final shared-text ppm snap.
+    *
+    * Scale: cost is quadratic WITHIN a block by design (that is the
+    * semantics of blocked ER); the equi-join on the key shuffles each
+    * block to one place and Spark's hash join + codegen'd dot kernel
+    * do the pair work. Block sizes must be bounded by the caller's
+    * choice of key — the scaladoc'd contract of every blocked-ER
+    * system — with [[embedPairs]] as the fallback when no bounded key
+    * exists. */
+  def embedDedupExactPairs(emb: DataFrame, thresholdPpm: Long = 300000L): DataFrame = {
+    // micro-int as DOUBLE array: values ≤ 10⁶ are exact doubles, so the
+    // codegen'd dot kernel (double accumulator) stays integer-exact
+    val q = spread(emb.select(col("vec_id"), col("label"), col("embedding")))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
+      .withColumn("aa", graft.functions.VectorFunctions
+        .dotProduct(col("m"), col("m")).cast("long"))
+      .persist()
+    val a = q.select(col("label"), col("vec_id").as("id_a"),
+      col("m").as("ma"), col("aa").as("aa"))
+    val b = q.select(col("label"), col("vec_id").as("id_b"),
+      col("m").as("mb"), col("aa").as("bb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", graft.functions.VectorFunctions
+        .dotProduct(col("ma"), col("mb")).cast("long"))
+      .withColumn("cos_ppm", expr(cosPpmSql))
+      .filter(col("cos_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("cos_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def embedDedupExact(t: Tables): DataFrame = embedDedupExactPairs(t.embeddings)
+
   /** End-to-end near-dup corpus dedup: MinHash+LSH pairs → connected
     * components (a doc transitively near-dup with a kept doc must also
     * drop, even if the pairwise match was indirect) → min-id survivor

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-8 registrations: BM25 retrieval, DSIR-style importance
+  * weights, per-domain caps, blocked-ER exact embedding dedup — the
+  * semantic edges (length normalization, contrast sign, cap/tie
+  * behavior, blocking isolation) on tiny crafted corpora. */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docTables(rows: Seq[(Long, String, String, String)]): Tables = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs8").toString
+    rows.toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  private def embTables(rows: Seq[(Long, Seq[Float], Int)]): Tables = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb8").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables(spark, dir)
+  }
+
+  test("bm25: tf raises the score, length normalization lowers it") {
+    val t = docTables(Seq(
+      (1L, "apple apple b", "s", "en"),          // f=2, dl=3
+      (2L, "apple c c c", "s", "en"),            // f=1, dl=4
+      (3L, "apple b", "s", "en"),                // f=1, dl=2
+      (4L, "apple b b b b b b b b b", "s", "en"),// f=1, dl=10 (long)
+      (5L, "x y z", "s", "en")))                 // no hit
+    val r = Retrieval.bm25(t, terms = Seq("apple"), k = 10)
+      .select("doc_id", "n_terms_hit", "score_micro").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L, 4L)) // doc 5 never scores
+    assert(r.forall(_._2 == 1L))
+    val byDoc = r.map(x => x._1 -> x._3).toMap
+    assert(byDoc(1L) > byDoc(3L)) // more hits beat fewer at similar dl
+    assert(byDoc(3L) > byDoc(2L)) // same f, shorter doc wins
+    assert(byDoc(2L) > byDoc(4L)) // same f, much longer doc loses
+    assert(r.map(_._3) == r.map(_._3).sorted.reverse) // emitted rank order
+  }
+
+  test("bm25 matches the closed-form rational formula") {
+    val t = docTables(Seq(
+      (1L, "apple apple b", "s", "en"),
+      (2L, "apple c c c", "s", "en"),
+      (3L, "x y z", "s", "en")))
+    // n=3 docs, tt=10 tokens, df=2; shared-text formula in doubles
+    def score(f: Double, dl: Double, df: Double, n: Double, tt: Double): Long =
+      math.floor(1000000.0 *
+        ((2 * n - 2 * df + 1) * 22.0 * f * tt) /
+        ((2 * df + 1) * (10.0 * f * tt + 3.0 * tt + 9.0 * dl * n))).toLong
+    val got = Retrieval.bm25(t, terms = Seq("apple"), k = 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> score(2, 3, 2, 3, 10), 2L -> score(1, 4, 2, 3, 10)))
+  }
+
+  test("dsir: documents sharing target-language bigrams score positive, others negative") {
+    val t = docTables(Seq(
+      (1L, "good token good token", "s", "en"),
+      (2L, "good token good token", "s", "en"),
+      (3L, "bad stuff bad stuff", "s", "fr"),
+      (4L, "bad stuff bad stuff", "s", "fr")))
+    val r = Retrieval.dsirWeights(t).select("doc_id", "score")
+      .as[(Long, Long)].collect().toMap
+    // en bigrams: ppm_target > ppm_raw (they are ALL of the target mass,
+    // half the raw mass); fr bigrams have zero target mass
+    assert(r(1L) > 0 && r(2L) > 0)
+    assert(r(3L) < 0 && r(4L) < 0)
+    assert(r(1L) == r(2L) && r(3L) == r(4L)) // identical docs, identical weights
+  }
+
+  test("domainCap: cap binds per source, best-by-chars survive, ties to low doc_id") {
+    val big = (1L to 15L).map(i => (i, "x" * (100 + i.toInt), "A", "en"))
+    val small = (100L to 102L).map(i => (i, "y" * 50, "B", "en"))
+    val t = docTables(big ++ small)
+    val a = Curation.domainCap(t, cap = 10).filter(col("source") === "A")
+      .select("n_kept", "chars_kept", "chars_dropped").as[(Long, Long, Long)].head()
+    // A: keeps the 10 LARGEST docs (chars 106..115), drops 101..105
+    assert(a == ((10L, (106 to 115).map(_ + 0L).sum, (101 to 105).map(_ + 0L).sum)))
+    val b = Curation.domainCap(t, cap = 10).filter(col("source") === "B")
+      .select("n_kept", "chars_dropped").as[(Long, Long)].head()
+    assert(b == ((3L, 0L))) // under-cap domain keeps everything
+  }
+
+  test("embedDedupExact: identical pair found within block, blocking isolates labels") {
+    val t = embTables(Seq(
+      (1L, Seq(1.0f, 0.0f), 1),
+      (2L, Seq(1.0f, 0.0f), 1),  // duplicate of 1, same block
+      (3L, Seq(0.0f, 1.0f), 1),  // orthogonal, same block
+      (4L, Seq(1.0f, 0.0f), 2))) // duplicate of 1, DIFFERENT block
+    val r = Dedup.embedDedupExact(t)
+      .select("id_a", "id_b", "cos_ppm").as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1000000L)))
+  }
+
+  test("embedDedupExact: micro-int cosine equals double cosine to ppm precision") {
+    val rng = new scala.util.Random(7)
+    val vecs = (1L to 20L).map(i =>
+      (i, Seq.fill(16)(rng.nextGaussian().toFloat), 1))
+    val t = embTables(vecs)
+    val got = Dedup.embedDedupExactPairs(t.embeddings, thresholdPpm = -2000000L)
+      .select("id_a", "id_b", "cos_ppm").as[(Long, Long, Long)].collect()
+    val byPair = got.map(x => (x._1, x._2) -> x._3).toMap
+    assert(got.length == 190) // all 20·19/2 pairs emitted at no-op threshold
+    for {
+      (ia, va, _) <- vecs; (ib, vb, _) <- vecs if ia < ib
+    } {
+      val dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(va.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(vb.map(x => x.toDouble * x.toDouble).sum)
+      val cosPpm = 1000000.0 * dot / (na * nb)
+      // micro quantization of the inputs perturbs the cosine by <2ppm
+      assert(math.abs(byPair((ia, ib)) - cosPpm) <= 2.0, s"pair ($ia,$ib)")
+    }
+  }
+}
