@@ -149,6 +149,7 @@ object SparkEntry {
     "q_dsir"           -> q(Retrieval.dsirWeights(_)),
     "q_domain_cap"     -> q(Curation.domainCap(_)),
     "q_dedup_embed_exact" -> q(Dedup.embedDedupExact),
+    "q_semdedup"       -> q(Dedup.semDedup),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -182,6 +183,25 @@ object SparkEntry {
     * candidates → exact Jaccard in CTE `j`) — the common prefix of
     * q_dedup_minhash (pair list) and q_dedup_clusters (recursive
     * closure of the pair graph). */
+  /** Shared WITH-pipeline of the blocked-ER embedding oracle (micro-int
+    * quantize → norms → within-label pair dots → cos-ppm snap in CTE
+    * `s`) — the common prefix of q_dedup_embed_exact (pair list) and
+    * q_semdedup (recursive closure). The ppm snap text comes verbatim
+    * from Dedup.cosPpmSql, the same expression the Spark plan runs. */
+  private lazy val embedExactOracleCore: String =
+    s"""WITH q AS (SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS m
+      |  FROM embeddings),
+      |w AS (SELECT vec_id, label, m,
+      |        CAST(list_sum(list_transform(m, x -> x * x)) AS BIGINT) AS aa FROM q),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        CAST(list_sum(list_transform(generate_series(1, len(a.m)),
+      |          i -> a.m[i] * b.m[i])) AS BIGINT) AS dot,
+      |        a.aa AS aa, b.aa AS bb
+      |      FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |s AS (SELECT id_a, id_b, ${operators.Dedup.cosPpmSql} AS cos_ppm FROM p)""".stripMargin
+
   private lazy val minhashOracleCore: String = {
     val perms = graft.operators.Dedup.mixConstants(32).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
@@ -1436,6 +1456,21 @@ object SparkEntry {
         |FROM dc JOIN ct USING (b) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // the mapPartitions decode stub derives float32 features from
+    // md5(text) bytes; both engines snap each float to micro-units
+    // BEFORE summing, so the aggregate is an order-free integer sum
+    "q_multimodal_feat" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |f AS (SELECT doc_id, h, unnest(generate_series(0, 7)) AS i FROM m),
+        |v AS (SELECT doc_id,
+        |        CAST(CAST(('0x' || substr(h, (i % 16) * 2 + 1, 2))::INT AS FLOAT)
+        |             / CAST(255 AS FLOAT) AS DOUBLE) AS x
+        |      FROM f)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes, CAST(8 AS INT) AS feature_dim,
+        |       CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS feat_sum_micro
+        |FROM v GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_domain_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |             ROW_NUMBER() OVER (PARTITION BY source
@@ -1452,21 +1487,26 @@ object SparkEntry {
 
     // cos-ppm snap text shared with the Spark plan (Dedup.cosPpmSql)
     "q_dedup_embed_exact" ->
-      s"""WITH q AS (SELECT vec_id, label,
-        |    list_transform(embedding,
-        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS m
-        |  FROM embeddings),
-        |w AS (SELECT vec_id, label, m,
-        |        CAST(list_sum(list_transform(m, x -> x * x)) AS BIGINT) AS aa FROM q),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        CAST(list_sum(list_transform(generate_series(1, len(a.m)),
-        |          i -> a.m[i] * b.m[i])) AS BIGINT) AS dot,
-        |        a.aa AS aa, b.aa AS bb
-        |      FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id),
-        |s AS (SELECT id_a, id_b, ${operators.Dedup.cosPpmSql} AS cos_ppm FROM p)
+      s"""$embedExactOracleCore
         |SELECT id_a, id_b, cos_ppm FROM s
         |WHERE cos_ppm >= 300000
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_semdedup" ->
+      s"""${embedExactOracleCore.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |pairs AS (SELECT id_a AS a, id_b AS b FROM s WHERE cos_ppm >= 300000),
+        |sym AS (SELECT a AS src, b AS dst FROM pairs
+        |        UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src AS node, src AS lbl FROM sym
+        |  UNION
+        |  SELECT sy.src, r.lbl FROM sym sy JOIN reach r ON sy.dst = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+        |SELECT node AS vec_id, cluster_id,
+        |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS keep
+        |FROM cc
+        |ORDER BY vec_id""".stripMargin,
 
     "q_mixture_weights" ->
       """WITH per AS (

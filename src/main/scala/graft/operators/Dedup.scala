@@ -436,6 +436,27 @@ object Dedup {
 
   def embedDedupExact(t: Tables): DataFrame = embedDedupExactPairs(t.embeddings)
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): embedding
+    * near-dup pairs within blocks → transitive closure → keep one
+    * representative (min vec_id) per semantic cluster. Composition of
+    * two already-verified kernels: the deterministic blocked-ER pair
+    * stage and the O(log n)-round pointer-jumping closure, whose input
+    * is only the pair graph — a vanishing fraction of corpus rows.
+    * Emits the clustered vectors with their cluster, its size, and the
+    * keep decision (singletons are implicitly kept and not listed,
+    * like [[dedupClusters]]). */
+  def semDedup(t: Tables): DataFrame = {
+    val pairs = embedDedupExactPairs(t.embeddings)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    Components.connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("keep",
+        when(col("vec_id") === col("cluster_id"), 1L).otherwise(0L))
+      .orderBy(col("vec_id"))
+  }
+
   /** End-to-end near-dup corpus dedup: MinHash+LSH pairs → connected
     * components (a doc transitively near-dup with a kept doc must also
     * drop, even if the pairwise match was indirect) → min-id survivor

@@ -86,11 +86,17 @@ object Multimodal {
         col("format"), col("width"), col("height"))
       .orderBy(col("doc_id"))
 
-  /** Rows-only end-to-end: media → mapPartitions decode → features. */
+  /** End-to-end: media → mapPartitions decode → features. Fully
+    * oracled: each float32 feature is snapped to integer micro-units
+    * BEFORE the sum (float→double cast is exact, ×10⁶ and floor are
+    * deterministic IEEE ops), so the aggregate crosses engines as an
+    * order-free integer sum — a float sum's low bits would depend on
+    * accumulation order, which no engine guarantees per group. */
   def mediaFeatures(t: Tables): DataFrame =
     decodeFeatures(withFakeMedia(t.documents))
       .select(col("doc_id"), col("n_bytes"), col("feature_dim"),
-        round(aggregate(col("features"),
-          lit(0.0), (a, v) => a + v.cast("double")), 6).as("feat_sum"))
+        aggregate(col("features"), lit(0L),
+          (a, v) => a + floor(v.cast("double") * 1000000d + 0.5d))
+          .as("feat_sum_micro"))
       .orderBy(col("doc_id"))
 }

@@ -99,6 +99,19 @@ class Round8Spec extends SparkSpec {
     assert(r == Seq((1L, 2L, 1000000L)))
   }
 
+  test("semDedup: transitive closure keeps one representative per semantic cluster") {
+    val t = embTables(Seq(
+      (1L, Seq(1.0f, 0.0f), 1),
+      (2L, Seq(1.0f, 0.0f), 1),
+      (3L, Seq(1.0f, 0.02f), 1), // near-dup of 1 and 2 (chain closes anyway)
+      (4L, Seq(0.0f, 1.0f), 1),  // orthogonal singleton — not listed
+      (5L, Seq(1.0f, 0.0f), 2))) // other block — own (singleton) world
+    val r = Dedup.semDedup(t)
+      .select("vec_id", "cluster_id", "cluster_size", "keep")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, 3L, 1L), (2L, 1L, 3L, 0L), (3L, 1L, 3L, 0L)))
+  }
+
   test("embedDedupExact: micro-int cosine equals double cosine to ppm precision") {
     val rng = new scala.util.Random(7)
     val vecs = (1L to 20L).map(i =>
