@@ -150,6 +150,7 @@ object SparkEntry {
     "q_domain_cap"     -> q(Curation.domainCap(_)),
     "q_dedup_embed_exact" -> q(Dedup.embedDedupExact),
     "q_semdedup"       -> q(Dedup.semDedup),
+    "q_gopher_rules"   -> q(TextAnalysis.gopherRules(_)),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -1469,6 +1470,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes, CAST(8 AS INT) AS feature_dim,
         |       CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS feat_sum_micro
         |FROM v GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(l) AS BIGINT) AS n_words,
+        |        CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS chars,
+        |        CAST(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |        CAST(len(list_filter(l,
+        |          x -> list_contains(['the','a','of','to','and','in','is','be'], x))) AS BIGINT) AS n_stop
+        |      FROM tok)
+        |SELECT doc_id, n_words,
+        |       chars * 1000000 // n_words AS mean_wlen_micro,
+        |       n_alpha * 1000000 // n_words AS alpha_ppm,
+        |       n_stop,
+        |       CASE WHEN n_words BETWEEN 5 AND 1000
+        |              AND chars * 1000000 // n_words BETWEEN 3000000 AND 10000000
+        |              AND n_alpha * 1000000 // n_words >= 800000
+        |              AND n_stop >= 2
+        |            THEN 1 ELSE 0 END AS pass
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
 
     "q_domain_cap" ->

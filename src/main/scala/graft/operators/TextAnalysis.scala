@@ -494,4 +494,44 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("pair"))
       .limit(k)
   }
+
+  /** Stopwords for the Gopher "contains common words" rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "be")
+
+  /** Gopher-style quality-rule battery (Rae et al. 2022, Table A1):
+    * per-document rule measurements plus the combined keep decision.
+    * Rules: word count within [minWords, maxWords]; mean word length
+    * within [3, 10]; ≥80% of words contain an alphabetic character;
+    * ≥2 stopwords present. Every ratio is integer ppm / micro units
+    * (bigint floor division), so the emitted measurements — and the
+    * pass bit derived from them — are engine-exact.
+    *
+    * Scale: entirely map-side (tokenize → HOF counts → ppm math per
+    * row, no shuffle before the output sort); at 100 TB this runs at
+    * scan speed, which is why pipelines run the rule battery FIRST,
+    * ahead of any dedup shuffle. */
+  def gopherRules(t: Tables, minWords: Long = 5L,
+                  maxWords: Long = 1000L): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("chars"),
+        size(filter(col("toks"), x => x.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"),
+        size(filter(col("toks"), x => x.isInCollection(GopherStopwords)))
+          .cast("long").as("n_stop"))
+      .withColumn("mean_wlen_micro", expr("chars * 1000000 DIV n_words"))
+      .withColumn("alpha_ppm", expr("n_alpha * 1000000 DIV n_words"))
+      .withColumn("pass",
+        when(col("n_words").between(minWords, maxWords) &&
+          col("mean_wlen_micro").between(3000000L, 10000000L) &&
+          col("alpha_ppm") >= 800000L &&
+          col("n_stop") >= 2L, 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen_micro"),
+        col("alpha_ppm"), col("n_stop"), col("pass"))
+      .orderBy(col("doc_id"))
+  }
 }

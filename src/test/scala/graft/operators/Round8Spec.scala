@@ -112,6 +112,26 @@ class Round8Spec extends SparkSpec {
     assert(r == Seq((1L, 1L, 3L, 1L), (2L, 1L, 3L, 0L), (3L, 1L, 3L, 0L)))
   }
 
+  test("gopherRules: each rule independently gates the pass bit") {
+    val t = docTables(Seq(
+      (1L, "the cats sat down and ate", "s", "en"),            // passes all (mean wlen 20/6)
+      (2L, "the cat", "s", "en"),                              // too few words
+      (3L, "11 22 33 44 55 66", "s", "en"),                    // no alpha, no stopwords
+      (4L, ("the " + "abcdefghijklmnopqrstuvwxyzabcd " * 4 + "a").trim, "s", "en"), // mean wlen > 10
+      (5L, "cat sat mat dog log bog", "s", "en")))             // <2 stopwords
+    val r = TextAnalysis.gopherRules(t)
+      .select("doc_id", "pass").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("gopherRules: ppm measurements are exact integer floor division") {
+    val t = docTables(Seq((1L, "ab cde f", "s", "en"))) // 3 words, 6 chars
+    val r = TextAnalysis.gopherRules(t)
+      .select("n_words", "mean_wlen_micro", "alpha_ppm", "n_stop")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((3L, 2000000L, 1000000L, 0L)))
+  }
+
   test("embedDedupExact: micro-int cosine equals double cosine to ppm precision") {
     val rng = new scala.util.Random(7)
     val vecs = (1L to 20L).map(i =>
