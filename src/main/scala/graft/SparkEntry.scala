@@ -151,6 +151,11 @@ object SparkEntry {
     "q_dedup_embed_exact" -> q(Dedup.embedDedupExact),
     "q_semdedup"       -> q(Dedup.semDedup),
     "q_gopher_rules"   -> q(TextAnalysis.gopherRules(_)),
+    "q_vocab_prune"    -> q(TextAnalysis.vocabPrune(_)),
+    "q_word_drift"     -> q(TextAnalysis.wordDrift(_)),
+    "q_cooc_window"    -> q(TextAnalysis.coocWindow(_)),
+    "q_span_corrupt"   -> q(TextAnalysis.spanCorrupt(_)),
+    "q_soft_dedup"     -> q(Dedup.softDedup),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -565,6 +570,26 @@ object SparkEntry {
          |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM cc
          |ORDER BY doc_id""".stripMargin,
+
+    // the cluster closure above turned into SoftDeDup sampling weights:
+    // every document keeps weight 1e6 // its near-dup cluster size
+    "q_soft_dedup" ->
+      s"""${minhashOracleCore.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM pairs
+         |        UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src AS node, src AS lbl FROM sym
+         |  UNION
+         |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node),
+         |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |cs AS (SELECT node AS doc_id,
+         |              COUNT(*) OVER (PARTITION BY cluster_id) AS csz FROM cc)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(cs.csz, 1) AS BIGINT) AS cluster_size,
+         |       CAST(1000000 // COALESCE(cs.csz, 1) AS BIGINT) AS weight_ppm
+         |FROM documents d LEFT JOIN cs ON d.doc_id = cs.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // 60-bit md5-nibble SimHash; the oracle brute-forces all pairs —
     // pigeonhole (hamming ≤ 3 over 4 chunks) proves the Spark side's
@@ -1491,6 +1516,82 @@ object SparkEntry {
         |              AND n_stop >= 2
         |            THEN 1 ELSE 0 END AS pass
         |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_prune" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tok),
+        |tk AS (SELECT doc_id, i, l[i] AS tok FROM p),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |keep AS (SELECT tok FROM df, nd
+        |         WHERE df >= 2 AND df * 1000000 // n_docs <= 700000),
+        |re AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |              string_agg(tok, ' ' ORDER BY i) AS text_pruned
+        |       FROM tk JOIN keep USING (tok) GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(re.n_kept, 0) AS n_kept,
+        |       CAST(len(t.l) AS BIGINT) - COALESCE(re.n_kept, 0) AS n_dropped,
+        |       COALESCE(re.text_pruned, '') AS text_pruned
+        |FROM tok t LEFT JOIN re ON t.doc_id = re.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q_word_drift" ->
+      """WITH tk AS (SELECT doc_id % 2 AS grp,
+        |              unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok,
+        |        CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |        CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |      FROM tk GROUP BY tok),
+        |tot AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM c)
+        |SELECT tok, cnt_a, cnt_b,
+        |       cnt_a * 1000000 // tot_a AS ppm_a,
+        |       cnt_b * 1000000 // tot_b AS ppm_b,
+        |       cnt_a * 1000000 // tot_a - cnt_b * 1000000 // tot_b AS drift
+        |FROM c, tot
+        |ORDER BY abs(cnt_a * 1000000 // tot_a - cnt_b * 1000000 // tot_b) DESC, tok
+        |LIMIT 30""".stripMargin,
+
+    "q_cooc_window" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS l FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM tok),
+        |j AS (SELECT l, i, unnest(generate_series(i + 1, least(i + 3, len(l)))) AS jx
+        |      FROM p),
+        |pr AS (SELECT least(l[i], l[jx]) AS w1, greatest(l[i], l[jx]) AS w2 FROM j)
+        |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_cooc
+        |FROM pr GROUP BY w1, w2
+        |ORDER BY n_cooc DESC, w1, w2
+        |LIMIT 30""".stripMargin,
+
+    // md5-coin parity: DuckDB ('0x'||substr(md5(s),1,8))::BIGINT equals
+    // Spark conv(substring(md5(s),1,8),16,10) (same trick as MinHash)
+    "q_span_corrupt" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tok),
+        |m AS (SELECT doc_id, i, l[i] AS tok,
+        |        CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |               || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 100 < 15
+        |             THEN 1 ELSE 0 END AS msk
+        |      FROM p),
+        |s AS (SELECT doc_id, i, tok, msk,
+        |        CASE WHEN msk = 1 AND COALESCE(LAG(msk) OVER
+        |               (PARTITION BY doc_id ORDER BY i), 0) = 0
+        |             THEN 1 ELSE 0 END AS is_start
+        |      FROM m),
+        |sp AS (SELECT doc_id, i, tok, msk, is_start,
+        |         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i) AS span_idx
+        |       FROM s),
+        |o AS (SELECT doc_id, i, msk, is_start,
+        |        CASE WHEN msk = 0 THEN tok
+        |             WHEN is_start = 1
+        |               THEN '<extra_id_' || CAST(span_idx - 1 AS VARCHAR) || '>'
+        |             ELSE NULL END AS ot
+        |      FROM sp)
+        |SELECT doc_id,
+        |       string_agg(ot, ' ' ORDER BY i) FILTER (WHERE ot IS NOT NULL) AS corrupted,
+        |       CAST(SUM(msk) AS BIGINT) AS n_masked,
+        |       CAST(SUM(is_start) AS BIGINT) AS n_spans
+        |FROM o GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q_domain_cap" ->

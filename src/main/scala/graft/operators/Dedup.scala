@@ -568,4 +568,26 @@ object Dedup {
       .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
       .orderBy(col("doc_id"))
   }
+
+  /** SoftDeDup-style REWEIGHTING (keep every document, down-weight
+    * duplicates): sampling weight = 1e6 / near-dup-cluster-size ppm,
+    * so a cluster of k near-copies contributes ~one document's worth
+    * of training mass instead of k — the gentler alternative to
+    * removal when near-dups still carry signal (cf. SlimPajama /
+    * soft dedup ablations). Built on [[dedupClusters]]' verified
+    * MinHash pair graph + component closure; docs outside any pair
+    * keep weight 1e6.
+    *
+    * Scale: the cluster frame is PAIR-GRAPH-sized (a vanishing
+    * fraction of the corpus), so the weight join back to documents
+    * broadcasts; corpus rows never shuffle for their weight. */
+  def softDedup(t: Tables): DataFrame = {
+    val cl = dedupClusters(t).select(col("doc_id"), col("cluster_size"))
+    t.documents.select(col("doc_id"))
+      .join(broadcast(cl), Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight_ppm", expr("1000000 DIV cluster_size"))
+      .select(col("doc_id"), col("cluster_size"), col("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
 }

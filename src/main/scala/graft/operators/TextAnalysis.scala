@@ -534,4 +534,148 @@ object TextAnalysis {
         col("alpha_ppm"), col("n_stop"), col("pass"))
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus-driven vocabulary pruning: drop tokens whose document
+    * frequency is below `minDf` (noise/typos) or above `maxDfPpm`
+    * millionths of the corpus (corpus-specific stopwords), then
+    * reassemble each document preserving token order — the classic
+    * preprocessing step ahead of topic models / TF-IDF retrieval.
+    *
+    * Scale: the df table is VOCABULARY-sized, so the keep-set joins
+    * back to the exploded tokens as a broadcast hash join — the corpus
+    * tokens never shuffle for the lookup. The only corpus-sized
+    * shuffle is the per-doc reassembly groupBy, which any
+    * order-preserving rewrite fundamentally needs; order is restored
+    * engine-side with sort_array over (pos, tok) structs rather than
+    * relying on collect_list encounter order. */
+  def vocabPrune(t: Tables, minDf: Long = 2L,
+                 maxDfPpm: Long = 700000L): DataFrame = {
+    val docs = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+    val tk = docs.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val keep = tk.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") >= minDf &&
+        expr("df * 1000000 DIV n_docs") <= maxDfPpm)
+      .select(col("tok"))
+    val re = tk.join(broadcast(keep), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok")), " ").as("text_pruned"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_pruned"), lit("")).as("text_pruned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train/validation distribution-drift audit: exact integer-ppm word
+    * frequencies contrasted between two corpus halves (doc_id parity
+    * stands in for the snapshot split), top-k terms by absolute drift.
+    * The check a pipeline runs before shipping a new crawl snapshot —
+    * a term whose ppm moved is a changed crawler, template, or filter.
+    *
+    * Scale: one word-count shuffle (map-side partial agg), then all
+    * arithmetic on the VOCABULARY-sized frame; the two one-row group
+    * totals broadcast via crossJoin. Nothing corpus-sized moves
+    * after the first aggregate. */
+  def wordDrift(t: Tables, k: Int = 30): DataFrame = {
+    val tk = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .select((col("doc_id") % 2).as("grp"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val counts = tk.groupBy(col("tok")).agg(
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"))
+    counts.crossJoin(totals)
+      .withColumn("ppm_a", expr("cnt_a * 1000000 DIV tot_a"))
+      .withColumn("ppm_b", expr("cnt_b * 1000000 DIV tot_b"))
+      .withColumn("drift", col("ppm_a") - col("ppm_b"))
+      .select(col("tok"), col("cnt_a"), col("cnt_b"),
+        col("ppm_a"), col("ppm_b"), col("drift"))
+      .orderBy(abs(col("drift")).desc, col("tok"))
+      .limit(k)
+  }
+
+  /** Windowed co-occurrence counts (word2vec/SGNS training-pair prep):
+    * unordered token pairs within ±`window` positions, corpus-wide
+    * counts, top k. Pair generation is PURE MAP-SIDE HOF arithmetic
+    * over each token array (nested sequence/transform → flatten), so
+    * the only shuffle is the pair-count aggregate — and map-side
+    * partial aggregation collapses each partition's pairs before they
+    * cross the wire. At 100 TB the wire carries the pair VOCABULARY,
+    * not window×corpus expanded tokens. */
+  def coocWindow(t: Tables, window: Int = 3, k: Int = 30): DataFrame = {
+    val l = graft.functions.TextFunctions.tokens(col("text"))
+    Dedup.spread(t.documents.select(col("text")))
+      .select(l.as("l")).filter(size(col("l")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("l")) - 2), i =>
+          transform(
+            sequence(i + 1, least(i + lit(window), size(col("l")) - 1)), j =>
+              struct(
+                least(element_at(col("l"), i + 1),
+                  element_at(col("l"), j + 1)).as("w1"),
+                greatest(element_at(col("l"), i + 1),
+                  element_at(col("l"), j + 1)).as("w2")))))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .orderBy(col("n_cooc").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): each token
+    * is masked by a deterministic md5 coin (`ratePct`% — seeded by
+    * (doc_id, position), so both engines flip identical coins), and
+    * maximal masked RUNS collapse to one `<extra_id_K>` sentinel,
+    * numbered left to right. Emits the corrupted text plus masked
+    * token/span counts — the map a pretraining pipeline applies to
+    * every document.
+    *
+    * Scale: the run-collapse needs each token's left neighbor, i.e.
+    * one sort within doc partitions (lag + running span index over
+    * (doc_id, pos)); the reassembly groupBy then reuses that exact
+    * partitioning, so the corpus shuffles ONCE. The md5 coin is the
+    * oracle-parity choice; a production run would swap xxhash64 into
+    * the same plan. */
+  def spanCorrupt(t: Tables, ratePct: Int = 15): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val coin = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":"), col("i").cast("string"))),
+      1, 8), 16, 10).cast("long") % 100
+    Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .withColumn("i", col("pos").cast("long") + 1)
+      .withColumn("msk", when(coin < ratePct, 1L).otherwise(0L))
+      .withColumn("is_start",
+        when(col("msk") === 1 &&
+          coalesce(lag(col("msk"), 1).over(w), lit(0L)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("span_idx", sum(col("is_start")).over(w))
+      .withColumn("ot",
+        when(col("msk") === 0, col("tok"))
+          .when(col("is_start") === 1,
+            concat(lit("<extra_id_"), (col("span_idx") - 1).cast("string"),
+              lit(">"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(when(col("ot").isNotNull,
+            struct(col("i"), col("ot"))))),
+          _.getField("ot")), " ").as("corrupted"),
+        sum(col("msk")).as("n_masked"),
+        sum(col("is_start")).as("n_spans"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -152,4 +152,100 @@ class Round8Spec extends SparkSpec {
       assert(math.abs(byPair((ia, ib)) - cosPpm) <= 2.0, s"pair ($ia,$ib)")
     }
   }
+
+  test("vocabPrune: df thresholds gate both tails, order survives") {
+    // df ppm: common=3/3=1e6 (pruned high), mid=2/3=666666 (kept under
+    // the 700000 cap), rare/solo=1/3 (pruned low by minDf=2)
+    val t = docTables(Seq(
+      (1L, "common mid rare common", "s", "en"),
+      (2L, "mid common", "s", "en"),
+      (3L, "common solo", "s", "en")))
+    val r = TextAnalysis.vocabPrune(t, minDf = 2L, maxDfPpm = 700000L)
+      .select("doc_id", "n_kept", "n_dropped", "text_pruned")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, 1L, 3L, "mid"),       // common(df3) high-pruned, rare(df1) low-pruned
+      (2L, 1L, 1L, "mid"),
+      (3L, 0L, 2L, "")))         // every token pruned → empty doc kept in output
+  }
+
+  test("vocabPrune: kept tokens preserve original positions") {
+    val t = docTables(Seq(
+      (1L, "b a b c a", "s", "en"),
+      (2L, "a c b", "s", "en")))
+    // all tokens df>=2? a:2 b:2 c:2 docs → keep all with wide thresholds
+    val r = TextAnalysis.vocabPrune(t, minDf = 1L, maxDfPpm = 1000000L)
+      .select("text_pruned").as[String].collect().toSeq
+    assert(r == Seq("b a b c a", "a c b"))
+  }
+
+  test("wordDrift: exact ppm contrast and deterministic tie order") {
+    val t = docTables(Seq(
+      (2L, "x x x y", "s", "en"),  // grp 0: x=3 y=1 (tot 4)
+      (1L, "x y y y", "s", "en"))) // grp 1: x=1 y=3 (tot 4)
+    val r = TextAnalysis.wordDrift(t, k = 10)
+      .select("tok", "cnt_a", "cnt_b", "ppm_a", "ppm_b", "drift")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("x", 3L, 1L, 750000L, 250000L, 500000L),
+      ("y", 1L, 3L, 250000L, 750000L, -500000L)))
+  }
+
+  test("coocWindow: pairs only within the window, unordered canonical") {
+    // "a b c d e" window=2: ab ac bc bd cd ce de = 7 pairs; no ad/ae/be
+    val t = docTables(Seq((1L, "a b c d e", "s", "en")))
+    val r = TextAnalysis.coocWindow(t, window = 2, k = 100)
+      .select("w1", "w2", "n_cooc").as[(String, String, Long)].collect().toSet
+    assert(r == Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L),
+      ("b", "d", 1L), ("c", "d", 1L), ("c", "e", 1L), ("d", "e", 1L)))
+  }
+
+  test("coocWindow: single-token docs contribute nothing; repeats count") {
+    val t = docTables(Seq(
+      (1L, "solo", "s", "en"),
+      (2L, "p q p", "s", "en"))) // pairs: pq, pp, pq → (p,q)=2 (p,p)=1
+    val r = TextAnalysis.coocWindow(t, window = 2, k = 10)
+      .select("w1", "w2", "n_cooc").as[(String, String, Long)].collect().toSet
+    assert(r == Set(("p", "q", 2L), ("p", "p", 1L)))
+  }
+
+  test("spanCorrupt: rate 0 is identity, rate 100 is one whole-doc span") {
+    val t = docTables(Seq((7L, "alpha beta gamma", "s", "en")))
+    val id = TextAnalysis.spanCorrupt(t, ratePct = 0)
+      .select("corrupted", "n_masked", "n_spans")
+      .as[(String, Long, Long)].head()
+    assert(id == (("alpha beta gamma", 0L, 0L)))
+    val all = TextAnalysis.spanCorrupt(t, ratePct = 100)
+      .select("corrupted", "n_masked", "n_spans")
+      .as[(String, Long, Long)].head()
+    assert(all == (("<extra_id_0>", 3L, 1L)))
+  }
+
+  test("spanCorrupt: sentinels are numbered runs; counts reconcile") {
+    val t = docTables((1L to 20L).map(i =>
+      (i, (1 to 30).map(j => s"w$j").mkString(" "), "s", "en")))
+    val r = TextAnalysis.spanCorrupt(t, ratePct = 40)
+      .select("corrupted", "n_masked", "n_spans")
+      .as[(String, Long, Long)].collect()
+    r.foreach { case (c, nm, ns) =>
+      val toks = c.split(" ").toSeq
+      val sent = toks.filter(_.startsWith("<extra_id_"))
+      assert(sent.size == ns)          // one sentinel per masked run
+      assert(sent == (0 until ns.toInt).map(k => s"<extra_id_$k>")) // L→R numbering
+      assert(toks.size - sent.size == 30 - nm) // survivors = unmasked tokens
+      assert(ns <= nm)
+    }
+    assert(r.map(_._2).sum > 0) // the 40% coin actually fires somewhere
+  }
+
+  test("softDedup: near-dup clusters share down-weight, singletons keep 1e6") {
+    val t = docTables(Seq(
+      (1L, "one two three four five", "s", "en"),
+      (2L, "one two three four five", "s", "en"),   // exact near-dup of 1
+      (3L, "six seven eight nine ten", "s", "en"))) // singleton
+    val r = Dedup.softDedup(t)
+      .select("doc_id", "cluster_size", "weight_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 500000L), (2L, 2L, 500000L), (3L, 1L, 1000000L)))
+  }
 }
