@@ -156,6 +156,8 @@ object SparkEntry {
     "q_cooc_window"    -> q(TextAnalysis.coocWindow(_)),
     "q_span_corrupt"   -> q(TextAnalysis.spanCorrupt(_)),
     "q_soft_dedup"     -> q(Dedup.softDedup),
+    "q_lsh_audit"      -> q(Dedup.lshAudit),
+    "q_pagerank"       -> q(Components.docPageRank(_)),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -590,6 +592,49 @@ object SparkEntry {
          |       CAST(1000000 // COALESCE(cs.csz, 1) AS BIGINT) AS weight_ppm
          |FROM documents d LEFT JOIN cs ON d.doc_id = cs.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // signature-estimate vs exact-Jaccard audit over the shipped pairs;
+    // DuckDB recomputes both from the shared md5 signature/shingle CTEs
+    "q_lsh_audit" ->
+      s"""$minhashOracleCore,
+         |vp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |est AS (SELECT v.doc_a, v.doc_b,
+         |          CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+         |               * 1000000 // 32 AS BIGINT) AS est_ppm
+         |        FROM vp v JOIN sig sa ON sa.doc_id = v.doc_a
+         |                  JOIN sig sb ON sb.doc_id = v.doc_b AND sb.i = sa.i
+         |        GROUP BY v.doc_a, v.doc_b),
+         |ex AS (SELECT v.doc_a, v.doc_b,
+         |         CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) * 1000000
+         |           // (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))
+         |           AS exact_ppm
+         |       FROM vp v JOIN gl ga ON ga.doc_id = v.doc_a
+         |                 JOIN gl gb ON gb.doc_id = v.doc_b)
+         |SELECT e.doc_a, e.doc_b, est.est_ppm, e.exact_ppm,
+         |       est.est_ppm - e.exact_ppm AS err_ppm
+         |FROM ex e JOIN est ON est.doc_a = e.doc_a AND est.doc_b = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin,
+
+    // fixed-iteration integer PageRank over the same pair graph; the
+    // recursive CTE replays the identical bigint floor arithmetic
+    "q_pagerank" ->
+      s"""${minhashOracleCore.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |pr(iter, node, p) AS (
+         |  SELECT 0, node, CAST(1000000 AS BIGINT) FROM nodes
+         |  UNION ALL
+         |  SELECT pr.iter + 1, e.dst,
+         |         CAST(150000 + 850 * SUM(pr.p // d.d) // 1000 AS BIGINT)
+         |  FROM pr JOIN edges e ON pr.node = e.src
+         |          JOIN deg d ON pr.node = d.src
+         |  WHERE pr.iter < 5
+         |  GROUP BY pr.iter, e.dst)
+         |SELECT node AS doc_id, p AS pagerank_ppm FROM pr WHERE iter = 5
+         |ORDER BY doc_id""".stripMargin,
 
     // 60-bit md5-nibble SimHash; the oracle brute-forces all pairs —
     // pigeonhole (hamming ≤ 3 over 4 chunks) proves the Spark side's

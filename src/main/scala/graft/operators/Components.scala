@@ -257,4 +257,56 @@ object Components extends Logging {
       .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
       .orderBy(col("part_id"))
   }
+
+  /** Fixed-iteration PageRank in exact integer micro units: rank is a
+    * BIGINT ppm mass, each round computes
+    * `p' = 150000 + (850 · Σ_in (p DIV deg)) DIV 1000` — every
+    * operation is bigint floor arithmetic, so after a FIXED number of
+    * rounds both engines hold bit-identical ranks (no float damping,
+    * no convergence epsilon). Expects a SYMMETRIZED (src, dst) edge
+    * list, so deg ≥ 1 everywhere and there are no dangling-mass
+    * corrections to mirror.
+    *
+    * Scale: per round one join of the skinny (node, p) frame against
+    * the edge list (shuffle on node id) + one aggregate on dst —
+    * exactly a CC round's budget; edges persist hashed once. State is
+    * localCheckpoint'ed per round and the previous round's blocks are
+    * freed, same lineage discipline as [[connectedComponents]]. */
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "dnode")
+    val nodes = e.select(col("src").as("node")).distinct()
+    var p = nodes.select(col("node"), lit(1000000L).as("p")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = p.join(e, col("node") === col("src"))
+        .join(deg, col("node") === col("dnode"))
+        .select(col("dst").as("node"), expr("p DIV d").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) +
+            expr("850 * coalesce(s, 0) DIV 1000")).as("p"))
+        .localCheckpoint()
+      freeCheckpoint(p)
+      p = next
+    }
+    e.unpersist()
+    p
+  }
+
+  /** Oracled PageRank instance: centrality over the verified near-dup
+    * pair graph (Dedup.minhash) — the representative-picking signal a
+    * cluster-aware sampler uses (rank-weighted instead of min-id).
+    * Singleton documents carry no edges and are excluded, as in
+    * [[connectedComponents]]. */
+  def docPageRank(t: Tables, iters: Int = 5): DataFrame = {
+    val pairs = Dedup.minhash(t)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    pageRank(edges, iters)
+      .select(col("node").as("doc_id"), col("p").as("pagerank_ppm"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -581,6 +581,39 @@ object Dedup {
     * Scale: the cluster frame is PAIR-GRAPH-sized (a vanishing
     * fraction of the corpus), so the weight join back to documents
     * broadcasts; corpus rows never shuffle for their weight. */
+  /** LSH estimator ACCURACY AUDIT: for every shipped near-dup pair,
+    * the MinHash signature estimate of Jaccard (matching slots / 32,
+    * in ppm) against the exact shingle-set Jaccard (∩·1e6 DIV ∪) and
+    * their signed error — the dashboard that tells an operator whether
+    * 32 permutations are enough for the corpus at hand before a 100 TB
+    * run commits to them. All integer floor arithmetic.
+    *
+    * Scale: audits only the VERIFIED pairs (pair-graph-sized), joining
+    * signatures and shingle sets back by doc id — equi-joins on ids,
+    * never a second pass over candidate generation. */
+  def lshAudit(t: Tables): DataFrame = {
+    val pairs = minhashPairs(t.documents, shingleHash = md5Hash31,
+      bandKeyOf = bandKeysStr).select(col("doc_a"), col("doc_b"))
+    val sh = shingled(t.documents, 3).persist()
+    val sig = minhashSignatures(sh, 32, md5Hash31)
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("long").as("m"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("ni"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("nu"))
+      .withColumn("est_ppm", expr("m * 1000000 DIV 32"))
+      .withColumn("exact_ppm", expr("ni * 1000000 DIV nu"))
+      .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+      .select(col("doc_a"), col("doc_b"), col("est_ppm"),
+        col("exact_ppm"), col("err_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def softDedup(t: Tables): DataFrame = {
     val cl = dedupClusters(t).select(col("doc_id"), col("cluster_size"))
     t.documents.select(col("doc_id"))

@@ -238,6 +238,38 @@ class Round8Spec extends SparkSpec {
     assert(r.map(_._2).sum > 0) // the 40% coin actually fires somewhere
   }
 
+  test("pageRank: 5 integer rounds reproduce the hand-checked ranks") {
+    import spark.implicits._
+    // path 1-2-3 plus pair 4-5 (symmetric): center node 2 accumulates
+    // both leaves' mass; the 4-5 pair is a fixpoint at 1e6 each.
+    // Expected values independently computed with exact bigint floor
+    // arithmetic (p' = 150000 + 850·Σ(p DIV d) DIV 1000, 5 rounds).
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+    val edges = (pairs.map { case (a, b) => (a, b) } ++
+      pairs.map { case (a, b) => (b, a) }).toDF("src", "dst")
+    val r = Components.pageRank(edges, iters = 5)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 668336L), (2L, 1663323L), (3L, 668336L),
+      (4L, 1000000L), (5L, 1000000L)))
+  }
+
+  test("lshAudit: identical docs estimate exactly, errors stay signed ppm") {
+    val t = docTables(Seq(
+      (1L, "one two three four five six", "s", "en"),
+      (2L, "one two three four five six", "s", "en"),    // jaccard 1.0
+      (3L, "one two three four five ten", "s", "en")))   // high-overlap
+    val r = Dedup.lshAudit(t)
+      .select("doc_a", "doc_b", "est_ppm", "exact_ppm", "err_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val exact = r.find(x => x._1 == 1L && x._2 == 2L).get
+    assert(exact._3 == 1000000L && exact._4 == 1000000L && exact._5 == 0L)
+    r.foreach { case (_, _, est, ex, err) =>
+      assert(est >= 0L && est <= 1000000L)
+      assert(ex >= 0L && ex <= 1000000L)
+      assert(err == est - ex)
+    }
+  }
+
   test("softDedup: near-dup clusters share down-weight, singletons keep 1e6") {
     val t = docTables(Seq(
       (1L, "one two three four five", "s", "en"),
