@@ -158,6 +158,7 @@ object SparkEntry {
     "q_soft_dedup"     -> q(Dedup.softDedup),
     "q_lsh_audit"      -> q(Dedup.lshAudit),
     "q_pagerank"       -> q(Components.docPageRank(_)),
+    "q_split_assign"   -> q(Curation.splitAssign(_)),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -1562,6 +1563,22 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS pass
         |FROM m
         |ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """WITH d AS (SELECT
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |              % 1000000 < 900000 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |              % 1000000 < 950000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS total FROM d)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM d, tot GROUP BY split, total
+        |ORDER BY split""".stripMargin,
 
     "q_vocab_prune" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

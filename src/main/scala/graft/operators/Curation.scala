@@ -304,4 +304,36 @@ object Curation {
         (col("chars_total") - col("chars_kept")).as("chars_dropped"))
       .orderBy(col("source"))
   }
+
+  /** Deterministic train/val/test split manifest: each document lands
+    * in a split by an md5 coin on its id against exact ppm boundaries
+    * (train < `trainPpm`, val < trainPpm + `valPpm`, else test), and
+    * the operator emits the per-split doc/token totals and realized
+    * share — the assignment a pipeline freezes BEFORE any training so
+    * later reshards can never leak val/test into train. Hash-based
+    * (not random) so the split is stable under reruns, insertions,
+    * and engine changes; md5 is the oracle-parity coin.
+    *
+    * Scale: assignment is map-side (hash + CASE per row); the only
+    * shuffle is the 3-group aggregate, map-side combined. */
+  def splitAssign(t: Tables, trainPpm: Long = 900000L,
+                  valPpm: Long = 50000L): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val d = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .select(
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tok"),
+        when(h < trainPpm, "train")
+          .when(h < trainPpm + valPpm, "val")
+          .otherwise("test").as("split"))
+    // total from the (≤3-row) grouped frame, NOT a second corpus scan
+    val g = d.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_docs")).as("total"))
+    g.crossJoin(tot)
+      .withColumn("share_ppm", expr("n_docs * 1000000 DIV total"))
+      .select(col("split"), col("n_docs"), col("n_tokens"), col("share_ppm"))
+      .orderBy(col("split"))
+  }
 }

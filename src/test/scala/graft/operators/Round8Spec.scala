@@ -270,6 +270,20 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("splitAssign: totals reconcile; degenerate boundaries route all") {
+    val t = docTables((1L to 50L).map(i =>
+      (i, s"tok$i tok${i + 1} tok${i + 2}", "s", "en")))
+    val r = Curation.splitAssign(t)
+      .select("split", "n_docs", "n_tokens", "share_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._2).sum == 50L)           // every doc in exactly one split
+    assert(r.map(_._3).sum == 150L)          // 3 tokens per doc
+    r.foreach { case (_, nd, _, sp) => assert(sp == nd * 1000000L / 50L) }
+    val allTest = Curation.splitAssign(t, trainPpm = 0L, valPpm = 0L)
+      .select("split", "n_docs").as[(String, Long)].collect().toSeq
+    assert(allTest == Seq(("test", 50L)))
+  }
+
   test("softDedup: near-dup clusters share down-weight, singletons keep 1e6") {
     val t = docTables(Seq(
       (1L, "one two three four five", "s", "en"),
