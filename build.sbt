@@ -32,9 +32,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] IS the whole cluster: one JVM hosts driver + all 32
-  // executor threads + every cached/broadcast block. Measured full-
-  // bench totals at 8g vs 24g overlap within the machine's ±30%
-  // run-to-run noise, so the default stays modest; override with
-  // SPARK_DRIVER_MEM for memory-hungry workloads.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // executor threads + every cached/broadcast block. At ~125 queries
+  // a full-suite run fit in 8g; past ~130 the suite's accumulated
+  // footprint (codegen classes, broadcast/cleaner backlog) tips 8g
+  // into GC thrash — measured 215s@8g vs 106s@24g for the identical
+  // suite, with the slowdown concentrated in the allocation-heavy
+  // dedup family. 20g keeps ample headroom on the 128 GB box;
+  // override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // ~136 queries of whole-stage codegen overflow the default 240 MB
+  // JIT code cache mid-suite; when it fills, the JVM disables the
+  // compiler until the sweeper catches up and a contiguous window of
+  // queries runs interpreted (observed as a roving 5-20x slow block
+  // that moves between otherwise-identical runs). 1g holds the whole
+  // suite's compiled kernels.
+  "-XX:ReservedCodeCacheSize=1g",
 )

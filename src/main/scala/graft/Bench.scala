@@ -40,23 +40,36 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => }
       }
     spark.catalog.clearCache()
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case scala.util.control.NonFatal(_) => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // PASS-INTERLEAVED timing: run the whole suite `passes` times and
+    // take each query's min ACROSS passes. Back-to-back reps can't
+    // filter the minutes-long noisy-neighbor CPU-steal windows this
+    // VM exhibits (a window swallows every rep of the queries under
+    // it, and moves between runs — observed as a roving contiguous
+    // 5-20x slow block); with interleaved passes the window lands on
+    // DIFFERENT queries each pass, so the per-query min recovers the
+    // true time. `reps` (within-pass, back-to-back) still smooths
+    // sub-second jitter.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val results = (1 to passes).flatMap { _ =>
+      selected.map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case scala.util.control.NonFatal(_) => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        // operators persist() reused subplans; drop them so later queries
+        // aren't timed under earlier queries' memory pressure. clearCache
+        // only covers DataFrame persists — localCheckpoint blocks (the
+        // iterative operators' FINAL frames, whose blocks ARE the data
+        // and so can't be freed inside the query) live at the RDD layer
+        // and would otherwise accumulate across the whole suite.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        name -> times.min
       }
-      // operators persist() reused subplans; drop them so later queries
-      // aren't timed under earlier queries' memory pressure. clearCache
-      // only covers DataFrame persists — localCheckpoint blocks (the
-      // iterative operators' FINAL frames, whose blocks ARE the data
-      // and so can't be freed inside the query) live at the RDD layer
-      // and would otherwise accumulate across the whole suite.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      name -> times.min
-    }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      .toSeq.sortBy(_._1)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

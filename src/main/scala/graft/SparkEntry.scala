@@ -159,6 +159,8 @@ object SparkEntry {
     "q_lsh_audit"      -> q(Dedup.lshAudit),
     "q_pagerank"       -> q(Components.docPageRank(_)),
     "q_split_assign"   -> q(Curation.splitAssign(_)),
+    "q_centroid_update" -> q(Similarity.centroidUpdate),
+    "q_source_dup_matrix" -> q(Dedup.sourceDupMatrix),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -615,6 +617,19 @@ object SparkEntry {
          |       est.est_ppm - e.exact_ppm AS err_ppm
          |FROM ex e JOIN est ON est.doc_a = e.doc_a AND est.doc_b = e.doc_b
          |ORDER BY e.doc_a, e.doc_b""".stripMargin,
+
+    // near-dup pairs rolled up by unordered source pair
+    "q_source_dup_matrix" ->
+      s"""$minhashOracleCore,
+         |vp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |lab AS (SELECT da.source AS src_a, db.source AS src_b
+         |        FROM vp v JOIN documents da ON da.doc_id = v.doc_a
+         |                  JOIN documents db ON db.doc_id = v.doc_b)
+         |SELECT least(src_a, src_b) AS source_a,
+         |       greatest(src_a, src_b) AS source_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM lab GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin,
 
     // fixed-iteration integer PageRank over the same pair graph; the
     // recursive CTE replays the identical bigint floor arithmetic
@@ -1563,6 +1578,21 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS pass
         |FROM m
         |ORDER BY doc_id""".stripMargin,
+
+    // micro-snap + FLOOR(double division) shared textually with the
+    // Spark plan, so the k-means M-step is byte-stable cross-engine
+    "q_centroid_update" ->
+      """WITH p AS (SELECT CAST(label AS BIGINT) AS label, embedding,
+        |             unnest(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |m AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+        |      FROM p)
+        |SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+        |         AS centroid_micro
+        |FROM m GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
 
     "q_split_assign" ->
       """WITH d AS (SELECT

@@ -273,25 +273,67 @@ object Components extends Logging {
     * localCheckpoint'ed per round and the previous round's blocks are
     * freed, same lineage discipline as [[connectedComponents]]. */
   def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .withColumnRenamed("src", "dnode")
-    val nodes = e.select(col("src").as("node")).distinct()
+      .withColumnRenamed("src", "dnode").persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
     var p = nodes.select(col("node"), lit(1000000L).as("p")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contrib = p.join(e, col("node") === col("src"))
-        .join(deg, col("node") === col("dnode"))
-        .select(col("dst").as("node"), expr("p DIV d").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) +
-            expr("850 * coalesce(s, 0) DIV 1000")).as("p"))
-        .localCheckpoint()
-      freeCheckpoint(p)
-      p = next
+    // Same loop discipline as connectedComponents: size the per-round
+    // shuffles to the rank frame (not the session default), and on
+    // small graphs broadcast the node-sized sides + switch AQE off so
+    // each round is one classically-scheduled job — per-round
+    // SCHEDULING, not data, dominates tiny-graph loops.
+    val nNodes = p.count()
+    val parts = math.max(8L, math.min(20000L, nNodes / 250000L + 1)).toInt
+    val small = nNodes < 4000000L
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    if (small) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // Checkpoint every 4th round, not every round: each checkpoint
+      // is a driver-scheduled materialization job, and on small graphs
+      // per-round JOB LATENCY (not data) is the whole cost. In between,
+      // rounds stay lazy — Spark executes the nested plan as one query
+      // with one shuffle stage per round. Depth stays bounded (≤4
+      // rounds ≈ a dozen operators), so analysis cost never compounds
+      // the way an unbounded iterative lineage would.
+      var lastCkpt = p
+      var sinceCkpt = 0
+      for (i <- 1 to iters) {
+        val contrib = e.join(hint(p), col("node") === col("src"))
+          .join(hint(deg), col("node") === col("dnode"))
+          .select(col("dst").as("node"), expr("p DIV d").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        p = nodes.join(hint(contrib), Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) +
+              expr("850 * coalesce(s, 0) DIV 1000")).as("p"))
+        sinceCkpt += 1
+        if (sinceCkpt >= 4 && i < iters) {
+          p = p.localCheckpoint()
+          freeCheckpoint(lastCkpt)
+          lastCkpt = p
+          sinceCkpt = 0
+        }
+      }
+      // Materialize the FINAL frame before releasing the loop state:
+      // after this, only the returned frame's blocks stay cached (same
+      // contract as connectedComponents — the caller owns its
+      // lifetime), never the edge/degree scaffolding.
+      if (sinceCkpt > 0) {
+        p = p.localCheckpoint()
+        freeCheckpoint(lastCkpt)
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      deg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      freeCheckpoint(e)
     }
-    e.unpersist()
     p
   }
 

@@ -569,6 +569,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source DUPLICATION MATRIX: verified near-dup pairs rolled
+    * up by unordered (source, source) — the provenance dashboard that
+    * shows which sources mirror which (news syndication, crawl
+    * overlap) and whether dedup should run within or across sources.
+    *
+    * Scale: the pair frame is a vanishing fraction of the corpus, so
+    * both source lookups BROADCAST the pairs and stream the documents
+    * table map-side — the corpus never shuffles. */
+  def sourceDupMatrix(t: Tables): DataFrame = {
+    val pairs = minhash(t).select(col("doc_a"), col("doc_b"))
+    val src = t.documents.select(col("doc_id"), col("source"))
+    broadcast(pairs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
   /** SoftDeDup-style REWEIGHTING (keep every document, down-weight
     * duplicates): sampling weight = 1e6 / near-dup-cluster-size ppm,
     * so a cluster of k near-copies contributes ~one document's worth

@@ -203,4 +203,29 @@ object Similarity {
         col("sum_micro").cast("double") / (col("n_vals") * 1000000L).cast("double"))
       .orderBy(col("dim"))
   }
+
+  /** Exact k-means M-STEP (centroid update): per (label, dim) the mean
+    * of the micro-snapped embedding values, floored back to micro
+    * units — the aggregation half of Lloyd's algorithm with every
+    * intermediate exact (sums of micro ints < 2⁵³, final FLOOR over an
+    * IEEE-exact double division shared textually with the oracle).
+    * The IVF path ([[knnIvf]]) runs this same shape with xxhash-seeded
+    * floats; this oracled twin pins the aggregation's semantics.
+    *
+    * Scale: one shuffle of (label, dim, partial sum/count) — map-side
+    * partial agg collapses each scan partition to k·dims rows, so the
+    * wire carries CENTROID-table-sized state, not vectors. */
+  def centroidUpdate(t: Tables): DataFrame = {
+    val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
+    t.embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), m.as("m"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("s"))
+      .withColumn("centroid_micro",
+        expr("CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+      .select(col("label"), col("dim"), col("n"), col("centroid_micro"))
+      .orderBy(col("label"), col("dim"))
+  }
 }

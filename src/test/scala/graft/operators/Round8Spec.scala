@@ -284,6 +284,34 @@ class Round8Spec extends SparkSpec {
     assert(allTest == Seq(("test", 50L)))
   }
 
+  test("centroidUpdate: exact micro means, FLOOR is toward -inf") {
+    val t = embTables(Seq(
+      (1L, Seq(1.0f, -1.0f), 1),
+      (2L, Seq(0.5f, 0.000001f), 1),  // dim1 snaps to 1 micro
+      (3L, Seq(2.0f, 2.0f), 2)))
+    val r = Similarity.centroidUpdate(t)
+      .select("label", "dim", "n", "centroid_micro")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 0, 2L, 750000L),   // (1000000 + 500000) / 2
+      (1L, 1, 2L, -500000L),  // (-1000000 + 1) / 2 = -499999.5 → FLOOR -500000
+      (2L, 0, 1L, 2000000L),
+      (2L, 1, 1L, 2000000L)))
+  }
+
+  test("sourceDupMatrix: pairs roll up by unordered source pair") {
+    val dup = "one two three four five six"
+    val t = docTables(Seq(
+      (1L, dup, "B", "en"), (2L, dup, "B", "en"), (3L, dup, "B", "en"),
+      (4L, "alpha beta gamma delta epsilon", "A", "en"),
+      (5L, "alpha beta gamma delta epsilon", "B", "en"),
+      (6L, "lone wolf text here", "C", "en")))
+    val r = Dedup.sourceDupMatrix(t)
+      .select("source_a", "source_b", "n_pairs")
+      .as[(String, String, Long)].collect().toSeq
+    assert(r == Seq(("B", "B", 3L), ("A", "B", 1L)))
+  }
+
   test("softDedup: near-dup clusters share down-weight, singletons keep 1e6") {
     val t = docTables(Seq(
       (1L, "one two three four five", "s", "en"),
