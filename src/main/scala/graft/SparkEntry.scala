@@ -161,6 +161,7 @@ object SparkEntry {
     "q_split_assign"   -> q(Curation.splitAssign(_)),
     "q_centroid_update" -> q(Similarity.centroidUpdate),
     "q_source_dup_matrix" -> q(Dedup.sourceDupMatrix),
+    "q_substr_dedup"   -> q(Dedup.substrDedup(_)),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -617,6 +618,33 @@ object SparkEntry {
          |       est.est_ppm - e.exact_ppm AS err_ppm
          |FROM ex e JOIN est ON est.doc_a = e.doc_a AND est.doc_b = e.doc_b
          |ORDER BY e.doc_a, e.doc_b""".stripMargin,
+
+    // Lee-et-al-style exact duplicated-passage removal: any token
+    // covered by a corpus-repeated 10-gram is removed except the
+    // globally-first occurrence (MIN doc_id*1e6+pos keeper)
+    "q_substr_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tok),
+        |g AS (SELECT doc_id, i, md5(array_to_string(l[i:i+9], ' ')) AS h
+        |      FROM p WHERE i + 9 <= len(l)),
+        |d AS (SELECT h, COUNT(*) AS c,
+        |             MIN(doc_id * 1000000 + i) AS keep
+        |      FROM g GROUP BY h HAVING COUNT(*) > 1),
+        |cov AS (SELECT DISTINCT g.doc_id,
+        |               unnest(generate_series(g.i, g.i + 9)) AS ci
+        |        FROM g JOIN d ON g.h = d.h
+        |        WHERE g.doc_id * 1000000 + g.i <> d.keep),
+        |kept AS (SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |                string_agg(p.l[p.i], ' ' ORDER BY p.i) AS cleaned
+        |         FROM p LEFT JOIN cov
+        |           ON p.doc_id = cov.doc_id AND p.i = cov.ci
+        |         WHERE cov.ci IS NULL
+        |         GROUP BY p.doc_id)
+        |SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tok,
+        |       CAST(len(t.l) AS BIGINT) - COALESCE(kept.n_kept, 0) AS n_removed,
+        |       COALESCE(kept.cleaned, '') AS cleaned
+        |FROM tok t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // near-dup pairs rolled up by unordered source pair
     "q_source_dup_matrix" ->

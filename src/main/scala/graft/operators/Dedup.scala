@@ -569,6 +569,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicated-PASSAGE removal (the Spark re-expression of
+    * Lee et al. 2022's suffix-array ExactSubstr dedup): every token
+    * covered by a k-gram that appears elsewhere in the corpus is
+    * removed, EXCEPT the globally-first occurrence of each duplicated
+    * gram (keep-one semantics — min (doc_id, pos) keeper, encoded as
+    * doc_id·10⁶+pos so one bigint MIN finds it). Unlike
+    * [[blockDedup]]'s aligned fixed blocks, coverage here is
+    * UNALIGNED: any sliding k-window that repeats marks its span.
+    *
+    * Scale: the gram table shuffles once on the gram hash (count +
+    * keeper MIN are map-side partial aggs), occurrences of duplicated
+    * grams join back by hash (linear in grams), and coverage expands
+    * each duplicated occurrence to k positions — bounded by k·n; a
+    * 100 TB run would merge per-doc intervals (one window pass over
+    * span starts) instead of exploding positions, same downstream
+    * shape. Reassembly is the one corpus-sized shuffle, identical to
+    * [[TextAnalysis.vocabPrune]]'s. */
+  def substrDedup(t: Tables, k: Int = 10): DataFrame = {
+    val docs = spread(t.documents.select(col("doc_id"), col("text")))
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val tk = docs.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("i"), col("tok"))
+    val grams = docs.filter(col("n") >= k) // shorter docs hold no k-gram
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
+          i => struct(i.cast("long").as("i"),
+            md5(concat_ws(" ", slice(col("toks"), i, lit(k)))).as("h"))))
+          .as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+    val dup = grams
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(col("doc_id") * 1000000L + col("i")).as("keep"))
+      .filter(col("c") > 1)
+    val covered = grams.join(dup, Seq("h"))
+      .filter(col("doc_id") * 1000000L + col("i") =!= col("keep"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("ci"))
+      .distinct()
+    val kept = tk.join(covered,
+        tk("doc_id") === covered("doc_id") && tk("i") === covered("ci"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("i"), col("tok")))),
+          _.getField("tok")), " ").as("cleaned"))
+    docs.select(col("doc_id"), col("n").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-source DUPLICATION MATRIX: verified near-dup pairs rolled
     * up by unordered (source, source) — the provenance dashboard that
     * shows which sources mirror which (news syndication, crawl

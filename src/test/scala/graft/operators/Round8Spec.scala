@@ -312,6 +312,23 @@ class Round8Spec extends SparkSpec {
     assert(r == Seq(("B", "B", 3L), ("A", "B", 1L)))
   }
 
+  test("substrDedup: keep-first passage removal, unaligned coverage") {
+    val a = (1 to 20).map(j => s"a$j")
+    val t = docTables(Seq(
+      (1L, a.mkString(" "), "s", "en"),                       // keeper copy
+      (2L, a.mkString(" "), "s", "en"),                       // exact dup → emptied
+      // interior 12-token run a5..a16 at a different offset → unaligned hit
+      (3L, ("b1 b2 " + a.slice(4, 16).mkString(" ") + " c1 c2"), "s", "en"),
+      (4L, "short doc under ten tokens here now", "s", "en"))) // n<k untouched
+    val r = Dedup.substrDedup(t)
+      .select("doc_id", "n_tok", "n_removed", "cleaned")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r(0) == ((1L, 20L, 0L, a.mkString(" "))))  // first occurrence kept
+    assert(r(1) == ((2L, 20L, 20L, "")))              // full duplicate removed
+    assert(r(2) == ((3L, 16L, 12L, "b1 b2 c1 c2")))   // only the shared run cut
+    assert(r(3)._3 == 0L)                             // too short to match
+  }
+
   test("softDedup: near-dup clusters share down-weight, singletons keep 1e6") {
     val t = docTables(Seq(
       (1L, "one two three four five", "s", "en"),
