@@ -162,6 +162,7 @@ object SparkEntry {
     "q_centroid_update" -> q(Similarity.centroidUpdate),
     "q_source_dup_matrix" -> q(Dedup.sourceDupMatrix),
     "q_substr_dedup"   -> q(Dedup.substrDedup(_)),
+    "q_span_islands"   -> q(Dedup.spanIslands(_)),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -645,6 +646,38 @@ object SparkEntry {
         |       COALESCE(kept.cleaned, '') AS cleaned
         |FROM tok t LEFT JOIN kept ON t.doc_id = kept.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // gaps-and-islands merge of the same duplicated-gram spans: the
+    // interval-endpoint twin of q_substr_dedup's position explosion
+    "q_span_islands" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tok),
+        |g AS (SELECT doc_id, i, md5(array_to_string(l[i:i+9], ' ')) AS h
+        |      FROM p WHERE i + 9 <= len(l)),
+        |d AS (SELECT h, COUNT(*) AS c,
+        |             MIN(doc_id * 1000000 + i) AS keep
+        |      FROM g GROUP BY h HAVING COUNT(*) > 1),
+        |sp AS (SELECT g.doc_id, g.i AS s, g.i + 9 AS e
+        |       FROM g JOIN d ON g.h = d.h
+        |       WHERE g.doc_id * 1000000 + g.i <> d.keep),
+        |mx AS (SELECT doc_id, s, e,
+        |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_max
+        |       FROM sp),
+        |isl AS (SELECT doc_id, s, e,
+        |          SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+        |                   THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |        FROM mx),
+        |agg AS (SELECT doc_id, island, COUNT(*) AS nsp,
+        |               MIN(s) AS i_s, MAX(e) AS i_e
+        |        FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, CAST(SUM(nsp) AS BIGINT) AS n_spans,
+        |       CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |       CAST(SUM(i_e - i_s + 1) AS BIGINT) AS covered_tok
+        |FROM agg GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // near-dup pairs rolled up by unordered source pair
     "q_source_dup_matrix" ->

@@ -626,6 +626,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated-span INTERVAL MERGE — the gaps-and-islands pass that
+    * [[substrDedup]]'s scale path runs instead of exploding positions:
+    * raw k-gram spans (non-keeper occurrences of corpus-duplicated
+    * grams) collapse to their per-doc interval UNION with one window
+    * over span starts (island opens where start > running max(end)).
+    * Emits per-doc raw-span vs island counts and the covered-token
+    * total — the same number substrDedup materializes by exploding,
+    * here computed from interval endpoints only.
+    *
+    * Scale: spans per doc ≪ positions per doc; the window sorts spans
+    * within doc partitions — one skinny shuffle after the gram-hash
+    * agg, nothing k-expanded ever moves. */
+  def spanIslands(t: Tables, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spread(t.documents.select(col("doc_id"), col("text")))
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val grams = docs.filter(col("n") >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
+          i => struct(i.cast("long").as("i"),
+            md5(concat_ws(" ", slice(col("toks"), i, lit(k)))).as("h"))))
+          .as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(col("doc_id") * 1000000L + col("i")).as("keep"))
+      .filter(col("c") > 1)
+    val spans = grams.join(dup, Seq("h"))
+      .filter(col("doc_id") * 1000000L + col("i") =!= col("keep"))
+      .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    spans
+      .withColumn("prev_max",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("nsp"), min(col("s")).as("is"), max(col("e")).as("ie"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nsp")).as("n_spans"),
+        count(lit(1)).as("n_islands"),
+        sum(col("ie") - col("is") + 1).as("covered_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-source DUPLICATION MATRIX: verified near-dup pairs rolled
     * up by unordered (source, source) — the provenance dashboard that
     * shows which sources mirror which (news syndication, crawl

@@ -329,6 +329,25 @@ class Round8Spec extends SparkSpec {
     assert(r(3)._3 == 0L)                             // too short to match
   }
 
+  test("spanIslands: interval union matches substrDedup's removed counts") {
+    val a = (1 to 20).map(j => s"a$j")
+    val t = docTables(Seq(
+      (1L, a.mkString(" "), "s", "en"),
+      (2L, a.mkString(" "), "s", "en"),
+      (3L, ("b1 b2 " + a.slice(4, 16).mkString(" ") + " c1 c2"), "s", "en"),
+      (4L, "short doc under ten tokens here now", "s", "en")))
+    val r = Dedup.spanIslands(t)
+      .select("doc_id", "n_spans", "n_islands", "covered_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc1 holds every keeper, doc4 is sub-k: neither emits spans
+    assert(r == Seq((2L, 11L, 1L, 20L), (3L, 3L, 1L, 12L)))
+    // the interval union equals what substrDedup actually removed
+    val removed = Dedup.substrDedup(t)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect()
+      .filter(_._2 > 0).toSeq
+    assert(removed == r.map(x => (x._1, x._4)))
+  }
+
   test("softDedup: near-dup clusters share down-weight, singletons keep 1e6") {
     val t = docTables(Seq(
       (1L, "one two three four five", "s", "en"),
