@@ -163,6 +163,7 @@ object SparkEntry {
     "q_source_dup_matrix" -> q(Dedup.sourceDupMatrix),
     "q_substr_dedup"   -> q(Dedup.substrDedup(_)),
     "q_span_islands"   -> q(Dedup.spanIslands(_)),
+    "q_pq_encode"      -> q(Similarity.pqEncode(_)),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -1639,6 +1640,40 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS pass
         |FROM m
         |ORDER BY doc_id""".stripMargin,
+
+    // PQ codebook + encode: md5-seeded partition → exact M-step →
+    // nearest centroid by exact integer squared distance
+    "q_pq_encode" ->
+      """WITH p AS (SELECT vec_id, embedding,
+        |             unnest(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |v AS (SELECT vec_id,
+        |        CAST((i - 1) // 8 AS BIGINT) AS s,
+        |        CAST((i - 1) % 8 AS BIGINT) AS sd,
+        |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+        |      FROM p),
+        |sv AS (SELECT v.*,
+        |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':'
+        |            || CAST(s AS VARCHAR)), 1, 8))::BIGINT % 16 AS c
+        |       FROM v),
+        |cent AS (SELECT s, c, sd,
+        |           CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |                AS BIGINT) AS cm
+        |         FROM sv GROUP BY s, c, sd),
+        |d AS (SELECT v.vec_id, v.s, cent.c,
+        |        CAST(SUM((v.m - cent.cm) * (v.m - cent.cm)) AS BIGINT) AS d2
+        |      FROM v JOIN cent ON v.s = cent.s AND v.sd = cent.sd
+        |      GROUP BY v.vec_id, v.s, cent.c),
+        |best AS (SELECT vec_id, s, c, d2,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |                              ORDER BY d2, c) AS rn
+        |         FROM d)
+        |SELECT vec_id,
+        |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS code,
+        |       CAST(SUM(d2) AS BIGINT) AS err_micro2
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
 
     // micro-snap + FLOOR(double division) shared textually with the
     // Spark plan, so the k-means M-step is byte-stable cross-engine

@@ -215,6 +215,59 @@ object Similarity {
     * Scale: one shuffle of (label, dim, partial sum/count) — map-side
     * partial agg collapses each scan partition to k·dims rows, so the
     * wire carries CENTROID-table-sized state, not vectors. */
+  /** Product-Quantization ENCODE (Jégou et al. 2011 — the codebook +
+    * code-assignment pass an IVF-PQ index build runs): the 64-d
+    * embedding splits into 8 contiguous 8-d subspaces; each subspace
+    * trains 16 centroids with ONE exact M-step over a deterministic
+    * md5-seeded partition (both engines flip the same coin), then
+    * every vector is encoded as its nearest centroid per subspace
+    * (exact integer micro squared-distance, centroid-id tie-break).
+    * Emits the 8-code string and the total quantization error — 64
+    * floats compress to 8 nibbles, the 8× memory cut that makes
+    * billion-vector ANN fit RAM.
+    *
+    * Everything is engine-exact: micro-snapped inputs, bigint
+    * squared distances (≤ 8·(2·6·10⁶)² ≈ 10¹⁵ < 2⁵³), centroids via
+    * the shared FLOOR(double-division) text, argmin by (dist, c).
+    *
+    * Scale: codebook state is (8 subspaces × 16 × 8 dims) — broadcast
+    * always; the encode join replicates each value row 16× BEFORE its
+    * partial agg collapses it back, so the only corpus-sized shuffle
+    * is the per-(vec, subspace) distance aggregate. */
+  def pqEncode(t: Tables, dimsPerSub: Int = 8, nCent: Int = 16): DataFrame = {
+    val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
+    val vals = t.embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"),
+        expr(s"CAST(dim DIV $dimsPerSub AS BIGINT)").as("s"),
+        expr(s"CAST(dim % $dimsPerSub AS BIGINT)").as("sd"),
+        m.as("m"))
+    val seed = conv(substring(md5(concat(col("vec_id").cast("string"),
+      lit(":"), col("s").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % nCent
+    val cent = vals
+      .withColumn("c", seed)
+      .groupBy(col("s"), col("c"), col("sd"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("sm"))
+      .select(col("s"), col("c"), col("sd"),
+        expr("CAST(FLOOR(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
+          .as("cm"))
+    val dist = vals.join(broadcast(cent), Seq("s", "sd"))
+      .groupBy(col("vec_id"), col("s"), col("c"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2"), col("c"))
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("s"), col("c")))),
+          _.getField("c").cast("string")), ",").as("code"),
+        sum(col("d2")).as("err_micro2"))
+      .orderBy(col("vec_id"))
+  }
+
   def centroidUpdate(t: Tables): DataFrame = {
     val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
     t.embeddings

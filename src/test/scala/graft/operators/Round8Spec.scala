@@ -348,6 +348,27 @@ class Round8Spec extends SparkSpec {
     assert(removed == r.map(x => (x._1, x._4)))
   }
 
+  test("pqEncode: identical vectors quantize losslessly; codes well-formed") {
+    val v = Seq.fill(16)(0.25f)
+    val same = embTables((1L to 20L).map(i => (i, v, 1)))
+    val enc = Similarity.pqEncode(same)
+      .select("vec_id", "code", "err_micro2")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(enc.size == 20)
+    enc.foreach { case (_, code, err) =>
+      assert(err == 0L)                      // centroid == the shared subvector
+      val parts = code.split(",")
+      assert(parts.length == 2)              // 16 dims / 8 per subspace
+      parts.foreach(p => assert(p.toInt >= 0 && p.toInt < 16))
+    }
+    val rng = new scala.util.Random(11)
+    val mixed = embTables((1L to 30L).map(i =>
+      (i, Seq.fill(16)(rng.nextGaussian().toFloat), 1)))
+    val enc2 = Similarity.pqEncode(mixed)
+      .select("err_micro2").as[Long].collect()
+    assert(enc2.forall(_ >= 0L) && enc2.exists(_ > 0L))
+  }
+
   test("softDedup: near-dup clusters share down-weight, singletons keep 1e6") {
     val t = docTables(Seq(
       (1L, "one two three four five", "s", "en"),
