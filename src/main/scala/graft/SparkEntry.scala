@@ -164,6 +164,7 @@ object SparkEntry {
     "q_substr_dedup"   -> q(Dedup.substrDedup(_)),
     "q_span_islands"   -> q(Dedup.spanIslands(_)),
     "q_pq_encode"      -> q(Similarity.pqEncode(_)),
+    "q_pq_adc"         -> q(Similarity.pqAdcKnn(_)),
     "q_partial_reagg"  -> q(Analytics.partialReagg),
     "q_quantize"       -> q(Similarity.quantizeInt8),
     "q_scd2"           -> q(EventAnalytics.scd2(_)),
@@ -215,6 +216,35 @@ object SparkEntry {
       |        a.aa AS aa, b.aa AS bb
       |      FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id),
       |s AS (SELECT id_a, id_b, ${operators.Dedup.cosPpmSql} AS cos_ppm FROM p)""".stripMargin
+
+  /** Shared PQ CTEs (subvector micro values → seeded codebook → exact
+    * per-centroid distances → per-subspace best code); extended by
+    * q_pq_encode and q_pq_adc. */
+  private lazy val pqOracleCore: String =
+    """WITH p AS (SELECT vec_id, embedding,
+      |             unnest(generate_series(1, len(embedding))) AS i
+      |           FROM embeddings),
+      |v AS (SELECT vec_id,
+      |        CAST((i - 1) // 8 AS BIGINT) AS s,
+      |        CAST((i - 1) % 8 AS BIGINT) AS sd,
+      |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+      |      FROM p),
+      |sv AS (SELECT v.*,
+      |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||
+      |            CAST(s AS VARCHAR)), 1, 8))::BIGINT % 16 AS c
+      |       FROM v),
+      |cent AS (SELECT s, c, sd,
+      |           CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |                AS BIGINT) AS cm
+      |         FROM sv GROUP BY s, c, sd),
+      |d AS (SELECT v.vec_id, v.s, cent.c,
+      |        CAST(SUM((v.m - cent.cm) * (v.m - cent.cm)) AS BIGINT) AS d2
+      |      FROM v JOIN cent ON v.s = cent.s AND v.sd = cent.sd
+      |      GROUP BY v.vec_id, v.s, cent.c),
+      |best AS (SELECT vec_id, s, c, d2,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |                              ORDER BY d2, c) AS rn
+      |         FROM d)""".stripMargin
 
   private lazy val minhashOracleCore: String = {
     val perms = graft.operators.Dedup.mixConstants(32).zipWithIndex
@@ -1644,36 +1674,36 @@ object SparkEntry {
     // PQ codebook + encode: md5-seeded partition → exact M-step →
     // nearest centroid by exact integer squared distance
     "q_pq_encode" ->
-      """WITH p AS (SELECT vec_id, embedding,
-        |             unnest(generate_series(1, len(embedding))) AS i
-        |           FROM embeddings),
-        |v AS (SELECT vec_id,
-        |        CAST((i - 1) // 8 AS BIGINT) AS s,
-        |        CAST((i - 1) % 8 AS BIGINT) AS sd,
-        |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
-        |      FROM p),
-        |sv AS (SELECT v.*,
-        |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':'
-        |            || CAST(s AS VARCHAR)), 1, 8))::BIGINT % 16 AS c
-        |       FROM v),
-        |cent AS (SELECT s, c, sd,
-        |           CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-        |                AS BIGINT) AS cm
-        |         FROM sv GROUP BY s, c, sd),
-        |d AS (SELECT v.vec_id, v.s, cent.c,
-        |        CAST(SUM((v.m - cent.cm) * (v.m - cent.cm)) AS BIGINT) AS d2
-        |      FROM v JOIN cent ON v.s = cent.s AND v.sd = cent.sd
-        |      GROUP BY v.vec_id, v.s, cent.c),
-        |best AS (SELECT vec_id, s, c, d2,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
-        |                              ORDER BY d2, c) AS rn
-        |         FROM d)
-        |SELECT vec_id,
-        |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS code,
-        |       CAST(SUM(d2) AS BIGINT) AS err_micro2
-        |FROM best WHERE rn = 1
-        |GROUP BY vec_id
-        |ORDER BY vec_id""".stripMargin,
+      s"""$pqOracleCore
+         |SELECT vec_id,
+         |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS code,
+         |       CAST(SUM(d2) AS BIGINT) AS err_micro2
+         |FROM best WHERE rn = 1
+         |GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
+
+    // ADC search over the same codes: per-query LUT of exact centroid
+    // distances, database distance = sum of 8 table lookups
+    "q_pq_adc" ->
+      s"""$pqOracleCore,
+         |codes AS (SELECT vec_id, s, c FROM best WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, s, sd, m FROM v WHERE vec_id < 10),
+         |lut AS (SELECT q.query_id, q.s, cent.c,
+         |          CAST(SUM((q.m - cent.cm) * (q.m - cent.cm)) AS BIGINT) AS ld
+         |        FROM q JOIN cent ON q.s = cent.s AND q.sd = cent.sd
+         |        GROUP BY q.query_id, q.s, cent.c),
+         |adc AS (SELECT l.query_id, codes.vec_id,
+         |          CAST(SUM(l.ld) AS BIGINT) AS adist
+         |        FROM codes JOIN lut l ON codes.s = l.s AND codes.c = l.c
+         |        WHERE codes.vec_id <> l.query_id
+         |        GROUP BY l.query_id, codes.vec_id),
+         |rk AS (SELECT query_id, vec_id, adist,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY adist, vec_id) AS BIGINT) AS rank
+         |       FROM adc)
+         |SELECT query_id, rank, vec_id AS neighbor_id, adist
+         |FROM rk WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // micro-snap + FLOOR(double division) shared textually with the
     // Spark plan, so the k-means M-step is byte-stable cross-engine

@@ -234,7 +234,11 @@ object Similarity {
     * always; the encode join replicates each value row 16× BEFORE its
     * partial agg collapses it back, so the only corpus-sized shuffle
     * is the per-(vec, subspace) distance aggregate. */
-  def pqEncode(t: Tables, dimsPerSub: Int = 8, nCent: Int = 16): DataFrame = {
+  /** Shared PQ pipeline state: micro-snapped subvector values, the
+    * md5-seeded one-M-step codebook, and each vector's per-subspace
+    * code (nearest centroid by exact integer distance). */
+  private def pqParts(t: Tables, dimsPerSub: Int, nCent: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
     val vals = t.embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -252,20 +256,59 @@ object Similarity {
       .select(col("s"), col("c"), col("sd"),
         expr("CAST(FLOOR(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
           .as("cm"))
-    val dist = vals.join(broadcast(cent), Seq("s", "sd"))
-      .groupBy(col("vec_id"), col("s"), col("c"))
-      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("s"))
       .orderBy(col("d2"), col("c"))
-    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("vec_id"))
+    val codes = vals.join(broadcast(cent), Seq("s", "sd"))
+      .groupBy(col("vec_id"), col("s"), col("c"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("c"), col("d2"))
+    (vals, cent, codes)
+  }
+
+  def pqEncode(t: Tables, dimsPerSub: Int = 8, nCent: Int = 16): DataFrame = {
+    val (_, _, codes) = pqParts(t, dimsPerSub, nCent)
+    codes.groupBy(col("vec_id"))
       .agg(
         array_join(transform(
           sort_array(collect_list(struct(col("s"), col("c")))),
           _.getField("c").cast("string")), ",").as("code"),
         sum(col("d2")).as("err_micro2"))
       .orderBy(col("vec_id"))
+  }
+
+  /** PQ ADC top-k search (the query half of an IVF-PQ index): each
+    * query builds a lookup table of exact integer distances from its
+    * subvectors to every centroid, and a database vector's
+    * approximate distance is the SUM OF 8 TABLE LOOKUPS over its
+    * code — the asymmetric distance computation that scans a
+    * billion-vector index without touching a float vector. Top-k per
+    * query by (adc distance, neighbor id).
+    *
+    * Scale: the LUT is (queries × subspaces × nCent) — broadcast; the
+    * code table joins it map-side and the per-(query, vector) sum is
+    * the only shuffle. Exactness: same micro/bigint arithmetic as
+    * [[pqEncode]], so the oracle replays every lookup. */
+  def pqAdcKnn(t: Tables, k: Int = 5, nQueries: Int = 10,
+               dimsPerSub: Int = 8, nCent: Int = 16): DataFrame = {
+    val (vals, cent, codes) = pqParts(t, dimsPerSub, nCent)
+    val lut = vals.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cent), Seq("s", "sd"))
+      .groupBy(col("query_id"), col("s"), col("c"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("ld"))
+    val adc = codes.join(broadcast(lut), Seq("s", "c"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("ld")).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   def centroidUpdate(t: Tables): DataFrame = {
