@@ -1762,9 +1762,9 @@ object SparkEntry {
         |      FROM tk GROUP BY tok),
         |tot AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM c)
         |SELECT tok, cnt_a, cnt_b,
-        |       cnt_a * 1000000 // tot_a AS ppm_a,
-        |       cnt_b * 1000000 // tot_b AS ppm_b,
-        |       cnt_a * 1000000 // tot_a - cnt_b * 1000000 // tot_b AS drift
+        |       CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS ppm_a,
+        |       CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS ppm_b,
+        |       CAST(cnt_a * 1000000 // tot_a - cnt_b * 1000000 // tot_b AS BIGINT) AS drift
         |FROM c, tot
         |ORDER BY abs(cnt_a * 1000000 // tot_a - cnt_b * 1000000 // tot_b) DESC, tok
         |LIMIT 30""".stripMargin,

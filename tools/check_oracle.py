@@ -24,12 +24,32 @@ def norm(v):
 fails = []
 for name, sql in sorted(oracle.items()):
     try:
-        exp = con.execute(sql).fetchall()
-        exp_cols = [d[0] for d in con.description]
+        exp_rel = con.execute(sql)
+        exp_arrow = exp_rel.fetch_arrow_table()
+        exp = [tuple(r.values()) for r in exp_arrow.to_pylist()]
+        exp_cols = exp_arrow.column_names
+        exp_types = {c: str(exp_arrow.schema.field(c).type) for c in exp_cols}
         got_rel = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        got = got_rel.fetchall()
-        got_cols = [d[0] for d in con.description]
+        got_arrow = got_rel.fetch_arrow_table()
+        got = [tuple(r.values()) for r in got_arrow.to_pylist()]
+        got_cols = got_arrow.column_names
+        got_types = {c: str(got_arrow.schema.field(c).type) for c in got_cols}
+        # the driver hashes TYPED Arrow values: a DuckDB HUGEINT
+        # (decimal128) vs Spark BIGINT diverges even on equal values.
+        # Only flag decimal-vs-nondecimal — the one class that has
+        # actually burned us (q_embed_stats r7, q_word_drift r8).
+        type_mismatch = [
+            c for c in exp_cols
+            if c in got_types
+            and exp_types[c].startswith("decimal") != got_types[c].startswith("decimal")
+        ]
+        if type_mismatch:
+            fails.append(name)
+            print(f"FAIL {name}: TYPE mismatch "
+                  + ", ".join(f"{c}: duck={exp_types[c]} spark={got_types[c]}"
+                              for c in type_mismatch))
+            continue
         # driver sorts columns by name before hashing
         ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
         gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
