@@ -679,13 +679,16 @@ object Dedup {
     * shows which sources mirror which (news syndication, crawl
     * overlap) and whether dedup should run within or across sources.
     *
-    * Scale: the pair frame is a vanishing fraction of the corpus, so
-    * both source lookups BROADCAST the pairs and stream the documents
-    * table map-side — the corpus never shuffles. */
+    * Scale: the pair frame is data-dependent — on a duplicate-heavy
+    * web corpus it can hold 20-50% of doc ids, far past any broadcast
+    * cap — so NO broadcast hint: the lookups are plain equi-joins on
+    * doc id (two skinny shuffles of (id, source) pairs), and AQE
+    * converts them to broadcasts at runtime whenever the measured
+    * pair frame actually fits. */
   def sourceDupMatrix(t: Tables): DataFrame = {
     val pairs = minhash(t).select(col("doc_a"), col("doc_b"))
     val src = t.documents.select(col("doc_id"), col("source"))
-    broadcast(pairs)
+    pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
         Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
@@ -697,18 +700,6 @@ object Dedup {
       .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
   }
 
-  /** SoftDeDup-style REWEIGHTING (keep every document, down-weight
-    * duplicates): sampling weight = 1e6 / near-dup-cluster-size ppm,
-    * so a cluster of k near-copies contributes ~one document's worth
-    * of training mass instead of k — the gentler alternative to
-    * removal when near-dups still carry signal (cf. SlimPajama /
-    * soft dedup ablations). Built on [[dedupClusters]]' verified
-    * MinHash pair graph + component closure; docs outside any pair
-    * keep weight 1e6.
-    *
-    * Scale: the cluster frame is PAIR-GRAPH-sized (a vanishing
-    * fraction of the corpus), so the weight join back to documents
-    * broadcasts; corpus rows never shuffle for their weight. */
   /** LSH estimator ACCURACY AUDIT: for every shipped near-dup pair,
     * the MinHash signature estimate of Jaccard (matching slots / 32,
     * in ppm) against the exact shingle-set Jaccard (∩·1e6 DIV ∪) and
@@ -718,11 +709,14 @@ object Dedup {
     *
     * Scale: audits only the VERIFIED pairs (pair-graph-sized), joining
     * signatures and shingle sets back by doc id — equi-joins on ids,
-    * never a second pass over candidate generation. */
+    * never a second pass over candidate generation. `sh` is NOT
+    * persisted: recomputing the narrow shingle map for its two join
+    * uses is cheaper than pinning a corpus-sized cache frame (and a
+    * lazily-returned plan has no safe point to unpersist it). */
   def lshAudit(t: Tables): DataFrame = {
     val pairs = minhashPairs(t.documents, shingleHash = md5Hash31,
       bandKeyOf = bandKeysStr).select(col("doc_a"), col("doc_b"))
-    val sh = shingled(t.documents, 3).persist()
+    val sh = shingled(t.documents, 3)
     val sig = minhashSignatures(sh, 32, md5Hash31)
     pairs
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
@@ -742,10 +736,24 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SoftDeDup-style REWEIGHTING (keep every document, down-weight
+    * duplicates): sampling weight = 1e6 / near-dup-cluster-size ppm,
+    * so a cluster of k near-copies contributes ~one document's worth
+    * of training mass instead of k — the gentler alternative to
+    * removal when near-dups still carry signal (cf. SlimPajama /
+    * soft dedup ablations). Built on [[dedupClusters]]' verified
+    * MinHash pair graph + component closure; docs outside any pair
+    * keep weight 1e6.
+    *
+    * Scale: the cluster frame is data-dependent (20-50% of doc ids on
+    * a duplicate-heavy corpus), so NO broadcast hint — the weight
+    * lookup is a plain left equi-join on doc id (one skinny shuffle of
+    * (id, size) pairs); AQE broadcasts at runtime when the measured
+    * frame fits. */
   def softDedup(t: Tables): DataFrame = {
     val cl = dedupClusters(t).select(col("doc_id"), col("cluster_size"))
     t.documents.select(col("doc_id"))
-      .join(broadcast(cl), Seq("doc_id"), "left")
+      .join(cl, Seq("doc_id"), "left")
       .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
       .withColumn("weight_ppm", expr("1000000 DIV cluster_size"))
       .select(col("doc_id"), col("cluster_size"), col("weight_ppm"))

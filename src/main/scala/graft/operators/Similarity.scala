@@ -204,36 +204,6 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
-  /** Exact k-means M-STEP (centroid update): per (label, dim) the mean
-    * of the micro-snapped embedding values, floored back to micro
-    * units — the aggregation half of Lloyd's algorithm with every
-    * intermediate exact (sums of micro ints < 2⁵³, final FLOOR over an
-    * IEEE-exact double division shared textually with the oracle).
-    * The IVF path ([[knnIvf]]) runs this same shape with xxhash-seeded
-    * floats; this oracled twin pins the aggregation's semantics.
-    *
-    * Scale: one shuffle of (label, dim, partial sum/count) — map-side
-    * partial agg collapses each scan partition to k·dims rows, so the
-    * wire carries CENTROID-table-sized state, not vectors. */
-  /** Product-Quantization ENCODE (Jégou et al. 2011 — the codebook +
-    * code-assignment pass an IVF-PQ index build runs): the 64-d
-    * embedding splits into 8 contiguous 8-d subspaces; each subspace
-    * trains 16 centroids with ONE exact M-step over a deterministic
-    * md5-seeded partition (both engines flip the same coin), then
-    * every vector is encoded as its nearest centroid per subspace
-    * (exact integer micro squared-distance, centroid-id tie-break).
-    * Emits the 8-code string and the total quantization error — 64
-    * floats compress to 8 nibbles, the 8× memory cut that makes
-    * billion-vector ANN fit RAM.
-    *
-    * Everything is engine-exact: micro-snapped inputs, bigint
-    * squared distances (≤ 8·(2·6·10⁶)² ≈ 10¹⁵ < 2⁵³), centroids via
-    * the shared FLOOR(double-division) text, argmin by (dist, c).
-    *
-    * Scale: codebook state is (8 subspaces × 16 × 8 dims) — broadcast
-    * always; the encode join replicates each value row 16× BEFORE its
-    * partial agg collapses it back, so the only corpus-sized shuffle
-    * is the per-(vec, subspace) distance aggregate. */
   /** Shared PQ pipeline state: micro-snapped subvector values, the
     * md5-seeded one-M-step codebook, and each vector's per-subspace
     * code (nearest centroid by exact integer distance). */
@@ -267,6 +237,25 @@ object Similarity {
     (vals, cent, codes)
   }
 
+  /** Product-Quantization ENCODE (Jégou et al. 2011 — the codebook +
+    * code-assignment pass an IVF-PQ index build runs): the 64-d
+    * embedding splits into 8 contiguous 8-d subspaces; each subspace
+    * trains 16 centroids with ONE exact M-step over a deterministic
+    * md5-seeded partition (both engines flip the same coin), then
+    * every vector is encoded as its nearest centroid per subspace
+    * (exact integer micro squared-distance, centroid-id tie-break).
+    * Emits the 8-code string and the total quantization error — 64
+    * floats compress to 8 nibbles, the 8× memory cut that makes
+    * billion-vector ANN fit RAM.
+    *
+    * Everything is engine-exact: micro-snapped inputs, bigint
+    * squared distances (≤ 8·(2·6·10⁶)² ≈ 10¹⁵ < 2⁵³), centroids via
+    * the shared FLOOR(double-division) text, argmin by (dist, c).
+    *
+    * Scale: codebook state is (8 subspaces × 16 × 8 dims) — broadcast
+    * always; the encode join replicates each value row 16× BEFORE its
+    * partial agg collapses it back, so the only corpus-sized shuffle
+    * is the per-(vec, subspace) distance aggregate. */
   def pqEncode(t: Tables, dimsPerSub: Int = 8, nCent: Int = 16): DataFrame = {
     val (_, _, codes) = pqParts(t, dimsPerSub, nCent)
     codes.groupBy(col("vec_id"))
@@ -311,6 +300,17 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact k-means M-STEP (centroid update): per (label, dim) the mean
+    * of the micro-snapped embedding values, floored back to micro
+    * units — the aggregation half of Lloyd's algorithm with every
+    * intermediate exact (sums of micro ints < 2⁵³, final FLOOR over an
+    * IEEE-exact double division shared textually with the oracle).
+    * The IVF path ([[knnIvf]]) runs this same shape with xxhash-seeded
+    * floats; this oracled twin pins the aggregation's semantics.
+    *
+    * Scale: one shuffle of (label, dim, partial sum/count) — map-side
+    * partial agg collapses each scan partition to k·dims rows, so the
+    * wire carries CENTROID-table-sized state, not vectors. */
   def centroidUpdate(t: Tables): DataFrame = {
     val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
     t.embeddings
