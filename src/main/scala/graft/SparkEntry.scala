@@ -185,7 +185,12 @@ object SparkEntry {
     "q17_smallqty"     -> q(TpcHShapes.q17SmallQty(_)),
     "q18_bigorder"     -> q(TpcHShapes.q18BigOrder(_)),
     "q19_disc"         -> q(TpcHShapes.q19Disc),
-    "q22_idle"         -> q(TpcHShapes.q22Idle)
+    "q22_idle"         -> q(TpcHShapes.q22Idle),
+    "q2_mincost"       -> q(TpcHShapes.q2MinCost(_)),
+    "q11_important"    -> q(TpcHShapes.q11Important(_)),
+    "q16_partsupp"     -> q(TpcHShapes.q16PartSupp(_)),
+    "q20_potential"    -> q(TpcHShapes.q20Potential(_)),
+    "q21_waiting"      -> q(TpcHShapes.q21Waiting(_))
   )
 
   // DuckDB-dialect oracles over the same parquet tables. DECIMAL casts
@@ -2107,6 +2112,94 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q2_mincost" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |rps AS (
+        |  SELECT p_partkey, s_acctbal, s_name, n_name, supplycost
+        |  FROM ps
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+        |  JOIN part ON p_partkey = l_partkey
+        |            AND p_type = 'STANDARD' AND p_size <= 15),
+        |minc AS (
+        |  SELECT p_partkey AS mp, MIN(supplycost) AS min_cost
+        |  FROM rps GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey,
+        |       CAST(supplycost AS DOUBLE) AS supplycost
+        |FROM rps JOIN minc ON p_partkey = mp AND supplycost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q11_important" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(9,2)) *
+        |             CAST(l_quantity AS DECIMAL(9,2))) AS value_dec
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM pv
+        |WHERE CAST(value_dec AS DOUBLE) >
+        |      (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM pv) * 0.001
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "q16_partsupp" ->
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_potential" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         SUM(CASE WHEN l_returnflag = 'A'
+        |             THEN CAST(l_quantity AS DECIMAL(9,2))
+        |             ELSE CAST(0 AS DECIMAL(9,2)) END) AS avail_dec,
+        |         SUM(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |                                      AND TIMESTAMP '1996-12-31'
+        |             THEN CAST(l_quantity AS DECIMAL(9,2))
+        |             ELSE CAST(0 AS DECIMAL(9,2)) END) AS ship_dec
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE '%red%')
+        |  GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_5'
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM pairs
+        |  WHERE CAST(ship_dec AS DOUBLE) > 0
+        |    AND CAST(avail_dec AS DOUBLE) > 0.5 * CAST(ship_dec AS DOUBLE))
+        |ORDER BY s_name""".stripMargin,
+
+    "q21_waiting" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin
   )
 }

@@ -5,16 +5,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-/** The remaining TPC-H query shapes (Q7-Q10, Q13, Q15, Q17-Q19, Q22),
+/** The remaining TPC-H query shapes (Q2, Q7-Q11, Q13, Q15-Q22),
   * adapted to this schema (no partsupp / l_shipmode / l_commitdate /
-  * c_phone — stand-ins documented per query). Together with
-  * Analytics.q1/q3/q5 and Relational.q4/q6/q12/q14 this covers every
-  * relational shape in the TPC-H suite that the schema can express:
-  * two-sided OR dim filters, ratio-of-conditional-aggregates, partial
-  * anti joins, agg-of-agg distributions, argmax via scalar subquery,
-  * correlated per-group thresholds, IN-on-aggregate semi joins,
-  * OR-of-ANDs multi-arm predicates, and anti-joined scalar-subquery
-  * cohorts.
+  * l_receiptdate / c_phone — stand-ins documented per query).
+  * Together with Analytics.q1/q3/q5 and Relational.q4/q6/q12/q14 this
+  * covers all 22 TPC-H shapes: two-sided OR dim filters,
+  * ratio-of-conditional-aggregates, partial anti joins, agg-of-agg
+  * distributions, argmax via scalar subquery, correlated per-group
+  * thresholds, IN-on-aggregate semi joins, OR-of-ANDs multi-arm
+  * predicates, anti-joined scalar-subquery cohorts, correlated
+  * min-cost join-backs (Q2), group-HAVING vs a global scalar (Q11),
+  * NOT-IN + count-distinct (Q16), nested correlated IN chains (Q20),
+  * and the double EXISTS/NOT-EXISTS self-join stressor (Q21).
   *
   * Scale shape notes: dimension sides (nation/supplier/customer/part)
   * broadcast at any SF — the lineitem/orders fact sides never shuffle
@@ -243,6 +245,187 @@ object TpcHShapes {
       .filter(arm("Brand#1", 1, 15, 1, 11) || arm("Brand#12", 1, 25, 10, 30) ||
         arm("Brand#23", 1, 35, 20, 40))
       .agg(sum(vol).cast(DoubleType).as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** Q21 suppliers who kept orders waiting (adapted: no
+    * l_receiptdate/l_commitdate, so "late" is the per-line RETURNED
+    * flag `l_returnflag = 'R'` — same per-line boolean correlation the
+    * original exercises). The classic multi-semi-join stressor: for a
+    * nation's suppliers, returned lines in finished multi-supplier
+    * orders where NO OTHER supplier's line was returned — one EXISTS
+    * (another supplier touched the order) and one NOT EXISTS (nobody
+    * else was late), both correlated on (orderkey, suppkey≠).
+    *
+    * Spark-first: both subqueries become left_semi / left_anti hash
+    * joins on orderkey with the suppkey inequality as a residual
+    * condition — no row multiplication (semi/anti stop at first
+    * match). Both probe sides pre-collapse to DISTINCT (orderkey,
+    * suppkey) pairs map-side, so the wire carries pair frames, not
+    * line rows; the supplier/nation dims broadcast. */
+  def q21Waiting(t: Tables, nation: String = "NATION_3"): DataFrame = {
+    val sup = broadcast(t.supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .join(t.nation.filter(col("n_name") === nation).select(col("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name")))
+    val l1 = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val others = t.lineitem.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      .distinct()
+    val othersLate = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      .distinct()
+    l1.join(others,
+        col("l_orderkey") === col("o2") && col("s2") =!= col("l_suppkey"), "left_semi")
+      .join(othersLate,
+        col("l_orderkey") === col("o3") && col("s3") =!= col("l_suppkey"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Q2 minimum-cost supplier (adapted: no partsupp, so the supply
+    * relation derives from lineitem — per (part, supplier) pair the
+    * MIN extended price stands in for ps_supplycost; MIN is
+    * engine-exact so the correlated equality survives the double
+    * round-trip). The shape is the original's correlated min-cost
+    * subquery join-back: per part (of a size/type slice, supplied
+    * from a region), the supplier(s) achieving the part's regional
+    * minimum cost.
+    *
+    * Spark-first: the derived supply relation is ONE partial-agg'd
+    * lineitem shuffle; everything after is pair-frame-sized — the
+    * region dim broadcasts onto it, the per-part min is a skinny agg
+    * broadcast back as an equality filter (the correlated subquery
+    * decorrelated by hand, same plan Catalyst builds for the SQL). */
+  def q2MinCost(t: Tables, region: String = "EUROPE",
+                ptype: String = "STANDARD", maxSize: Int = 15): DataFrame = {
+    val ps = t.lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("supplycost"))
+    val sup = broadcast(t.supplier.select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("s_nationkey"))
+      .join(t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t.region.filter(col("r_name") === region).select(col("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    val pt = broadcast(t.part
+      .filter(col("p_type") === ptype && col("p_size") <= maxSize)
+      .select(col("p_partkey")))
+    val rps = ps.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .persist() // feeds per-part min + the equality join-back (see tfIdf)
+    val minc = rps.groupBy(col("p_partkey").as("mp"))
+      .agg(min(col("supplycost")).as("min_cost"))
+    rps.join(broadcast(minc),
+        col("p_partkey") === col("mp") && col("supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("supplycost").cast(DoubleType).as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11 important stock (adapted: no partsupp, so a part's "stock
+    * value" for one nation's suppliers is the exact decimal
+    * Σ extendedprice × quantity over that nation's lines). The shape
+    * is group-HAVING against a GLOBAL scalar: keep parts whose value
+    * exceeds a fixed fraction of the all-parts total.
+    *
+    * Spark-first: one partial-agg'd shuffle to per-part values
+    * (persisted — it feeds the total and the filter), the total is a
+    * 1-row broadcast crossJoin, and the threshold compare happens in
+    * DOUBLE on both engines (exact decimal sums surfaced identically,
+    * then one IEEE multiply — bit-stable cross-engine). */
+  def q11Important(t: Tables, nation: String = "NATION_7",
+                   fraction: Double = 0.001): DataFrame = {
+    val sup = broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(t.nation.filter(col("n_name") === nation).select(col("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val pv = t.lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(d(col("l_extendedprice")) * d(col("l_quantity"))).as("value_dec"))
+      .persist() // feeds global total + per-part filter (see tfIdf)
+    val tot = pv.agg(sum(col("value_dec")).as("tot_dec"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("value_dec").cast(DoubleType) >
+        col("tot_dec").cast(DoubleType) * lit(fraction))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_dec").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** Q16 supplier relationship count (adapted: no partsupp — the
+    * relation is DISTINCT (partkey, suppkey) from lineitem; no
+    * comment column — "complaint" suppliers are those whose name ends
+    * in '7', a deterministic stand-in for the original's LIKE
+    * exclusion). Shape: NOT-IN exclusion + count-distinct suppliers
+    * per (brand, type, size) over a negated part slice.
+    *
+    * Spark-first: the NOT IN (non-null key) lowers to a broadcast
+    * left_anti; the distinct pair frame is one partial-agg'd lineitem
+    * shuffle; count_distinct re-shuffles only pair-frame-sized rows. */
+  def q16PartSupp(t: Tables, notBrand: String = "Brand#1",
+                  notTypePrefix: String = "PROMO"): DataFrame = {
+    val ps = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val complained = broadcast(t.supplier
+      .filter(col("s_name").endsWith("7")).select(col("s_suppkey")))
+    val pt = broadcast(t.part
+      .filter(col("p_brand") =!= notBrand && !col("p_type").startsWith(notTypePrefix))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+    ps.join(complained, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q20 potential part promotion (adapted: no partsupp availqty — a
+    * pair's "available" quantity is its exact decimal sum of RETURNED
+    * ('A') line quantity, and the correlated scalar is half the
+    * pair's 1996 shipped quantity; both roll out of ONE aggregation
+    * pass). Shape: the original's nested correlated IN chain —
+    * suppliers IN (pairs of parts IN (name slice) with availqty >
+    * correlated half-year-demand) — re-expressed as a semi-join
+    * chain.
+    *
+    * Spark-first: the innermost part slice broadcasts onto the
+    * pair agg's output; the availqty-vs-demand correlation is a
+    * same-row compare (both aggregates computed together, no second
+    * scan); the outer IN is a left_semi on suppkey. Exactness: the
+    * 0.5× threshold compare runs in DOUBLE over exact decimal sums
+    * on both engines. */
+  def q20Potential(t: Tables, nation: String = "NATION_5",
+                   word: String = "red"): DataFrame = {
+    val pt = broadcast(t.part.filter(col("p_name").contains(word))
+      .select(col("p_partkey")))
+    val pairs = t.lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(when(col("l_returnflag") === "A", d(col("l_quantity")))
+          .otherwise(lit(0).cast(P))).as("avail_dec"),
+        sum(when(col("l_shipdate").between(ts("1996-01-01"), ts("1996-12-31")),
+          d(col("l_quantity"))).otherwise(lit(0).cast(P))).as("ship_dec"))
+    val cand = pairs
+      .filter(col("ship_dec").cast(DoubleType) > 0 &&
+        col("avail_dec").cast(DoubleType) >
+          lit(0.5) * col("ship_dec").cast(DoubleType))
+      .select(col("l_suppkey")).distinct()
+    t.supplier.select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("s_nationkey"))
+      .join(broadcast(t.nation.filter(col("n_name") === nation)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(cand, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
   }
 
   /** Q22 idle customers (adapted: no c_phone, so the cohort key is

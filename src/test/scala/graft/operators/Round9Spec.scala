@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-9 registrations: the last five TPC-H shapes (Q2, Q11, Q16,
+  * Q20, Q21) on tiny crafted star schemas where every inclusion /
+  * exclusion arm of the correlated predicate is exercised by exactly
+  * one row. */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Writes the provided frames as `<name>.parquet` in a temp dir. */
+  private def star(frames: (String, org.apache.spark.sql.DataFrame)*): Tables = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-star9").toString
+    frames.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    Tables(spark, dir)
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  test("q21: only the sole-late supplier in a multi-supplier finished order counts") {
+    val t = star(
+      "nation" -> Seq((3L, "NATION_3"), (0L, "NATION_0"))
+        .toDF("n_nationkey", "n_name"),
+      "supplier" -> Seq(
+        (1L, "S1", 3L), (2L, "S2", 3L), (9L, "S9", 0L))
+        .toDF("s_suppkey", "s_name", "s_nationkey"),
+      "orders" -> Seq(
+        (1L, "F"),  // multi-supplier, only S1 late -> counted
+        (2L, "F"),  // single-supplier              -> EXISTS fails
+        (3L, "F"),  // two late suppliers           -> NOT EXISTS fails
+        (4L, "O"),  // not finished                 -> status filter
+        (5L, "F"))  // late supplier is S9 (wrong nation)
+        .toDF("o_orderkey", "o_orderstatus"),
+      "lineitem" -> Seq(
+        (1L, 1L, "R"), (1L, 1L, "R"), (1L, 2L, "N"), // both S1 lines count
+        (2L, 1L, "R"), (2L, 1L, "N"),
+        (3L, 1L, "R"), (3L, 2L, "R"),
+        (4L, 1L, "R"), (4L, 2L, "N"),
+        (5L, 9L, "R"), (5L, 1L, "N"))
+        .toDF("l_orderkey", "l_suppkey", "l_returnflag"))
+    val r = TpcHShapes.q21Waiting(t, nation = "NATION_3")
+      .select("s_name", "numwait").as[(String, Long)].collect().toSeq
+    assert(r == Seq(("S1", 2L))) // per-line count, not per-order
+  }
+
+  test("q2: join-back keeps exactly the per-part regional min, ties both kept") {
+    val t = star(
+      "region" -> Seq((0L, "EUROPE"), (1L, "ASIA")).toDF("r_regionkey", "r_name"),
+      "nation" -> Seq((1L, "N1", 0L), (2L, "N2", 1L))
+        .toDF("n_nationkey", "n_name", "n_regionkey"),
+      "supplier" -> Seq(
+        (1L, "S1", 50.0, 1L), (2L, "S2", 40.0, 1L),
+        (3L, "S3", 60.0, 1L), (4L, "S4", 99.0, 2L))
+        .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+      "part" -> Seq((1L, "STANDARD", 10L), (2L, "PROMO", 10L))
+        .toDF("p_partkey", "p_type", "p_size"),
+      "lineitem" -> Seq(
+        (1L, 1L, 5.0), (1L, 1L, 7.0), // S1 pair cost = min(5,7) = 5
+        (1L, 2L, 5.0),                // S2 ties the min -> both kept
+        (1L, 3L, 6.0),                // above min -> dropped
+        (1L, 4L, 1.0),                // cheaper but outside region
+        (2L, 1L, 2.0))                // part filtered by type
+        .toDF("l_partkey", "l_suppkey", "l_extendedprice"))
+    val r = TpcHShapes.q2MinCost(t, region = "EUROPE", ptype = "STANDARD")
+      .select("s_name", "p_partkey", "supplycost")
+      .as[(String, Long, Double)].collect().toSeq
+    // ordered by s_acctbal desc: S1 (50) before S2 (40)
+    assert(r == Seq(("S1", 1L, 5.0), ("S2", 1L, 5.0)))
+  }
+
+  test("q11: global-fraction threshold keeps only heavy parts of the nation's lines") {
+    val t = star(
+      "nation" -> Seq((7L, "NATION_7"), (0L, "NATION_0"))
+        .toDF("n_nationkey", "n_name"),
+      "supplier" -> Seq((1L, 7L), (2L, 0L)).toDF("s_suppkey", "s_nationkey"),
+      "lineitem" -> Seq(
+        (1L, 1L, 2.0, 10.0),  // part 1: value 20 > 0.5 * 21 -> kept
+        (2L, 1L, 1.0, 1.0),   // part 2: value 1  < 10.5     -> dropped
+        (3L, 2L, 9.0, 9.0))   // wrong nation: not in the total at all
+        .toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"))
+    val r = TpcHShapes.q11Important(t, nation = "NATION_7", fraction = 0.5)
+      .select("p_partkey", "value").as[(Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 20.0)))
+  }
+
+  test("q16: complained suppliers anti-joined out, pairs distinct before counting") {
+    val t = star(
+      "supplier" -> Seq(
+        (1L, "Supplier#1"), (2L, "Supplier#2"), (17L, "Supplier#17"))
+        .toDF("s_suppkey", "s_name"),
+      "part" -> Seq(
+        (1L, "Brand#2", "STANDARD", 5L),
+        (2L, "Brand#1", "STANDARD", 5L),   // excluded brand
+        (3L, "Brand#2", "PROMO", 5L))      // excluded type prefix
+        .toDF("p_partkey", "p_brand", "p_type", "p_size"),
+      "lineitem" -> Seq(
+        (1L, 1L), (1L, 1L),   // duplicate pair collapses
+        (1L, 2L),
+        (1L, 17L),            // name ends in 7 -> complained, anti-joined
+        (2L, 1L), (3L, 1L))   // both parts filtered out
+        .toDF("l_partkey", "l_suppkey"))
+    val r = TpcHShapes.q16PartSupp(t)
+      .select("p_brand", "p_type", "p_size", "supplier_cnt")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(r == Seq(("Brand#2", "STANDARD", 5L, 2L)))
+  }
+
+  test("q20: availqty must beat half the 1996 demand, and demand must exist") {
+    val t = star(
+      "nation" -> Seq((5L, "NATION_5"), (0L, "NATION_0"))
+        .toDF("n_nationkey", "n_name"),
+      "supplier" -> Seq(
+        (1L, "S1", 10.0, 5L), (2L, "S2", 20.0, 5L),
+        (3L, "S3", 30.0, 5L), (5L, "S5", 50.0, 0L))
+        .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+      "part" -> Seq((1L, "red widget"), (2L, "blue bolt"))
+        .toDF("p_partkey", "p_name"),
+      "lineitem" -> Seq(
+        // (part, supp, qty, flag, shipdate)
+        (1L, 1L, 10.0, "A", ts("1995-06-01")), // avail 10
+        (1L, 1L, 4.0, "N", ts("1996-06-01")),  // ship96 4 -> 10 > 2: S1 in
+        (1L, 2L, 1.0, "A", ts("1995-06-01")),  // avail 1
+        (1L, 2L, 4.0, "N", ts("1996-06-01")),  // 1 < 2: S2 out
+        (1L, 3L, 5.0, "A", ts("1995-06-01")),  // no 1996 demand: S3 out
+        (2L, 3L, 9.0, "A", ts("1995-06-01")),  // wrong part name
+        (2L, 3L, 1.0, "N", ts("1996-06-01")),
+        (1L, 5L, 10.0, "A", ts("1995-06-01")), // qualifies but wrong nation
+        (1L, 5L, 4.0, "N", ts("1996-06-01")))
+        .toDF("l_partkey", "l_suppkey", "l_quantity", "l_returnflag", "l_shipdate"))
+    val r = TpcHShapes.q20Potential(t, nation = "NATION_5", word = "red")
+      .select("s_name", "s_acctbal").as[(String, Double)].collect().toSeq
+    assert(r == Seq(("S1", 10.0)))
+  }
+}
