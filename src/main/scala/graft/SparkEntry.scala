@@ -66,10 +66,13 @@ object SparkEntry {
     // check (no DuckDB twin for the hash family), spec-verified
     "q_dedup_minhash_fast" -> q(Dedup.minhashFast),
     "q_dedup_simhash_fast" -> q(Dedup.simhashFnv),
-    // RNG-seeded hyperplanes / Lloyd iterations → rows-only driver
-    // check, correctness covered by ScalaTest specs
+    // RNG-seeded hyperplanes → rows-only driver check, correctness
+    // covered by ScalaTest specs
     "q_dedup_embed"    -> q(Dedup.embedDedup),
-    "q_knn_ivf"        -> q(Similarity.knnIvf(_)),
+    // oracled engine-exact IVF (integer index build replayed by DuckDB)
+    // + the float-Lloyd production kernel benched under its own key
+    "q_knn_ivf"        -> q(Similarity.ivfKnnExact(_)),
+    "q_knn_ivf_fp"     -> q(Similarity.knnIvf(_)),
     // —— document assembly, push log, streaming-equivalent, multimodal ——
     "q_doc_assembly"   -> q(etl.DocumentAssembly.assemble),
     "q_doc_assembly24" -> q(etl.DocumentAssembly.assemble2024),
@@ -2113,6 +2116,44 @@ object SparkEntry {
         |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q_knn_ivf" ->
+      """WITH p AS (SELECT vec_id, embedding AS e,
+        |                  unnest(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |             CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+        |      FROM p),
+        |cent AS (SELECT vec_id % 16 AS b, dim,
+        |                CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+        |         FROM v GROUP BY 1, 2),
+        |dist AS (SELECT vec_id, b, CAST(SUM((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |         FROM v JOIN cent USING (dim) GROUP BY 1, 2),
+        |assign AS (SELECT vec_id AS neighbor_id, b FROM
+        |           (SELECT vec_id, b,
+        |                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, b) AS rn
+        |            FROM dist)
+        |           WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, b FROM
+        |           (SELECT vec_id, b,
+        |                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, b) AS rn
+        |            FROM dist WHERE vec_id < 10)
+        |           WHERE rn <= 6),
+        |cand AS (SELECT query_id, neighbor_id FROM probes JOIN assign USING (b)
+        |         WHERE neighbor_id <> query_id),
+        |pd AS (SELECT c.query_id, c.neighbor_id,
+        |              CAST(SUM((vq.m - vn.m) * (vq.m - vn.m)) AS BIGINT) AS d2
+        |       FROM cand c
+        |       JOIN v vq ON vq.vec_id = c.query_id
+        |       JOIN v vn ON vn.vec_id = c.neighbor_id AND vn.dim = vq.dim
+        |       GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
+        |FROM (SELECT query_id, neighbor_id, d2,
+        |             ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                ORDER BY d2, neighbor_id) AS rank
+        |      FROM pd)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q2_mincost" ->
       """WITH ps AS (

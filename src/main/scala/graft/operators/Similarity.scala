@@ -145,11 +145,76 @@ object Similarity {
     topkPerQuery(scored, k)
   }
 
-  /** Rows-only entry (approximate — verified by recall spec, not SQL). */
+  /** Rows-only entry (approximate — verified by recall spec, not SQL).
+    * Registered as q_knn_ivf_fp: the float-Lloyd production kernel,
+    * benched under its own key so its regressions stay visible; its
+    * SEMANTICS are pinned by [[ivfKnnExact]]'s oracle below. */
   def knnIvf(t: Tables, k: Int = 5): DataFrame =
     ivfKnn(t.embeddings, t.embeddings.filter(col("vec_id") < 10), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
+
+  /** Engine-exact IVF top-k (the oracled q_knn_ivf): the same
+    * index-probe-scan structure as [[ivfKnn]] with every step integer-
+    * deterministic, so DuckDB replays the whole index build —
+    * micro-snapped vectors, deterministic seed partition
+    * (vec_id % nlist: both engines read the same id), ONE exact M-step
+    * (the FLOOR(double-division) centroid text shared with
+    * [[centroidUpdate]]), one exact reassignment by integer squared
+    * distance (bucket-id tie-break), then nprobe nearest buckets per
+    * query and exact integer distances within them. Distances stay in
+    * bigint: dims·(2·6·10⁶)² ≈ 10¹⁶ per pair, well under 2⁶³.
+    *
+    * Scale: centroid state is (nlist × dims) — broadcast always. The
+    * assignment join replicates each (vec, dim) value nlist× MAP-SIDE
+    * before partial agg collapses it to (vec, bucket) partials (the
+    * pqEncode pattern); the probe scan touches only the nprobe
+    * buckets' members, and candidate scoring joins value rows by id —
+    * corpus×query never materializes. */
+  def ivfKnnExact(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
+                  nQueries: Int = 10): DataFrame = {
+    val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
+    val v = spread(t.embeddings)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), m.as("m"))
+      .persist() // feeds centroids, both distance passes (see tfIdf)
+    val cent = v
+      .withColumn("b", col("vec_id") % nlist)
+      .groupBy(col("b"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("sm"))
+      .select(col("b"), col("dim"),
+        expr("CAST(FLOOR(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
+          .as("cm"))
+    val dist = v.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+      .persist() // feeds assignment + query probes
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
+    val assign = dist.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("b"))
+    val probes = dist.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("b"))
+    val cand = probes.join(assign, Seq("b"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("dim"), col("m").as("qm"))
+    val pd = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("dim"), col("m").as("nm")),
+        Seq("neighbor_id", "dim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum((col("qm") - col("nm")) * (col("qm") - col("nm"))).as("d2"))
+    val kw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    pd.withColumn("rank", row_number().over(kw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Symmetric int8 quantization of the embedding column — the storage
     * shrink (4×) every large vector corpus applies before indexing.

@@ -110,6 +110,35 @@ class Round9Spec extends SparkSpec {
     assert(r == Seq(("Brand#2", "STANDARD", 5L, 2L)))
   }
 
+  test("ivfKnnExact: separated clusters probe to their own bucket's members first") {
+    // 64 vectors in two tight clusters far apart; nlist=2 with seed
+    // vec_id % 2 mixes them, but ONE exact M-step + reassignment
+    // separates them (each cluster's centroid lands nearer its own
+    // members), so each query's top-k is drawn from its own cluster.
+    val rng = new scala.util.Random(3)
+    def jitter(base: Float) = Seq.fill(8)(base + rng.nextFloat() * 0.01f)
+    val rows = (0L until 32L).map(i => (i, jitter(0.0f), 1)) ++
+      (32L until 64L).map(i => (i, jitter(100.0f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf9").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val t = Tables(spark, dir)
+    val r = Similarity.ivfKnnExact(t, k = 3, nlist = 2, nprobe = 1, nQueries = 2)
+      .select("query_id", "rank", "neighbor_id", "d2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._1).distinct == Seq(0L, 1L))
+    assert(r.size == 6) // both queries fill k=3 from their own cluster
+    r.foreach { case (_, _, n, d2) =>
+      assert(n < 32L, "neighbor from the query's own cluster")
+      assert(d2 >= 0L && d2 < 8L * 20000L * 20000L) // intra-cluster distance scale
+    }
+    // ranks are contiguous and distance-sorted per query
+    r.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2) == Seq(1L, 2L, 3L))
+      assert(g.map(_._4) == g.map(_._4).sorted)
+    }
+  }
+
   test("q20: availqty must beat half the 1996 demand, and demand must exist") {
     val t = star(
       "nation" -> Seq((5L, "NATION_5"), (0L, "NATION_0"))
