@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline.
@@ -569,30 +570,20 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact duplicated-PASSAGE removal (the Spark re-expression of
-    * Lee et al. 2022's suffix-array ExactSubstr dedup): every token
-    * covered by a k-gram that appears elsewhere in the corpus is
-    * removed, EXCEPT the globally-first occurrence of each duplicated
-    * gram (keep-one semantics — min (doc_id, pos) keeper, encoded as
-    * doc_id·10⁶+pos so one bigint MIN finds it). Unlike
-    * [[blockDedup]]'s aligned fixed blocks, coverage here is
-    * UNALIGNED: any sliding k-window that repeats marks its span.
-    *
-    * Scale: the gram table shuffles once on the gram hash (count +
-    * keeper MIN are map-side partial aggs), occurrences of duplicated
-    * grams join back by hash (linear in grams), and coverage expands
-    * each duplicated occurrence to k positions — bounded by k·n; a
-    * 100 TB run would merge per-doc intervals (one window pass over
-    * span starts) instead of exploding positions, same downstream
-    * shape. Reassembly is the one corpus-sized shuffle, identical to
-    * [[TextAnalysis.vocabPrune]]'s. */
-  def substrDedup(t: Tables, k: Int = 10): DataFrame = {
-    val docs = spread(t.documents.select(col("doc_id"), col("text")))
+  /** Tokenized documents: (doc_id, text) → + toks array + token count. */
+  private def tokedDocs(t: Tables): DataFrame =
+    spread(t.documents.select(col("doc_id"), col("text")))
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .withColumn("n", size(col("toks")).cast("long"))
-    val tk = docs.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("i"), col("tok"))
+
+  /** Raw duplicated-gram spans shared by [[substrDedup]] and
+    * [[spanIslands]]: every non-keeper occurrence of a corpus-
+    * duplicated k-gram as a (doc_id, s, e) token interval. Keep-one
+    * semantics — min (doc_id, pos) keeper, encoded as doc_id·10⁶+pos
+    * so one bigint MIN finds it. One shuffle on the gram hash (count +
+    * keeper MIN are map-side partial aggs); occurrences join back by
+    * hash, linear in grams. */
+  private def dupSpans(docs: DataFrame, k: Int): DataFrame = {
     val grams = docs.filter(col("n") >= k) // shorter docs hold no k-gram
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
@@ -605,14 +596,70 @@ object Dedup {
       .agg(count(lit(1)).as("c"),
         min(col("doc_id") * 1000000L + col("i")).as("keep"))
       .filter(col("c") > 1)
-    val covered = grams.join(dup, Seq("h"))
+    grams.join(dup, Seq("h"))
       .filter(col("doc_id") * 1000000L + col("i") =!= col("keep"))
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (k - 1))).as("ci"))
-      .distinct()
-    val kept = tk.join(covered,
-        tk("doc_id") === covered("doc_id") && tk("i") === covered("ci"),
-        "left_anti")
+      .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
+  }
+
+  /** Per-doc interval UNION of [[dupSpans]] — gaps-and-islands over
+    * span starts (an island opens where start > running max(end));
+    * emits (doc_id, island, nsp, is, ie). Spans per doc ≪ positions
+    * per doc: one skinny doc-partitioned window, nothing k-expanded. */
+  private def spanIslandsOf(spans: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    spans
+      .withColumn("prev_max",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("nsp"), min(col("s")).as("is"), max(col("e")).as("ie"))
+  }
+
+  /** Exact duplicated-PASSAGE removal (the Spark re-expression of
+    * Lee et al. 2022's suffix-array ExactSubstr dedup): every token
+    * covered by a k-gram that appears elsewhere in the corpus is
+    * removed, EXCEPT the globally-first occurrence of each duplicated
+    * gram (keep-one semantics). Unlike [[blockDedup]]'s aligned fixed
+    * blocks, coverage here is UNALIGNED: any sliding k-window that
+    * repeats marks its span.
+    *
+    * Scale: raw spans collapse to their per-doc interval union FIRST
+    * ([[spanIslandsOf]] — interval endpoints only, never k-expanded
+    * positions), then a SWEEP-LINE marks covered tokens: island
+    * open/close events union with the token stream and one
+    * doc-partitioned window keeps tokens where the running open-count
+    * is zero. No position explosion, no distinct, no per-position
+    * anti join — the corpus-sized shuffles are the token window and
+    * the reassembly groupBy, both on doc_id (the window's hash
+    * partitioning is reused by the groupBy, so tokens cross the wire
+    * once). Reassembly is identical to [[TextAnalysis.vocabPrune]]'s. */
+  def substrDedup(t: Tables, k: Int = 10): DataFrame = {
+    val docs = tokedDocs(t)
+    val tk = docs.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("i"), col("tok"))
+    val islands = spanIslandsOf(dupSpans(docs, k))
+    // sweep-line events: +1 at island start, -1 one past its end; the
+    // token at position i is covered iff the running delta sum over
+    // (i, events-before-tokens) is positive
+    val events = islands
+      .select(col("doc_id"), col("is").as("i"), lit(1L).as("delta"))
+      .unionByName(islands
+        .select(col("doc_id"), (col("ie") + 1L).as("i"), lit(-1L).as("delta")))
+      .select(col("doc_id"), col("i"), lit(0).as("pri"), col("delta"),
+        lit(null).cast("string").as("tok"))
+    val sweep = tk
+      .select(col("doc_id"), col("i"), lit(1).as("pri"), lit(0L).as("delta"),
+        col("tok"))
+      .unionByName(events)
+    val sw = Window.partitionBy(col("doc_id")).orderBy(col("i"), col("pri"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val kept = sweep
+      .withColumn("active", sum(col("delta")).over(sw))
+      .filter(col("pri") === 1 && col("active") === 0L)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
@@ -626,53 +673,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Duplicated-span INTERVAL MERGE — the gaps-and-islands pass that
-    * [[substrDedup]]'s scale path runs instead of exploding positions:
-    * raw k-gram spans (non-keeper occurrences of corpus-duplicated
-    * grams) collapse to their per-doc interval UNION with one window
-    * over span starts (island opens where start > running max(end)).
-    * Emits per-doc raw-span vs island counts and the covered-token
-    * total — the same number substrDedup materializes by exploding,
-    * here computed from interval endpoints only.
-    *
-    * Scale: spans per doc ≪ positions per doc; the window sorts spans
-    * within doc partitions — one skinny shuffle after the gram-hash
-    * agg, nothing k-expanded ever moves. */
-  def spanIslands(t: Tables, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = spread(t.documents.select(col("doc_id"), col("text")))
-      .withColumn("toks", TextFunctions.tokens(col("text")))
-      .withColumn("n", size(col("toks")).cast("long"))
-    val grams = docs.filter(col("n") >= k)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
-          i => struct(i.cast("long").as("i"),
-            md5(concat_ws(" ", slice(col("toks"), i, lit(k)))).as("h"))))
-          .as("g"))
-      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
-    val dup = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"),
-        min(col("doc_id") * 1000000L + col("i")).as("keep"))
-      .filter(col("c") > 1)
-    val spans = grams.join(dup, Seq("h"))
-      .filter(col("doc_id") * 1000000L + col("i") =!= col("keep"))
-      .select(col("doc_id"), col("i").as("s"), (col("i") + (k - 1)).as("e"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    spans
-      .withColumn("prev_max",
-        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("opens",
-        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
-          .otherwise(0L))
-      .withColumn("island", sum(col("opens")).over(w))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(count(lit(1)).as("nsp"), min(col("s")).as("is"), max(col("e")).as("ie"))
+  /** Duplicated-span INTERVAL MERGE diagnostics — per-doc raw-span vs
+    * island counts and the covered-token total, computed from interval
+    * endpoints only (the same coverage number [[substrDedup]] enforces
+    * during removal, surfaced as a dashboard without rebuilding text).
+    * Built on the shared [[dupSpans]] → [[spanIslandsOf]] pipeline. */
+  def spanIslands(t: Tables, k: Int = 10): DataFrame =
+    spanIslandsOf(dupSpans(tokedDocs(t), k))
       .groupBy(col("doc_id"))
       .agg(sum(col("nsp")).as("n_spans"),
         count(lit(1)).as("n_islands"),
         sum(col("ie") - col("is") + 1).as("covered_tok"))
       .orderBy(col("doc_id"))
-  }
 
   /** Cross-source DUPLICATION MATRIX: verified near-dup pairs rolled
     * up by unordered (source, source) — the provenance dashboard that
