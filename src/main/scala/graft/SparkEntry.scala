@@ -32,6 +32,7 @@ object SparkEntry {
     "q_control_tags"   -> q(Enrichment.controlTags),
     "q_geo_area"       -> q(Enrichment.geoArea),
     "q_geo_area_sph"   -> q(Enrichment.geoAreaSpherical),
+    "q_geo_valid"      -> q(Enrichment.geoAreaValid),
     "q_mint_ids"       -> q(Enrichment.mintIds),
     "q_keywords"       -> q(Enrichment.keywords),
     // —— core analytics (SURVEY §2 table 2) ——
@@ -337,6 +338,21 @@ object SparkEntry {
       """SELECT l_orderkey,
         |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |       CAST(CEIL(l_quantity * (1.0 + l_discount)) AS BIGINT) AS area_m2
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // make_valid parity: the engine runs the general even-odd
+    // decomposition kernel; the oracle knows the closed form for this
+    // defect population (crossed rect -> two triangles = w*h/2, 2
+    // pieces). The crossing parameter is exactly 0.5 in IEEE754, so
+    // both sides' doubles agree bit-for-bit before the ceil.
+    "q_geo_valid" ->
+      """SELECT l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(CEIL(CASE WHEN l_orderkey % 2 = 0
+        |                      THEN l_quantity * (1.0 + l_discount) / 2
+        |                      ELSE l_quantity * (1.0 + l_discount) END) AS BIGINT) AS area_m2,
+        |       CAST(CASE WHEN l_orderkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS pieces
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 

@@ -129,6 +129,34 @@ object Enrichment {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** R2 full `st_make_valid` parity: the ring is the same quad as
+    * [[geoArea]] but every even order key traverses it in CROSSED
+    * (bowtie) vertex order — the classic hand-drawn-polygon defect the
+    * reference repairs with `st_make_valid` (2023.R:36-38) before
+    * measuring. GeoFunctions.makeValid nodes the self-crossing and sums
+    * the simple pieces, so the crossed rows report the repaired area
+    * w·h/2 (two triangles) and piece count 2, while proper rows match
+    * the plain shoelace. The crossing parameter is exactly 0.5 and every
+    * piece area is a power-of-two scaling of fl(w·h), so the doubles —
+    * and the trailing ceil — are bit-identical with the oracle's
+    * closed-form CASE. */
+  def geoAreaValid(t: Tables): DataFrame = {
+    val w = col("l_quantity")
+    val h = lit(1.0) + col("l_discount")
+    val a = struct(lit(0.0).as("x"), lit(0.0).as("y"))
+    val b = struct(w.as("x"), lit(0.0).as("y"))
+    val c = struct(w.as("x"), h.as("y"))
+    val d = struct(lit(0.0).as("x"), h.as("y"))
+    val ring = when(col("l_orderkey") % 2 === 0, array(a, b, d, c)) // crossed
+      .otherwise(array(a, b, c, d))                                 // proper
+    val v = GeoFunctions.makeValid(ring)
+    t.lineitem.select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        ceil(v.getField("area")).cast("long").as("area_m2"),
+        v.getField("loops").cast("long").as("pieces"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** R10: deterministic URI minting (2023.R:120-127,143-146,163-166:
     * sprintf documentId / gatheringId / unitId). */
   def mintIds(t: Tables): DataFrame =

@@ -53,6 +53,64 @@ class GeoFunctionsSpec extends SparkSpec {
     assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) == ((1.0, -2.0, 5.0, 7.0)))
   }
 
+  private def valid(pts: Seq[(Double, Double)]): (Double, Int) = {
+    val r = ringDf(pts).select(GeoFunctions.makeValid(col("ring")).as("v"))
+      .select("v.area", "v.loops").head
+    (r.getDouble(0), r.getInt(1))
+  }
+
+  test("makeValid: simple ring parity — same area as the plain shoelace, one loop") {
+    val pts = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (2.0, 4.0), (0.0, 3.0))
+    assert(valid(pts) == ((14.0, 1)))
+  }
+
+  test("makeValid: bowtie (crossed quad) matches sf::st_area(st_make_valid(...))") {
+    // crossed rectangle order: (0,0)-(4,0)-(0,3)-(4,3); GEOS make_valid
+    // splits it at the center crossing into two triangles of area 3 each
+    // (plain shoelace on the raw ring reports 0 — lobes cancel)
+    val bow = Seq((0.0, 0.0), (4.0, 0.0), (0.0, 3.0), (4.0, 3.0))
+    assert(ringDf(bow).select(GeoFunctions.polygonAreaValid(col("ring")))
+      .head.getDouble(0) == 0.0)
+    assert(valid(bow) == ((6.0, 2)))
+  }
+
+  test("makeValid: non-axis-aligned crossing (sheared bowtie) — shear preserves area") {
+    // shear x += y maps the bowtie above to a skew crossing; area stays 6
+    val sheared = Seq((0.0, 0.0), (4.0, 0.0), (3.0, 3.0), (7.0, 3.0))
+    val (a, l) = valid(sheared)
+    assert(math.abs(a - 6.0) < 1e-12 && l == 2, s"got ($a, $l)")
+  }
+
+  test("makeValid: figure-eight pinched at a shared vertex -> two loops") {
+    val eight = Seq((0.0, 0.0), (2.0, 0.0), (1.0, 1.0), (2.0, 2.0), (0.0, 2.0), (1.0, 1.0))
+    assert(valid(eight) == ((2.0, 2)))
+  }
+
+  test("makeValid: zero-width spike dropped, like make_valid's degenerate cleanup") {
+    val spiked = Seq((0.0, 0.0), (4.0, 0.0), (6.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    assert(valid(spiked) == ((16.0, 1)))
+  }
+
+  test("makeValid: unclosed + repeated-vertex ring still repairs") {
+    val messy = Seq((0.0, 0.0), (0.0, 0.0), (3.0, 0.0), (3.0, 2.0), (3.0, 2.0), (0.0, 2.0))
+    assert(valid(messy) == ((6.0, 1)))
+  }
+
+  test("makeValid: double crossing (three-lobe zigzag) sums all pieces") {
+    // rectangle traversed with two crossings: (0,0)-(6,0)-(0,2)... use a
+    // known two-crossing shape: vertical zigzag over a 6x2 rect strip
+    // A(0,0) B(6,0) C(2,2) D(4,2) closed: segments B->C and D->A cross
+    // C->D? B->C from (6,0) to (2,2); D->A from (4,2) to (0,0).
+    // They cross each other; each also crosses nothing else, giving a
+    // bowtie-like 2-piece split; verify against hand shoelace of pieces.
+    val z = Seq((0.0, 0.0), (6.0, 0.0), (2.0, 2.0), (4.0, 2.0))
+    val (a, l) = valid(z)
+    // crossing of B->C and D->A: lines y=-(x-6)/2 and y=x/2 -> x=3,y=1.5
+    // pieces: triangle (0,0),(6,0),(3,1.5) area 4.5 ... and triangle
+    // (2,2),(4,2),(3,1.5) area 0.5 -> total 5.0
+    assert(math.abs(a - 5.0) < 1e-12 && l == 2, s"got ($a, $l)")
+  }
+
   test("spherical area matches the exact lat-lon zone closed form") {
     // for an axis-aligned lon/lat quad the spherical-excess sum reduces
     // to the exact zone formula R²·Δλ·(sin φ2 − sin φ1)
