@@ -163,6 +163,8 @@ object SparkEntry {
     "q_lsh_audit"      -> q(Dedup.lshAudit),
     "q_pagerank"       -> q(Components.docPageRank(_)),
     "q_split_assign"   -> q(Curation.splitAssign(_)),
+    // the composed filter→dedup→pack→split pipeline, fully oracled
+    "q_pipeline_e2e"   -> q(Curation.pipelineE2E(_)),
     "q_centroid_update" -> q(Similarity.centroidUpdate),
     "q_source_dup_matrix" -> q(Dedup.sourceDupMatrix),
     "q_substr_dedup"   -> q(Dedup.substrDedup(_)),
@@ -255,10 +257,14 @@ object SparkEntry {
       |                              ORDER BY d2, c) AS rn
       |         FROM d)""".stripMargin
 
-  private lazy val minhashOracleCore: String = {
+  /** The MinHash pair stage as DuckDB CTEs over an arbitrary source
+    * relation (must expose doc_id, text) — `j` is the verified-Jaccard
+    * candidate pair frame. Shared by the minhash family and the
+    * end-to-end pipeline oracle. */
+  private def minhashCoreCtes(src: String): String = {
     val perms = graft.operators.Dedup.mixConstants(32).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM $src),
        |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tok),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos),
        |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS hv FROM sh),
@@ -278,6 +284,8 @@ object SparkEntry {
        |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
        |                  JOIN gl yb ON yb.doc_id = c.doc_b)""".stripMargin
   }
+
+  private lazy val minhashOracleCore: String = "WITH " + minhashCoreCtes("documents")
 
   def oracleSql: Map[String, String] = Map(
     "q_lookup_enrich" ->
@@ -1759,6 +1767,49 @@ object SparkEntry {
         |       CAST(COUNT(*) * 1000000 // total AS BIGINT) AS share_ppm
         |FROM d, tot GROUP BY split, total
         |ORDER BY split""".stripMargin,
+
+    // the full pipeline: every stage reuses an already-verified oracle
+    // fragment — curate's token filter, the md5 minhash pair CTEs over
+    // the FILTERED corpus, the recursive-CTE closure, seq_pack's
+    // packing arithmetic, split_assign's md5 coin (here on seq_id)
+    "q_pipeline_e2e" ->
+      s"""WITH RECURSIVE fd AS (
+         |  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80),
+         |${minhashCoreCtes("fd")},
+         |pairs AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM pairs
+         |        UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src AS node, src AS lbl FROM sym
+         |  UNION
+         |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node),
+         |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |surv AS (SELECT f.doc_id, f.tok FROM fd f
+         |         WHERE f.doc_id NOT IN (SELECT node FROM cc WHERE cluster_id <> node)),
+         |c AS (SELECT doc_id, tok,
+         |        CAST(SUM(tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM surv),
+         |x AS (SELECT doc_id, tok, cum, cum - tok AS st,
+         |        unnest(generate_series((cum - tok) // 512, (cum - 1) // 512)) AS seq_id
+         |      FROM c),
+         |p AS (SELECT seq_id, COUNT(*) AS n_docs,
+         |        CAST(SUM(CASE WHEN st // 512 = seq_id AND (cum - 1) // 512 = seq_id
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+         |        CAST(SUM(least(cum, (seq_id + 1) * 512) - greatest(st, seq_id * 512))
+         |             AS BIGINT) AS fill_tokens,
+         |        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |      FROM x GROUP BY seq_id)
+         |SELECT seq_id, n_docs, n_full_docs, fill_tokens, first_doc, last_doc,
+         |       CASE WHEN ('0x' || substr(md5(CAST(seq_id AS VARCHAR)), 1, 8))::BIGINT
+         |                 % 1000000 < 900000 THEN 'train'
+         |            WHEN ('0x' || substr(md5(CAST(seq_id AS VARCHAR)), 1, 8))::BIGINT
+         |                 % 1000000 < 950000 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM p
+         |ORDER BY seq_id""".stripMargin,
 
     "q_vocab_prune" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -183,6 +183,13 @@ object Curation {
   def seqPack(t: Tables, seqLen: Long = 512L): DataFrame = {
     val sized = t.documents.select(col("doc_id"),
       size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"))
+    seqPackSized(sized, seqLen)
+  }
+
+  /** [[seqPack]] over an arbitrary (doc_id, tok) frame — the reusable
+    * packing stage [[pipelineE2E]] feeds with dedup survivors. */
+  def seqPackSized(docSizes: DataFrame, seqLen: Long): DataFrame = {
+    val sized = docSizes
       // A zero-token doc overlaps no sequence; without this guard, one
       // whose start offset lands exactly on a seqLen boundary hits
       // Spark's auto-descending sequence(s, s-1) and emits spurious
@@ -335,5 +342,42 @@ object Curation {
       .withColumn("share_ppm", expr("n_docs * 1000000 DIV total"))
       .select(col("split"), col("n_docs"), col("n_tokens"), col("share_ppm"))
       .orderBy(col("split"))
+  }
+
+  /** The composed end-to-end training-data pipeline a reference user
+    * actually ships: token-length FILTER → MinHash+LSH near-dup DEDUP
+    * closed over connected components (min-id survivor) → fixed-length
+    * sequence PACK → deterministic train/val/test SPLIT per sequence.
+    * Every stage is an individually-oracled kernel (q_corpus_curate's
+    * filter, q_dedup_minhash's md5 pair stage, q_dedup_clusters'
+    * closure, q_seq_pack's packing, q_split_assign's md5 coin); the
+    * composition is one declarative plan — nothing materializes on the
+    * driver between stages.
+    *
+    * Scale: the filter is map-side on the scan; dedup shuffles only
+    * skinny band-key and pair-graph frames (Dedup.minhashPairs doc);
+    * the closure runs on the pair graph alone; packing reuses the
+    * range-partitioned running sum (no corpus-wide window); the split
+    * coin is map-side arithmetic on seq_id. */
+  def pipelineE2E(t: Tables, seqLen: Long = 512L,
+                  minTok: Long = 20L, maxTok: Long = 80L): DataFrame = {
+    val filtered = t.documents
+      .select(col("doc_id"), col("text"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tok"))
+      .filter(col("tok").between(minTok, maxTok))
+    val pairs = Dedup.minhashPairs(filtered,
+        shingleHash = Dedup.md5Hash31, bandKeyOf = Dedup.bandKeysStr)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val drop = Components.connectedComponents(pairs)
+      .filter(col("lbl") =!= col("node")) // survivors keep their own id
+      .select(col("node").as("doc_id"))
+    val survivors = filtered.select(col("doc_id"), col("tok"))
+      .join(drop, Seq("doc_id"), "left_anti")
+    val h = conv(substring(md5(col("seq_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    seqPackSized(survivors, seqLen)
+      .withColumn("split",
+        when(h < 900000L, "train").when(h < 950000L, "val").otherwise("test"))
+      .orderBy(col("seq_id"))
   }
 }

@@ -165,4 +165,35 @@ class Round9Spec extends SparkSpec {
       .select("s_name", "s_acctbal").as[(String, Double)].collect().toSeq
     assert(r == Seq(("S1", 10.0)))
   }
+
+  test("pipelineE2E: filter drops short/long docs, near-dups collapse, pack+split exact") {
+    def words(n: Int, prefix: String = "w"): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(30)),                              // survives (cluster min id)
+      (2L, words(29) + " CHANGED"),                 // near-dup of 1 -> dropped
+      (3L, words(10)),                              // under 20 tokens -> filtered
+      (4L, words(90)),                              // over 80 tokens -> filtered
+      (5L, words(25, "unrelated")),                 // survives
+      (6L, words(30)))                              // exact dup of 1 -> dropped
+      .toDF("doc_id", "text")
+    val t = star("documents" -> docs)
+    val r = Curation.pipelineE2E(t, seqLen = 32L)
+      .select("seq_id", "n_docs", "n_full_docs", "fill_tokens",
+        "first_doc", "last_doc", "split")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    // survivors: doc 1 (30 tok) then doc 5 (25 tok); stream = 55 tokens
+    // seq 0: doc1 whole (30) + first 2 of doc5 -> fill 32, 1 full doc
+    // seq 1: tail of doc5 -> fill 23, 0 full docs
+    def splitOf(seqId: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(seqId.toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16) % 1000000L
+      if (h < 900000L) "train" else if (h < 950000L) "val" else "test"
+    }
+    assert(r == Seq(
+      (0L, 2L, 1L, 32L, 1L, 5L, splitOf(0L)),
+      (1L, 1L, 0L, 23L, 5L, 5L, splitOf(1L))))
+  }
 }
