@@ -67,9 +67,11 @@ object SparkEntry {
     // check (no DuckDB twin for the hash family), spec-verified
     "q_dedup_minhash_fast" -> q(Dedup.minhashFast),
     "q_dedup_simhash_fast" -> q(Dedup.simhashFnv),
-    // RNG-seeded hyperplanes → rows-only driver check, correctness
-    // covered by ScalaTest specs
-    "q_dedup_embed"    -> q(Dedup.embedDedup),
+    // oracled md5-Rademacher hyperplane LSH (DuckDB replays the index
+    // build) + the Gaussian multiprobe production kernel benched under
+    // its own key (RNG planes → rows-only, spec-covered)
+    "q_dedup_embed"    -> q(Dedup.embedDedupMd5),
+    "q_dedup_embed_mp" -> q(Dedup.embedDedup),
     // oracled engine-exact IVF (integer index build replayed by DuckDB)
     // + the float-Lloyd production kernel benched under its own key
     "q_knn_ivf"        -> q(Similarity.ivfKnnExact(_)),
@@ -1900,6 +1902,42 @@ object SparkEntry {
         |       chars_total - chars_kept AS chars_dropped
         |FROM t JOIN k USING (source)
         |ORDER BY source""".stripMargin,
+
+    // full LSH index replay: md5-parity ±1 hyperplanes, integer-exact
+    // sign sketches (micro-int vectors, |dot| ≤ 64e6 ≪ 2^53), 6-bit
+    // bucket keys per table, exact-bucket candidates, shared cos-ppm
+    // verify — every intermediate integer equals the Spark plan's
+    "q_dedup_embed" ->
+      s"""WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |w AS (SELECT vec_id, m,
+        |        CAST(list_sum(list_transform(m, x -> x * x)) AS BIGINT) AS aa FROM q),
+        |pl AS (SELECT t, p,
+        |         list_transform(generate_series(1, 64),
+        |           d -> CASE WHEN ('0x' || substr(md5(t || '_' || p || '_' || d), 1, 8))::BIGINT
+        |                          % 2 = 0 THEN 1 ELSE -1 END) AS s
+        |       FROM range(8) tt(t), range(6) pp(p)),
+        |bits AS (SELECT w.vec_id, pl.t, pl.p,
+        |           CASE WHEN list_sum(list_transform(generate_series(1, len(w.m)),
+        |             d -> pl.s[d] * w.m[d])) >= 0 THEN 1 ELSE 0 END AS b
+        |         FROM w, pl),
+        |bk AS (SELECT vec_id, t, CAST(SUM(b * (1::BIGINT << p)) AS BIGINT) AS bucket
+        |       FROM bits GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |         FROM bk x JOIN bk y
+        |           ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        |p2 AS (SELECT c.id_a, c.id_b,
+        |         CAST(list_sum(list_transform(generate_series(1, len(a.m)),
+        |           i -> a.m[i] * b.m[i])) AS BIGINT) AS dot,
+        |         a.aa AS aa, b.aa AS bb
+        |       FROM cand c JOIN w a ON a.vec_id = c.id_a
+        |                   JOIN w b ON b.vec_id = c.id_b),
+        |s AS (SELECT id_a, id_b, ${operators.Dedup.cosPpmSql} AS cos_ppm FROM p2)
+        |SELECT id_a, id_b, cos_ppm FROM s
+        |WHERE cos_ppm >= 300000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // cos-ppm snap text shared with the Spark plan (Dedup.cosPpmSql)
     "q_dedup_embed_exact" ->

@@ -384,6 +384,70 @@ object Dedup {
 
   def embedDedup(t: Tables): DataFrame = embedPairs(t.embeddings)
 
+  /** Rademacher (±1) hyperplanes derived from md5(table_plane_dim)
+    * parity — the same first-8-hex-chars integer DuckDB's md5 yields,
+    * so an oracle can rebuild every plane bit-for-bit. Sign-sketch
+    * quality of ±1 planes matches Gaussian planes for LSH (Achlioptas
+    * 2003: database-friendly random projections); determinism is what
+    * the Gaussian kernel can't give an oracle. Dim index is 1-based to
+    * line up with DuckDB's generate_subscripts. */
+  def md5Planes(nTables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(nTables, bits) { (t, p) =>
+      Array.tabulate(dim) { d0 =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${t}_${p}_${d0 + 1}".getBytes("UTF-8"))
+        val h = java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+        if (h % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** ORACLED embedding-cosine LSH: the [[embedPairs]] shape with every
+    * nondeterminism removed so DuckDB can replay the full index build —
+    * md5-derived ±1 hyperplanes ([[md5Planes]]), vectors snapped to
+    * exact micro-ints first (so every sketch dot is integer-exact in
+    * doubles: |sum| ≤ 64·10⁶ ≪ 2⁵³ and the sign decision can never
+    * split engines), exact-bucket candidates (no multiprobe), and the
+    * integer-exact cosine-ppm verify shared with
+    * [[embedDedupExactPairs]].
+    *
+    * This pins the semantics; [[embedPairs]] (`q_dedup_embed_mp`)
+    * stays the production kernel — Gaussian planes, corpus-scaled bit
+    * width, multiprobe recall. The oracled instance fixes
+    * nTables×bits at 8×6 for the driver corpus; a 100 TB run scales
+    * bits with log n exactly as embedPairs does (fixed-width buckets
+    * are the classic LSH quadratic-candidate trap). */
+  def embedPairsMd5(emb: DataFrame, nTables: Int = 8, bits: Int = 6,
+                    thresholdPpm: Long = 300000L): DataFrame = {
+    val planes = md5Planes(nTables, bits, 64)
+    val base = spread(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
+      .withColumn("aa", graft.functions.VectorFunctions
+        .dotProduct(col("m"), col("m")).cast("long"))
+      .persist()
+    val bucketed = base.select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.hyperplaneSketch(col("m"), planes)))
+      .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
+    val cand = bucketed.select(col("vec_id").as("id_a"), col("table"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("id_b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(base.select(col("vec_id").as("id_a"), col("m").as("ma"), col("aa")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("m").as("mb"),
+        col("aa").as("bb")), Seq("id_b"))
+      .withColumn("dot", graft.functions.VectorFunctions
+        .dotProduct(col("ma"), col("mb")).cast("long"))
+      .withColumn("cos_ppm", expr(cosPpmSql))
+      .filter(col("cos_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("cos_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def embedDedupMd5(t: Tables): DataFrame = embedPairsMd5(t.embeddings)
+
   /** cos·10⁶ snap shared verbatim with the DuckDB oracle: every input
     * (dot, aa, bb) is an exact integer ≤ dims·10¹² < 2⁵³, SQRT is
     * IEEE-correctly-rounded in both engines, and both parsers

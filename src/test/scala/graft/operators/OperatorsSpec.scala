@@ -200,6 +200,34 @@ class EmbedDedupSpec extends SparkSpec {
     // n=500/bits=4; the bound leaves room for unlucky hyperplanes
     assert(recall >= 0.7, s"recall $recall over ${brute.size} true pairs")
   }
+
+  test("md5Planes are ±1, deterministic, and match DuckDB's md5-hex parity rule") {
+    val p = Dedup.md5Planes(2, 3, 8)
+    assert(p.flatten.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(Dedup.md5Planes(2, 3, 8).flatten.flatten.toSeq == p.flatten.flatten.toSeq)
+    // spot-check one cell against an independent md5 computation of the
+    // exact string DuckDB hashes: "0_0_1" (table 0, plane 0, dim 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("0_0_1".getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+    assert(p(0)(0)(0) == (if (h % 2 == 0) 1.0 else -1.0))
+  }
+
+  test("oracled md5 LSH: exact pairs in, no false positives, sign kernel integer-exact") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v1 = vec()
+    val v1b = v1.map(x => x * 1.5f) // same direction -> identical sketch, cos 1
+    val rows = Seq((1L, v1), (2L, v1b)) ++ (3L to 40L).map(i => (i, vec()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Dedup.embedPairsMd5(emb, thresholdPpm = 900000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"scaled copy must share every bucket; got $got")
+    // verify step is exact: nothing below the ppm threshold survives
+    val all = Dedup.embedPairsMd5(emb, thresholdPpm = 900000L)
+      .select("cos_ppm").as[Long].collect()
+    assert(all.forall(_ >= 900000L))
+  }
 }
 
 class SpreadSpec extends SparkSpec {
