@@ -72,6 +72,7 @@ object SparkEntry {
     // its own key (RNG planes → rows-only, spec-covered)
     "q_dedup_embed"    -> q(Dedup.embedDedupMd5),
     "q_dedup_embed_mp" -> q(Dedup.embedDedup),
+    "q_line_dedup"     -> q(Dedup.lineDedup(_)),
     // oracled engine-exact IVF (integer index build replayed by DuckDB)
     // + the float-Lloyd production kernel benched under its own key
     "q_knn_ivf"        -> q(Similarity.ivfKnnExact(_)),
@@ -1902,6 +1903,27 @@ object SparkEntry {
         |       chars_total - chars_kept AS chars_dropped
         |FROM t JOIN k USING (source)
         |ORDER BY source""".stripMargin,
+
+    // CCNet-style boilerplate segment dedup: group by raw segment
+    // text (the fingerprint optimization is engine-side only), both
+    // engines slice 1-based with end-truncation
+    "q_line_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |seg AS (SELECT doc_id,
+        |          array_to_string(l[(i*10+1):(i*10+10)], ' ') AS s,
+        |          least(CAST(len(l) AS BIGINT) - i*10, 10) AS stok
+        |        FROM (SELECT doc_id, l,
+        |                unnest(generate_series(0, CAST(ceil(len(l)/10.0) AS BIGINT) - 1)) AS i
+        |              FROM tok)),
+        |dfc AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY s)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |       CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       CAST(SUM(CASE WHEN df < 3 THEN stok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |       CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) * 1000000
+        |            // COUNT(*) AS BIGINT) AS boiler_ppm
+        |FROM seg JOIN dfc USING (s)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // full LSH index replay: md5-parity ±1 hyperplanes, integer-exact
     // sign sketches (micro-int vectors, |dot| ≤ 64e6 ≪ 2^53), 6-bit

@@ -448,6 +448,40 @@ object Dedup {
 
   def embedDedupMd5(t: Tables): DataFrame = embedPairsMd5(t.embeddings)
 
+  /** Boilerplate LINE dedup (CCNet / RefinedWeb): drop text segments
+    * that recur across ≥ `minDf` distinct documents — navigation bars,
+    * cookie banners, licence footers — independent of any pairwise
+    * document similarity. The corpus has no newlines, so a "line" is a
+    * non-overlapping `segLen`-token window; the semantics (hash each
+    * line, count distinct docs, drop common lines, report per-doc
+    * residue) are exactly CCNet's paragraph-frequency filter.
+    *
+    * Scale: one segment aggregate (map-side partial on the segment
+    * key), the join back rides the agg's partitioning, then one
+    * per-doc aggregate — segments cross the wire once. The oracled
+    * instance keys on the raw segment text; a 100 TB run keys on a
+    * 128-bit fingerprint of it (same plan, skinnier shuffle — CCNet
+    * ships sha1 prefixes for the same reason). */
+  def lineDedup(t: Tables, segLen: Int = 10, minDf: Long = 3L): DataFrame = {
+    val segs = spread(t.documents.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("l")))
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(0L),
+          ceil(size(col("l")) / lit(segLen.toDouble)).cast("long") - 1L)).as("i"))
+      .select(col("doc_id"),
+        array_join(slice(col("l"), (col("i") * segLen + 1).cast("int"), lit(segLen)), " ").as("s"),
+        least(size(col("l")).cast("long") - col("i") * segLen, lit(segLen.toLong)).as("stok"))
+    val dfc = segs.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(dfc, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("df") < minDf, col("stok")).otherwise(0L)).cast("long").as("kept_tokens"))
+      .withColumn("boiler_ppm", expr("n_boiler * 1000000 DIV n_segs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** cos·10⁶ snap shared verbatim with the DuckDB oracle: every input
     * (dot, aa, bb) is an exact integer ≤ dims·10¹² < 2⁵³, SQRT is
     * IEEE-correctly-rounded in both engines, and both parsers

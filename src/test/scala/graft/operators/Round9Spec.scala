@@ -196,4 +196,25 @@ class Round9Spec extends SparkSpec {
       (0L, 2L, 1L, 32L, 1L, 5L, splitOf(0L)),
       (1L, 1L, 0L, 23L, 5L, 5L, splitOf(1L))))
   }
+
+  test("lineDedup: segments recurring in >=minDf docs drop, tail segment counts short") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // the shared banner
+    def uniq(doc: Int, n: Int): String =
+      (1 to n).map(i => s"u${doc}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${uniq(1, 10)}"),       // banner + 1 unique segment
+      (2L, s"$boiler ${uniq(2, 15)}"),       // banner + 1 full + 1 short(5)
+      (3L, s"$boiler ${uniq(3, 10)}"),       // banner in 3 docs -> df=3 drops
+      (4L, uniq(4, 12)))                     // no banner; 10 + short(2)
+      .toDF("doc_id", "text")
+    val t = star("documents" -> docs)
+    val r = Dedup.lineDedup(t, segLen = 10, minDf = 3L)
+      .select("doc_id", "n_segs", "n_boiler", "kept_tokens", "boiler_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 2L, 1L, 10L, 500000L),
+      (2L, 3L, 1L, 15L, 333333L),
+      (3L, 2L, 1L, 10L, 500000L),
+      (4L, 2L, 0L, 12L, 0L)))
+  }
 }
