@@ -471,13 +471,21 @@ object Dedup {
       .select(col("doc_id"),
         array_join(slice(col("l"), (col("i") * segLen + 1).cast("int"), lit(segLen)), " ").as("s"),
         least(size(col("l")).cast("long") - col("i") * segLen, lit(segLen.toLong)).as("stok"))
-    val dfc = segs.groupBy(col("s"))
+    // only the segments that ARE boilerplate come back from the
+    // frequency aggregate — the unique-segment majority (corpus-sized)
+    // never joins, so the probe side is the boilerplate vocabulary
+    // (small by definition of boilerplate; AQE broadcasts it when the
+    // runtime size allows, plain shuffle otherwise)
+    val boiler = segs.groupBy(col("s"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    segs.join(dfc, Seq("s"))
+      .filter(col("df") >= minDf)
+      .select(col("s"), lit(1L).as("is_boiler"))
+    segs.join(boiler, Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segs"),
-        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
-        sum(when(col("df") < minDf, col("stok")).otherwise(0L)).cast("long").as("kept_tokens"))
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("is_boiler").isNull, col("stok")).otherwise(0L))
+          .cast("long").as("kept_tokens"))
       .withColumn("boiler_ppm", expr("n_boiler * 1000000 DIV n_segs"))
       .orderBy(col("doc_id"))
   }
