@@ -73,6 +73,7 @@ object SparkEntry {
     "q_dedup_embed"    -> q(Dedup.embedDedupMd5),
     "q_dedup_embed_mp" -> q(Dedup.embedDedup),
     "q_line_dedup"     -> q(Dedup.lineDedup(_)),
+    "q_ann_recall"     -> q(Dedup.annRecallAudit),
     // oracled engine-exact IVF (integer index build replayed by DuckDB)
     // + the float-Lloyd production kernel benched under its own key
     "q_knn_ivf"        -> q(Similarity.ivfKnnExact(_)),
@@ -1960,6 +1961,50 @@ object SparkEntry {
         |SELECT id_a, id_b, cos_ppm FROM s
         |WHERE cos_ppm >= 300000
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // recall audit: exact all-pairs truth on the md5-coin sample vs
+    // the same LSH bucketing q_dedup_embed's oracle replays
+    "q_ann_recall" ->
+      s"""WITH samp AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 1000000 < 250000),
+        |q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS m
+        |  FROM samp),
+        |w AS (SELECT vec_id, m,
+        |        CAST(list_sum(list_transform(m, x -> x * x)) AS BIGINT) AS aa FROM q),
+        |p2 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         CAST(list_sum(list_transform(generate_series(1, len(a.m)),
+        |           i -> a.m[i] * b.m[i])) AS BIGINT) AS dot,
+        |         a.aa AS aa, b.aa AS bb
+        |       FROM w a JOIN w b ON a.vec_id < b.vec_id),
+        |truth AS (SELECT * FROM (
+        |            SELECT id_a, id_b, ${operators.Dedup.cosPpmSql} AS cos_ppm FROM p2)
+        |          WHERE cos_ppm >= 300000),
+        |pl AS (SELECT t, p,
+        |         list_transform(generate_series(1, 64),
+        |           d -> CASE WHEN ('0x' || substr(md5(t || '_' || p || '_' || d), 1, 8))::BIGINT
+        |                          % 2 = 0 THEN 1 ELSE -1 END) AS s
+        |       FROM range(8) tt(t), range(6) pp(p)),
+        |bits AS (SELECT w.vec_id, pl.t, pl.p,
+        |           CASE WHEN list_sum(list_transform(generate_series(1, len(w.m)),
+        |             d -> pl.s[d] * w.m[d])) >= 0 THEN 1 ELSE 0 END AS b
+        |         FROM w, pl),
+        |bk AS (SELECT vec_id, t, CAST(SUM(b * (1::BIGINT << p)) AS BIGINT) AS bucket
+        |       FROM bits GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |         FROM bk x JOIN bk y
+        |           ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT tr.cos_ppm // 100000 AS band,
+        |       CAST(COUNT(*) AS BIGINT) AS n_true,
+        |       CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        |       CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |            // COUNT(*) AS BIGINT) AS recall_ppm
+        |FROM truth tr LEFT JOIN cand c
+        |  ON tr.id_a = c.id_a AND tr.id_b = c.id_b
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
 
     // cos-ppm snap text shared with the Spark plan (Dedup.cosPpmSql)
     "q_dedup_embed_exact" ->

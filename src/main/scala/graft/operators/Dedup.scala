@@ -448,6 +448,62 @@ object Dedup {
 
   def embedDedupMd5(t: Tables): DataFrame = embedPairsMd5(t.embeddings)
 
+  /** ANN RECALL AUDIT: the embedding counterpart of [[lshAudit]] —
+    * for a deterministic md5-coin sample of vectors, compare the LSH
+    * index's candidate pairs ([[embedPairsMd5]]'s bucketing) against
+    * EXACT all-pairs ground truth at the same cosine threshold, banded
+    * by cosine decile. The dashboard that says "at this bit width the
+    * index finds 9x% of ≥0.9 pairs but only y% of 0.3-0.4 pairs" —
+    * what an operator must know before trusting LSH dedup at 100 TB.
+    *
+    * Ground truth is all-pairs and therefore quadratic BY DEFINITION —
+    * that is why the audit contract samples first (`samplePpm` on an
+    * md5 coin, engine-independent): recall estimated on a bounded
+    * sample is the standard ANN-benchmark practice. The sampled base
+    * is small, so the quadratic side never touches the full corpus.
+    * LSH candidates are recomputed on the same sample (recall within
+    * the sample, unbiased for bucketing behavior). */
+  def annRecall(t: Tables, samplePpm: Long = 250000L,
+                thresholdPpm: Long = 300000L): DataFrame = {
+    val coin = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val samp = t.embeddings.filter(coin < samplePpm)
+      .select(col("vec_id"), col("embedding"))
+    val base = spread(samp)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
+      .withColumn("aa", graft.functions.VectorFunctions
+        .dotProduct(col("m"), col("m")).cast("long"))
+      .persist()
+    val truth = base.select(col("vec_id").as("id_a"), col("m").as("ma"), col("aa"))
+      .join(base.select(col("vec_id").as("id_b"), col("m").as("mb"), col("aa").as("bb")),
+        col("id_a") < col("id_b"))
+      .withColumn("dot", graft.functions.VectorFunctions
+        .dotProduct(col("ma"), col("mb")).cast("long"))
+      .withColumn("cos_ppm", expr(cosPpmSql))
+      .filter(col("cos_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("cos_ppm"))
+    val planes = md5Planes(8, 6, 64)
+    val bucketed = base.select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.hyperplaneSketch(col("m"), planes)))
+      .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
+    val cand = bucketed.select(col("vec_id").as("id_a"), col("table"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("id_b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .withColumn("hit", lit(1L))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy(expr("cos_ppm DIV 100000").as("band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_found"))
+      .withColumn("recall_ppm", expr("n_found * 1000000 DIV n_true"))
+      .orderBy(col("band"))
+  }
+
+  def annRecallAudit(t: Tables): DataFrame = annRecall(t)
+
   /** Boilerplate LINE dedup (CCNet / RefinedWeb): drop text segments
     * that recur across ≥ `minDf` distinct documents — navigation bars,
     * cookie banners, licence footers — independent of any pairwise

@@ -228,6 +228,25 @@ class EmbedDedupSpec extends SparkSpec {
       .select("cos_ppm").as[Long].collect()
     assert(all.forall(_ >= 900000L))
   }
+
+  test("annRecall: identical-direction pair always found; recall never exceeds 1") {
+    val rnd = new scala.util.Random(13)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v1 = vec()
+    val rows = Seq((1L, v1), (2L, v1.map(_ * 2.0f))) ++ (3L to 30L).map(i => (i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val t = graft.sources.Tables(spark, dir)
+    val r = Dedup.annRecall(t, samplePpm = 1000000L) // audit every vector
+      .select("band", "n_true", "n_found", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the micro-int snap floors the scaled copy's cos_ppm to 999999 ->
+    // band 9 (band 10 needs exactly-collinear integer vectors)
+    val top = r.find(_._1 >= 9L).getOrElse(fail(s"no cos~1.0 band in $r"))
+    assert(top._2 >= 1L && top._3 == top._2, s"scaled copy shares every bucket: $r")
+    assert(r.forall { case (_, t2, f, ppm) => f <= t2 && ppm <= 1000000L })
+  }
 }
 
 class SpreadSpec extends SparkSpec {
