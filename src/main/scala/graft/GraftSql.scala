@@ -18,6 +18,7 @@ object GraftSql {
   def register(spark: SparkSession, dir: String): Unit = {
     registerViews(spark, dir)
     functions.HashFunctions.registerAll(spark)
+    functions.GeoFunctions.registerAll(spark)
   }
 
   def query(spark: SparkSession, dir: String, sql: String): DataFrame = {

@@ -149,6 +149,20 @@ object GeoFunctions {
     * (`ceiling(st_area(st_make_valid(...)))`, 2023.R:36-40). */
   def makeValidAreaCeilM2(ring: Column): Column =
     ceil(makeValid(ring).getField("area")).cast("long")
+
+  /** MULTIPOLYGON make_valid → area: the reference's full R2 path
+    * (`st_make_valid` → cast MULTIPOLYGON → `st_area`, 2023.R:36-40)
+    * over `array<array<struct<x,y>>>` — each component ring repaired
+    * independently, areas summed. */
+  def multiPolygonAreaValid(rings: Column): Column =
+    aggregate(transform(rings, r => makeValid(r).getField("area")),
+      lit(0.0), (a, v) => a + v)
+
+  /** Register the geometry kernel for the SQL surface:
+    * `graft_make_valid(ring)` → struct(area, loops). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_make_valid", exprs => MakeValidArea(exprs.head), "built-in")
 }
 
 /** Static geometry-repair kernel, callable from generated Java.

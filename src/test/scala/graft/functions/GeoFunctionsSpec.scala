@@ -111,6 +111,26 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(math.abs(a - 5.0) < 1e-12 && l == 2, s"got ($a, $l)")
   }
 
+  test("multiPolygonAreaValid repairs each component ring before summing") {
+    val bowtie = Seq((0.0, 0.0), (4.0, 0.0), (0.0, 3.0), (4.0, 3.0)) // repaired -> 6
+    val square = Seq((10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0)) // 4
+    val df = Seq(1).toDF("id").select(
+      array(Seq(bowtie, square).map(r => array(r.map { case (x, y) =>
+        struct(lit(x).as("x"), lit(y).as("y")) }: _*)): _*).as("mp"))
+    val a = df.select(GeoFunctions.multiPolygonAreaValid(col("mp"))).head.getDouble(0)
+    assert(a == 10.0, s"got $a")
+  }
+
+  test("graft_make_valid is callable from SQL after GeoFunctions.registerAll") {
+    GeoFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_make_valid(array(
+        |  named_struct('x', 0.0d, 'y', 0.0d), named_struct('x', 4.0d, 'y', 0.0d),
+        |  named_struct('x', 0.0d, 'y', 3.0d), named_struct('x', 4.0d, 'y', 3.0d))) AS v"""
+        .stripMargin).select("v.area", "v.loops").head
+    assert((r.getDouble(0), r.getInt(1)) == ((6.0, 2)))
+  }
+
   test("spherical area matches the exact lat-lon zone closed form") {
     // for an axis-aligned lon/lat quad the spherical-excess sum reduces
     // to the exact zone formula R²·Δλ·(sin φ2 − sin φ1)
