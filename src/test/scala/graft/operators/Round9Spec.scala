@@ -197,6 +197,24 @@ class Round9Spec extends SparkSpec {
       (1L, 1L, 0L, 23L, 5L, 5L, splitOf(1L))))
   }
 
+  test("round-9 plans: no nested-loop joins outside the sampled-audit contract") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    // lineDedup + pipelineE2E must stay equi-join-only: a nested loop
+    // here means the segment/bucket key degraded to a residual filter
+    for ((name, df) <- Seq(
+        "lineDedup" -> Dedup.lineDedup(t),
+        "pipelineE2E" -> Curation.pipelineE2E(t))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name plans a non-equi join:\n$plan")
+    }
+    // geo make_valid is one codegen'd pass: no exchange except the
+    // final ORDER BY sort
+    val geo = graft.etl.Enrichment.geoAreaValid(t).queryExecution.executedPlan.toString
+    assert(geo.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      s"geoAreaValid should shuffle only for the output sort:\n$geo")
+  }
+
   test("lineDedup: segments recurring in >=minDf docs drop, tail segment counts short") {
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // the shared banner
     def uniq(doc: Int, n: Int): String =
