@@ -74,6 +74,7 @@ object SparkEntry {
     "q_dedup_embed_mp" -> q(Dedup.embedDedup),
     "q_line_dedup"     -> q(Dedup.lineDedup(_)),
     "q_ann_recall"     -> q(Dedup.annRecallAudit),
+    "q_jsonl_ingest"   -> q(graft.sources.JsonLines.roundtrip),
     // oracled engine-exact IVF (integer index build replayed by DuckDB)
     // + the float-Lloyd production kernel benched under its own key
     "q_knn_ivf"        -> q(Similarity.ivfKnnExact(_)),
@@ -1904,6 +1905,15 @@ object SparkEntry {
         |       chars_total - chars_kept AS chars_dropped
         |FROM t JOIN k USING (source)
         |ORDER BY source""".stripMargin,
+
+    // JSONL round-trip fidelity: the decoded aggregate must equal the
+    // parquet source's, plus exactly the one injected corrupt line
+    "q_jsonl_ingest" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(1 AS BIGINT) AS n_corrupt
+        |FROM documents""".stripMargin,
 
     // CCNet-style boilerplate segment dedup: group by raw segment
     // text (the fingerprint optimization is engine-side only), both

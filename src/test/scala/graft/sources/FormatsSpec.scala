@@ -56,6 +56,20 @@ class SchemaEvolutionSpec extends SparkSpec {
 /** Count-min sketch: the frequency-estimation companion to the HLL
   * distinct sketches (SketchSpec) — overestimates only, bounded by
   * eps × stream size with the configured confidence. */
+class JsonLinesSpec extends SparkSpec {
+
+  test("JSONL round-trip: decode fidelity exact, corrupt line counted not dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-spec").toString
+    Seq((1L, "alpha beta", "en", "s0", 10L), (2L, "gamma", "de", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = JsonLines.roundtrip(Tables(spark, dir))
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((2L, 2L, 15L, 1L)))
+  }
+}
+
 class CountMinSpec extends SparkSpec {
 
   test("count-min estimates are overestimates within the eps bound") {
