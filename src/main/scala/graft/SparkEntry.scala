@@ -170,6 +170,7 @@ object SparkEntry {
     "q_split_assign"   -> q(Curation.splitAssign(_)),
     // the composed filter→dedup→pack→split pipeline, fully oracled
     "q_pipeline_e2e"   -> q(Curation.pipelineE2E(_)),
+    "q_epoch_shuffle"  -> q(Curation.epochShuffle(_)),
     "q_centroid_update" -> q(Similarity.centroidUpdate),
     "q_source_dup_matrix" -> q(Dedup.sourceDupMatrix),
     "q_substr_dedup"   -> q(Dedup.substrDedup(_)),
@@ -1905,6 +1906,17 @@ object SparkEntry {
         |       chars_total - chars_kept AS chars_dropped
         |FROM t JOIN k USING (source)
         |ORDER BY source""".stripMargin,
+
+    // the scalable range-partitioned row-number vs a true global
+    // ROW_NUMBER over the same hash order — md5 coin shared verbatim
+    "q_epoch_shuffle" ->
+      """WITH e(epoch) AS (VALUES (1), (2))
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+        |              ORDER BY md5(epoch || '_' || CAST(doc_id AS VARCHAR)), doc_id)
+        |            AS BIGINT) AS pos
+        |FROM documents, e
+        |ORDER BY epoch, pos""".stripMargin,
 
     // JSONL round-trip fidelity: the decoded aggregate must equal the
     // parquet source's, plus exactly the one injected corrupt line

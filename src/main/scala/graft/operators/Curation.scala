@@ -344,6 +344,26 @@ object Curation {
       .orderBy(col("split"))
   }
 
+  /** Deterministic EPOCH SHUFFLE manifests: the data order for every
+    * training epoch as a pure function of (epoch, doc_id) — order by
+    * md5(epoch_docid) with a doc_id tie-break — so any worker, engine,
+    * or restart reproduces byte-identical epoch order with no RNG
+    * state to checkpoint. The rank comes from [[globalRowNumber]]
+    * (range-repartition + broadcast offsets), which is what makes the
+    * manifest scale: a naive global ROW_NUMBER window funnels the
+    * corpus through one task, this one never does. The hash sort key
+    * also exercises range partitioning on a non-monotonic column —
+    * boundaries land mid-hash-space and the offsets must still
+    * reconstruct the exact global order. */
+  def epochShuffle(t: Tables, epochs: Int = 2): DataFrame = {
+    val base = t.documents.select(col("doc_id"))
+    (1 to epochs).map { e =>
+      val key = md5(concat_ws("_", lit(e), col("doc_id").cast("string")))
+      globalRowNumber(base.withColumn("k", key), col("k"), col("doc_id"))
+        .select(lit(e.toLong).as("epoch"), col("doc_id"), col("_rn").as("pos"))
+    }.reduce(_ unionAll _).orderBy(col("epoch"), col("pos"))
+  }
+
   /** The composed end-to-end training-data pipeline a reference user
     * actually ships: token-length FILTER → MinHash+LSH near-dup DEDUP
     * closed over connected components (min-id survivor) → fixed-length

@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 class CurationSpec extends SparkSpec {
+
+  test("epochShuffle: each epoch is a full permutation, orders differ across epochs") {
+    val r = Curation.epochShuffle(tables, epochs = 2)
+      .select("epoch", "doc_id", "pos")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val byEpoch = r.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val n = byEpoch(1L).size
+    assert(byEpoch(1L).toSet == byEpoch(2L).toSet && n > 0) // same docs
+    assert(byEpoch.values.forall(_.distinct.size == n))     // each pos once
+    assert(byEpoch(1L) != byEpoch(2L))                      // different order
+    // rerun: byte-identical manifest (no RNG state anywhere)
+    val again = Curation.epochShuffle(tables, epochs = 2)
+      .select("epoch", "doc_id", "pos")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(again.toSeq == r.toSeq)
+  }
   import spark.implicits._
 
   test("globalRunningSum equals the single-partition running-sum window") {
