@@ -61,6 +61,8 @@ object SparkEntry {
     // simhashMd5Fingerprints scaladoc)
     "q_dedup_minhash"  -> q(Dedup.minhash),
     "q_dedup_simhash"  -> q(Dedup.simhash),
+    // batch-vs-index probe (daily-increment shape), md5 oracled
+    "q_dedup_incremental" -> q(Dedup.minhashIncremental(_)),
     // throughput twins of the two above (xxhash64 / FNV kernels — the
     // path a 100 TB run ships): benched under their own keys so the
     // production kernels' regressions stay visible; rows-only driver
@@ -263,11 +265,12 @@ object SparkEntry {
       |                              ORDER BY d2, c) AS rn
       |         FROM d)""".stripMargin
 
-  /** The MinHash pair stage as DuckDB CTEs over an arbitrary source
-    * relation (must expose doc_id, text) — `j` is the verified-Jaccard
-    * candidate pair frame. Shared by the minhash family and the
-    * end-to-end pipeline oracle. */
-  private def minhashCoreCtes(src: String): String = {
+  /** The MinHash SIGNATURE stage as DuckDB CTEs over an arbitrary
+    * source relation (must expose doc_id, text): shingles (`sh`/`gl`)
+    * and band keys (`bk`). Pair closers compose on top — the standard
+    * self-join ([[minhashCoreCtes]]) or the incremental batch-vs-index
+    * join (q_dedup_incremental). */
+  private def minhashSigCtes(src: String): String = {
     val perms = graft.operators.Dedup.mixConstants(32).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM $src),
@@ -280,16 +283,22 @@ object SparkEntry {
        |bk AS (SELECT doc_id, i // 4 AS band,
        |              array_to_string(list(m ORDER BY i), ',') AS key
        |       FROM sig GROUP BY doc_id, i // 4),
+       |gl AS (SELECT doc_id, list(DISTINCT g) AS gs FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** [[minhashSigCtes]] closed with the self-join pair stage — `j` is
+    * the verified-Jaccard candidate pair frame. Shared by the minhash
+    * family and the end-to-end pipeline oracle. */
+  private def minhashCoreCtes(src: String): String =
+    s"""${minhashSigCtes(src)},
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bk x JOIN bk y
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-       |gl AS (SELECT doc_id, list(DISTINCT g) AS gs FROM sh GROUP BY doc_id),
        |j AS (SELECT c.doc_a, c.doc_b,
        |        CAST(len(list_intersect(xa.gs, yb.gs)) AS DOUBLE)
        |          / (len(xa.gs) + len(yb.gs) - len(list_intersect(xa.gs, yb.gs))) AS jaccard
        |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
        |                  JOIN gl yb ON yb.doc_id = c.doc_b)""".stripMargin
-  }
 
   private lazy val minhashOracleCore: String = "WITH " + minhashCoreCtes("documents")
 
@@ -629,6 +638,21 @@ object SparkEntry {
       s"""$minhashOracleCore
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // asymmetric batch-vs-index probe over the same signature CTEs
+    "q_dedup_incremental" ->
+      s"""WITH ${minhashSigCtes("documents")},
+         |cand AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS dup_of
+         |         FROM bk x JOIN bk y
+         |           ON x.band = y.band AND x.key = y.key
+         |         WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+         |j AS (SELECT c.new_doc, c.dup_of,
+         |        CAST(len(list_intersect(xa.gs, yb.gs)) AS DOUBLE)
+         |          / (len(xa.gs) + len(yb.gs) - len(list_intersect(xa.gs, yb.gs))) AS jaccard
+         |      FROM cand c JOIN gl xa ON xa.doc_id = c.new_doc
+         |                  JOIN gl yb ON yb.doc_id = c.dup_of)
+         |SELECT new_doc, dup_of, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY new_doc, dup_of""".stripMargin,
 
     // the pair graph above closed into clusters: recursive-CTE label
     // propagation mirrors the Spark pointer-jumping loop exactly

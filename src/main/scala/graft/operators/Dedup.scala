@@ -448,6 +448,38 @@ object Dedup {
 
   def embedDedupMd5(t: Tables): DataFrame = embedPairsMd5(t.embeddings)
 
+  /** INCREMENTAL near-dup dedup — the daily-increment shape: probe a
+    * NEW batch of documents against the EXISTING corpus index instead
+    * of self-joining the whole corpus. Candidates are an asymmetric
+    * equi-join of the batch's band keys against the index's (the
+    * index side is precomputed once in a real deployment and only the
+    * batch's signatures are fresh work), so incremental cost is
+    * O(batch), not O(corpus) — re-running the full self-join every day
+    * is the classic dedup-at-scale mistake. Exact-Jaccard verify on
+    * the candidate pairs only, like [[minhashPairs]]. The driver
+    * instance partitions by doc_id decile (every 10th doc is "new");
+    * a deployment passes its real batch/index frames. */
+  def minhashIncremental(t: Tables, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(t.documents, 3).persist()
+    val banded = minhashSignatures(sh, 32, md5Hash31)
+      .select(col("doc_id"), explode(bandKeysStr(col("sig"), 8, 4)).as("bk"))
+      .persist()
+    val cand = banded.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("new_doc"), col("bk"))
+      .join(banded.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("dup_of"), col("bk")), Seq("bk"))
+      .select(col("new_doc"), col("dup_of")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), Seq("new_doc"))
+      .join(sh.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")), Seq("dup_of"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_doc"), col("dup_of"), col("jaccard"))
+      .orderBy(col("new_doc"), col("dup_of"))
+  }
+
   /** ANN RECALL AUDIT: the embedding counterpart of [[lshAudit]] —
     * for a deterministic md5-coin sample of vectors, compare the LSH
     * index's candidate pairs ([[embedPairsMd5]]'s bucketing) against

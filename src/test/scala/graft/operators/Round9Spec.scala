@@ -215,6 +215,23 @@ class Round9Spec extends SparkSpec {
       s"geoAreaValid should shuffle only for the output sort:\n$geo")
   }
 
+  test("minhashIncremental: batch probes the index only — new-new and index-index pairs excluded") {
+    def words(n: Int, prefix: String): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val base = words(30, "w")
+    val docs = Seq(
+      (10L, base),                 // NEW (id % 10 == 0): dup of index doc 1
+      (20L, base),                 // NEW: also dup of index doc 1 (but NOT paired with 10)
+      (1L, base),                  // index
+      (2L, base),                  // index dup of 1 -> must NOT appear (index-index)
+      (3L, words(25, "z")))        // index, unrelated
+      .toDF("doc_id", "text")
+    val t = star("documents" -> docs)
+    val got = Dedup.minhashIncremental(t)
+      .select("new_doc", "dup_of").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L)), s"got $got")
+  }
+
   test("lineDedup: segments recurring in >=minDf docs drop, tail segment counts short") {
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // the shared banner
     def uniq(doc: Int, n: Int): String =
