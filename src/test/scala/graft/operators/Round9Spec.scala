@@ -203,7 +203,9 @@ class Round9Spec extends SparkSpec {
     // here means the segment/bucket key degraded to a residual filter
     for ((name, df) <- Seq(
         "lineDedup" -> Dedup.lineDedup(t),
-        "pipelineE2E" -> Curation.pipelineE2E(t))) {
+        "pipelineE2E" -> Curation.pipelineE2E(t),
+        "minhashIncremental" -> Dedup.minhashIncremental(t),
+        "epochShuffle" -> Curation.epochShuffle(t))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$name plans a non-equi join:\n$plan")
