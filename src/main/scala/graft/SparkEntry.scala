@@ -173,6 +173,7 @@ object SparkEntry {
     // the composed filter→dedup→pack→split pipeline, fully oracled
     "q_pipeline_e2e"   -> q(Curation.pipelineE2E(_)),
     "q_epoch_shuffle"  -> q(Curation.epochShuffle(_)),
+    "q_shard_checksum" -> q(Curation.shardChecksum(_)),
     "q_centroid_update" -> q(Similarity.centroidUpdate),
     "q_source_dup_matrix" -> q(Dedup.sourceDupMatrix),
     "q_substr_dedup"   -> q(Dedup.substrDedup(_)),
@@ -1930,6 +1931,16 @@ object SparkEntry {
         |       chars_total - chars_kept AS chars_dropped
         |FROM t JOIN k USING (source)
         |ORDER BY source""".stripMargin,
+
+    // order-independent XOR fold of a 60-bit md5 prefix — the
+    // commutativity is what makes the signature shard-order-proof
+    "q_shard_checksum" ->
+      """SELECT doc_id % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT) AS content_sig,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
 
     // the scalable range-partitioned row-number vs a true global
     // ROW_NUMBER over the same hash order — md5 coin shared verbatim

@@ -344,6 +344,26 @@ object Curation {
       .orderBy(col("split"))
   }
 
+  /** Per-shard INTEGRITY MANIFEST: shard id → row count, byte total,
+    * and an order-independent content signature (bit-XOR fold of a
+    * 60-bit md5 prefix per document) — what a pipeline publishes next
+    * to its shards so any later reader can verify nothing was dropped,
+    * duplicated, or bit-rotted in transit, without re-reading order or
+    * trusting file sizes. XOR makes the fold commutative, so the
+    * aggregate is map-side partial and shard-order-insensitive; md5
+    * keeps it engine-reproducible.
+    *
+    * Scale: one map-side-combined aggregate over the corpus; output is
+    * shard-count rows. */
+  def shardChecksum(t: Tables, shards: Int = 8): DataFrame =
+    t.documents
+      .groupBy((col("doc_id") % shards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"))
+          .as("content_sig"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("shard"))
+
   /** Deterministic EPOCH SHUFFLE manifests: the data order for every
     * training epoch as a pure function of (epoch, doc_id) — order by
     * md5(epoch_docid) with a doc_id tie-break — so any worker, engine,

@@ -234,6 +234,31 @@ class Round9Spec extends SparkSpec {
     assert(got == Set((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L)), s"got $got")
   }
 
+  test("shardChecksum: signature is order-independent but catches edits, drops, and dups") {
+    def sig(rows: Seq[(Long, String, Long)]): Map[Long, Long] = {
+      val t = star("documents" -> rows.toDF("doc_id", "text", "n_chars"))
+      Curation.shardChecksum(t).select("shard", "content_sig")
+        .as[(Long, Long)].collect().toMap
+    }
+    val base = sig(Seq((0L, "alpha", 5L), (8L, "beta", 4L), (1L, "gamma", 5L)))
+    // order of rows within the shard is irrelevant (XOR commutes)
+    assert(sig(Seq((8L, "beta", 4L), (1L, "gamma", 5L), (0L, "alpha", 5L))) == base)
+    // a one-character edit flips the shard-0 signature, leaves shard 1 alone
+    val edited = sig(Seq((0L, "alphA", 5L), (8L, "beta", 4L), (1L, "gamma", 5L)))
+    assert(edited(0L) != base(0L) && edited(1L) == base(1L))
+    // a dropped row changes the signature
+    assert(sig(Seq((0L, "alpha", 5L), (1L, "gamma", 5L)))(0L) != base(0L))
+    // a PAIR of duplicated rows XORs itself out of the signature —
+    // {a,a,b} folds to b, indistinguishable from {b} by sig alone —
+    // which is why the manifest carries the row count too
+    val t2 = star("documents" -> Seq((0L, "alpha", 5L), (0L, "alpha", 5L), (8L, "beta", 4L))
+      .toDF("doc_id", "text", "n_chars"))
+    val row = Curation.shardChecksum(t2).filter(col("shard") === 0L)
+      .select("n_docs", "content_sig").as[(Long, Long)].head()
+    assert(row._1 == 3L) // count catches what XOR cancels
+    assert(row._2 == sig(Seq((8L, "beta", 4L)))(0L)) // the cancellation, demonstrated
+  }
+
   test("lineDedup: segments recurring in >=minDf docs drop, tail segment counts short") {
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // the shared banner
     def uniq(doc: Int, n: Int): String =
