@@ -49,8 +49,11 @@ object Analytics {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3 shape: customer ⨝ orders ⨝ lineitem, revenue top-10.
-    * customer side is filtered then broadcast — the fact tables never
-    * shuffle for the dim lookup; only the final groupBy shuffles. */
+    * customer and date-filtered orders both grow linearly with SF
+    * (orders is a FACT table — at the 100 TB target either side is
+    * far past the broadcast cap), so neither join carries a hint:
+    * both hash on their keys and AQE converts to broadcast only when
+    * runtime sizes actually fit. Only the final groupBy must shuffle. */
   def q3Shipping(t: Tables): DataFrame = {
     val cutoff = lit("1998-01-01").cast("timestamp")
     val c = t.customer.filter(col("c_mktsegment") === "BUILDING")
@@ -59,7 +62,7 @@ object Analytics {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     val l = t.lineitem.filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+    l.join(o.join(c, o("o_custkey") === c("c_custkey")),
         l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(d(col("l_extendedprice")) * discF(col("l_discount")))
@@ -69,8 +72,11 @@ object Analytics {
   }
 
   /** TPC-H Q5 shape: 6-table star join, revenue per nation in a region.
-    * All dims broadcast; lineitem (the 100 TB table) is scanned once and
-    * shuffles only for the final 25-group agg. */
+    * Only the schema-bounded dims (nation 25, region 5) are hinted;
+    * customer/supplier are SF-linear so their joins are unhinted (AQE
+    * broadcasts while they fit, sort-merge beyond the cap). lineitem
+    * (the 100 TB table) is scanned once and shuffles only for its join
+    * keys and the final 25-group agg. */
   def q5Local(t: Tables): DataFrame = {
     val o = t.orders
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
@@ -78,9 +84,9 @@ object Analytics {
       .select("o_orderkey", "o_custkey")
     t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+      .join(t.customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))

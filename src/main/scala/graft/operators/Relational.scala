@@ -276,14 +276,15 @@ object Relational {
 
   /** TPC-H Q14 shape: promo-revenue ratio — conditional exact-decimal
     * numerator over exact-decimal denominator, one double division at
-    * the end (broadcast join on part). */
+    * the end. The part join is unhinted: part is SF-linear (full table,
+    * no slice), so AQE picks broadcast only while it actually fits. */
   def q14Promo(t: Tables): DataFrame = {
     val disc = col("l_extendedprice").cast(P) *
       (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))
     t.lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type").startsWith("PROMO"), disc).otherwise(lit(0).cast(P)))
           .cast(DoubleType) * 100.0 /

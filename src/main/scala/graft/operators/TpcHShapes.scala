@@ -18,10 +18,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * NOT-IN + count-distinct (Q16), nested correlated IN chains (Q20),
   * and the double EXISTS/NOT-EXISTS self-join stressor (Q21).
   *
-  * Scale shape notes: dimension sides (nation/supplier/customer/part)
-  * broadcast at any SF — the lineitem/orders fact sides never shuffle
-  * for enrichment, only for their aggregate or fact-fact join key.
-  * Double SUMs go through exact DECIMAL casts (see Analytics scaladoc).
+  * Scale shape notes: only relations bounded at ANY scale factor carry
+  * an explicit `broadcast()` hint — nation/region (25/5 rows by schema)
+  * and guaranteed-1-row global aggregates. customer/supplier/part and
+  * every filtered-orders or data-dependent aggregate frame grow
+  * linearly with SF (customer is ~1e9 rows at the 100 TB target, past
+  * Spark's 8 GB / 512M-row broadcast hard cap), so they are plain
+  * joins: AQE sizes them at runtime and broadcasts exactly when the
+  * actual bytes fit `autoBroadcastJoinThreshold` — same plan at sf0.1,
+  * a survivable sort-merge join at SF1e5. Double SUMs go through exact
+  * DECIMAL casts (see Analytics scaladoc).
   */
 object TpcHShapes {
 
@@ -35,22 +41,25 @@ object TpcHShapes {
 
   /** Q7 volume shipping: revenue flowing between two nations, by
     * direction and year. Both dims are pre-filtered to the two nations
-    * BEFORE their broadcast join (selectivity reaches the fact scan as
+    * before joining the fact side (selectivity reaches the fact scan as
     * a join-key filter), and the OR-pair predicate then keeps only the
-    * two cross directions. orders⨝lineitem is the one fact-fact join:
-    * hash on orderkey. */
+    * two cross directions. Supplier/customer are SF-linear (even
+    * nation-sliced: a 2/25 slice of 1e9 rows is 8e7 rows) so they are
+    * unhinted — AQE broadcasts them only while they actually fit; the
+    * inner nation joins stay hinted via the tiny dim. orders⨝lineitem
+    * is the one fact-fact join: hash on orderkey. */
   def q7Volume(t: Tables, na: String = "NATION_9", nb: String = "NATION_11"): DataFrame = {
     val nations = Seq(na, nb)
-    val sup = broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))
-      .join(t.nation.filter(col("n_name").isin(nations: _*))
-          .select(col("n_nationkey"), col("n_name").as("supp_nation")),
+    val sup = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t.nation.filter(col("n_name").isin(nations: _*))
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("supp_nation")))
-    val cust = broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))
-      .join(t.nation.filter(col("n_name").isin(nations: _*))
-          .select(col("n_nationkey"), col("n_name").as("cust_nation")),
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t.nation.filter(col("n_name").isin(nations: _*))
+          .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
         col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("cust_nation")))
+      .select(col("c_custkey"), col("cust_nation"))
     t.lineitem
       .filter(col("l_shipdate").between(ts("1995-01-01"), ts("1996-12-31")))
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
@@ -73,17 +82,17 @@ object TpcHShapes {
     * scan, no join of two aggregates). */
   def q8Share(t: Tables, nation: String = "NATION_9", region: String = "ASIA",
               ptype: String = "ECONOMY"): DataFrame = {
-    val pt = broadcast(t.part.filter(col("p_type") === ptype).select(col("p_partkey")))
-    val cust = broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))
-      .join(t.nation.select(col("n_nationkey"), col("n_regionkey")),
+    val pt = t.part.filter(col("p_type") === ptype).select(col("p_partkey"))
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_regionkey"))),
         col("c_nationkey") === col("n_nationkey"))
-      .join(t.region.filter(col("r_name") === region).select(col("r_regionkey")),
+      .join(broadcast(t.region.filter(col("r_name") === region).select(col("r_regionkey"))),
         col("n_regionkey") === col("r_regionkey"))
-      .select(col("c_custkey")))
-    val sup = broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))
-      .join(t.nation.select(col("n_nationkey"), col("n_name").as("supp_nation")),
+      .select(col("c_custkey"))
+    val sup = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("supp_nation")))
+      .select(col("s_suppkey"), col("supp_nation"))
     t.lineitem
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount"))
@@ -108,12 +117,12 @@ object TpcHShapes {
     * difference of two exact decimal sums, one double subtraction at
     * the end. */
   def q9Profit(t: Tables, word: String = "red"): DataFrame = {
-    val pt = broadcast(t.part.filter(col("p_name").contains(word))
-      .select(col("p_partkey"), col("p_retailprice")))
-    val sup = broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))
-      .join(t.nation.select(col("n_nationkey"), col("n_name").as("nation")),
+    val pt = t.part.filter(col("p_name").contains(word))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name").as("nation"))),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("nation")))
+      .select(col("s_suppkey"), col("nation"))
     val cost = (d(col("p_retailprice")) * d(col("l_quantity")) *
       lit(0.8).cast(R))
     t.lineitem
@@ -129,9 +138,10 @@ object TpcHShapes {
   }
 
   /** Q10 returned items: revenue lost to returns per customer over a
-    * quarter, top 20. Fact-fact join hashes on orderkey; customer and
-    * nation broadcast onto the aggregated (skinny) side, never the
-    * line rows. */
+    * quarter, top 20. Fact-fact join hashes on orderkey; customer
+    * (SF-linear, so unhinted — the per-customer agg side is the same
+    * order, AQE picks the join side) and the hinted 25-row nation dim
+    * join the aggregated (skinny) frame, never the line rows. */
   def q10Returns(t: Tables): DataFrame = {
     val perCust = t.lineitem.filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
@@ -143,8 +153,8 @@ object TpcHShapes {
       .groupBy(col("o_custkey"))
       .agg(sum(vol).cast(DoubleType).as("revenue"))
     perCust
-      .join(broadcast(t.customer
-          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))),
+      .join(t.customer
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
@@ -186,7 +196,7 @@ object TpcHShapes {
       .persist() // feeds max + filter; lazy leak by design (see tfIdf)
     rev.crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("mx"))))
       .filter(col("total_revenue") === col("mx"))
-      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+      .join(t.supplier.select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
@@ -199,14 +209,14 @@ object TpcHShapes {
     * attribute, so filtering first is equivalent and prunes the scan).
     * The average is exact-decimal-sum / count. */
   def q17SmallQty(t: Tables, brand: String = "Brand#3"): DataFrame = {
-    val pt = broadcast(t.part.filter(col("p_brand") === brand).select(col("p_partkey")))
+    val pt = t.part.filter(col("p_brand") === brand).select(col("p_partkey"))
     val lines = t.lineitem
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(pt, col("l_partkey") === col("p_partkey"))
       .persist() // feeds per-part avg + the filtered sum (see tfIdf)
     val avgQty = lines.groupBy(col("l_partkey").as("ap"))
       .agg((sum(d(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"))
-    lines.join(broadcast(avgQty), col("l_partkey") === col("ap"))
+    lines.join(avgQty, col("l_partkey") === col("ap"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
         count(lit(1)).as("n_lines"))
@@ -214,16 +224,19 @@ object TpcHShapes {
 
   /** Q18 large-volume orders: IN-on-aggregate as a join against the
     * HAVING-filtered per-order quantity sums — one extra hash on
-    * orderkey, no row multiplication, and the big-order frame is tiny
-    * (99.9th percentile threshold) so it broadcasts. */
+    * orderkey, no row multiplication. The big-order frame's size is
+    * DATA-DEPENDENT (HAVING selectivity; unbounded on a skewed
+    * corpus), so it carries no hint: AQE broadcasts it only when its
+    * runtime bytes actually fit. customer is SF-linear — likewise
+    * unhinted. */
   def q18BigOrder(t: Tables, minQty: Double = 250.0): DataFrame = {
     val big = t.lineitem.groupBy(col("l_orderkey"))
       .agg(dsum(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > minQty)
     t.orders
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(t.customer.select(col("c_custkey"), col("c_name"))),
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -232,15 +245,16 @@ object TpcHShapes {
   }
 
   /** Q19 discounted revenue: three-arm OR-of-ANDs over part attributes
-    * × line quantity. One broadcast hash join on partkey; the arms are
-    * a residual filter evaluated map-side inside codegen. */
+    * × line quantity. One hash join on partkey (part is near-full and
+    * SF-linear — AQE decides the build side); the arms are a residual
+    * filter evaluated map-side inside codegen. */
   def q19Disc(t: Tables): DataFrame = {
     val arm = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
       col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
         col("l_quantity").between(qLo, qHi)
     t.lineitem
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"), col("p_size"))),
+      .join(t.part.select(col("p_partkey"), col("p_brand"), col("p_size")),
         col("l_partkey") === col("p_partkey"))
       .filter(arm("Brand#1", 1, 15, 1, 11) || arm("Brand#12", 1, 25, 10, 30) ||
         arm("Brand#23", 1, 35, 20, 40))
@@ -261,12 +275,13 @@ object TpcHShapes {
     * condition — no row multiplication (semi/anti stop at first
     * match). Both probe sides pre-collapse to DISTINCT (orderkey,
     * suppkey) pairs map-side, so the wire carries pair frames, not
-    * line rows; the supplier/nation dims broadcast. */
+    * line rows; the nation dim broadcasts by hint, the nation-sliced
+    * supplier frame (SF-linear) is left to AQE. */
   def q21Waiting(t: Tables, nation: String = "NATION_3"): DataFrame = {
-    val sup = broadcast(t.supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
-      .join(t.nation.filter(col("n_name") === nation).select(col("n_nationkey")),
+    val sup = t.supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .join(broadcast(t.nation.filter(col("n_name") === nation).select(col("n_nationkey"))),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("s_name")))
+      .select(col("s_suppkey"), col("s_name"))
     val l1 = t.lineitem.filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
@@ -298,29 +313,31 @@ object TpcHShapes {
     *
     * Spark-first: the derived supply relation is ONE partial-agg'd
     * lineitem shuffle; everything after is pair-frame-sized — the
-    * region dim broadcasts onto it, the per-part min is a skinny agg
-    * broadcast back as an equality filter (the correlated subquery
-    * decorrelated by hand, same plan Catalyst builds for the SQL). */
+    * hinted nation/region dims enrich the supplier side, and the
+    * per-part min joins back as an equality filter (the correlated
+    * subquery decorrelated by hand, same plan Catalyst builds for the
+    * SQL). supplier/part and the part-keyed `minc` agg are SF-linear /
+    * data-dependent, so they carry no hint — AQE sizes them. */
   def q2MinCost(t: Tables, region: String = "EUROPE",
                 ptype: String = "STANDARD", maxSize: Int = 15): DataFrame = {
     val ps = t.lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice")).as("supplycost"))
-    val sup = broadcast(t.supplier.select(col("s_suppkey"), col("s_name"),
+    val sup = t.supplier.select(col("s_suppkey"), col("s_name"),
         col("s_acctbal"), col("s_nationkey"))
-      .join(t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
-      .join(t.region.filter(col("r_name") === region).select(col("r_regionkey")),
+      .join(broadcast(t.region.filter(col("r_name") === region).select(col("r_regionkey"))),
         col("n_regionkey") === col("r_regionkey"))
-      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
-    val pt = broadcast(t.part
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pt = t.part
       .filter(col("p_type") === ptype && col("p_size") <= maxSize)
-      .select(col("p_partkey")))
+      .select(col("p_partkey"))
     val rps = ps.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(pt, col("l_partkey") === col("p_partkey"))
       .persist() // feeds per-part min + the equality join-back (see tfIdf)
     val minc = rps.groupBy(col("p_partkey").as("mp"))
       .agg(min(col("supplycost")).as("min_cost"))
-    rps.join(broadcast(minc),
+    rps.join(minc,
         col("p_partkey") === col("mp") && col("supplycost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
         col("supplycost").cast(DoubleType).as("supplycost"))
@@ -341,10 +358,10 @@ object TpcHShapes {
     * then one IEEE multiply — bit-stable cross-engine). */
   def q11Important(t: Tables, nation: String = "NATION_7",
                    fraction: Double = 0.001): DataFrame = {
-    val sup = broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))
-      .join(t.nation.filter(col("n_name") === nation).select(col("n_nationkey")),
+    val sup = t.supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t.nation.filter(col("n_name") === nation).select(col("n_nationkey"))),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey")))
+      .select(col("s_suppkey"))
     val pv = t.lineitem
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
@@ -367,17 +384,18 @@ object TpcHShapes {
     * exclusion). Shape: NOT-IN exclusion + count-distinct suppliers
     * per (brand, type, size) over a negated part slice.
     *
-    * Spark-first: the NOT IN (non-null key) lowers to a broadcast
-    * left_anti; the distinct pair frame is one partial-agg'd lineitem
-    * shuffle; count_distinct re-shuffles only pair-frame-sized rows. */
+    * Spark-first: the NOT IN (non-null key) lowers to a left_anti
+    * (AQE picks broadcast while the supplier slice fits); the distinct
+    * pair frame is one partial-agg'd lineitem shuffle; count_distinct
+    * re-shuffles only pair-frame-sized rows. */
   def q16PartSupp(t: Tables, notBrand: String = "Brand#1",
                   notTypePrefix: String = "PROMO"): DataFrame = {
     val ps = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
-    val complained = broadcast(t.supplier
-      .filter(col("s_name").endsWith("7")).select(col("s_suppkey")))
-    val pt = broadcast(t.part
+    val complained = t.supplier
+      .filter(col("s_name").endsWith("7")).select(col("s_suppkey"))
+    val pt = t.part
       .filter(col("p_brand") =!= notBrand && !col("p_type").startsWith(notTypePrefix))
-      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     ps.join(complained, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .join(pt, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
@@ -394,16 +412,17 @@ object TpcHShapes {
     * correlated half-year-demand) — re-expressed as a semi-join
     * chain.
     *
-    * Spark-first: the innermost part slice broadcasts onto the
-    * pair agg's output; the availqty-vs-demand correlation is a
-    * same-row compare (both aggregates computed together, no second
-    * scan); the outer IN is a left_semi on suppkey. Exactness: the
+    * Spark-first: the innermost part slice (SF-linear, unhinted)
+    * equi-joins the pair agg's input; the availqty-vs-demand
+    * correlation is a same-row compare (both aggregates computed
+    * together, no second scan); the outer IN is a left_semi on
+    * suppkey. Exactness: the
     * 0.5× threshold compare runs in DOUBLE over exact decimal sums
     * on both engines. */
   def q20Potential(t: Tables, nation: String = "NATION_5",
                    word: String = "red"): DataFrame = {
-    val pt = broadcast(t.part.filter(col("p_name").contains(word))
-      .select(col("p_partkey")))
+    val pt = t.part.filter(col("p_name").contains(word))
+      .select(col("p_partkey"))
     val pairs = t.lineitem
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
         col("l_returnflag"), col("l_shipdate"))
