@@ -842,7 +842,16 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q_doc_assembly" ->
-      """SELECT event_id,
+      """WITH ev AS (
+        |  SELECT *, CAST(FLOOR(value*100.0 + 0.5) AS BIGINT) AS vc FROM events),
+        |gm AS (
+        |  SELECT *, 24930000 + vc*10 AS lonw, 60171000 + vc*5 AS lath FROM ev),
+        |se AS (
+        |  SELECT *,
+        |    printf('%d.%06d', lonw // 1000000, lonw % 1000000) AS lonws,
+        |    printf('%d.%06d', lath // 1000000, lath % 1000000) AS laths
+        |  FROM gm)
+        |SELECT event_id,
         |  '{"schema":"laji-etl","sourceId":"http://tun.fi/KE.1721","collectionId":"http://tun.fi/HR.5835","documentId":"http://tun.fi/HR.5835/'
         |  || CAST(event_id AS VARCHAR)
         |  || '","publicDocument":{"concealment":"PUBLIC","keywords":["'
@@ -859,7 +868,11 @@ object SparkEntry {
         |  || ',"minuteBegin":' || CAST(EXTRACT(minute FROM ts) AS VARCHAR)
         |  || ',"minuteEnd":' || CAST(EXTRACT(minute FROM ts) AS VARCHAR)
         |  || ',"municipality":"' || n_name
-        |  || '","geo":{"type":"FeatureCollection","crs":"WGS84"},"units":[{"unitId":"http://tun.fi/HR.5835/'
+        |  || '","geo":{"type":"FeatureCollection","crs":"WGS84","features":[{"type":"Feature","geometry":{"type":"Polygon","coordinates":[['
+        |  || '[24.930000,60.170000],[' || lonws || ',60.170000],['
+        |  || lonws || ',' || laths || '],[24.930000,' || laths || ']'
+        |  || CASE WHEN CEIL(value - 100.0) > 0 THEN ',[24.930000,60.170000]' ELSE '' END
+        |  || ']]}}]},"units":[{"unitId":"http://tun.fi/HR.5835/'
         |  || CAST(event_id AS VARCHAR) || '_U","taxonVerbatim":"' || event_type || '"'
         |  || CASE WHEN event_type = 'purchase' THEN ',"reportedTaxonId":"http://tun.fi/MX.38947"'
         |          WHEN event_type = 'click'    THEN ',"reportedTaxonId":"http://tun.fi/MX.38240"'
@@ -873,13 +886,20 @@ object SparkEntry {
         |            || ',"value":"' || CAST(CAST(CEIL(value - 100.0) AS BIGINT) AS VARCHAR) || '"}]'
         |       ELSE '' END
         |  || '}]}]}}' AS doc
-        |FROM events
+        |FROM se
         |JOIN customer ON (CASE WHEN user_id = 13 THEN 20 ELSE user_id END) = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY event_id""".stripMargin,
 
     "q_doc_assembly24" ->
-      """SELECT event_id,
+      """WITH ev AS (
+        |  SELECT *, CAST(FLOOR(value*100.0 + 0.5) AS BIGINT) AS vc FROM events),
+        |se AS (
+        |  SELECT *,
+        |    CAST(385000 + vc AS VARCHAR) AS xs,
+        |    CAST(6672100 + vc*2 AS VARCHAR) AS ys
+        |  FROM ev)
+        |SELECT event_id,
         |  '{"schema":"laji-etl","sourceId":"http://tun.fi/KE.1721","collectionId":"http://tun.fi/HR.5835","documentId":"http://tun.fi/HR.5835/'
         |  || CAST(event_id AS VARCHAR)
         |  || '","publicDocument":{"concealment":"PUBLIC","keywords":["'
@@ -892,7 +912,10 @@ object SparkEntry {
         |  || CAST(CAST(ts AS DATE) AS VARCHAR) || '","end":"'
         |  || CAST(CAST(ts AS DATE) AS VARCHAR)
         |  || '"},"municipality":"' || n_name
-        |  || '","geo":{"type":"FeatureCollection","crs":"EUREF"},"units":[{"unitId":"http://tun.fi/HR.5835/'
+        |  || '","geo":{"type":"FeatureCollection","crs":"EUREF","features":[{"type":"Feature","geometry":{"type":"Polygon","coordinates":[['
+        |  || '[385000,6672000],[' || xs || ',6672000],['
+        |  || xs || ',' || ys || '],[385000,' || ys || '],[385000,6672000]'
+        |  || ']]}}]},"units":[{"unitId":"http://tun.fi/HR.5835/'
         |  || CAST(event_id AS VARCHAR) || '_U","taxonVerbatim":"' || event_type || '"'
         |  || CASE WHEN event_type = 'purchase' THEN ',"reportedTaxonId":"http://tun.fi/MX.38947"'
         |          WHEN event_type = 'click'    THEN ',"reportedTaxonId":"http://tun.fi/MX.38240"'
@@ -905,7 +928,7 @@ object SparkEntry {
         |  || CAST(CAST(GREATEST(CEIL(value - 100.0), 1.0) AS BIGINT) AS VARCHAR)
         |  || ',"value":"' || CAST(CAST(GREATEST(CEIL(value - 100.0), 1.0) AS BIGINT) AS VARCHAR)
         |  || '"}]}]}]}}' AS doc
-        |FROM events
+        |FROM se
         |JOIN customer ON (CASE WHEN user_id = 13 THEN 20 ELSE user_id END) = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY event_id""".stripMargin,

@@ -56,23 +56,35 @@ class DocumentAssemblySpec extends SparkSpec {
       s"""{"schema":"laji-etl","sourceId":"http://tun.fi/KE.1721","collectionId":"http://tun.fi/HR.5835",""" +
         s""""documentId":"http://tun.fi/HR.5835/$id","publicDocument":{"concealment":"PUBLIC",""" +
         s""""keywords":["$id","crowdsorsa-$muni"]$publicTail}}"""
-    def gath23(id: Long, muni: String, unitTail: String): String =
+    // ring coordinates: lon span value*0.001°, lat span value*0.0005°
+    // from (24.93, 60.171); closed (5 positions) iff area > 0 — the
+    // reference's validated-geometry branch (2023.R:74-80).
+    def geo23(lonw: String, lath: String, closed: Boolean): String =
+      s""""geo":{"type":"FeatureCollection","crs":"WGS84","features":[{"type":"Feature","geometry":""" +
+        s"""{"type":"Polygon","coordinates":[[[24.930000,60.170000],[$lonw,60.170000],[$lonw,$lath],[24.930000,$lath]""" +
+        (if (closed) ",[24.930000,60.170000]" else "") + "]]}}]}"
+    def gath23(id: Long, muni: String, geoStr: String, unitTail: String): String =
       s""""gatherings":[{"gatheringId":"http://tun.fi/HR.5835/${id}_G","eventDate":{"begin":"2024-01-15","end":"2024-01-15"},""" +
         s""""hourBegin":10,"hourEnd":10,"minuteBegin":30,"minuteEnd":30,"municipality":"$muni",""" +
-        s""""geo":{"type":"FeatureCollection","crs":"WGS84"},"units":[{"unitId":"http://tun.fi/HR.5835/${id}_U"$unitTail}]}]"""
+        geoStr + s""","units":[{"unitId":"http://tun.fi/HR.5835/${id}_U"$unitTail}]}]"""
     def facts(a: Long): String =
       s""","facts":[{"fact":"http://tun.fi/MY.areaInSquareMeters","integerValue":$a,"value":"$a"}]"""
 
     val expected2023 = Map(
       1L -> doc(1, "espoo", ""","notes":"Controlled: 2024-01-15",""" + gath23(1, "espoo",
+        geo23("25.080250", "60.246125", closed = true), // vc=15025
         ""","taxonVerbatim":"purchase","reportedTaxonId":"http://tun.fi/MX.38947","sourceTags":["INVASIVE_PARTIAL"]""" + facts(51))),
       2L -> doc(2, "vantaa", "," + gath23(2, "vantaa",
+        geo23("25.030500", "60.221250", closed = true), // vc=10050
         ""","taxonVerbatim":"click","reportedTaxonId":"http://tun.fi/MX.38240","sourceTags":[]""" + facts(1))),
       3L -> doc(3, "turku", "," + gath23(3, "turku",
+        geo23("25.025000", "60.218500", closed = false), // area<=0: raw open ring
         ""","taxonVerbatim":"view","reportedTaxonId":"http://tun.fi/MX.38815","sourceTags":[]""")),
       4L -> doc(4, "oulu", "," + gath23(4, "oulu",
+        geo23("25.050000", "60.231000", closed = true), // vc=12000
         ""","taxonVerbatim":"error","sourceTags":[]""" + facts(20))),
       5L -> doc(5, "tampere", ""","notes":"Controlled: 2024-01-15",""" + gath23(5, "tampere",
+        geo23("25.060000", "60.236000", closed = true), // vc=13000
         ""","taxonVerbatim":"signup","reportedTaxonId":"http://tun.fi/MX.41695","sourceTags":["INVASIVE_PARTIAL"]""" + facts(30))))
     val got2023 = DocumentAssembly.assemble(t)
       .as[(Long, String)].collect().toMap
@@ -80,14 +92,21 @@ class DocumentAssemblySpec extends SparkSpec {
       assert(got2023(id) == exp, s"2023 doc $id:\n got ${got2023(id)}\n exp $exp")
     }
 
-    def gath24(id: Long, muni: String, unitTail: String): String =
+    // 2024 coordinates are EUREF planar meters (integers); area is
+    // always >= 1 so the ring is always the closed validated form.
+    def geo24(xw: Long, yh: Long): String =
+      s""""geo":{"type":"FeatureCollection","crs":"EUREF","features":[{"type":"Feature","geometry":""" +
+        s"""{"type":"Polygon","coordinates":[[[385000,6672000],[$xw,6672000],[$xw,$yh],[385000,$yh],[385000,6672000]]]}}]}"""
+    def gath24(id: Long, muni: String, geoStr: String, unitTail: String): String =
       s""""gatherings":[{"gatheringId":"http://tun.fi/HR.5835/${id}_G","eventDate":{"begin":"2024-01-15","end":"2024-01-15"},""" +
-        s""""municipality":"$muni","geo":{"type":"FeatureCollection","crs":"EUREF"},""" +
-        s""""units":[{"unitId":"http://tun.fi/HR.5835/${id}_U"$unitTail}]}]"""
+        s""""municipality":"$muni",""" + geoStr +
+        s""","units":[{"unitId":"http://tun.fi/HR.5835/${id}_U"$unitTail}]}]"""
     val expected2024 = Map(
       2L -> doc(2, "vantaa", "," + gath24(2, "vantaa",
+        geo24(395050L, 6692200L), // vc=10050
         ""","taxonVerbatim":"click","reportedTaxonId":"http://tun.fi/MX.38240","sourceTags":[],"abundanceString":"100.50","abundanceUnit":"RELATIVE_DENSITY"""" + facts(1))),
       3L -> doc(3, "turku", "," + gath24(3, "turku",
+        geo24(394500L, 6691100L), // vc=9500
         ""","taxonVerbatim":"view","reportedTaxonId":"http://tun.fi/MX.38815","sourceTags":[],"abundanceString":"95.00","abundanceUnit":"RELATIVE_DENSITY"""" + facts(1))))
     val got2024 = DocumentAssembly.assemble2024(t)
       .as[(Long, String)].collect().toMap
