@@ -64,6 +64,7 @@ object Bench {
         // iterative operators' FINAL frames, whose blocks ARE the data
         // and so can't be freed inside the query) live at the RDD layer
         // and would otherwise accumulate across the whole suite.
+        CacheRegistry.drain() // the operators' own cleanup contract
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         name -> times.min

@@ -76,7 +76,7 @@ object SparkEntry {
     "q_dedup_embed_mp" -> q(Dedup.embedDedup),
     "q_line_dedup"     -> q(Dedup.lineDedup(_)),
     "q_ann_recall"     -> q(Dedup.annRecallAudit),
-    "q_jsonl_ingest"   -> q(graft.sources.JsonLines.roundtrip),
+    "q_jsonl_ingest"   -> q(t => graft.sources.JsonLines.roundtrip(t)),
     // oracled engine-exact IVF (integer index build replayed by DuckDB)
     // + the float-Lloyd production kernel benched under its own key
     "q_knn_ivf"        -> q(Similarity.ivfKnnExact(_)),

@@ -202,9 +202,15 @@ object GraftGeo {
     val ys = new mutable.ArrayBuffer[Double](n0)
     var i = 0
     while (i < n0) {
-      val p = arr.getStruct(i, 2)
-      val x = p.getDouble(0); val y = p.getDouble(1)
-      if (xs.isEmpty || xs.last != x || ys.last != y) { xs += x; ys += y }
+      // skip null vertices and null coordinates outright (a malformed
+      // SQL-surface argument) instead of NPEing inside codegen
+      if (!arr.isNullAt(i)) {
+        val p = arr.getStruct(i, 2)
+        if (!p.isNullAt(0) && !p.isNullAt(1)) {
+          val x = p.getDouble(0); val y = p.getDouble(1)
+          if (xs.isEmpty || xs.last != x || ys.last != y) { xs += x; ys += y }
+        }
+      }
       i += 1
     }
     // treat the ring as cyclic: drop an explicit closing vertex
@@ -316,6 +322,20 @@ object GraftGeo {
   * whole-stage codegen like the other graft kernels (no UDF, no Row
   * boxing beyond Catalyst's own InternalRow). */
 case class MakeValidArea(child: Expression) extends UnaryExpression {
+  // declared input check: a SQL caller passing anything but a vertex
+  // array (the engine-wide struct<x:double,y:double> convention) gets
+  // an analysis-time type error, not a codegen ClassCastException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(
+            Array(StructField(_, DoubleType, _, _), StructField(_, DoubleType, _, _))), _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_make_valid requires array<struct<x:double,y:double>>, " +
+            s"got ${other.catalogString}")
+    }
   override def dataType: DataType = StructType(Seq(
     StructField("area", DoubleType, nullable = false),
     StructField("loops", IntegerType, nullable = false)))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheRegistry.Tracked
 import graft.sources.Tables
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
@@ -99,7 +100,7 @@ object Components extends Logging {
     // (skinny) label frame, never the edges.
     val sym = symN.union(lab.select(col("node").as("src"), col("node").as("dst")))
       .repartition(parts, col("dst"))
-      .persist()
+      .persistTracked()
     // Small-graph fast path (the loop-level analogue of what AQE does
     // per-stage, which it can't see across rounds): when the whole
     // label frame fits a broadcast (~64 MB at 16 B/row), hint every
@@ -276,8 +277,8 @@ object Components extends Logging {
     val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .withColumnRenamed("src", "dnode").persist()
-    val nodes = e.select(col("src").as("node")).distinct().persist()
+      .withColumnRenamed("src", "dnode").persistTracked()
+    val nodes = e.select(col("src").as("node")).distinct().persistTracked()
     var p = nodes.select(col("node"), lit(1000000L).as("p")).localCheckpoint()
     // Same loop discipline as connectedComponents: size the per-round
     // shuffles to the rank frame (not the session default), and on

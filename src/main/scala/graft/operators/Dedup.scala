@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheRegistry.Tracked
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
@@ -200,7 +201,7 @@ object Dedup {
     // task) side — measured 7x slower. Empty shingle sets are harmless:
     // explode() drops them, so they can never become candidates.
     val sh = shingled(docs, shingleN)
-      .persist() // reused by candidate generation AND both verify joins
+      .persistTracked() // reused by candidate generation AND both verify joins
     // Candidate generation is SKINNY: only (doc_id, band-bucket) rows go
     // through the self-join shuffle — ~16 longs/doc, not the shingle
     // arrays. At 100 TB that's the difference between shuffling ~1% of
@@ -208,7 +209,7 @@ object Dedup {
     val banded = minhashSignatures(sh, numPerm, shingleHash)
       .select(col("doc_id"),
         explode(bandKeyOf(col("sig"), bands, rowsPerBand)).as("bk"))
-      .persist() // self-joined: compute signatures once, not twice
+      .persistTracked() // self-joined: compute signatures once, not twice
     val cand = banded.select(col("doc_id").as("doc_a"), col("bk"))
       .join(banded.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
@@ -258,7 +259,7 @@ object Dedup {
       explode(array((0 until nChunks).map(i =>
         struct(lit(i).as("chunk"),
           shiftright(col("fp"), i * chunkBits).bitwiseAND(lit(mask)).as("bits"))): _*)).as("ck"))
-      .persist() // self-joined: hash each doc once
+      .persistTracked() // self-joined: hash each doc once
     val a = chunked.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("ck"))
     val b = chunked.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"), col("ck"))
     a.join(b, a("ck") === b("ck") && col("doc_a") < col("doc_b"))
@@ -344,7 +345,7 @@ object Dedup {
                  targetBucket: Int = 64): DataFrame = {
     val base = spread(emb.select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .persist()
+      .persistTracked()
     val bits = if (bitsPerTable > 0) bitsPerTable else {
       // parquet metadata count — no scan. ceil(log2(x)) = 64 - nlz(x-1).
       val buckets = math.max(1L, emb.count() / targetBucket)
@@ -358,7 +359,7 @@ object Dedup {
     val bucketed = base.select(col("vec_id"),
         posexplode(graft.functions.VectorFunctions.hyperplaneSketch(col("v"), planes)))
       .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
-      .persist()
+      .persistTracked()
     // probe side: own bucket + every 1-bit flip. Only ONE side expands
     // (id_a); pair symmetry of Hamming distance covers the other.
     val probes = bucketed.select(col("vec_id").as("id_a"), col("table"),
@@ -425,7 +426,7 @@ object Dedup {
           x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
       .withColumn("aa", graft.functions.VectorFunctions
         .dotProduct(col("m"), col("m")).cast("long"))
-      .persist()
+      .persistTracked()
     val bucketed = base.select(col("vec_id"),
         posexplode(graft.functions.VectorFunctions.hyperplaneSketch(col("m"), planes)))
       .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
@@ -460,10 +461,10 @@ object Dedup {
     * instance partitions by doc_id decile (every 10th doc is "new");
     * a deployment passes its real batch/index frames. */
   def minhashIncremental(t: Tables, threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(t.documents, 3).persist()
+    val sh = shingled(t.documents, 3).persistTracked()
     val banded = minhashSignatures(sh, 32, md5Hash31)
       .select(col("doc_id"), explode(bandKeysStr(col("sig"), 8, 4)).as("bk"))
-      .persist()
+      .persistTracked()
     val cand = banded.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("new_doc"), col("bk"))
       .join(banded.filter(col("doc_id") % 10 =!= 0)
@@ -507,7 +508,7 @@ object Dedup {
           x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
       .withColumn("aa", graft.functions.VectorFunctions
         .dotProduct(col("m"), col("m")).cast("long"))
-      .persist()
+      .persistTracked()
     val truth = base.select(col("vec_id").as("id_a"), col("m").as("ma"), col("aa"))
       .join(base.select(col("vec_id").as("id_b"), col("m").as("mb"), col("aa").as("bb")),
         col("id_a") < col("id_b"))
@@ -553,6 +554,10 @@ object Dedup {
   def lineDedup(t: Tables, segLen: Int = 10, minDf: Long = 3L): DataFrame = {
     val segs = spread(t.documents.select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("l")))
+      // empty token arrays must not reach the sequence: sequence(0,-1)
+      // auto-descends and would emit rows where the oracle's
+      // generate_series is empty (same guard as seqPackSized)
+      .filter(size(col("l")) > 0)
       .select(col("doc_id"), col("l"),
         explode(sequence(lit(0L),
           ceil(size(col("l")) / lit(segLen.toDouble)).cast("long") - 1L)).as("i"))
@@ -614,7 +619,7 @@ object Dedup {
           x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
       .withColumn("aa", graft.functions.VectorFunctions
         .dotProduct(col("m"), col("m")).cast("long"))
-      .persist()
+      .persistTracked()
     val a = q.select(col("label"), col("vec_id").as("id_a"),
       col("m").as("ma"), col("aa").as("aa"))
     val b = q.select(col("label"), col("vec_id").as("id_b"),

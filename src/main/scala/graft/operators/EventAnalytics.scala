@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheRegistry.Tracked
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -34,12 +35,12 @@ object EventAnalytics {
     // clearCache()/session end — skinny per-user rows, bounded cost.
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-      .persist()
+      .persistTracked()
     val c = ev.filter(col("event_type") === "click")
       .join(v, Seq("user_id"))
       .filter(col("ts") > col("v_ts"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-      .persist()
+      .persistTracked()
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id"))
       .filter(col("ts") > col("c_ts"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheRegistry.Tracked
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -63,7 +64,7 @@ object Retrieval {
     val tf = exploded.filter(col("term").isInCollection(terms))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("f"))
-      .persist() // feeds df AND the score join
+      .persistTracked() // feeds df AND the score join
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
     val stats = t.documents.agg(
       count(lit(1)).cast("long").as("n"),
@@ -102,7 +103,7 @@ object Retrieval {
         explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), 2)).as("g"))
       .select(col("doc_id"), col("lang"),
         Dedup.md5Hash31(col("g")).bitwiseAND(lit(mask)).as("b"))
-      .persist() // feeds the raw histogram, the target histogram, and per-doc counts
+      .persistTracked() // feeds the raw histogram, the target histogram, and per-doc counts
     val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
     val tgt = grams.filter(col("lang") === "en")
       .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))

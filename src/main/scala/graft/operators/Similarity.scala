@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheRegistry.Tracked
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -89,7 +90,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val base = spread(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")))
       .select(col("neighbor_id"), vd(col("embedding")).as("cv"))
-      .persist() // reused every Lloyd iteration + final probe join
+      .persistTracked() // reused every Lloyd iteration + final probe join
     // Lloyd wall-clock on a cache-resident corpus is per-round JOB
     // SCHEDULING, not arithmetic (see Components): with AQE each round
     // is one job per query stage. For corpora far below cluster scale,
@@ -107,7 +108,7 @@ object Similarity {
       // can be freed immediately — storage stays O(1) in iters instead of
       // accumulating one persisted frame pair per Lloyd round
       // (IvfStorageSpec pins this).
-      var cents: DataFrame = centroidsOf(assigned).persist()
+      var cents: DataFrame = centroidsOf(assigned).persistTracked()
       for (_ <- 0 until iters) {
         val (prevA, prevC) = (assigned, cents)
         val scored = base.crossJoin(broadcast(cents))
@@ -116,8 +117,8 @@ object Similarity {
           .groupBy(col("neighbor_id"))
           .agg(max_by(col("bucket"), struct(col("sim"), col("bucket"))).as("bucket"),
             first(col("cv")).as("cv"))
-          .persist()
-        cents = centroidsOf(assigned).persist()
+          .persistTracked()
+        cents = centroidsOf(assigned).persistTracked()
         cents.count() // materializes assigned + cents into their caches
         prevA.unpersist(false) // no-op for the unpersisted round-0 seed
         prevC.unpersist(false)
@@ -177,7 +178,7 @@ object Similarity {
     val v = spread(t.embeddings)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"), m.as("m"))
-      .persist() // feeds centroids, both distance passes (see tfIdf)
+      .persistTracked() // feeds centroids, both distance passes (see tfIdf)
     val cent = v
       .withColumn("b", col("vec_id") % nlist)
       .groupBy(col("b"), col("dim"))
@@ -188,7 +189,7 @@ object Similarity {
     val dist = v.join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"), col("b"))
       .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
-      .persist() // feeds assignment + query probes
+      .persistTracked() // feeds assignment + query probes
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
     val assign = dist.withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1)

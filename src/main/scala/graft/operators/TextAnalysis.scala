@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheRegistry.Tracked
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -127,7 +128,7 @@ object TextAnalysis {
     // Left persisted on purpose — the result is lazy, so unpersisting
     // here would undo the reuse; caller/clearCache owns the lifetime.
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist()
+      .persistTracked()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = t.documents.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))
@@ -160,7 +161,7 @@ object TextAnalysis {
     val tok = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("term"))
-      .persist() // feeds both the df pass and the postings build;
+      .persistTracked() // feeds both the df pass and the postings build;
                  // lazily leaked by design (result is lazy — see tfIdf)
     // One aggregate row (n) → broadcast; the band bounds ride along as
     // columns so the whole derivation stays in the plan (no collect).
@@ -340,7 +341,7 @@ object TextAnalysis {
     // explode — paying a fan-out shuffle to parallelize it measured
     // net-slower. The persist dedups tokenization across the unigram
     // and bigram passes (lazy leak by design; clearCache owns it).
-    val base = t.documents.select(tokens(col("text")).as("toks")).persist()
+    val base = t.documents.select(tokens(col("text")).as("toks")).persistTracked()
     val uni = base.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val bi = base.select(explode(wordNgramsOf(col("toks"), 2)).as("g"))
@@ -398,7 +399,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.TextFunctions.wordNgramsOf(col("toks"), n))).as("shingle"))
-      .persist() // feeds df agg + both sides of the join; lazy leak (see tfIdf)
+      .persistTracked() // feeds df agg + both sides of the join; lazy leak (see tfIdf)
     val hubs = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheRegistry.Tracked
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -193,7 +194,7 @@ object TpcHShapes {
         col("l_shipdate") < ts("1996-04-01"))
       .groupBy(col("l_suppkey"))
       .agg(sum(vol).cast(DoubleType).as("total_revenue"))
-      .persist() // feeds max + filter; lazy leak by design (see tfIdf)
+      .persistTracked() // feeds max + filter; lazy leak by design (see tfIdf)
     rev.crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("mx"))))
       .filter(col("total_revenue") === col("mx"))
       .join(t.supplier.select(col("s_suppkey"), col("s_name")),
@@ -213,7 +214,7 @@ object TpcHShapes {
     val lines = t.lineitem
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
       .join(pt, col("l_partkey") === col("p_partkey"))
-      .persist() // feeds per-part avg + the filtered sum (see tfIdf)
+      .persistTracked() // feeds per-part avg + the filtered sum (see tfIdf)
     val avgQty = lines.groupBy(col("l_partkey").as("ap"))
       .agg((sum(d(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"))
     lines.join(avgQty, col("l_partkey") === col("ap"))
@@ -334,7 +335,7 @@ object TpcHShapes {
       .select(col("p_partkey"))
     val rps = ps.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(pt, col("l_partkey") === col("p_partkey"))
-      .persist() // feeds per-part min + the equality join-back (see tfIdf)
+      .persistTracked() // feeds per-part min + the equality join-back (see tfIdf)
     val minc = rps.groupBy(col("p_partkey").as("mp"))
       .agg(min(col("supplycost")).as("min_cost"))
     rps.join(minc,
@@ -367,7 +368,7 @@ object TpcHShapes {
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(d(col("l_extendedprice")) * d(col("l_quantity"))).as("value_dec"))
-      .persist() // feeds global total + per-part filter (see tfIdf)
+      .persistTracked() // feeds global total + per-part filter (see tfIdf)
     val tot = pv.agg(sum(col("value_dec")).as("tot_dec"))
     pv.crossJoin(broadcast(tot))
       .filter(col("value_dec").cast(DoubleType) >

@@ -16,12 +16,22 @@ import org.apache.spark.sql.functions._
   * Scale: read and write are both plain distributed scans (no
   * coalesce — the harness writes however many parts the input has);
   * the only shuffle is the one-row aggregate.
+  *
+  * The staging path defaults to a FIXED directory under the JVM's
+  * temp root, overwritten on every invocation — repeated bench/verify
+  * runs reuse the same disk footprint instead of accumulating one
+  * JSONL copy of the corpus per call. The default is driver-local, so
+  * it is only correct on a single-node (local[k]) deployment where
+  * driver and executors share a filesystem — a cluster caller MUST
+  * pass `stageDir` on shared storage (HDFS/object store), exactly as
+  * it would for any other intermediate dataset.
   */
 object JsonLines {
 
-  def roundtrip(t: Tables): DataFrame = {
+  def roundtrip(t: Tables, stageDir: Option[String] = None): DataFrame = {
     val spark = t.documents.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val dir = stageDir.getOrElse(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-jsonl-roundtrip").toString)
     t.documents.select("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").json(dir)
     java.nio.file.Files.write(

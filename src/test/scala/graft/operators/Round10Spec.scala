@@ -75,6 +75,54 @@ class Round10Spec extends SparkSpec {
     assert(bad.isEmpty, s"SF-linear broadcast hints found:\n${bad.mkString("\n")}")
   }
 
+  test("cache cleanup contract: drain() frees every operator-persisted frame") {
+    graft.CacheRegistry.drain()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // the four queries the round-9 audit flagged as persist-without-
+    // unpersist (plus their registered siblings on the same frames)
+    for (name <- Seq("q_dedup_incremental", "q_ann_recall",
+        "q_dedup_embed_exact", "q17_smallqty"))
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+    assert(graft.CacheRegistry.size > 0, "queries should have tracked caches")
+    graft.CacheRegistry.drain()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"cached RDDs survived drain(): $leaked")
+    assert(graft.CacheRegistry.size == 0)
+  }
+
+  test("graft_make_valid: null vertices skipped; non-ring argument is an analysis error") {
+    graft.functions.GeoFunctions.registerAll(spark)
+    val v = spark.sql(
+      """SELECT graft_make_valid(array(
+        |  named_struct('x', 0.0d, 'y', 0.0d),
+        |  cast(null as struct<x:double,y:double>),
+        |  named_struct('x', 4.0d, 'y', cast(null as double)),
+        |  named_struct('x', 4.0d, 'y', 0.0d),
+        |  named_struct('x', 4.0d, 'y', 3.0d),
+        |  named_struct('x', 0.0d, 'y', 3.0d))) AS v""".stripMargin)
+      .select("v.area", "v.loops").head
+    assert(v.getDouble(0) == 12.0 && v.getInt(1) == 1) // nulls dropped, quad intact
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_make_valid(1)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("jsonl staging dir is fixed and reused, not accumulated per invocation") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def staged() = Option(tmp.listFiles((_, n) => n.startsWith("graft-jsonl")))
+      .toSeq.flatten.map(_.getName).toSet
+    val before = staged()
+    graft.sources.JsonLines.roundtrip(tables).count()
+    graft.sources.JsonLines.roundtrip(tables).count()
+    // two invocations may add exactly ONE dir (the fixed reused path) —
+    // the per-call createTempDirectory leak added one per call
+    assert(staged() -- before subsetOf Set("graft-jsonl-roundtrip"),
+      s"unexpected staging dirs: ${staged() -- before}")
+  }
+
   test("TPC-H family: the de-hinted queries still produce rows at sf0.001") {
     // Semantics guard for the de-hint change itself: the formerly
     // hinted queries must stay non-degenerate (full value parity is
