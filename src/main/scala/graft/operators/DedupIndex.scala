@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.CacheRegistry.Tracked
+import graft.sinks.TableWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STORED-index incremental near-dup dedup — the deployment shape
+  * [[Dedup.minhashIncremental]]'s scaladoc promises: the corpus's
+  * MinHash band-key index and shingle sets are persisted ONCE as
+  * bucketed tables, and each day's batch probes them from a fresh
+  * session without recomputing anything corpus-sized.
+  *
+  * Two tables make up the index:
+  *  - `<prefix>_bands` (dup_of, bk): one row per (doc, band key),
+  *    bucketed AND sorted by `bk` — the probe's candidate join reads
+  *    the buckets in place, so only the batch's (skinny) band keys
+  *    shuffle. At 100 TB the index side is the corpus × 8 band keys;
+  *    never re-shuffling it is the entire point of storing it.
+  *  - `<prefix>_shingles` (dup_of, sh): the exact-Jaccard verify side,
+  *    bucketed by `dup_of` so the candidate-pair join co-locates with
+  *    the stored buckets.
+  *
+  * The band key is flattened to one string `band:slots` (band int,
+  * ':' separator, comma-joined slot values) because bucketBy needs a
+  * scalar column; the mapping from [[Dedup.bandKeysStr]]'s struct is
+  * injective (the band is the only field before the first ':'), so
+  * string equality ⟺ struct equality and the probe finds exactly the
+  * pairs the self-contained operator finds — StoredIndexSpec asserts
+  * byte-exact parity with `q_dedup_incremental`.
+  *
+  * Incremental cost is O(batch): batch shingles + signatures are the
+  * only fresh work, both sides of every join against the index read
+  * bucketed data without an index-side Exchange (asserted in the
+  * spec's plan check).
+  */
+object DedupIndex {
+
+  private def flatBk(bk: org.apache.spark.sql.Column) =
+    concat_ws(":", bk.getField("band").cast("string"), bk.getField("key"))
+
+  /** Build and persist the corpus index. One pass over `corpus`
+    * computes shingles and signatures; the two bucketed writes are the
+    * only shuffles (each a hash repartition on its bucket key). */
+  def writeIndex(corpus: DataFrame, prefix: String, buckets: Int = 8,
+                 shingleN: Int = 3, numPerm: Int = 32, bands: Int = 8): Unit = {
+    val sh = Dedup.shingled(corpus, shingleN).persistTracked()
+    val banded = Dedup.minhashSignatures(sh, numPerm, Dedup.md5Hash31)
+      .select(col("doc_id").as("dup_of"),
+        explode(Dedup.bandKeysStr(col("sig"), bands, numPerm / bands)).as("bk"))
+      .select(col("dup_of"), flatBk(col("bk")).as("bk"))
+    TableWriter.writeBucketed(banded, s"${prefix}_bands", buckets, "bk")
+    TableWriter.writeBucketed(
+      sh.select(col("doc_id").as("dup_of"), col("sh")),
+      s"${prefix}_shingles", buckets, "dup_of")
+  }
+
+  /** Probe a batch of documents against a stored index. Returns
+    * (new_doc, dup_of, jaccard) — the same contract as
+    * [[Dedup.minhashIncremental]], with the corpus side read from the
+    * bucketed tables instead of recomputed. */
+  def probe(spark: SparkSession, batch: DataFrame, prefix: String,
+            threshold: Double = 0.5, shingleN: Int = 3,
+            numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val shB = Dedup.shingled(batch, shingleN).persistTracked()
+    val bandedB = Dedup.minhashSignatures(shB, numPerm, Dedup.md5Hash31)
+      .select(col("doc_id").as("new_doc"),
+        explode(Dedup.bandKeysStr(col("sig"), bands, numPerm / bands)).as("bk"))
+      .select(col("new_doc"), flatBk(col("bk")).as("bk"))
+    val cand = bandedB
+      .join(TableWriter.readTable(spark, s"${prefix}_bands"), Seq("bk"))
+      .select(col("new_doc"), col("dup_of")).distinct()
+    cand
+      .join(shB.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), Seq("new_doc"))
+      .join(TableWriter.readTable(spark, s"${prefix}_shingles")
+        .select(col("dup_of"), col("sh").as("sh_b")), Seq("dup_of"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_doc"), col("dup_of"), col("jaccard"))
+      .orderBy(col("new_doc"), col("dup_of"))
+  }
+}

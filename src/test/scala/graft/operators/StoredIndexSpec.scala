@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.functions._
+
+/** VERDICT r9 item 3: the deployment shape minhashIncremental's
+  * scaladoc promises — persist the band-key index via TableWriter,
+  * probe it from a fresh session, and get EXACTLY the pairs the
+  * self-contained operator computes. */
+class StoredIndexSpec extends SparkSpec {
+
+  test("stored index probed from a fresh session matches q_dedup_incremental exactly") {
+    val t = tables
+    // the corpus/batch split q_dedup_incremental pins: every 10th doc is "new"
+    DedupIndex.writeIndex(t.documents.filter(col("doc_id") % 10 =!= 0), "sidx")
+    graft.CacheRegistry.drain()
+
+    // fresh session: same catalog (the tables outlive the writer's
+    // session), nothing recomputed corpus-side. Broadcast joins off in
+    // THIS session only: at sf0.001 the index side fits a broadcast,
+    // which hides the plan shape under test — at 100 TB the index is
+    // corpus-sized and the join is sort-merge, where the bucketed
+    // layout is what removes the index-side shuffle.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val batch = graft.sources.Tables(s2, sfDir).documents
+      .filter(col("doc_id") % 10 === 0)
+    val stored = DedupIndex.probe(s2, batch, "sidx")
+
+    val expected = Dedup.minhashIncremental(t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = stored
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(expected.nonEmpty, "parity check is vacuous without pairs")
+    assert(got == expected)
+
+    // scale assertion: both index tables are read through their
+    // bucketed layout, and no Exchange sits BETWEEN an index scan and
+    // its nearest ancestor join — the index side enters its join in
+    // place, only the batch side shuffles. (Shuffles ABOVE a join —
+    // the skinny candidate-pair repartition, the final orderBy — are
+    // of derived frames and are fine.) AQE wraps finalized subtrees in
+    // leaf QueryStageExecs, so the walk descends into them explicitly.
+    stored.count() // finalize the adaptive plan
+    def isIndexScan(p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains("sidx_"))
+      case _ => false
+    }
+    // root-to-leaf ancestor chains ending at a stored-index scan
+    def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = {
+      val here = if (isIndexScan(p)) Seq(p :: anc) else Nil
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case _                        => p.children
+      }
+      here ++ kids.flatMap(paths(_, p :: anc))
+    }
+    val chains = paths(stored.queryExecution.executedPlan, Nil)
+    assert(chains.size == 2, "both index tables should be scanned")
+    chains.foreach { case (scan: FileSourceScanExec) :: ancestors =>
+      assert(scan.bucketedScan,
+        s"index table must be read through its bucketed layout: $scan")
+      val belowJoin = ancestors.takeWhile {
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case _                                                    => true
+      }
+      val shuffles = belowJoin.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"stored-index scan re-shuffled before its join: $shuffles")
+    }
+    graft.CacheRegistry.drain()
+  }
+}
