@@ -60,6 +60,9 @@ object SparkEntry {
     // intermediate integer in DuckDB (see Dedup.md5Hash31 /
     // simhashMd5Fingerprints scaladoc)
     "q_dedup_minhash"  -> q(Dedup.minhash),
+    // the giant-bucket guard engaged (maxBucket=2) — same md5 family,
+    // bucket-size filter replayed by the oracle
+    "q_dedup_minhash_cap" -> q(Dedup.minhashCap),
     "q_dedup_simhash"  -> q(Dedup.simhash),
     // batch-vs-index probe (daily-increment shape), md5 oracled
     "q_dedup_incremental" -> q(Dedup.minhashIncremental(_)),
@@ -637,6 +640,25 @@ object SparkEntry {
     // Spark's `conv(substring(md5(g),1,8),16,10)` by construction.
     "q_dedup_minhash" ->
       s"""$minhashOracleCore
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the giant-bucket guard: pairwise candidate generation skips band
+    // buckets holding more than 2 docs (the boilerplate-explosion cap);
+    // the oracle rebuilds the identical bucket-size filter from the
+    // shared band-key CTE before the self-join
+    "q_dedup_minhash_cap" ->
+      s"""WITH ${minhashSigCtes("documents")},
+         |bsz AS (SELECT band, key FROM bk GROUP BY band, key HAVING COUNT(*) <= 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bk x JOIN bsz s ON x.band = s.band AND x.key = s.key
+         |                   JOIN bk y ON x.band = y.band AND x.key = y.key
+         |            AND x.doc_id < y.doc_id),
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(len(list_intersect(xa.gs, yb.gs)) AS DOUBLE)
+         |          / (len(xa.gs) + len(yb.gs) - len(list_intersect(xa.gs, yb.gs))) AS jaccard
+         |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
+         |                  JOIN gl yb ON yb.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 

@@ -189,11 +189,30 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard on
     * the shingle sets. Returns (doc_a, doc_b, jaccard) with
-    * jaccard >= `threshold`. */
+    * jaccard >= `threshold`.
+    *
+    * `maxBucket` is the GIANT-BUCKET GUARD for boilerplate-heavy
+    * corpora: a band bucket holding B docs emits B·(B−1)/2 candidate
+    * pairs, so one boilerplate string duplicated across 0.1% of a
+    * 100 TB corpus (B ≈ 10⁶) would alone emit ~5·10¹¹ pairs — AQE's
+    * skew split parallelizes that partition (DedupSkewSpec proves the
+    * split fires on the band join) but cannot shrink the quadratic
+    * output. Buckets larger than `maxBucket` are therefore dropped
+    * from pairwise generation: their members are near-identical mass
+    * duplicates that the exact/cluster path (q_dedup_exact,
+    * nearDupSurvivors' closure over the surviving pairs) already
+    * handles without pairwise expansion. A dropped doc still pairs
+    * through any of its other (bands−1) band keys whose buckets are
+    * below the cap, so only uniform mass-duplicates lose candidates.
+    * The bucket-size filter is one map-side-partial count on the
+    * band-key frame joined back on the same key the self-join shuffles
+    * on — no extra corpus scan. Default Int.MaxValue = no cap and a
+    * byte-identical plan to the uncapped shape. */
   def minhashPairs(docs: DataFrame, numPerm: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, shingleN: Int = 3,
                    shingleHash: Column => Column = xxHash31,
-                   bandKeyOf: (Column, Int, Int) => Column = bandKeys): DataFrame = {
+                   bandKeyOf: (Column, Int, Int) => Column = bandKeys,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = numPerm / bands
     // NOTE no size>0 filter here: a predicate on the computed column
     // gets pushed below the repartition by PushDownPredicates and then
@@ -206,10 +225,16 @@ object Dedup {
     // through the self-join shuffle — ~16 longs/doc, not the shingle
     // arrays. At 100 TB that's the difference between shuffling ~1% of
     // the corpus and shuffling 16 copies of it.
-    val banded = minhashSignatures(sh, numPerm, shingleHash)
+    val bandedAll = minhashSignatures(sh, numPerm, shingleHash)
       .select(col("doc_id"),
         explode(bandKeyOf(col("sig"), bands, rowsPerBand)).as("bk"))
       .persistTracked() // self-joined: compute signatures once, not twice
+    val banded =
+      if (maxBucket == Int.MaxValue) bandedAll
+      else bandedAll.join(
+        bandedAll.groupBy(col("bk")).agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBucket).select(col("bk")),
+        Seq("bk")) // skinny (bk) frame, same join key the self-join shuffles on
     val cand = banded.select(col("doc_id").as("doc_a"), col("bk"))
       .join(banded.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
@@ -245,6 +270,19 @@ object Dedup {
     * its own bench query so regressions in the production path stay
     * visible next to the oracle-parity variant. */
   def minhashFast(t: Tables): DataFrame = minhashPairs(t.documents)
+
+  /** The CAPPED oracled MinHash instance: identical to [[minhash]] but
+    * with the giant-bucket guard engaged at `maxBucket = 2`, small
+    * enough to bite on the test corpus's real dup clusters (bucket
+    * size 3+ exists at sf0.01) so the guard's semantics — not just its
+    * default-off path — sit under the DuckDB gate. The oracle rebuilds
+    * the same bucket-size filter from the shared band-key CTE. A
+    * production run sets the cap orders of magnitude higher (10³–10⁴);
+    * the SEMANTICS of "drop pairwise generation inside oversized
+    * buckets" is what this query pins. */
+  def minhashCap(t: Tables): DataFrame =
+    minhashPairs(t.documents, shingleHash = md5Hash31,
+      bandKeyOf = bandKeysStr, maxBucket = 2)
 
   /** Chunk-bucketed Hamming pairs over a (doc_id, fp) frame: candidates
     * = equal `chunkBits`-bit chunk (Hamming ≤ maxHamming < nChunks
