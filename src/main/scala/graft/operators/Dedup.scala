@@ -201,9 +201,13 @@ object Dedup {
     * from pairwise generation: their members are near-identical mass
     * duplicates that the exact/cluster path (q_dedup_exact,
     * nearDupSurvivors' closure over the surviving pairs) already
-    * handles without pairwise expansion. A dropped doc still pairs
+    * handles without pairwise expansion. A dropped doc can still pair
     * through any of its other (bands−1) band keys whose buckets are
-    * below the cap, so only uniform mass-duplicates lose candidates.
+    * below the cap — but a NEAR-copy of a mass-duplicated doc tends to
+    * collide with the cluster in every band it shares, so its pairs go
+    * down with the capped bucket, and the exact-dedup fallback only
+    * recovers byte-identical copies. The cap is the recall/cost trade
+    * standard to LSH dedup, not a free filter.
     * The bucket-size filter is one map-side-partial count on the
     * band-key frame joined back on the same key the self-join shuffles
     * on — no extra corpus scan. Default Int.MaxValue = no cap and a

@@ -11,16 +11,17 @@ import org.apache.spark.sql.functions._
   * hold singleton buckets. Two defenses, both proven here:
   *
   *  1. AQE skew split — the hot partition is split across tasks at
-  *     runtime (`skew=true` in the finalized adaptive plan), which
-  *     keeps the join parallel without any salting plumbing;
+  *     runtime (`SortMergeJoinExec.isSkewJoin` in the finalized
+  *     adaptive plan), which keeps the join parallel without any
+  *     salting plumbing;
   *  2. the giant-bucket cap (`minhashPairs(maxBucket = …)`) — beyond
   *     what a split can fix (B²/2 output rows), oversized buckets are
   *     excluded from pairwise generation entirely.
   */
 class DedupSkewSpec extends SparkSpec {
 
-  /** ~30% of docs are copies of one boilerplate string (the hot band
-    * buckets); the rest are unique. doc_ids are xxhash64-scattered so
+  /** `dupShare` of the docs are copies of one boilerplate string (the
+    * hot band buckets); the rest are unique. doc_ids are xxhash64-scattered so
     * shuffle-partition byte sizes reflect genuine row counts rather
     * than delta-compressible sequential ids. */
   private def skewedCorpus(n: Long, dupShare: Double) = {
@@ -36,27 +37,49 @@ class DedupSkewSpec extends SparkSpec {
               .cast("string"))): _*)).as("text"))
   }
 
-  test("band-key self-join AQE-skew-splits on a 30%-duplicated corpus") {
+  test("band-key self-join AQE-skew-splits on a 90%-duplicated corpus") {
     val conf = spark.conf
     val saved = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
       "spark.sql.shuffle.partitions")
       .map(k => k -> conf.get(k))
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      // the test fixture runs 4 shuffle partitions; at that width the
-      // hot bucket drowns in each partition's singleton-bucket bulk.
-      // 64 partitions puts the median partition at ~350 band rows vs
-      // the 1200-row hot bucket — the cluster-realistic ratio
+      // 64 reduce partitions so the hot bucket dominates one partition
+      // instead of drowning in a wide partition's singleton-bucket bulk.
       conf.set("spark.sql.shuffle.partitions", "64")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      // DETERMINISM over realism in the thresholds. AQE decides skew on
+      // COMPRESSED map-output bytes, and the hot bucket's rows all carry
+      // the identical band-key string — lz4 collapses them ~20×, so a
+      // hot partition with 3.4× the median ROW count can sit under a
+      // byte threshold tuned for incompressible data (the round-10
+      // flake). Make the skew categorical instead: 90% dup share puts
+      // the hot bucket at ~25× the median partition's row count, which
+      // stays an order of magnitude over a 2KB threshold at ANY
+      // plausible compression ratio.
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      val docs = skewedCorpus(4000L, 0.3)
-      val dups = 1200L
+      // a skew split here cannot add a downstream shuffle (the join
+      // feeds a global agg), but force=true removes AQE's cost-model
+      // veto from the equation entirely — this test pins the SPLIT
+      // mechanics, not the cost model.
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // THE round-10 flake mechanism: AQE can only split a skewed
+      // reduce partition at MAP-OUTPUT granularity, and on a corpus
+      // this small coalescing shrinks the upstream stage to ~1 mapper
+      // — one map chunk per reduce partition means there is nothing to
+      // split, regardless of thresholds. Disabling coalescing keeps 64
+      // mappers feeding the band shuffle (the cluster-realistic shape,
+      // where map stages are wide) so the hot partition is splittable.
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val docs = skewedCorpus(2000L, 0.9)
+      val dups = 1800L
       // the exact candidate-stage shape minhashPairs runs: signatures →
       // band keys → self-equi-join on bk (count instead of distinct so
       // the quadratic hot-bucket output collapses map-side)
@@ -70,14 +93,34 @@ class DedupSkewSpec extends SparkSpec {
       // every dup-dup pair collides in all 8 bands
       assert(nPairs >= 8L * dups * (dups - 1) / 2,
         s"expected >= ${8L * dups * (dups - 1) / 2} raw candidate rows, got $nPairs")
-      val plan = j.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"expected AQE skew split on the band join in:\n${plan.take(3000)}")
+      // Assert on the join operator's own skew flag via the finalized
+      // adaptive plan tree — not on plan-STRING formatting, which is
+      // version- and codec-coupled (ADVICE r10). QueryStageExec nodes
+      // are LEAVES whose materialized plan hangs off `.plan`, not
+      // `.children`, so a plain collect() never enters a stage — walk
+      // through them explicitly.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val inner = p match {
+          case q: QueryStageExec        => Seq(q.plan)
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case _                        => Seq.empty
+        }
+        p +: (p.children ++ inner).flatMap(allNodes)
+      }
+      val skewJoins = allNodes(j.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if s.isSkewJoin => s
+      }
+      assert(skewJoins.nonEmpty,
+        s"expected a skew-split SortMergeJoin on the band join in:\n" +
+          j.queryExecution.executedPlan.toString.take(3000))
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
   test("giant-bucket cap drops boilerplate pairs, keeps small clusters") {
-    // 60 copies of boilerplate + 3 small near-dup clusters of 2
+    // 60 copies of boilerplate + 140 unique docs (nothing else near-dup)
     val docs = skewedCorpus(200L, 0.3)
     val capped = Dedup.minhashPairs(docs, maxBucket = 10)
     val uncapped = Dedup.minhashPairs(docs)
