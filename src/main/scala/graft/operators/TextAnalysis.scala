@@ -373,9 +373,11 @@ object TextAnalysis {
     * rows on its own, the guaranteed quadratic failure of any real
     * corpus. Shingles with df > `maxDf` carry no contamination signal
     * (they're common phrases, not copied benchmark text), so they are
-    * dropped BEFORE the join via a broadcast anti-join against the
-    * (tiny, by definition ≤ |instances|/maxDf) hub set — bounding join
-    * output at maxDf² rows per shingle. The df aggregate itself is
+    * dropped BEFORE the join via an anti-join against the hub set
+    * (≤ |instances|/maxDf rows — small in practice but linear in
+    * corpus size in the worst case, so it reaches AQE unhinted and is
+    * broadcast only when it actually fits) — bounding join output at
+    * maxDf² rows per shingle. The df aggregate itself is
     * safe: partial map-side counting collapses a hub's rows to one per
     * partition before its shuffle.
     *
@@ -404,7 +406,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))
-    val kept = sh.join(broadcast(hubs), Seq("shingle"), "left_anti")
+    // no broadcast hint: hubs is df>maxDf-filtered but its COUNT is
+    // bounded only by occurrences/maxDf — linear in corpus size in the
+    // worst case. AQE sizes the finished frame at runtime and picks
+    // broadcast when it genuinely fits (it does at every tested SF);
+    // a forced hint here is a driver OOM at 100 TB, not a speedup.
+    val kept = sh.join(hubs, Seq("shingle"), "left_anti")
     val bench = kept.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("bench_doc"), col("shingle"))
     val corpus = kept.filter(col("doc_id") % 100 =!= 0)
@@ -542,9 +549,12 @@ object TextAnalysis {
     * reassemble each document preserving token order — the classic
     * preprocessing step ahead of topic models / TF-IDF retrieval.
     *
-    * Scale: the df table is VOCABULARY-sized, so the keep-set joins
-    * back to the exploded tokens as a broadcast hash join — the corpus
-    * tokens never shuffle for the lookup. The only corpus-sized
+    * Scale: the df table is VOCABULARY-sized (sub-linear by Heaps'
+    * law but unbounded in principle), so the keep-set join is left to
+    * AQE, which broadcasts it at runtime whenever the finished frame
+    * fits — at every tested SF the corpus tokens never shuffle for the
+    * lookup, and a vocabulary too big to broadcast degrades to a
+    * shuffle join instead of a driver OOM. The only corpus-sized
     * shuffle is the per-doc reassembly groupBy, which any
     * order-preserving rewrite fundamentally needs; order is restored
     * engine-side with sort_array over (pos, tok) structs rather than
@@ -562,7 +572,7 @@ object TextAnalysis {
       .filter(col("df") >= minDf &&
         expr("df * 1000000 DIV n_docs") <= maxDfPpm)
       .select(col("tok"))
-    val re = tk.join(broadcast(keep), Seq("tok"))
+    val re = tk.join(keep, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

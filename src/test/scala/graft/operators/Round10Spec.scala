@@ -75,6 +75,31 @@ class Round10Spec extends SparkSpec {
     assert(bad.isEmpty, s"SF-linear broadcast hints found:\n${bad.mkString("\n")}")
   }
 
+  test("text family: every broadcast hint is schema-bounded or one-row") {
+    // The round-10 stragglers lived here: broadcast(hubs) in
+    // decontaminate (hub count linear in corpus size / maxDf) and
+    // broadcast(keep) in vocabPrune (vocabulary-sized — Heaps-sublinear
+    // but unbounded). Both are de-hinted; this walk closes the CLASS
+    // for the whole TextAnalysis-backed registry surface so a future
+    // operator can't reintroduce it. The surviving hints in the family
+    // (tfIdf's n, invertedIndex's bounds, pmiColloc's nBg) are all
+    // grouping-free aggregates — one row by construction.
+    val textKeys = Seq("q_langid", "q_quality", "q_tokens", "q_fingerprint",
+      "q_pii_redact", "q_tfidf", "q_word_count", "q_inverted_index",
+      "q_bigram_lm", "q_dup_spans", "q_lm_novelty", "q_ttr",
+      "q_filter_funnel", "q_decontaminate", "q_repetition", "q_pmi_colloc",
+      "q_doclen_hist", "q_bpe_pairs", "q_gopher_rules", "q_vocab_prune",
+      "q_word_drift", "q_cooc_window", "q_span_corrupt", "q_winnowing")
+    val missing = textKeys.filterNot(graft.SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unregistered keys in the walk: $missing")
+    val bad = textKeys.flatMap { name =>
+      unboundedHints(graft.SparkEntry.queries(name)(spark, sfDir))
+        .map(v => s"$name: $v")
+    }
+    graft.CacheRegistry.drain() // plan building registers tracked persists
+    assert(bad.isEmpty, s"SF-linear broadcast hints found:\n${bad.mkString("\n")}")
+  }
+
   test("cache cleanup contract: drain() frees every operator-persisted frame") {
     graft.CacheRegistry.drain()
     spark.catalog.clearCache()
