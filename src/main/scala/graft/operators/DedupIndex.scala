@@ -39,20 +39,44 @@ object DedupIndex {
   private def flatBk(bk: org.apache.spark.sql.Column) =
     concat_ws(":", bk.getField("band").cast("string"), bk.getField("key"))
 
+  /** The two index frames for a document set: (bands, shingles) —
+    * shared by the initial build and the daily append. */
+  private def indexFrames(docs: DataFrame, shingleN: Int, numPerm: Int,
+                          bands: Int): (DataFrame, DataFrame) = {
+    val sh = Dedup.shingled(docs, shingleN).persistTracked()
+    val banded = Dedup.minhashSignatures(sh, numPerm, Dedup.md5Hash31)
+      .select(col("doc_id").as("dup_of"),
+        explode(Dedup.bandKeysStr(col("sig"), bands, numPerm / bands)).as("bk"))
+      .select(col("dup_of"), flatBk(col("bk")).as("bk"))
+    (banded, sh.select(col("doc_id").as("dup_of"), col("sh")))
+  }
+
   /** Build and persist the corpus index. One pass over `corpus`
     * computes shingles and signatures; the two bucketed writes are the
     * only shuffles (each a hash repartition on its bucket key). */
   def writeIndex(corpus: DataFrame, prefix: String, buckets: Int = 8,
                  shingleN: Int = 3, numPerm: Int = 32, bands: Int = 8): Unit = {
-    val sh = Dedup.shingled(corpus, shingleN).persistTracked()
-    val banded = Dedup.minhashSignatures(sh, numPerm, Dedup.md5Hash31)
-      .select(col("doc_id").as("dup_of"),
-        explode(Dedup.bandKeysStr(col("sig"), bands, numPerm / bands)).as("bk"))
-      .select(col("dup_of"), flatBk(col("bk")).as("bk"))
+    val (banded, shingles) = indexFrames(corpus, shingleN, numPerm, bands)
     TableWriter.writeBucketed(banded, s"${prefix}_bands", buckets, "bk")
-    TableWriter.writeBucketed(
-      sh.select(col("doc_id").as("dup_of"), col("sh")),
-      s"${prefix}_shingles", buckets, "dup_of")
+    TableWriter.writeBucketed(shingles, s"${prefix}_shingles", buckets, "dup_of")
+  }
+
+  /** Append a day's accepted batch into the stored index — the
+    * deployment loop: probe today's batch (dedup decisions), then fold
+    * the kept documents in so TOMORROW's batch probes against them too
+    * (the reference analog: 2024's run arriving on top of the pushed
+    * 2023 warehouse, 2024.R:1-5). Cost is O(batch): only the batch's
+    * signatures are computed, and each bucketed append shuffles the
+    * batch's skinny rows once — the stored corpus index is never read,
+    * re-shuffled, or rewritten. Appends add files per bucket (scans
+    * stay bucketed; see TableWriter.appendBucketed for the sort
+    * caveat), so run TableWriter.compact on the index dirs at whatever
+    * cadence the file count warrants. */
+  def appendIndex(batch: DataFrame, prefix: String, buckets: Int = 8,
+                  shingleN: Int = 3, numPerm: Int = 32, bands: Int = 8): Unit = {
+    val (banded, shingles) = indexFrames(batch, shingleN, numPerm, bands)
+    TableWriter.appendBucketed(banded, s"${prefix}_bands", buckets, "bk")
+    TableWriter.appendBucketed(shingles, s"${prefix}_shingles", buckets, "dup_of")
   }
 
   /** Probe a batch of documents against a stored index. Returns

@@ -21,6 +21,18 @@ object TableWriter {
     df.write.bucketBy(buckets, keyCol).sortBy(keyCol)
       .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
 
+  /** Append a batch into an existing bucketed table (same bucket spec,
+    * or Spark rejects the write). Appends add files per bucket rather
+    * than rewriting: scans stay bucketed (no join-side Exchange), but
+    * a bucket with >1 file loses the sorted-file guarantee, so
+    * downstream sort-merge joins re-sort within the bucket — a
+    * per-task sort of in-place data, never a shuffle. This is the
+    * daily-index deployment path; compact() restores one-file-per-
+    * bucket when the append count warrants it. */
+  def appendBucketed(df: DataFrame, table: String, buckets: Int, keyCol: String): Unit =
+    df.write.bucketBy(buckets, keyCol).sortBy(keyCol)
+      .mode(SaveMode.Append).format("parquet").saveAsTable(table)
+
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** Z-ordered rewrite: cluster rows by the Morton code of `dims` so
