@@ -117,6 +117,37 @@ class Round10Spec extends SparkSpec {
     assert(graft.CacheRegistry.size == 0)
   }
 
+  test("keyed drain: interleaved query loops free only their own caches") {
+    graft.CacheRegistry.drain()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // two query loops interleaving on one driver: each builds (and
+    // tracks) its frames under its own withKey scope — the shape the
+    // bare drain() would break by freeing the OTHER loop's caches
+    val qa = graft.CacheRegistry.withKey("loop-a") {
+      graft.SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+    }
+    val qb = graft.CacheRegistry.withKey("loop-b") {
+      graft.SparkEntry.queries("q_tfidf")(spark, sfDir)
+    }
+    qa.count(); qb.count()
+    val total = graft.CacheRegistry.size
+    assert(total >= 2, s"both loops should have tracked caches, size=$total")
+    val live0 = spark.sparkContext.getPersistentRDDs.size
+    graft.CacheRegistry.drain("loop-a")
+    val afterA = graft.CacheRegistry.size
+    assert(afterA > 0 && afterA < total,
+      s"drain(loop-a) must free only loop-a's frames: $afterA of $total left")
+    assert(spark.sparkContext.getPersistentRDDs.size < live0,
+      "loop-a's cached RDDs should be gone")
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "loop-b's cached RDDs must survive loop-a's drain")
+    graft.CacheRegistry.drain("loop-b")
+    assert(graft.CacheRegistry.size == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "all tracked caches freed after both keyed drains")
+  }
+
   test("graft_make_valid: null vertices skipped; non-ring argument is an analysis error") {
     graft.functions.GeoFunctions.registerAll(spark)
     val v = spark.sql(
