@@ -70,13 +70,51 @@ object DedupIndex {
     * batch's skinny rows once — the stored corpus index is never read,
     * re-shuffled, or rewritten. Appends add files per bucket (scans
     * stay bucketed; see TableWriter.appendBucketed for the sort
-    * caveat), so run TableWriter.compact on the index dirs at whatever
-    * cadence the file count warrants. */
+    * caveat), so run [[compactIndex]] at whatever cadence the file
+    * count warrants. */
   def appendIndex(batch: DataFrame, prefix: String, buckets: Int = 8,
                   shingleN: Int = 3, numPerm: Int = 32, bands: Int = 8): Unit = {
     val (banded, shingles) = indexFrames(batch, shingleN, numPerm, bands)
     TableWriter.appendBucketed(banded, s"${prefix}_bands", buckets, "bk")
     TableWriter.appendBucketed(shingles, s"${prefix}_shingles", buckets, "dup_of")
+  }
+
+  /** Compact an appended index back to ONE file per bucket. A generic
+    * parquet-dir compaction (TableWriter.compact) would corrupt a
+    * bucketed table — the file→bucket mapping is encoded in the file
+    * NAMES the bucketed writer produces — so compaction here is a
+    * bucketed REWRITE: read each table, repartition on its bucket key
+    * with the bucket count (repartition and bucketBy share the
+    * murmur3+pmod mapping, so every task holds exactly one bucket's
+    * rows and the bucketed writer emits exactly one file per
+    * non-empty bucket), write to a staging table, then swap by
+    * catalog rename. Cost: one full index read + one shuffle + one
+    * write — run it when probe-plan file counts warrant, not daily.
+    * The swap is two catalog ops (drop + rename), not atomic: a crash
+    * between them loses only the LIVE name, with the data intact in
+    * the staging table — re-running compactIndex (or renaming
+    * manually) recovers; same recovery contract as TableWriter
+    * .compact's documented two-rename window. */
+  def compactIndex(spark: SparkSession, prefix: String,
+                   buckets: Int = 8): Unit = {
+    for ((table, key) <- Seq(s"${prefix}_bands" -> "bk",
+                             s"${prefix}_shingles" -> "dup_of")) {
+      val tmp = s"${table}_compact_tmp"
+      // Read the table's FILES, not the table: a bucketed scan reports
+      // HashPartitioning(key, buckets), which makes the repartition
+      // below a no-op exchange that EnsureRequirements elides — and the
+      // then-unreferenced bucketed layout gets planned as a plain
+      // multi-file scan, so the write sees arbitrary partitions and
+      // emits one file per (task × bucket) instead of per bucket.
+      // A path read carries no partitioning claim, so the repartition
+      // survives and each write task holds exactly one bucket.
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .filter(col("col_name") === "Location").head.getString(1)
+      val rewritten = spark.read.parquet(loc).repartition(buckets, col(key))
+      TableWriter.writeBucketed(rewritten, tmp, buckets, key)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
   }
 
   /** Probe a batch of documents against a stored index. Returns

@@ -27,8 +27,11 @@ object TableWriter {
     * a bucket with >1 file loses the sorted-file guarantee, so
     * downstream sort-merge joins re-sort within the bucket — a
     * per-task sort of in-place data, never a shuffle. This is the
-    * daily-index deployment path; compact() restores one-file-per-
-    * bucket when the append count warrants it. */
+    * daily-index deployment path. NOTE compact() below must NOT be
+    * pointed at a bucketed table's directory — the file→bucket
+    * mapping lives in the writer's file NAMES and a path-level
+    * rewrite destroys it; use a bucketed rewrite instead
+    * (DedupIndex.compactIndex is the index instance). */
   def appendBucketed(df: DataFrame, table: String, buckets: Int, keyCol: String): Unit =
     df.write.bucketBy(buckets, keyCol).sortBy(keyCol)
       .mode(SaveMode.Append).format("parquet").saveAsTable(table)

@@ -119,5 +119,31 @@ class StoredIndexSpec extends SparkSpec {
     // the index side still entering its joins without an Exchange
     assertIndexJoinsInPlace(stored, "sidx2")
     graft.CacheRegistry.drain()
+
+    // day 4: maintenance. The two writes left ≥2 files per non-empty
+    // bucket; compactIndex's bucketed rewrite must restore one file
+    // per bucket WITHOUT changing probe results or the in-place plan.
+    def bucketFileNames(table: String): Seq[String] = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .filter(col("col_name") === "Location")
+          .head.getString(1)))
+      loc.listFiles((_, n) => n.endsWith(".parquet")).map(_.getName).toSeq
+    }
+    def bucketFiles(table: String): Int = bucketFileNames(table).size
+    assert(bucketFiles("sidx2_bands") > 8,
+      "append should have left more than one file per bucket")
+    DedupIndex.compactIndex(spark, "sidx2")
+    graft.CacheRegistry.drain()
+    assert(bucketFiles("sidx2_bands") <= 8 && bucketFiles("sidx2_shingles") <= 8,
+      "compaction must restore at most one file per bucket:\n" +
+        bucketFileNames("sidx2_bands").sorted.mkString("\n"))
+    val s3 = probeSession()
+    val compacted = DedupIndex.probe(s3,
+      graft.sources.Tables(s3, sfDir).documents.filter(col("doc_id") % 10 === 0),
+      "sidx2")
+    assert(rows(compacted) == expected, "compaction changed probe results")
+    assertIndexJoinsInPlace(compacted, "sidx2")
+    graft.CacheRegistry.drain()
   }
 }
