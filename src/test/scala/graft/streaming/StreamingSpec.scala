@@ -165,6 +165,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup ingest: stored index drops cross-batch near-dups and grows") {
+    import graft.operators.DedupIndex
+    // day-0 seed corpus → stored index
+    val seed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    DedupIndex.writeIndex(seed, "stridx")
+    graft.CacheRegistry.drain()
+
+    val input = MemoryStream[(Long, String)](spark)
+    val acceptedIds = scala.collection.mutable.Set[Long]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(DedupStream.dedupBatch("stridx") { (accepted, _) =>
+        acceptedIds ++= accepted.select("doc_id").as[Long](spark.implicits.newLongEncoder).collect()
+      })
+      .start()
+    try {
+      // batch 1: doc 10 copies seed doc 1 (dropped via the index),
+      // doc 11 is fresh (accepted and appended)
+      input.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11L, "red orange yellow green blue indigo violet ultraviolet infrared xray"))
+      q.processAllAvailable()
+      assert(acceptedIds.toSet == Set(11L), s"batch 1 accepted $acceptedIds")
+      // batch 2: doc 20 copies doc 11 — it is only dropped if batch 1's
+      // APPEND actually reached the index; doc 21 is fresh
+      input.addData(
+        (20L, "red orange yellow green blue indigo violet ultraviolet infrared xray"),
+        (21L, "gold silver bronze copper iron nickel zinc tin lead mercury"))
+      q.processAllAvailable()
+      assert(acceptedIds.toSet == Set(11L, 21L), s"batch 2 accepted $acceptedIds")
+    } finally q.stop()
+    // the index now holds exactly seed + accepted signatures, so a
+    // fresh (batch) probe of batch-1/2 content dedups against all of it
+    val indexed = spark.table("stridx_bands").select("dup_of").distinct()
+      .as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 11L, 21L), s"index holds $indexed")
+    graft.CacheRegistry.drain()
+  }
+
   test("advance() transition function (pure kernel)") {
     import SessionStream._
     def ev(u: Long, s: String, id: Long) = Ev(u, Timestamp.valueOf(s), id)
