@@ -63,6 +63,13 @@ object SparkEntry {
     // the giant-bucket guard engaged (maxBucket=2) — same md5 family,
     // bucket-size filter replayed by the oracle
     "q_dedup_minhash_cap" -> q(Dedup.minhashCap),
+    // one-permutation MinHash (one hash per shingle instead of numPerm)
+    // with rotation densification — md5 family, every densified slot
+    // (m + d·P31) replayed by the oracle
+    "q_dedup_minhash_oph" -> q(Dedup.minhashOph),
+    // overlap-coefficient (doc-inside-doc) verify over the same md5
+    // LSH candidates as q_dedup_minhash
+    "q_containment"    -> q(Dedup.containment),
     "q_dedup_simhash"  -> q(Dedup.simhash),
     // batch-vs-index probe (daily-increment shape), md5 oracled
     "q_dedup_incremental" -> q(Dedup.minhashIncremental(_)),
@@ -113,6 +120,10 @@ object SparkEntry {
     "q_shard_balance"  -> q(Curation.shardBalance(_)),
     "q_sample_hash"    -> q(Curation.sampleHash),
     "q_stratified_sample" -> q(Curation.stratifiedSample(_)),
+    // Duffield–Lund–Thorup priority sampling: md5-uniform draw, one
+    // IEEE division — transcendental-free so both engines rank
+    // identically
+    "q_weighted_sample" -> q(Curation.weightedSample(_)),
     // —— round 2: interval join, graph, text-pipeline, TPC-H widening ——
     "q_range_join"     -> q(RangeJoin.clicksBeforePurchase),
     "q_components"     -> q(Components.copurchaseClusters(_)),
@@ -305,6 +316,38 @@ object SparkEntry {
        |                  JOIN gl yb ON yb.doc_id = c.doc_b)""".stripMargin
 
   private lazy val minhashOracleCore: String = "WITH " + minhashCoreCtes("documents")
+
+  /** One-permutation-hashing signature stage (Dedup.ophSignatures
+    * twin): shingle hashes routed to bin hv%32, per-bin minima, empty
+    * bins rotation-densified from the nearest non-empty bin to the
+    * right (offset d·P31), then the same structural band keys. The
+    * 32×32 grid join replays Spark's densification HOF exactly. */
+  private def ophCoreCtes(src: String): String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM $src),
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tok),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM pos),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647 AS hv FROM sh),
+       |ob AS (SELECT doc_id, hv % 32 AS bin, MIN(hv) AS m FROM h GROUP BY doc_id, hv % 32),
+       |docs32 AS (SELECT DISTINCT doc_id FROM h),
+       |grid AS (SELECT doc_id, r1.range AS k, r2.range AS d
+       |         FROM docs32, range(0,32) r1, range(0,32) r2),
+       |kd AS (SELECT g.doc_id, g.k, MIN(g.d) AS d
+       |       FROM grid g JOIN ob o ON o.doc_id = g.doc_id AND o.bin = (g.k + g.d) % 32
+       |       GROUP BY g.doc_id, g.k),
+       |sig AS (SELECT kd.doc_id, kd.k AS i, o.m + kd.d * 2147483647 AS m
+       |        FROM kd JOIN ob o ON o.doc_id = kd.doc_id AND o.bin = (kd.k + kd.d) % 32),
+       |bk AS (SELECT doc_id, i // 4 AS band,
+       |              array_to_string(list(m ORDER BY i), ',') AS key
+       |       FROM sig GROUP BY doc_id, i // 4),
+       |gl AS (SELECT doc_id, list(DISTINCT g) AS gs FROM sh GROUP BY doc_id),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bk x JOIN bk y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |j AS (SELECT c.doc_a, c.doc_b,
+       |        CAST(len(list_intersect(xa.gs, yb.gs)) AS DOUBLE)
+       |          / (len(xa.gs) + len(yb.gs) - len(list_intersect(xa.gs, yb.gs))) AS jaccard
+       |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
+       |                  JOIN gl yb ON yb.doc_id = c.doc_b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_lookup_enrich" ->
@@ -660,6 +703,29 @@ object SparkEntry {
          |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
          |                  JOIN gl yb ON yb.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // one-permutation MinHash: bin routing, per-bin minima, rotation
+    // densification (m + d·P31), band join and exact-Jaccard verify —
+    // all replayed integer-for-integer
+    "q_dedup_minhash_oph" ->
+      s"""WITH ${ophCoreCtes("documents")}
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // overlap coefficient |A∩B|/min(|A|,|B|) over the classic md5 LSH
+    // candidate set — the doc-inside-doc verify predicate
+    "q_containment" ->
+      s"""WITH ${minhashSigCtes("documents")},
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bk x JOIN bk y
+         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(len(list_intersect(xa.gs, yb.gs)) AS DOUBLE)
+         |          / least(len(xa.gs), len(yb.gs)) AS overlap
+         |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
+         |                  JOIN gl yb ON yb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, overlap FROM j WHERE overlap >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // asymmetric batch-vs-index probe over the same signature CTEs
@@ -1182,6 +1248,21 @@ object SparkEntry {
         |FROM documents d JOIN t USING (lang)
         |WHERE t.n_lang <= 60 OR substr(md5(d.text), 1, 4) < t.thresh
         |ORDER BY d.doc_id""".stripMargin,
+
+    // priority sampling: identical multiply-then-divide op order as the
+    // Spark kernel, so the doubles are bit-equal and ranks can't drift
+    "q_weighted_sample" ->
+      """WITH pri AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(n_chars AS DOUBLE) * 2147483648.0
+        |           / CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                   & 2147483647) + 1 AS DOUBLE) AS priority
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |                  ORDER BY priority DESC, doc_id) AS rk FROM pri)
+        |SELECT source, doc_id, n_chars, priority
+        |FROM r WHERE rk <= 5
+        |ORDER BY source, priority DESC, doc_id""".stripMargin,
 
     "q_range_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts

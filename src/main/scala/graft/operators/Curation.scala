@@ -275,6 +275,46 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling per stratum — Duffield–Lund–Thorup PRIORITY
+    * SAMPLING (JACM 54(6), 2007): every doc draws a deterministic
+    * md5-uniform u ∈ (0,1] from its id and gets priority w/u with
+    * w = n_chars; the k largest priorities per source form the sample.
+    * Inclusion probability is ∝ min(1, w/τ) for the group's threshold
+    * τ (the (k+1)-th priority), i.e. long documents are favored
+    * proportionally to their weight — the length-weighted epoch-mix
+    * draw a data pipeline uses when token budget, not doc count, is
+    * the quota.
+    *
+    * Cross-engine determinism is the design constraint: no ln/exp
+    * (Efraimidis–Spirakis keys need -ln(u)/w, and libm last-ulp drift
+    * between the JVM and DuckDB would flip ranks near the cutoff).
+    * Priority = (w · 2³¹) / (h+1) uses one exact int→double cast, one
+    * exact multiply (products ≪ 2⁵³), and ONE correctly-rounded IEEE
+    * division — bit-identical in any engine.
+    *
+    * Scale: same two-phase top-k as [[domainCap]] — a per-(source,
+    * scan-partition) local top-k bounds what shuffles to k rows per
+    * source per task, so a giant stratum never sorts its full list in
+    * one task. */
+  def weightedSample(t: Tables, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").bitwiseAND(lit(0x7FFFFFFFL)) + lit(1L)
+    val docs = t.documents.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("priority",
+        col("n_chars").cast("double") * lit(2147483648.0) / u.cast("double"))
+    val local = Window.partitionBy(col("source"), spark_partition_id())
+      .orderBy(col("priority").desc, col("doc_id"))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    Dedup.spread(docs)
+      .withColumn("rl", row_number().over(local)).filter(col("rl") <= k)
+      .drop("rl")
+      .withColumn("rk", row_number().over(global)).filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("source"), col("priority").desc, col("doc_id"))
+  }
+
   /** Per-domain document caps (RefinedWeb-style "no domain dominates"):
     * within every source keep the `cap` best documents (by n_chars
     * desc, doc_id asc tiebreak) and report what the cap cost each

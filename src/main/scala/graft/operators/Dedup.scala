@@ -233,6 +233,19 @@ object Dedup {
       .select(col("doc_id"),
         explode(bandKeyOf(col("sig"), bands, rowsPerBand)).as("bk"))
       .persistTracked() // self-joined: compute signatures once, not twice
+    lshVerifiedPairs(sh, bandedAll, threshold, maxBucket)
+  }
+
+  /** Shared LSH tail: band-bucket self-join candidate generation (with
+    * the optional giant-bucket cap) verified by exact Jaccard over the
+    * shingle sets. Factored out so every signature scheme (classic
+    * universal-family MinHash, one-permutation MinHash) runs the
+    * identical candidate/verify machinery — only the signature stage
+    * differs. `sh` must be the persisted (doc_id, sh) frame the
+    * signatures were computed from; `bandedAll` the exploded
+    * (doc_id, bk) band-key frame. */
+  private def lshVerifiedPairs(sh: DataFrame, bandedAll: DataFrame,
+                               threshold: Double, maxBucket: Int): DataFrame = {
     val banded =
       if (maxBucket == Int.MaxValue) bandedAll
       else bandedAll.join(
@@ -287,6 +300,102 @@ object Dedup {
   def minhashCap(t: Tables): DataFrame =
     minhashPairs(t.documents, shingleHash = md5Hash31,
       bandKeyOf = bandKeysStr, maxBucket = 2)
+
+  /** One-permutation-hashing MinHash signatures (Li, Owen, Zhang,
+    * NeurIPS 2012) with rotation densification (Shrivastava & Li,
+    * ICML 2014 shape): instead of evaluating `numPerm` universal-family
+    * hashes per shingle, each shingle's ONE hash value is routed to bin
+    * `h mod numPerm` and each bin keeps its min. Empty bins borrow from
+    * the nearest non-empty bin to their right (circularly), offset by
+    * `d · P31` so borrowed slots can never collide with a genuine min
+    * from another doc's same bin.
+    *
+    * Why it matters at 100 TB: signature computation is the linear-cost
+    * bulk of LSH dedup — the classic kernel does numPerm (=32) long
+    * multiply/mod per shingle, this one does ONE mod. The shuffle
+    * shrinks identically: the (doc, bin) partial agg collapses map-side
+    * to ≤numPerm rows per doc per task, then the doc-level regroup
+    * moves ≤numPerm skinny longs per doc. The densification HOF runs on
+    * 32-element arrays per doc — interpreted, but O(numPerm²) on
+    * docs-count rows, noise next to the shingle scan.
+    *
+    * Estimation quality: a k-bin OPH sketch estimates Jaccard with the
+    * same variance as k classic permutations on sets ≫ k; the verify
+    * stage computes EXACT Jaccard anyway, so scheme choice only moves
+    * candidate recall, not emitted-pair precision. */
+  def ophSignatures(sh: DataFrame, numPerm: Int,
+                    shingleHash: Column => Column = xxHash31): DataFrame = {
+    val binned = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), shingleHash(col("g")).as("h"))
+      .groupBy(col("doc_id"), (col("h") % numPerm).cast("int").as("bin"))
+      .agg(min(col("h")).as("m"))
+    binned.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("m")))).as("mm"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(numPerm - 1)), k => {
+          val d = element_at(
+            filter(sequence(lit(0), lit(numPerm - 1)),
+              dd => map_contains_key(col("mm"), (k + dd) % numPerm)), 1)
+          element_at(col("mm"), (k + d) % numPerm) + d.cast("long") * lit(P31)
+        }).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup pairs over OPH signatures — identical
+    * candidate/verify tail to [[minhashPairs]], one-pass signature
+    * stage. Same output contract: (doc_a, doc_b, jaccard >= threshold). */
+  def ophPairs(docs: DataFrame, numPerm: Int = 32, bands: Int = 8,
+               threshold: Double = 0.5, shingleN: Int = 3,
+               shingleHash: Column => Column = xxHash31,
+               bandKeyOf: (Column, Int, Int) => Column = bandKeys): DataFrame = {
+    val sh = shingled(docs, shingleN).persistTracked()
+    val bandedAll = ophSignatures(sh, numPerm, shingleHash)
+      .select(col("doc_id"),
+        explode(bandKeyOf(col("sig"), bands, numPerm / bands)).as("bk"))
+      .persistTracked()
+    lshVerifiedPairs(sh, bandedAll, threshold, Int.MaxValue)
+  }
+
+  /** The oracled OPH instance: md5 shingle hash + structural band keys
+    * so DuckDB rebuilds every intermediate integer — bin routing,
+    * per-bin minima, the rotation-densified slots (`m + d·P31`), band
+    * keys, and the exact-Jaccard verify. */
+  def minhashOph(t: Tables): DataFrame =
+    ophPairs(t.documents, shingleHash = md5Hash31, bandKeyOf = bandKeysStr)
+
+  /** Overlap-coefficient (Szymkiewicz–Simpson) near-containment pairs:
+    * |A∩B| / min(|A|,|B|) over the SAME md5 LSH candidate set as
+    * [[minhash]]. Symmetric Jaccard misses doc-inside-doc inclusion (a
+    * 50-shingle quote embedded in a 5000-shingle page has Jaccard 0.01
+    * but overlap 1.0); this surfaces those pairs among band-collision
+    * candidates. Candidate RECALL is still Jaccard-tuned — a pair with
+    * high containment but near-zero Jaccard rarely collides in a band,
+    * which is the documented trade of reusing the one LSH index rather
+    * than maintaining a second containment-tuned index (the 100 TB
+    * deployment answer: one index, two verify predicates). */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.5,
+                       shingleN: Int = 3): DataFrame = {
+    val sh = shingled(docs, shingleN).persistTracked()
+    val bandedAll = minhashSignatures(sh, 32, md5Hash31)
+      .select(col("doc_id"),
+        explode(bandKeysStr(col("sig"), 8, 4)).as("bk"))
+      .persistTracked() // self-joined: compute signatures once, not twice
+    val cand = bandedAll.select(col("doc_id").as("doc_a"), col("bk"))
+      .join(bandedAll.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("overlap",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("overlap") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def containment(t: Tables): DataFrame = containmentPairs(t.documents)
 
   /** Chunk-bucketed Hamming pairs over a (doc_id, fp) frame: candidates
     * = equal `chunkBits`-bit chunk (Hamming ≤ maxHamming < nChunks

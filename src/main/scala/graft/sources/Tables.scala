@@ -23,15 +23,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in the files; Spark reads it as a
-    * long (see GraftSession nanosAsLong). Convert to the engine's µs
-    * timestamp with integer division — ns epoch values exceed 2^53, so
-    * double math would silently lose precision. Matches DuckDB's own
-    * ns→µs truncation, keeping the oracle comparable. */
+  /** events.ts arrives in one of two physical layouts depending on the
+    * generator: TIMESTAMP(NANOS), which Spark reads as a long (see
+    * GraftSession nanosAsLong) and must be truncated ns→µs with integer
+    * division (ns epoch values exceed 2^53, so double math would
+    * silently lose precision — matches DuckDB's own ns→µs truncation),
+    * or native TIMESTAMP(MICROS), which reads as TIMESTAMP_NTZ and only
+    * needs the cast to the engine's session-TZ timestamp (identity on
+    * the wall clock — GraftSession pins UTC). Branching on the read
+    * dtype keeps both layouts oracle-comparable. */
   def events: DataFrame = {
     // defensive: a caller-provided session (driver smoke) may lack the conf
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 operators: one-permutation MinHash, overlap-coefficient
+  * containment, priority sampling. */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "spark catalyst optimizes declarative plans into distributed executions across many partitions and executors with codegen"
+
+  // —— one-permutation MinHash ——
+
+  test("ophSignatures: 32 slots, no nulls, identical docs get identical sigs") {
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "entirely different content about zip archives and geometry rings"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.ophSignatures(Dedup.shingled(docs, 3), 32)
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs.size == 3)
+    sigs.values.foreach { s => assert(s.length == 32 && s.forall(_ != null)) }
+    assert(sigs(1L) == sigs(2L)) // exact dup -> identical shingles -> identical sig
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("ophSignatures: borrowed-slot count equals 32 minus occupied bins") {
+    // a short doc hits few bins; every empty bin must be densified with
+    // an offset >= P31, and genuine minima stay < P31 (31-bit hashes)
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs, 3)
+    val occupied = sh.select(explode($"sh").as("g"))
+      .select((Dedup.xxHash31($"g") % 32).cast("int").as("bin"))
+      .distinct().count()
+    val sig = Dedup.ophSignatures(sh, 32)
+      .select($"sig").as[Seq[Long]].head()
+    val borrowed = sig.count(_ >= Dedup.P31)
+    assert(borrowed == 32 - occupied)
+    // rotation offset is d*P31 + a genuine 31-bit min, so every slot
+    // decodes back to a real bin minimum
+    assert(sig.forall(v => (v % Dedup.P31) < Dedup.P31))
+  }
+
+  test("ophPairs finds planted near-duplicates, skips unrelated docs") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("codegen", "vectorization")),
+      (3L, "entirely different content about zip archives and geometry rings with areas"),
+      (4L, base)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ophPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("md5 OPH variant (the oracled instance) finds the exact dup") {
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, "entirely different content about zip archives and geometry rings with areas")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ophPairs(docs, threshold = 0.5,
+        shingleHash = Dedup.md5Hash31, bandKeyOf = Dedup.bandKeysStr)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(pairs.contains((1L, 2L, 1.0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  // —— overlap-coefficient containment ——
+
+  test("containment: an embedded prefix scores overlap 1.0 where jaccard would not") {
+    // 2 is a strict prefix of 1: every shingle of 2 is in 1, so
+    // overlap = 1.0 while jaccard = |2|/|1| < 1
+    val big = base + " plus trailing analysis material appended here"
+    val docs = Seq(
+      (1L, big),
+      (2L, base),
+      (3L, "entirely different content about zip archives and geometry rings with areas")
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b", "overlap").as[(Long, Long, Double)].collect().toSet
+    assert(r.contains((1L, 2L, 1.0)))
+    assert(!r.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  // —— priority sampling ——
+
+  test("weightedSample: exactly min(k, stratum size) rows per source") {
+    val t = tables
+    val perSource = Curation.weightedSample(t, k = 5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val sizes = t.documents.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perSource.keySet == sizes.keySet)
+    perSource.foreach { case (s, n) => assert(n == math.min(5L, sizes(s))) }
+  }
+
+  test("weightedSample: priorities equal the w*2^31/(h+1) formula bit-for-bit") {
+    val t = tables
+    val got = Curation.weightedSample(t, k = 5)
+      .select($"doc_id", $"n_chars", $"priority")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, w, p) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16) & 0x7FFFFFFFL) + 1L
+      val expected = w.toDouble * 2147483648.0 / u.toDouble
+      assert(p == expected, s"doc $id: got $p expected $expected")
+    }
+  }
+
+  test("weightedSample: two-phase top-k equals the naive single-window result") {
+    import org.apache.spark.sql.expressions.Window
+    val t = tables
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long").bitwiseAND(lit(0x7FFFFFFFL)) + lit(1L)
+    val naive = t.documents
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("priority",
+        $"n_chars".cast("double") * lit(2147483648.0) / u.cast("double"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"priority".desc, $"doc_id")))
+      .filter($"rk" <= 5).drop("rk")
+      .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    val got = Curation.weightedSample(t, k = 5)
+      .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    assert(got == naive)
+  }
+}
