@@ -166,6 +166,10 @@ object SparkEntry {
     "q_winnowing"      -> q(TextAnalysis.winnowing(_)),
     "q_dedup_clusters" -> q(Dedup.dedupClusters),
     "q_bpe_pairs"      -> q(TextAnalysis.bpePairs(_)),
+    // iterative BPE merge training: 4 elected merges, rounds 2-4
+    // counted over the round-(N-1) REWRITTEN symbol table, so the
+    // oracle checks merge application, not just election
+    "q_bpe_train"      -> q(TextAnalysis.bpeTrain(_)),
     "q_source_audit"   -> q(Curation.sourceAudit),
     "q_seq_pack"       -> q(Curation.seqPack(_)),
     "q_embed_stats"    -> q(Similarity.embedStats),
@@ -348,6 +352,55 @@ object SparkEntry {
        |          / (len(xa.gs) + len(yb.gs) - len(list_intersect(xa.gs, yb.gs))) AS jaccard
        |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
        |                  JOIN gl yb ON yb.doc_id = c.doc_b)""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.bpeTrain: `rounds` chained
+    * (pair-count → election → recursive greedy merge) blocks over the
+    * weighted word-type table. The merge rewrite is a per-word linear
+    * recursion (pos advances 1, or 2 over an elected pair), replaying
+    * Spark's aggregate() fold exactly — including the no-remerge rule
+    * (a merged symbol can't pair with a following right part in the
+    * same round). */
+  private def bpeTrainOracle(rounds: Int): String = {
+    // every non-recursive CTE is MATERIALIZED: each iteration of a
+    // recursive merge CTE evaluates its election scalar subqueries, and
+    // without the hint DuckDB re-runs the whole upstream chain per
+    // iteration — measured 244 s vs 0.35 s at sf0.01
+    def elect(n: Int, src: String) =
+      s"""p${n}x AS MATERIALIZED (SELECT c, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM $src),
+         |p$n AS MATERIALIZED (SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(c) AS BIGINT) AS n_occ
+         |        FROM p${n}x GROUP BY l, r),
+         |b$n AS MATERIALIZED (SELECT l, r, n_occ FROM p$n ORDER BY n_occ DESC, l, r LIMIT 1)""".stripMargin
+    def rewrite(n: Int, src: String) =
+      s"""m$n(tok, syms, c, pos, out) AS (
+         |  SELECT tok, syms, c, 1, CAST([] AS VARCHAR[]) FROM $src
+         |  UNION ALL
+         |  SELECT tok, syms, c,
+         |    CASE WHEN pos < len(syms) AND syms[pos] = (SELECT l FROM b$n)
+         |              AND syms[pos+1] = (SELECT r FROM b$n)
+         |         THEN pos + 2 ELSE pos + 1 END,
+         |    list_append(out,
+         |      CASE WHEN pos < len(syms) AND syms[pos] = (SELECT l FROM b$n)
+         |                AND syms[pos+1] = (SELECT r FROM b$n)
+         |           THEN (SELECT l FROM b$n) || (SELECT r FROM b$n) ELSE syms[pos] END)
+         |  FROM m$n WHERE pos <= len(syms)),
+         |w$n AS MATERIALIZED (SELECT tok, out AS syms, c FROM m$n WHERE pos > len(syms))""".stripMargin
+    val blocks = (1 to rounds).map { n =>
+      val src = if (n == 1) "w0" else s"w${n - 1}"
+      if (n < rounds) s"${elect(n, src)},\n${rewrite(n, src)}"
+      else elect(n, src)
+    }.mkString(",\n")
+    val out = (1 to rounds).map { n =>
+      if (n == 1) s"SELECT 1 AS round, l AS left_sym, r AS right_sym, n_occ FROM b1"
+      else s"UNION ALL SELECT $n, l, r, n_occ FROM b$n"
+    }.mkString("\n")
+    s"""WITH RECURSIVE
+       |v AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |vc AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM v GROUP BY tok),
+       |w0 AS MATERIALIZED (SELECT tok, string_split(tok, '') AS syms, c FROM vc WHERE length(tok) >= 2),
+       |$blocks
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_lookup_enrich" ->
@@ -1726,6 +1779,11 @@ object SparkEntry {
         |       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens
         |FROM b GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
+
+    // iterative BPE training: per round, pair-count CTE + 1-row merge
+    // election + a recursive-CTE greedy left-to-right merge rewrite —
+    // the same fold Spark's aggregate() HOF runs
+    "q_bpe_train" -> bpeTrainOracle(4),
 
     "q_bpe_pairs" ->
       """WITH v AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -503,6 +503,76 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Iterative BPE merge TRAINING (Sennrich et al. 2016 shape): the
+    * corpus collapses once to a weighted word-type table (the only
+    * corpus-sized aggregate — map-side partial on the token), words
+    * split to character symbols, then each round (a) counts adjacent
+    * symbol pairs weighted by word frequency, (b) elects the most
+    * frequent pair (ties broken lexicographically so the merge
+    * sequence is engine-exact), and (c) applies the merge greedily
+    * left-to-right in every word. Returns the merge table
+    * (round, left_sym, right_sym, n_occ) — the trained artifact.
+    *
+    * Scale: the loop runs on VOCABULARY-sized data (dimension-sized at
+    * any corpus scale — this is why real BPE trainers operate on
+    * (word, count) tables, not raw text). Per round: one skinny pair
+    * aggregate + a 1-row collect (the merge decision) + a map-side
+    * symbol rewrite. Round state is localCheckpoint'ed (the HOF fold
+    * would otherwise nest one level deeper per round) and the previous
+    * round's blocks freed, same lineage discipline as [[Components]].
+    *
+    * The greedy fold: a merged symbol never re-merges with a following
+    * right part in the same round ("aaa" + (a,a) → ["aa","a"], not
+    * ["aaa"]), which the `get(acc, size-1)` tail check encodes —
+    * null-safe (empty accumulator compares null, falls to append), so
+    * ANSI mode can't throw on the first element. */
+  def bpeTrain(t: Tables, rounds: Int = 4): DataFrame =
+    bpeTrainDocs(t.documents, rounds)
+
+  /** [[bpeTrain]] over an explicit (…, text) frame. */
+  def bpeTrainDocs(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = Dedup.spread(docs.select(col("text")))
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .filter(length(col("tok")) >= 2)
+      .select(split(col("tok"), "").as("syms"), col("c"))
+    var words = vocab.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      // the size guard matters: a fully-merged word has ONE symbol and
+      // sequence(1, 0) DESCENDS in Spark ([1,0]), indexing off the array
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+                      element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).cast("long").as("n_occ"))
+        .orderBy(col("n_occ").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (bl, br, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, bl, br, n))
+        if (r < rounds) { // last round only elects; no rewrite needed
+          val next = words.select(
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) =>
+                when(get(acc, size(acc) - 1) === lit(bl) && x === lit(br),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
+                .otherwise(concat(acc, array(x)))).as("syms"),
+            col("c")).localCheckpoint()
+          Components.freeCheckpoint(words)
+          words = next
+        }
+      }
+    }
+    Components.freeCheckpoint(words)
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "n_occ")
+      .orderBy(col("round"))
+  }
+
   /** Stopwords for the Gopher "contains common words" rule. */
   val GopherStopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "be")

@@ -83,6 +83,31 @@ class Round11Spec extends SparkSpec {
     assert(!r.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  // —— BPE training ——
+
+  test("bpeTrain: round-2 election sees round-1's rewrite (merge applied)") {
+    // vocab: abab(c=3), ab(c=2), cd(c=4).
+    // round 1 pairs: (a,b) n=2·3+1·2=8 wins over (b,a) n=3 and (c,d) n=4.
+    // rewrite: abab -> [ab,ab], ab -> [ab], cd stays [c,d].
+    // round 2 over the REWRITTEN words: (c,d) n=4 beats (ab,ab) n=3 —
+    // the old (b,a) pair must be gone or election is wrong.
+    val docs = Seq(
+      (1L, "abab abab abab ab ab cd cd cd cd")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrainDocs(docs, rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(r == Seq((1, "a", "b", 8L), (2, "c", "d", 4L), (3, "ab", "ab", 3L)))
+  }
+
+  test("bpeTrain: greedy left-to-right fold does not re-merge within a round") {
+    // "aaa": pairs (a,a) n=2·1. rewrite merges the FIRST two a's only:
+    // [aa, a]; round 2's top pair is (aa, a) with n=1.
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrainDocs(docs, rounds = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(r == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   // —— priority sampling ——
 
   test("weightedSample: exactly min(k, stratum size) rows per source") {
