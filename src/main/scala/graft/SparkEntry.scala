@@ -78,6 +78,7 @@ object SparkEntry {
     // production kernels' regressions stay visible; rows-only driver
     // check (no DuckDB twin for the hash family), spec-verified
     "q_dedup_minhash_fast" -> q(Dedup.minhashFast),
+    "q_dedup_minhash_oph_fast" -> q(Dedup.ophFast),
     "q_dedup_simhash_fast" -> q(Dedup.simhashFnv),
     // oracled md5-Rademacher hyperplane LSH (DuckDB replays the index
     // build) + the Gaussian multiprobe production kernel benched under
