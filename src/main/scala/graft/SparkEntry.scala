@@ -194,6 +194,10 @@ object SparkEntry {
     "q_epoch_shuffle"  -> q(Curation.epochShuffle(_)),
     "q_shard_checksum" -> q(Curation.shardChecksum(_)),
     "q_centroid_update" -> q(Similarity.centroidUpdate),
+    // full Lloyd loop (2 iterations, micro-int distances, driver-side
+    // bounded centroid state baked as literals — assignment is
+    // map-side, the M-step is the only shuffle)
+    "q_kmeans"         -> q(Similarity.kmeans(_)),
     "q_source_dup_matrix" -> q(Dedup.sourceDupMatrix),
     "q_substr_dedup"   -> q(Dedup.substrDedup(_)),
     "q_span_islands"   -> q(Dedup.spanIslands(_)),
@@ -1955,6 +1959,39 @@ object SparkEntry {
 
     // micro-snap + FLOOR(double division) shared textually with the
     // Spark plan, so the k-means M-step is byte-stable cross-engine
+    // full Lloyd loop: micro-int vectors, integer squared-L2, argmin
+    // ties to the smallest centroid id (ROW_NUMBER ↔ array_position
+    // first-minimum), floored-mean M-step, empty-cluster carry via
+    // LEFT JOIN + COALESCE — two assignment rounds, like the Spark loop
+    "q_kmeans" ->
+      """WITH mvl AS (SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mv
+        |       FROM embeddings),
+        |md AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, mv[i] AS m
+        |       FROM (SELECT vec_id, mv, unnest(generate_series(1, len(mv))) AS i FROM mvl)),
+        |init AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        |         FROM (SELECT vec_id FROM mvl ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT init.cid, md.dim, md.m AS c FROM init JOIN md USING (vec_id)),
+        |a1 AS (SELECT md.vec_id, c0.cid, SUM((md.m - c0.c) * (md.m - c0.c)) AS dist
+        |       FROM md JOIN c0 ON md.dim = c0.dim GROUP BY md.vec_id, c0.cid),
+        |b1 AS (SELECT vec_id, cid, dist FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                     ORDER BY dist, cid) AS rn FROM a1) WHERE rn = 1),
+        |u1 AS (SELECT b1.cid, md.dim,
+        |         CAST(FLOOR(CAST(SUM(md.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        |       FROM b1 JOIN md USING (vec_id) GROUP BY b1.cid, md.dim),
+        |c1 AS (SELECT c0.cid, c0.dim, COALESCE(u1.c, c0.c) AS c
+        |       FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.dim = c0.dim),
+        |a2 AS (SELECT md.vec_id, c1.cid, SUM((md.m - c1.c) * (md.m - c1.c)) AS dist
+        |       FROM md JOIN c1 ON md.dim = c1.dim GROUP BY md.vec_id, c1.cid),
+        |b2 AS (SELECT vec_id, cid, dist FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                     ORDER BY dist, cid) AS rn FROM a2) WHERE rn = 1)
+        |SELECT CAST(cid AS BIGINT) AS cluster_id, COUNT(*) AS n,
+        |       CAST(SUM(dist) AS BIGINT) AS inertia
+        |FROM b2 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+
     "q_centroid_update" ->
       """WITH p AS (SELECT CAST(label AS BIGINT) AS label, embedding,
         |             unnest(generate_series(1, len(embedding))) AS i

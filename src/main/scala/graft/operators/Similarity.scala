@@ -377,6 +377,67 @@ object Similarity {
     * Scale: one shuffle of (label, dim, partial sum/count) — map-side
     * partial agg collapses each scan partition to k·dims rows, so the
     * wire carries CENTROID-table-sized state, not vectors. */
+  /** Full Lloyd k-means loop, every intermediate ENGINE-EXACT: vectors
+    * snap to micro ints once ([[centroidUpdate]]'s quantization), all
+    * distances are integer squared-L2 in micro² units, assignment ties
+    * break to the smallest centroid id (array_position returns the
+    * FIRST minimum), and the M-step floors the per-dim mean back to
+    * micro. Init = the first k vectors by vec_id. An empty cluster
+    * keeps its previous centroid (the carry rule both engines share).
+    * Returns per-cluster (n, inertia) after the final assignment.
+    *
+    * Scale: centroids are collected to the driver each round (k·dims
+    * values — BOUNDED state, the same class as a broadcast dim; this is
+    * every distributed k-means' structure) and baked into the next
+    * round's assignment expression as literals, so assignment is pure
+    * MAP-SIDE — no join, no shuffle. Per iteration the only shuffle is
+    * the (cid, dim) M-step partial agg, which collapses map-side to
+    * k·dims rows per task. The per-row distance HOF is k·dims lambda
+    * ops — the [[knnCosine]] codegen-kernel substitution
+    * (KernelSubstitution) is the optimization path if this ever
+    * dominates a profile. */
+  def kmeans(t: Tables, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansOf(t.embeddings, k, iters)
+
+  /** [[kmeans]] over an explicit (vec_id, embedding) frame. */
+  def kmeansOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val micro = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
+    val vecs = Dedup.spread(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), micro.as("mv"))
+      .persistTracked()
+    // deterministic init: first k vectors by id
+    var cents: Seq[(Long, Seq[Long])] = vecs.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
+    def assigned = {
+      val dists = array(cents.map { case (_, c) =>
+        aggregate(zip_with(col("mv"), typedlit(c), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }: _*)
+      vecs.withColumn("dists", dists)
+        .withColumn("dist", array_min(col("dists")))
+        .withColumn("cid", array_position(col("dists"), col("dist")) - 1)
+    }
+    for (_ <- 1 until iters) {
+      val upd = assigned
+        .select(col("cid"), posexplode(col("mv")).as(Seq("dim", "m")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("s"))
+        .withColumn("c",
+          expr("CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+        .select(col("cid"), col("dim"), col("c"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, upd.getOrElse(cid, old)) }
+    }
+    assigned.groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).cast("long").as("inertia"))
+      .orderBy(col("cluster_id"))
+  }
+
   def centroidUpdate(t: Tables): DataFrame = {
     val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
     t.embeddings

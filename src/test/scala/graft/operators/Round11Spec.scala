@@ -108,6 +108,27 @@ class Round11Spec extends SparkSpec {
     assert(r == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  // —— full Lloyd k-means ——
+
+  test("kmeans: 2 iterations converge the planted clusters, integers exact") {
+    // init c0=v1=(0,0), c1=v2=(0.2,0). Iter-1 assigns v3,v4 to c1
+    // (closer to v2 than v1); the M-step moves c1 to the mean of
+    // {v2,v3,v4}; iter-2 re-assigns v2 to c0 — the loop must output
+    // the POST-update assignment, not the first one.
+    val emb = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0.2f, 0f)),
+      (3L, Seq(10f, 10f)), (4L, Seq(10.2f, 10f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansOf(emb, k = 2, iters = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // cluster 0 = {v1, v2}: inertia = 0 + 200000² = 4e10
+    // cluster 1 = {v3, v4} vs c1=(6800000, 6666666):
+    //   v3: 3200000² + 3333334² ; v4: 3400000² + 3333334²
+    val c1Inertia = 3200000L * 3200000L + 3333334L * 3333334L +
+      3400000L * 3400000L + 3333334L * 3333334L
+    assert(r == Seq((0L, 2L, 40000000000L), (1L, 2L, c1Inertia)))
+  }
+
   // —— priority sampling ——
 
   test("weightedSample: exactly min(k, stratum size) rows per source") {
