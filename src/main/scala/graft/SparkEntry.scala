@@ -177,6 +177,9 @@ object SparkEntry {
     // —— round-8 additions: retrieval / data-selection / blocked ER ——
     "q_bm25"           -> q(Retrieval.bm25(_)),
     "q_dsir"           -> q(Retrieval.dsirWeights(_)),
+    // hybrid retrieval: RRF of BM25 + exact-ppm cosine (two IEEE
+    // divisions in fixed order — fused score bit-exact cross-engine)
+    "q_rrf_fusion"     -> q(Retrieval.rrfFusion(_)),
     "q_domain_cap"     -> q(Curation.domainCap(_)),
     "q_dedup_embed_exact" -> q(Dedup.embedDedupExact),
     "q_semdedup"       -> q(Dedup.semDedup),
@@ -1866,6 +1869,50 @@ object SparkEntry {
         |FROM sc GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    // RRF hybrid fusion: BM25 CTEs (depth-100 truncation) + micro-int
+    // cosine-to-query ranker + the two-division fused score. Every
+    // float literal divides a DOUBLE-cast operand so DuckDB's decimal
+    // literals can't change the arithmetic.
+    "q_rrf_fusion" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |dln AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+         |       WHERE term IN ('vector', 'stream', 'window', 'merge') GROUP BY 1, 2),
+         |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |${operators.Retrieval.bm25ScoreSql} AS s_micro
+         |       FROM tf JOIN dfr USING (term) JOIN dln USING (doc_id) CROSS JOIN st),
+         |bmtop AS (SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro
+         |          FROM sc GROUP BY doc_id
+         |          ORDER BY score_micro DESC, doc_id LIMIT 100),
+         |bm AS (SELECT doc_id, ROW_NUMBER() OVER
+         |         (ORDER BY score_micro DESC, doc_id) AS r_bm25 FROM bmtop),
+         |qm AS (SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS m
+         |       FROM embeddings),
+         |wn AS (SELECT vec_id, m,
+         |         CAST(list_sum(list_transform(m, x -> x * x)) AS BIGINT) AS aa FROM qm),
+         |qv AS (SELECT m AS mq, aa AS bb FROM wn WHERE vec_id = 0),
+         |cosall AS (SELECT wn.vec_id AS doc_id,
+         |        CAST(list_sum(list_transform(generate_series(1, len(wn.m)),
+         |          i -> wn.m[i] * qv.mq[i])) AS BIGINT) AS dot,
+         |        wn.aa AS aa, qv.bb AS bb
+         |      FROM wn, qv WHERE wn.vec_id <> 0),
+         |coss AS (SELECT doc_id, ${operators.Dedup.cosPpmSql} AS cos_ppm FROM cosall),
+         |costop AS (SELECT doc_id, cos_ppm FROM coss
+         |           ORDER BY cos_ppm DESC, doc_id LIMIT 100),
+         |cr AS (SELECT doc_id, ROW_NUMBER() OVER
+         |         (ORDER BY cos_ppm DESC, doc_id) AS r_cos FROM costop),
+         |f AS (SELECT COALESCE(bm.doc_id, cr.doc_id) AS doc_id, r_bm25, r_cos
+         |      FROM bm FULL OUTER JOIN cr ON bm.doc_id = cr.doc_id)
+         |SELECT doc_id, r_bm25, r_cos,
+         |       COALESCE(1.0 / CAST(60 + r_bm25 AS DOUBLE), CAST(0.0 AS DOUBLE)) +
+         |       COALESCE(1.0 / CAST(60 + r_cos AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_dsir" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),

@@ -126,4 +126,55 @@ object Retrieval {
         sum(col("c") * col("dppm")).cast("long").as("score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the
+    * two standard hybrid-retrieval rankers: BM25 (sparse) and exact
+    * embedding cosine to a query vector (dense; vec_id 0 is the query,
+    * vec_id doubles as doc_id in the synthetic schema). Both ranked
+    * lists are truncated at `depth`; rrf(d) = Σ 1/(kRrf + rank_r(d))
+    * over the lists d appears in — two correctly-rounded IEEE
+    * divisions and one add in a FIXED order, so the fused score is
+    * bit-identical cross-engine with no transcendental in sight.
+    *
+    * Scale: each ranker is its own already-scale-shaped operator
+    * ([[bm25]]'s one scan + broadcast side tables; the cosine ranker
+    * scans vectors once and TakeOrdered's the top `depth` — swap in
+    * the IVF/LSH ANN path for a billion-vector corpus). The fusion
+    * itself joins two ≤depth-row frames: driver-trivial, any engine.
+    * Rank assignment windows run on ≤depth rows post-truncation — the
+    * single-partition window is bounded by construction. */
+  def rrfFusion(t: Tables, terms: Seq[String] = defaultQuery, k: Int = 20,
+                depth: Int = 100, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wBm = Window.orderBy(col("score_micro").desc, col("doc_id"))
+    val bmR = bm25(t, terms, depth)
+      .withColumn("r_bm25", row_number().over(wBm).cast("long"))
+      .select(col("doc_id"), col("r_bm25"))
+    val q = Dedup.spread(t.embeddings.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
+      .withColumn("aa", graft.functions.VectorFunctions
+        .dotProduct(col("m"), col("m")).cast("long"))
+      .persistTracked() // query row + candidate scan share the quantize
+    val qv = q.filter(col("vec_id") === 0L)
+      .select(col("m").as("mq"), col("aa").as("bb"))
+    val wCos = Window.orderBy(col("cos_ppm").desc, col("doc_id"))
+    val cosR = q.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qv)) // one bounded row
+      .withColumn("dot", graft.functions.VectorFunctions
+        .dotProduct(col("m"), col("mq")).cast("long"))
+      .withColumn("cos_ppm", expr(Dedup.cosPpmSql))
+      .select(col("vec_id").as("doc_id"), col("cos_ppm"))
+      .orderBy(col("cos_ppm").desc, col("doc_id")).limit(depth)
+      .withColumn("r_cos", row_number().over(wCos).cast("long"))
+      .select(col("doc_id"), col("r_cos"))
+    bmR.join(cosR, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf.toLong) + col("r_bm25")).cast("double"), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf.toLong) + col("r_cos")).cast("double"), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("r_bm25"), col("r_cos"), col("rrf"))
+  }
 }

@@ -108,6 +108,21 @@ class Round11Spec extends SparkSpec {
     assert(r == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  // —— RRF hybrid fusion ——
+
+  test("rrfFusion: fused score is exactly the sum of rank reciprocals, ordered") {
+    val r = Retrieval.rrfFusion(tables)
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    assert(r.nonEmpty && r.size <= 20)
+    r.foreach { case (_, rb, rc, rrf) =>
+      assert(rb.nonEmpty || rc.nonEmpty) // full-outer: in at least one list
+      val expected = rb.map(x => 1.0 / (60L + x).toDouble).getOrElse(0.0) +
+        rc.map(x => 1.0 / (60L + x).toDouble).getOrElse(0.0)
+      assert(rrf == expected)
+    }
+    assert(r.map(_._4) == r.map(_._4).sorted.reverse) // descending
+  }
+
   // —— full Lloyd k-means ——
 
   test("kmeans: 2 iterations converge the planted clusters, integers exact") {
