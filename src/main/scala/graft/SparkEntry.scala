@@ -171,6 +171,9 @@ object SparkEntry {
     // counted over the round-(N-1) REWRITTEN symbol table, so the
     // oracle checks merge application, not just election
     "q_bpe_train"      -> q(TextAnalysis.bpeTrain(_)),
+    // corpus encode under the trained merges: per-doc token counts
+    // under the learned vocabulary
+    "q_bpe_encode"     -> q(TextAnalysis.bpeEncode(_)),
     "q_source_audit"   -> q(Curation.sourceAudit),
     "q_seq_pack"       -> q(Curation.seqPack(_)),
     "q_embed_stats"    -> q(Similarity.embedStats),
@@ -361,14 +364,15 @@ object SparkEntry {
        |      FROM cand c JOIN gl xa ON xa.doc_id = c.doc_a
        |                  JOIN gl yb ON yb.doc_id = c.doc_b)""".stripMargin
 
-  /** DuckDB twin of TextAnalysis.bpeTrain: `rounds` chained
-    * (pair-count → election → recursive greedy merge) blocks over the
-    * weighted word-type table. The merge rewrite is a per-word linear
-    * recursion (pos advances 1, or 2 over an elected pair), replaying
-    * Spark's aggregate() fold exactly — including the no-remerge rule
-    * (a merged symbol can't pair with a following right part in the
-    * same round). */
-  private def bpeTrainOracle(rounds: Int): String = {
+  /** DuckDB twin of TextAnalysis.bpeTrain's CTE pipeline: `rounds`
+    * chained (pair-count → election → recursive greedy merge) blocks
+    * over the weighted word-type table. The merge rewrite is a
+    * per-word linear recursion (pos advances 1, or 2 over an elected
+    * pair), replaying Spark's aggregate() fold exactly — including the
+    * no-remerge rule (a merged symbol can't pair with a following
+    * right part in the same round). Closed by [[bpeTrainOracle]]
+    * (merge table) and [[bpeEncodeOracle]] (corpus encode). */
+  private def bpeTrainCtes(rounds: Int): String = {
     // every non-recursive CTE is MATERIALIZED: each iteration of a
     // recursive merge CTE evaluates its election scalar subqueries, and
     // without the hint DuckDB re-runs the whole upstream chain per
@@ -394,21 +398,44 @@ object SparkEntry {
          |w$n AS MATERIALIZED (SELECT tok, out AS syms, c FROM m$n WHERE pos > len(syms))""".stripMargin
     val blocks = (1 to rounds).map { n =>
       val src = if (n == 1) "w0" else s"w${n - 1}"
-      if (n < rounds) s"${elect(n, src)},\n${rewrite(n, src)}"
-      else elect(n, src)
+      // the final elected merge is still APPLIED (w$rounds) so encode
+      // oracles can compose on the fully-rewritten symbol table
+      s"${elect(n, src)},\n${rewrite(n, src)}"
     }.mkString(",\n")
-    val out = (1 to rounds).map { n =>
-      if (n == 1) s"SELECT 1 AS round, l AS left_sym, r AS right_sym, n_occ FROM b1"
-      else s"UNION ALL SELECT $n, l, r, n_occ FROM b$n"
-    }.mkString("\n")
     s"""WITH RECURSIVE
        |v AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
        |vc AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM v GROUP BY tok),
        |w0 AS MATERIALIZED (SELECT tok, string_split(tok, '') AS syms, c FROM vc WHERE length(tok) >= 2),
-       |$blocks
+       |$blocks""".stripMargin
+  }
+
+  /** [[bpeTrainCtes]] closed with the merge-table projection. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val out = (1 to rounds).map { n =>
+      if (n == 1) s"SELECT 1 AS round, l AS left_sym, r AS right_sym, n_occ FROM b1"
+      else s"UNION ALL SELECT $n, l, r, n_occ FROM b$n"
+    }.mkString("\n")
+    s"""${bpeTrainCtes(rounds)}
        |$out
        |ORDER BY round""".stripMargin
   }
+
+  /** [[bpeTrainCtes]] closed with the corpus ENCODE: every document's
+    * token multiset joined to the fully-rewritten symbol table (w4);
+    * single-char words encode to one symbol. */
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""${bpeTrainCtes(rounds)},
+       |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM
+       |         (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |       GROUP BY doc_id, tok),
+       |wl AS (SELECT tok, CAST(len(syms) AS BIGINT) AS ns FROM w$rounds
+       |       UNION ALL
+       |       SELECT tok, 1 FROM vc WHERE length(tok) = 1)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |       CAST(SUM(c * ns) AS BIGINT) AS n_syms
+       |FROM dt JOIN wl USING (tok)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_lookup_enrich" ->
@@ -1792,6 +1819,7 @@ object SparkEntry {
     // election + a recursive-CTE greedy left-to-right merge rewrite —
     // the same fold Spark's aggregate() HOF runs
     "q_bpe_train" -> bpeTrainOracle(4),
+    "q_bpe_encode" -> bpeEncodeOracle(4),
 
     "q_bpe_pairs" ->
       """WITH v AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -526,6 +526,17 @@ object TextAnalysis {
     * ["aaa"]), which the `get(acc, size-1)` tail check encodes —
     * null-safe (empty accumulator compares null, falls to append), so
     * ANSI mode can't throw on the first element. */
+  /** Greedy left-to-right application of ONE merge (l, r) to a `syms`
+    * array column — the shared fold of training and encoding. The
+    * `get(acc, size-1)` tail check is null-safe (empty accumulator
+    * compares null → append) and encodes the no-remerge rule. */
+  private def mergeFold(l: String, r: String): Column =
+    aggregate(col("syms"), array().cast("array<string>"),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
   def bpeTrain(t: Tables, rounds: Int = 4): DataFrame =
     bpeTrainDocs(t.documents, rounds)
 
@@ -556,13 +567,8 @@ object TextAnalysis {
         val (bl, br, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, bl, br, n))
         if (r < rounds) { // last round only elects; no rewrite needed
-          val next = words.select(
-            aggregate(col("syms"), array().cast("array<string>"),
-              (acc, x) =>
-                when(get(acc, size(acc) - 1) === lit(bl) && x === lit(br),
-                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
-                .otherwise(concat(acc, array(x)))).as("syms"),
-            col("c")).localCheckpoint()
+          val next = words.select(mergeFold(bl, br).as("syms"), col("c"))
+            .localCheckpoint()
           Components.freeCheckpoint(words)
           words = next
         }
@@ -571,6 +577,41 @@ object TextAnalysis {
     Components.freeCheckpoint(words)
     merges.toSeq.toDF("round", "left_sym", "right_sym", "n_occ")
       .orderBy(col("round"))
+  }
+
+  /** Corpus ENCODE under the trained merge list — the deploy half of
+    * the tokenizer lifecycle: apply [[bpeTrain]]'s merges in training
+    * order to every word type, then roll the per-word symbol counts up
+    * to documents. Returns (doc_id, n_words, n_syms): n_syms is the
+    * doc's token count under the learned vocabulary (the number a
+    * token-budget packer would consume).
+    *
+    * Scale: the merge list is the bounded trained artifact (`rounds`
+    * rows, collected once); encoding applies it to the VOCABULARY
+    * (dimension-sized), and the corpus-sized work is one (doc, tok)
+    * partial-count plus an equi-join against the vocab-length table —
+    * the corpus never re-tokenizes per merge. */
+  def bpeEncode(t: Tables, rounds: Int = 4): DataFrame = {
+    val ms = bpeTrain(t, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val docsToks = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .persistTracked() // feeds the vocab AND the length join
+    val vocab0 = docsToks.select(col("tok")).distinct()
+      .select(col("tok"), split(col("tok"), "").as("syms"))
+    val encoded = ms.foldLeft(vocab0) { case (df, (l, r)) =>
+      df.withColumn("syms", mergeFold(l, r))
+    }
+    docsToks
+      .join(encoded.select(col("tok"), size(col("syms")).cast("long").as("ns")),
+        Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_words"),
+        sum(col("c") * col("ns")).cast("long").as("n_syms"))
+      .orderBy(col("doc_id"))
   }
 
   /** Stopwords for the Gopher "contains common words" rule. */

@@ -108,6 +108,22 @@ class Round11Spec extends SparkSpec {
     assert(r == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bpeEncode: doc token counts shrink under the learned merges, never below words") {
+    val t = tables
+    val r = TextAnalysis.bpeEncode(t).as[(Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, nWords, nSyms) =>
+      assert(nSyms >= nWords) // every word is >= 1 symbol
+    }
+    // the corpus char total strictly exceeds the encoded symbol total
+    // (4 merges must bite somewhere on real text)
+    val chars = t.documents
+      .select(sum(size(split(regexp_replace($"text", " ", ""), ""))).cast("long"))
+      .as[Long].head()
+    val totalSyms = r.map(_._3).sum
+    assert(totalSyms < chars, s"merges never applied: $totalSyms !< $chars")
+  }
+
   // —— RRF hybrid fusion ——
 
   test("rrfFusion: fused score is exactly the sum of rank reciprocals, ordered") {
