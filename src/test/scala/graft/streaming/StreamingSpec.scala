@@ -216,4 +216,41 @@ class StreamingSpec extends SparkSpec {
     assert(closed.map(_.n) == Seq(2))
     assert(open.exists(_.n == 1))
   }
+
+  test("streaming priority sample equals the batch operator over the same rows") {
+    import SampleStream._
+    val t = tables
+    // the real documents table, delivered in two arbitrary micro-batches
+    // (order must not matter), with one row re-delivered (at-least-once)
+    val docs = t.documents.select($"source", $"doc_id", $"n_chars")
+      .as[Doc].collect().toSeq
+    val (b1, b2) = docs.partition(_.doc_id % 3 == 0)
+    val input = MemoryStream[Doc](spark)
+    val q = SampleStream.sampled(input.toDS(), k = 5)
+      .writeStream.format("memory").queryName("psample")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2 :+ b1.head: _*) // re-deliver one row
+      q.processAllAvailable()
+      // the memory sink accumulates every update-mode emission, so the
+      // batch sample's rows must all appear (they ARE the final
+      // emission), and the pure merge kernel must reproduce the batch
+      // sample exactly from the full row set in any delivery order
+      val batch = graft.operators.Curation.weightedSample(t, k = 5)
+        .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+      val sink = spark.table("psample")
+        .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+      assert(batch.subsetOf(sink),
+        s"missing from stream sink: ${batch -- sink}")
+      // and merge() — the state kernel — reproduces the batch sample
+      // exactly from the full row set, any delivery order
+      val fin = docs.groupBy(_.source).toSeq.flatMap { case (s, ds) =>
+        SampleStream.merge(Nil, scala.util.Random.shuffle(ds), 5)
+          .map { case (_, id, _) => (s, id) }
+      }.toSet
+      assert(fin == batch)
+    } finally q.stop()
+  }
 }
