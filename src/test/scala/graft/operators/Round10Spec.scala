@@ -4,8 +4,8 @@ import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
 
-/** Round-10 plan-regression guards: no forced broadcast of anything
-  * that grows with scale factor.
+/** Shared plan-regression guard: no forced broadcast of anything that
+  * grows with scale factor.
   *
   * Rule (from the 100 TB audit): an explicit broadcast() hint is
   * allowed ONLY on (a) subtrees whose every leaf is a schema-bounded
@@ -16,12 +16,13 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Proj
   * frames (HAVING output, per-key averages/minima) are SF-linear or
   * selectivity-dependent — at the 100 TB target they blow Spark's
   * 8 GB / 512M-row broadcast hard cap, so they must reach AQE
-  * unhinted and get sized at runtime.
+  * unhinted and get sized at runtime. Used by the per-family walks in
+  * Round10Spec and Round11Spec.
   */
-class Round10Spec extends SparkSpec {
+object PlanGuards {
 
   /** Hints in the analyzed plan that violate the bounded-build rule. */
-  private def unboundedHints(df: DataFrame): Seq[String] = {
+  def unboundedHints(df: DataFrame): Seq[String] = {
     @annotation.tailrec
     def root(p: LogicalPlan): LogicalPlan = p match {
       case Project(_, c)       => root(c)
@@ -40,6 +41,10 @@ class Round10Spec extends SparkSpec {
       else Some(s"hint over ${leafCols.distinct.mkString(",")}")
     }
   }
+}
+
+class Round10Spec extends SparkSpec {
+  import PlanGuards.unboundedHints
 
   private val family: Map[String, DataFrame] = {
     val t = tables

@@ -160,6 +160,33 @@ class Round11Spec extends SparkSpec {
     assert(r == Seq((0L, 2L, 40000000000L), (1L, 2L, c1Inertia)))
   }
 
+  test("round-11 ops: no data-dependent broadcast hints") {
+    // q_rrf_fusion is audited separately: its broadcast(qv) is one row
+    // by construction (filter on the unique vec_id), which the
+    // schema-level rule cannot see — assert its hint count explicitly
+    // instead of exempting the file.
+    val keys = Seq("q_dedup_minhash_oph", "q_dedup_minhash_oph_fast",
+      "q_containment", "q_weighted_sample", "q_bpe_train", "q_bpe_encode",
+      "q_kmeans")
+    val bad = keys.flatMap { name =>
+      PlanGuards.unboundedHints(graft.SparkEntry.queries(name)(spark, sfDir))
+        .map(v => s"$name: $v")
+    }
+    graft.CacheRegistry.drain()
+    assert(bad.isEmpty, s"SF-linear broadcast hints found:\n${bad.mkString("\n")}")
+    // exactly two known-bounded hints the schema rule can't classify:
+    // bm25's per-term df table (≤|query terms| rows — bounded by the
+    // query constant, grouped on term) and the cosine ranker's query
+    // vector (one row — filter on the unique vec_id)
+    val rrfHints = PlanGuards.unboundedHints(
+      graft.SparkEntry.queries("q_rrf_fusion")(spark, sfDir))
+    graft.CacheRegistry.drain()
+    assert(rrfHints.size == 2 &&
+      rrfHints.exists(_.contains("vec_id")) &&
+      rrfHints.exists(_.contains("text")),
+      s"unexpected rrf hints: $rrfHints")
+  }
+
   // —— priority sampling ——
 
   test("weightedSample: exactly min(k, stratum size) rows per source") {
