@@ -174,6 +174,9 @@ object SparkEntry {
     // corpus encode under the trained merges: per-doc token counts
     // under the learned vocabulary
     "q_bpe_encode"     -> q(TextAnalysis.bpeEncode(_)),
+    // count-min sketch under the oracle gate: md5-family hashes, exact
+    // audit column beside the estimate
+    "q_heavy_hitters"  -> q(TextAnalysis.heavyHitters(_)),
     "q_source_audit"   -> q(Curation.sourceAudit),
     "q_seq_pack"       -> q(Curation.seqPack(_)),
     "q_embed_stats"    -> q(Similarity.embedStats),
@@ -1820,6 +1823,22 @@ object SparkEntry {
     // the same fold Spark's aggregate() HOF runs
     "q_bpe_train" -> bpeTrainOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+
+    // count-min replayed counter-for-counter: same md5 row-salted
+    // buckets, same min-over-rows estimate
+    "q_heavy_hitters" ->
+      """WITH v AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM v GROUP BY tok),
+        |hb AS (SELECT r.range AS r, tok, n_exact,
+        |         (('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+        |           & 2147483647) % 1024 AS b
+        |       FROM vc, range(0, 4) r),
+        |cnt AS (SELECT r, b, CAST(SUM(n_exact) AS BIGINT) AS c FROM hb GROUP BY r, b),
+        |est AS (SELECT hb.tok, CAST(MIN(cnt.c) AS BIGINT) AS n_cms
+        |        FROM hb JOIN cnt USING (r, b) GROUP BY hb.tok)
+        |SELECT vc.tok, vc.n_exact, est.n_cms
+        |FROM vc JOIN est USING (tok)
+        |ORDER BY n_exact DESC, tok LIMIT 20""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH v AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -614,6 +614,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-min sketch heavy hitters with an exact audit column
+    * (Cormode & Muthukrishnan 2005): `depth` hash rows × `width`
+    * counters, the md5-31bit hash family the LSH operators already
+    * share with DuckDB — so the SKETCH itself sits under the oracle
+    * gate, not just the exact counts. Returns the top-k exact tokens
+    * with both counts; n_cms ≥ n_exact always (CMS never
+    * underestimates), and the gap IS the measured collision error.
+    *
+    * Scale: the counter table is FIXED size (depth·width rows) built
+    * by one map-side-combined aggregate — the structure that answers
+    * frequency queries when the vocabulary itself no longer fits
+    * (the exact side here is the audit, same pattern as q_ann_recall).
+    * The counter join back is depth·width rows — AQE broadcasts it at
+    * runtime, unhinted. */
+  def heavyHitters(t: Tables, depth: Int = 4, width: Int = 1024,
+                   k: Int = 20): DataFrame = {
+    def bucket(r: Int): Column =
+      conv(substring(md5(concat(lit(s"$r:"), col("tok"))), 1, 8), 16, 10)
+        .cast("long").bitwiseAND(lit(0x7FFFFFFFL)) % width
+    val toks = Dedup.spread(t.documents.select(col("text")))
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("n_exact"))
+      .persistTracked() // feeds the counters, the probe AND the output
+    val hashed = (0 until depth).map { r =>
+      toks.select(col("tok"), col("n_exact"), lit(r).as("r"), bucket(r).as("b"))
+    }.reduce(_ unionAll _)
+      .persistTracked() // counters + probe share the hash evaluation
+    val counters = hashed.groupBy(col("r"), col("b"))
+      .agg(sum(col("n_exact")).cast("long").as("c"))
+    val est = hashed.select(col("tok"), col("r"), col("b"))
+      .join(counters, Seq("r", "b"))
+      .groupBy(col("tok")).agg(min(col("c")).cast("long").as("n_cms"))
+    toks.join(est, Seq("tok"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(k)
+      .select(col("tok"), col("n_exact"), col("n_cms"))
+  }
+
   /** Stopwords for the Gopher "contains common words" rule. */
   val GopherStopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "be")

@@ -160,6 +160,18 @@ class Round11Spec extends SparkSpec {
     assert(r == Seq((0L, 2L, 40000000000L), (1L, 2L, c1Inertia)))
   }
 
+  test("heavyHitters: CMS never underestimates; unique-bucket tokens are exact") {
+    val t = tables
+    val r = TextAnalysis.heavyHitters(t)
+      .as[(String, Long, Long)].collect()
+    assert(r.length == 20)
+    r.foreach { case (tok, exact, cms) =>
+      assert(cms >= exact, s"$tok: CMS underestimated ($cms < $exact)")
+    }
+    // exact ordering by n_exact desc is the top-k contract
+    assert(r.map(_._2).toSeq == r.map(_._2).toSeq.sorted.reverse)
+  }
+
   test("round-11 ops: no data-dependent broadcast hints") {
     // q_rrf_fusion is audited separately: its broadcast(qv) is one row
     // by construction (filter on the unique vec_id), which the
@@ -167,7 +179,7 @@ class Round11Spec extends SparkSpec {
     // instead of exempting the file.
     val keys = Seq("q_dedup_minhash_oph", "q_dedup_minhash_oph_fast",
       "q_containment", "q_weighted_sample", "q_bpe_train", "q_bpe_encode",
-      "q_kmeans")
+      "q_kmeans", "q_heavy_hitters")
     val bad = keys.flatMap { name =>
       PlanGuards.unboundedHints(graft.SparkEntry.queries(name)(spark, sfDir))
         .map(v => s"$name: $v")
