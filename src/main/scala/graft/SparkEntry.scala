@@ -177,6 +177,8 @@ object SparkEntry {
     // count-min sketch under the oracle gate: md5-family hashes, exact
     // audit column beside the estimate
     "q_heavy_hitters"  -> q(TextAnalysis.heavyHitters(_)),
+    // bloom-filter decontamination with the exact join as FP audit
+    "q_bloom_decontaminate" -> q(TextAnalysis.bloomDecontaminate(_)),
     "q_source_audit"   -> q(Curation.sourceAudit),
     "q_seq_pack"       -> q(Curation.seqPack(_)),
     "q_embed_stats"    -> q(Similarity.embedStats),
@@ -1823,6 +1825,33 @@ object SparkEntry {
     // the same fold Spark's aggregate() HOF runs
     "q_bpe_train" -> bpeTrainOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
+
+    // bloom filter replayed bit-for-bit: distinct bench bit positions,
+    // all-k-positions-set probe, exact semi-join as the FP audit
+    "q_bloom_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle FROM p),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+        |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 100 <> 0),
+        |bits AS (SELECT DISTINCT
+        |           (('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT
+        |             & 2147483647) % 4096 AS bit
+        |         FROM bench, range(0, 4) r),
+        |probes AS (SELECT doc_id, shingle, r.range AS r,
+        |             (('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT
+        |               & 2147483647) % 4096 AS bit
+        |           FROM corpus, range(0, 4) r),
+        |positive AS (SELECT doc_id, shingle FROM probes JOIN bits USING (bit)
+        |             GROUP BY doc_id, shingle HAVING COUNT(DISTINCT r) = 4),
+        |nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom FROM positive GROUP BY doc_id),
+        |nt AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_true
+        |       FROM corpus c JOIN bench b USING (shingle) GROUP BY c.doc_id)
+        |SELECT nb.doc_id, nb.n_bloom,
+        |       CAST(COALESCE(nt.n_true, 0) AS BIGINT) AS n_true,
+        |       CAST(nb.n_bloom - COALESCE(nt.n_true, 0) AS BIGINT) AS n_false_pos
+        |FROM nb LEFT JOIN nt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // count-min replayed counter-for-counter: same md5 row-salted
     // buckets, same min-over-rows estimate

@@ -423,6 +423,61 @@ object TextAnalysis {
       .orderBy(col("corpus_doc"), col("bench_doc"))
   }
 
+  /** Bloom-filter decontamination — the broadcast-BITS scale path of
+    * [[decontaminate]], with the false positives it introduces measured
+    * against the exact join. The benchmark's shingles set `kHashes`
+    * md5-salted positions in an `mBits` filter; a corpus shingle is
+    * bloom-positive iff ALL its positions are set. Per corpus doc:
+    * (n_bloom, n_true, n_false_pos = n_bloom − n_true). Bloom never
+    * misses (n_bloom ≥ n_true always — the one-sided-error contract),
+    * and the FP column is the price of shipping `mBits` bits instead
+    * of the benchmark shingle SET to every executor — at 100 TB the
+    * set is GBs while the filter is KBs-to-MBs sized off the bench
+    * corpus (m ≈ 10·|bench shingles| for ~1% FP at k=4; the test-scale
+    * default m=4096 is deliberately tight so the FP column is
+    * non-degenerate and the audit bites).
+    *
+    * The filter is represented relationally (a distinct bit-position
+    * frame, ≤ mBits rows) so the oracle replays it bit-for-bit; a
+    * deployment packs the same positions into a long[] broadcast. No
+    * broadcast hint: the frame derives from corpus data, AQE sizes it
+    * (bounded by mBits rows by construction). */
+  def bloomDecontaminate(t: Tables, n: Int = 3, mBits: Int = 4096,
+                         kHashes: Int = 4): DataFrame = {
+    def pos(r: Int): Column =
+      conv(substring(md5(concat(lit(s"$r:"), col("shingle"))), 1, 8), 16, 10)
+        .cast("long").bitwiseAND(lit(0x7FFFFFFFL)) % mBits
+    val sh = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordNgramsOf(col("toks"), n))).as("shingle"))
+      .persistTracked() // bench bits + probes + exact audit share it
+    val bench = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("shingle")).distinct().persistTracked()
+    val corpus = sh.filter(col("doc_id") % 100 =!= 0)
+    val bits = (0 until kHashes).map(r => bench.select(pos(r).as("bit")))
+      .reduce(_ unionAll _).distinct()
+    val probes = (0 until kHashes).map(r =>
+        corpus.select(col("doc_id"), col("shingle"),
+          lit(r).as("r"), pos(r).as("bit")))
+      .reduce(_ unionAll _)
+    val positive = probes.join(bits, Seq("bit"))
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(countDistinct(col("r")).as("nr"))
+      .filter(col("nr") === kHashes)
+    val nb = positive.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bloom"))
+    val nt = corpus.join(bench, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_true"))
+    nb.join(nt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_bloom"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        (col("n_bloom") - coalesce(col("n_true"), lit(0L))).as("n_false_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Power-of-two document-length histogram: bucket b holds docs with
     * 2^(b−1) ≤ n_tokens < 2^b — the corpus length profile every data
     * card publishes. The bucket index is length(bin(n)) = ⌊log2 n⌋+1,

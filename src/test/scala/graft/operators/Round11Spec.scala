@@ -172,6 +172,27 @@ class Round11Spec extends SparkSpec {
     assert(r.map(_._2).toSeq == r.map(_._2).toSeq.sorted.reverse)
   }
 
+  test("bloomDecontaminate: one-sided error — bloom never misses a true hit") {
+    val r = TextAnalysis.bloomDecontaminate(tables)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (doc, nb, nt, nfp) =>
+      assert(nb >= nt, s"doc $doc: bloom missed a true contamination")
+      assert(nfp == nb - nt)
+    }
+    // the exact contamination set must be fully covered: every doc with
+    // a true hit appears in the output (bloom-positive superset)
+    val t = tables
+    val sh = graft.operators.Dedup.shingled(
+      t.documents.select($"doc_id", $"text"), 3)
+      .select($"doc_id", explode($"sh").as("shingle"))
+    val trueDocs = sh.filter($"doc_id" % 100 =!= 0)
+      .join(sh.filter($"doc_id" % 100 === 0).select($"shingle").distinct(),
+        Seq("shingle"), "left_semi")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(trueDocs.subsetOf(r.map(_._1).toSet))
+  }
+
   test("round-11 ops: no data-dependent broadcast hints") {
     // q_rrf_fusion is audited separately: its broadcast(qv) is one row
     // by construction (filter on the unique vec_id), which the
@@ -179,7 +200,7 @@ class Round11Spec extends SparkSpec {
     // instead of exempting the file.
     val keys = Seq("q_dedup_minhash_oph", "q_dedup_minhash_oph_fast",
       "q_containment", "q_weighted_sample", "q_bpe_train", "q_bpe_encode",
-      "q_kmeans", "q_heavy_hitters")
+      "q_kmeans", "q_heavy_hitters", "q_bloom_decontaminate")
     val bad = keys.flatMap { name =>
       PlanGuards.unboundedHints(graft.SparkEntry.queries(name)(spark, sfDir))
         .map(v => s"$name: $v")
