@@ -179,6 +179,8 @@ object SparkEntry {
     "q_heavy_hitters"  -> q(TextAnalysis.heavyHitters(_)),
     // bloom-filter decontamination with the exact join as FP audit
     "q_bloom_decontaminate" -> q(TextAnalysis.bloomDecontaminate(_)),
+    // HyperLogLog cardinality with exact audit (integer register sums)
+    "q_hll_audit"      -> q(TextAnalysis.hllAudit(_)),
     "q_source_audit"   -> q(Curation.sourceAudit),
     "q_seq_pack"       -> q(Curation.seqPack(_)),
     "q_embed_stats"    -> q(Similarity.embedStats),
@@ -1852,6 +1854,29 @@ object SparkEntry {
         |       CAST(nb.n_bloom - COALESCE(nt.n_true, 0) AS BIGINT) AS n_false_pos
         |FROM nb LEFT JOIN nt USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // HLL replayed register-for-register: same bucket/rank split, the
+    // harmonic sum as exact integer 2^(40-M) terms, one shared-text
+    // float division at the end
+    "q_hll_audit" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tok),
+        |sh AS (SELECT DISTINCT array_to_string(l[i:i+2], ' ') AS g FROM p),
+        |h AS (SELECT (('0x' || substr(md5(g), 1, 8))::BIGINT & 2147483647) AS hv FROM sh),
+        |r AS (SELECT hv % 1024 AS reg, hv // 1024 AS h2 FROM h),
+        |rk AS (SELECT reg, MAX(CASE WHEN h2 = 0 THEN 22 ELSE 22 - length(bin(h2)) END) AS mj
+        |       FROM r GROUP BY reg),
+        |spine AS (SELECT range AS reg FROM range(0, 1024)),
+        |fr AS (SELECT spine.reg, COALESCE(rk.mj, 0) AS mj FROM spine LEFT JOIN rk USING (reg)),
+        |s AS (SELECT CAST(SUM(1::BIGINT << CAST(40 - mj AS INT)) AS BIGINT) AS s40 FROM fr),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM sh)
+        |SELECT CAST(1024 AS BIGINT) AS m, ex.n_exact,
+        |  CAST(FLOOR((0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0 * 1099511627776.0
+        |       / CAST(s.s40 AS DOUBLE)) AS BIGINT) AS hll_est,
+        |  CAST(FLOOR(CAST((CAST(FLOOR((0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0
+        |         * 1099511627776.0 / CAST(s.s40 AS DOUBLE)) AS BIGINT) - ex.n_exact)
+        |       * 1000000 AS DOUBLE) / CAST(ex.n_exact AS DOUBLE)) AS BIGINT) AS err_ppm
+        |FROM ex, s""".stripMargin,
 
     // count-min replayed counter-for-counter: same md5 row-salted
     // buckets, same min-over-rows estimate

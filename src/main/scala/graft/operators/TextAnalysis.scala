@@ -478,6 +478,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** HyperLogLog cardinality with an exact audit — the third oracled
+    * sketch (after count-min and bloom): 2^p registers over the
+    * md5-31bit hash of the corpus' distinct 3-gram shingles, register
+    * rank = 22 − bit_length of the post-bucket 21 hash bits (string
+    * `bin()` length — no libm log2, exact in any engine), and the
+    * harmonic sum computed as Σ 2^(40−M_j) in EXACT integer arithmetic
+    * (max term 2^40, 2^p terms — far under 2^63) so the only float
+    * step is the final shared-text alpha·m²·2^40/S division. No
+    * small-range linear-counting branch: it needs ln (libm drift);
+    * the operator documents raw-estimate validity (n/m ≳ 2.5) and the
+    * audit column shows the bias when violated.
+    *
+    * Scale: registers come from ONE map-side-partial max aggregate to
+    * 2^p rows — the sketch a 100 TB run uses when even the distinct
+    * shingle set is too big to count exactly; the exact side here is
+    * the audit. */
+  def hllAudit(t: Tables, p: Int = 10): DataFrame = {
+    val m = 1 << p
+    val g = Dedup.shingled(t.documents.select(col("doc_id"), col("text")), 3)
+      .select(explode(col("sh")).as("g"))
+      .distinct().persistTracked() // registers + exact audit share it
+    val regs = g.select(Dedup.md5Hash31(col("g")).as("hv"))
+      .select((col("hv") % m).as("reg"), expr(s"hv DIV $m").as("h2"))
+      .select(col("reg"), when(col("h2") === 0, lit(22))
+        .otherwise(lit(22) - length(bin(col("h2")))).as("rank"))
+      .groupBy(col("reg")).agg(max(col("rank")).as("mj"))
+    val spine = t.spark.range(m).select(col("id").as("reg"))
+    val s = spine.join(regs, Seq("reg"), "left_outer")
+      .select(coalesce(col("mj"), lit(0)).as("mj"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - mj AS INT))"))
+        .cast("long").as("s40"))
+    g.agg(count(lit(1)).cast("long").as("n_exact"))
+      .crossJoin(s)
+      .select(lit(m.toLong).as("m"), col("n_exact"),
+        expr(s"CAST(FLOOR((0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 " +
+          "* 1099511627776.0 / CAST(s40 AS DOUBLE)) AS BIGINT)").as("hll_est"))
+      .withColumn("err_ppm",
+        expr("CAST(FLOOR(CAST((hll_est - n_exact) * 1000000 AS DOUBLE) " +
+          "/ CAST(n_exact AS DOUBLE)) AS BIGINT)"))
+  }
+
   /** Power-of-two document-length histogram: bucket b holds docs with
     * 2^(b−1) ≤ n_tokens < 2^b — the corpus length profile every data
     * card publishes. The bucket index is length(bin(n)) = ⌊log2 n⌋+1,

@@ -193,6 +193,18 @@ class Round11Spec extends SparkSpec {
     assert(trueDocs.subsetOf(r.map(_._1).toSet))
   }
 
+  test("hllAudit: estimate lands within the p=10 error regime of exact") {
+    val (m, exact, est, errPpm) = TextAnalysis.hllAudit(tables)
+      .as[(Long, Long, Long, Long)].head()
+    assert(m == 1024L && exact > 0)
+    // raw HLL at 1024 registers: ~3.25% stddev when n/m is healthy;
+    // sf0.001's shingle count sits near the small-range boundary, so
+    // allow a generous-but-meaningful 25% envelope
+    assert(math.abs(est - exact).toDouble / exact < 0.25,
+      s"est $est vs exact $exact (err_ppm $errPpm)")
+    assert(errPpm == math.floor((est - exact).toDouble * 1000000.0 / exact).toLong)
+  }
+
   test("round-11 ops: no data-dependent broadcast hints") {
     // q_rrf_fusion is audited separately: its broadcast(qv) is one row
     // by construction (filter on the unique vec_id), which the
@@ -200,7 +212,7 @@ class Round11Spec extends SparkSpec {
     // instead of exempting the file.
     val keys = Seq("q_dedup_minhash_oph", "q_dedup_minhash_oph_fast",
       "q_containment", "q_weighted_sample", "q_bpe_train", "q_bpe_encode",
-      "q_kmeans", "q_heavy_hitters", "q_bloom_decontaminate")
+      "q_kmeans", "q_heavy_hitters", "q_bloom_decontaminate", "q_hll_audit")
     val bad = keys.flatMap { name =>
       PlanGuards.unboundedHints(graft.SparkEntry.queries(name)(spark, sfDir))
         .map(v => s"$name: $v")
