@@ -92,6 +92,10 @@ object SparkEntry {
     // + the float-Lloyd production kernel benched under its own key
     "q_knn_ivf"        -> q(Similarity.ivfKnnExact(_)),
     "q_knn_ivf_fp"     -> q(Similarity.knnIvf(_)),
+    // IVF+PQ composed (FAISS IVFADC): oracled exact twin + the float
+    // production kernel benched under its own key
+    "q_knn_ivfpq"      -> q(Similarity.ivfPqKnnExact(_)),
+    "q_knn_ivfpq_fp"   -> q(Similarity.ivfPqKnn(_)),
     // —— document assembly, push log, streaming-equivalent, multimodal ——
     "q_doc_assembly"   -> q(etl.DocumentAssembly.assemble),
     "q_doc_assembly24" -> q(etl.DocumentAssembly.assemble2024),
@@ -2751,6 +2755,91 @@ object SparkEntry {
         |             ROW_NUMBER() OVER (PARTITION BY query_id
         |                                ORDER BY d2, neighbor_id) AS rank
         |      FROM pd)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVFADC: q_knn_ivf's coarse codebook + a Forgy-init/one-Lloyd-round
+    // codebook trained on RESIDUALS, ADC search via per-(query, probed
+    // bucket) lookup tables — every distance an exact bigint sum
+    "q_knn_ivfpq" ->
+      """WITH p AS (SELECT vec_id, embedding AS e,
+        |                  unnest(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |             CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+        |      FROM p),
+        |cent AS (SELECT vec_id % 16 AS b, dim,
+        |                CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+        |         FROM v GROUP BY 1, 2),
+        |dist AS (SELECT vec_id, b, CAST(SUM((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |         FROM v JOIN cent USING (dim) GROUP BY 1, 2),
+        |assign AS (SELECT vec_id, b FROM
+        |           (SELECT vec_id, b,
+        |                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, b) AS rn
+        |            FROM dist)
+        |           WHERE rn = 1),
+        |resid AS (SELECT v.vec_id, a.b,
+        |                 CAST(v.dim // 2 AS BIGINT) AS s,
+        |                 CAST(v.dim % 2 AS BIGINT) AS sd,
+        |                 v.m - cent.cm AS r
+        |          FROM v JOIN assign a USING (vec_id)
+        |          JOIN cent ON cent.b = a.b AND cent.dim = v.dim),
+        |rcent0 AS (SELECT s, CAST(vec_id AS BIGINT) AS c, sd, r AS rc
+        |           FROM resid WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, s, c FROM
+        |       (SELECT d1.vec_id, d1.s, d1.c,
+        |               ROW_NUMBER() OVER (PARTITION BY d1.vec_id, d1.s
+        |                                  ORDER BY d1.rd2, d1.c) AS rn
+        |        FROM (SELECT resid.vec_id, resid.s, r0.c,
+        |                     CAST(SUM((resid.r - r0.rc) * (resid.r - r0.rc)) AS BIGINT) AS rd2
+        |              FROM resid JOIN rcent0 r0
+        |                ON resid.s = r0.s AND resid.sd = r0.sd
+        |              GROUP BY 1, 2, 3) d1)
+        |       WHERE rn = 1),
+        |m1 AS (SELECT a1.s, a1.c, resid.sd,
+        |              CAST(FLOOR(CAST(SUM(resid.r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |                   AS BIGINT) AS rc
+        |       FROM resid JOIN a1 ON resid.vec_id = a1.vec_id AND resid.s = a1.s
+        |       GROUP BY 1, 2, 3),
+        |rcent AS (SELECT r0.s, r0.c, r0.sd, COALESCE(m1.rc, r0.rc) AS rc
+        |          FROM rcent0 r0 LEFT JOIN m1
+        |            ON m1.s = r0.s AND m1.c = r0.c AND m1.sd = r0.sd),
+        |rd AS (SELECT resid.vec_id, resid.s, rcent.c,
+        |              CAST(SUM((resid.r - rcent.rc) * (resid.r - rcent.rc)) AS BIGINT) AS rd2
+        |       FROM resid JOIN rcent ON resid.s = rcent.s AND resid.sd = rcent.sd
+        |       GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id AS neighbor_id, s, c FROM
+        |          (SELECT vec_id, s, c,
+        |                  ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY rd2, c) AS rn
+        |           FROM rd)
+        |          WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, b FROM
+        |           (SELECT vec_id, b,
+        |                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, b) AS rn
+        |            FROM dist WHERE vec_id < 10)
+        |           WHERE rn <= 6),
+        |qresid AS (SELECT pr.query_id, pr.b,
+        |                  CAST(v.dim // 2 AS BIGINT) AS s,
+        |                  CAST(v.dim % 2 AS BIGINT) AS sd,
+        |                  v.m - cent.cm AS qr
+        |           FROM probes pr
+        |           JOIN v ON v.vec_id = pr.query_id
+        |           JOIN cent ON cent.b = pr.b AND cent.dim = v.dim),
+        |lut AS (SELECT q.query_id, q.b, q.s, rcent.c,
+        |               CAST(SUM((q.qr - rcent.rc) * (q.qr - rcent.rc)) AS BIGINT) AS ld
+        |        FROM qresid q JOIN rcent ON q.s = rcent.s AND q.sd = rcent.sd
+        |        GROUP BY 1, 2, 3, 4),
+        |adc AS (SELECT l.query_id, cb.neighbor_id, CAST(SUM(l.ld) AS BIGINT) AS adist
+        |        FROM codes cb
+        |        JOIN assign a ON a.vec_id = cb.neighbor_id
+        |        JOIN lut l ON l.b = a.b AND l.s = cb.s AND l.c = cb.c
+        |        WHERE cb.neighbor_id <> l.query_id
+        |        GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
+        |FROM (SELECT query_id, neighbor_id, adist,
+        |             ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                ORDER BY adist, neighbor_id) AS rank
+        |      FROM adc)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 

@@ -236,6 +236,27 @@ object Dedup {
     lshVerifiedPairs(sh, bandedAll, threshold, maxBucket)
   }
 
+  /** Band-bucket self-join candidate generation with the optional
+    * giant-bucket cap — the shared first half of EVERY LSH verify
+    * predicate (Jaccard, containment), factored out so the cap
+    * (essential against B²/2 candidate blowup on boilerplate-heavy
+    * corpora at the 100 TB target) guards each of them identically.
+    * `bandedAll` is the exploded (doc_id, bk) frame; returns distinct
+    * candidate pairs with doc_a < doc_b. */
+  private def bandCandidates(bandedAll: DataFrame, maxBucket: Int): DataFrame = {
+    val banded =
+      if (maxBucket == Int.MaxValue) bandedAll
+      else bandedAll.join(
+        bandedAll.groupBy(col("bk")).agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBucket).select(col("bk")),
+        Seq("bk")) // skinny (bk) frame, same join key the self-join shuffles on
+    banded.select(col("doc_id").as("doc_a"), col("bk"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
   /** Shared LSH tail: band-bucket self-join candidate generation (with
     * the optional giant-bucket cap) verified by exact Jaccard over the
     * shingle sets. Factored out so every signature scheme (classic
@@ -246,17 +267,7 @@ object Dedup {
     * (doc_id, bk) band-key frame. */
   private def lshVerifiedPairs(sh: DataFrame, bandedAll: DataFrame,
                                threshold: Double, maxBucket: Int): DataFrame = {
-    val banded =
-      if (maxBucket == Int.MaxValue) bandedAll
-      else bandedAll.join(
-        bandedAll.groupBy(col("bk")).agg(count(lit(1)).as("_bn"))
-          .filter(col("_bn") <= maxBucket).select(col("bk")),
-        Seq("bk")) // skinny (bk) frame, same join key the self-join shuffles on
-    val cand = banded.select(col("doc_id").as("doc_a"), col("bk"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val cand = bandCandidates(bandedAll, maxBucket)
     // Verify step touches only candidates: join the shingle sets back by
     // id (equi-joins) and compute exact Jaccard on the pair.
     cand
@@ -359,13 +370,14 @@ object Dedup {
   def ophPairs(docs: DataFrame, numPerm: Int = 32, bands: Int = 8,
                threshold: Double = 0.5, shingleN: Int = 3,
                shingleHash: Column => Column = xxHash31,
-               bandKeyOf: (Column, Int, Int) => Column = bandKeys): DataFrame = {
+               bandKeyOf: (Column, Int, Int) => Column = bandKeys,
+               maxBucket: Int = Int.MaxValue): DataFrame = {
     val sh = shingled(docs, shingleN).persistTracked()
     val bandedAll = ophSignatures(sh, numPerm, shingleHash)
       .select(col("doc_id"),
         explode(bandKeyOf(col("sig"), bands, numPerm / bands)).as("bk"))
       .persistTracked()
-    lshVerifiedPairs(sh, bandedAll, threshold, Int.MaxValue)
+    lshVerifiedPairs(sh, bandedAll, threshold, maxBucket)
   }
 
   /** The oracled OPH instance: md5 shingle hash + structural band keys
@@ -394,17 +406,14 @@ object Dedup {
     * than maintaining a second containment-tuned index (the 100 TB
     * deployment answer: one index, two verify predicates). */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.5,
-                       shingleN: Int = 3): DataFrame = {
+                       shingleN: Int = 3,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
     val sh = shingled(docs, shingleN).persistTracked()
     val bandedAll = minhashSignatures(sh, 32, md5Hash31)
       .select(col("doc_id"),
         explode(bandKeysStr(col("sig"), 8, 4)).as("bk"))
       .persistTracked() // self-joined: compute signatures once, not twice
-    val cand = bandedAll.select(col("doc_id").as("doc_a"), col("bk"))
-      .join(bandedAll.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val cand = bandCandidates(bandedAll, maxBucket)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

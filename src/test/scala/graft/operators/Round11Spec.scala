@@ -36,9 +36,20 @@ class Round11Spec extends SparkSpec {
       .select($"sig").as[Seq[Long]].head()
     val borrowed = sig.count(_ >= Dedup.P31)
     assert(borrowed == 32 - occupied)
-    // rotation offset is d*P31 + a genuine 31-bit min, so every slot
-    // decodes back to a real bin minimum
-    assert(sig.forall(v => (v % Dedup.P31) < Dedup.P31))
+    // rotation offset is d*P31 + a genuine 31-bit min: decode each slot
+    // as (d, v) and check v IS the min of the bin d steps to the right
+    // (circularly) AND that d is the distance to the NEAREST occupied
+    // bin — the rotation-densification contract
+    val binMins = sh.select(explode($"sh").as("g"))
+      .select(Dedup.xxHash31($"g").as("h"))
+      .withColumn("bin", ($"h" % 32).cast("int"))
+      .groupBy($"bin").agg(min($"h").as("m"))
+      .as[(Int, Long)].collect().toMap
+    sig.zipWithIndex.foreach { case (v, k) =>
+      val d = (v / Dedup.P31).toInt
+      assert(binMins.get((k + d) % 32).contains(v - d.toLong * Dedup.P31))
+      assert((0 until d).forall(e => !binMins.contains((k + e) % 32)))
+    }
   }
 
   test("ophPairs finds planted near-duplicates, skips unrelated docs") {
