@@ -26,6 +26,14 @@ object GraftSession {
     // type for; read as long and convert in the loader (Tables.events)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // the generated-class cache defaults to 100 entries — a 167-query
+    // workload holds several codegen stages per query, so at the
+    // default every suite pass EVICTS and recompiles most stages (the
+    // committed-vs-suite gap on the wide-expression queries, e.g.
+    // q_hll_audit 0.31 s isolated vs 7.4 s in-suite, is Janino
+    // recompilation, not execution). Static conf: must be set before
+    // the first session; sized to hold the whole suite's stages.
+    .config("spark.sql.codegen.cache.maxEntries", "2000")
     .config("spark.sql.ui.explainMode", "formatted")
     .config("spark.ui.enabled", "false")
 

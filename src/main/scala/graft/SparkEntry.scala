@@ -178,6 +178,7 @@ object SparkEntry {
     // corpus encode under the trained merges: per-doc token counts
     // under the learned vocabulary
     "q_bpe_encode"     -> q(TextAnalysis.bpeEncode(_)),
+    "q_unigram_encode" -> q(TextAnalysis.unigramEncode(_)),
     // count-min sketch under the oracle gate: md5-family hashes, exact
     // audit column beside the estimate
     "q_heavy_hitters"  -> q(TextAnalysis.heavyHitters(_)),
@@ -195,6 +196,7 @@ object SparkEntry {
     // divisions in fixed order — fused score bit-exact cross-engine)
     "q_rrf_fusion"     -> q(Retrieval.rrfFusion(_)),
     "q_domain_cap"     -> q(Curation.domainCap(_)),
+    "q_domain_parse"   -> q(Curation.domainParse),
     "q_dedup_embed_exact" -> q(Dedup.embedDedupExact),
     "q_semdedup"       -> q(Dedup.semDedup),
     "q_gopher_rules"   -> q(TextAnalysis.gopherRules(_)),
@@ -1832,6 +1834,67 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracle(4),
     "q_bpe_encode" -> bpeEncodeOracle(4),
 
+    // unigram-LM Viterbi encode: the DP replayed as a rolling-window
+    // recursive CTE (dp[i] needs dp[i-1..i-4]; the working table only
+    // exposes the previous step, so each row CARRIES the last four dp
+    // cells as columns). least() ignores NULLs — the invalid-prefix /
+    // vocab-miss candidates — and the (cost, pieces) lexicographic
+    // tie-break is the two nested least() calls.
+    "q_unigram_encode" ->
+      """WITH RECURSIVE
+        |dt AS MATERIALIZED (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) >= 1 GROUP BY doc_id, tok),
+        |toks AS MATERIALIZED (SELECT tok, CAST(SUM(c) AS BIGINT) AS c FROM dt GROUP BY tok),
+        |p0 AS (SELECT tok, c, unnest(generate_series(1, length(tok))) AS i FROM toks),
+        |p1 AS (SELECT tok, c, i, unnest([1,2,3,4]) AS l FROM p0),
+        |inv AS MATERIALIZED (
+        |  SELECT substr(tok, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        |         CAST(SUM(c) AS BIGINT) AS cnt
+        |  FROM p1 WHERE i + l - 1 <= length(tok) GROUP BY 1),
+        |vocab AS MATERIALIZED (
+        |  SELECT piece, CAST(40 - length(bin(cnt)) AS BIGINT) AS cost
+        |  FROM inv WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, CAST(40 - length(bin(cnt)) AS BIGINT) AS cost FROM
+        |    (SELECT piece, cnt FROM inv WHERE length(piece) >= 2
+        |     ORDER BY cnt DESC, piece LIMIT 64)),
+        |dp AS (
+        |  SELECT tok, length(tok) AS len, 0 AS i,
+        |         CAST(0 AS BIGINT) AS c0, CAST(NULL AS BIGINT) AS c1,
+        |         CAST(NULL AS BIGINT) AS c2, CAST(NULL AS BIGINT) AS c3,
+        |         CAST(0 AS BIGINT) AS n0, CAST(NULL AS BIGINT) AS n1,
+        |         CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT tok, len, i,
+        |         least(x1, x2, x3, x4) AS c0, pc0 AS c1, pc1 AS c2, pc2 AS c3,
+        |         least(CASE WHEN x1 = least(x1, x2, x3, x4) THEN pn0 + 1 END,
+        |               CASE WHEN x2 = least(x1, x2, x3, x4) THEN pn1 + 1 END,
+        |               CASE WHEN x3 = least(x1, x2, x3, x4) THEN pn2 + 1 END,
+        |               CASE WHEN x4 = least(x1, x2, x3, x4) THEN pn3 + 1 END) AS n0,
+        |         pn0 AS n1, pn1 AS n2, pn2 AS n3
+        |  FROM (
+        |    SELECT dp.tok, dp.len, dp.i + 1 AS i,
+        |           dp.c0 AS pc0, dp.c1 AS pc1, dp.c2 AS pc2,
+        |           dp.n0 AS pn0, dp.n1 AS pn1, dp.n2 AS pn2, dp.n3 AS pn3,
+        |           dp.c0 + v1.cost AS x1, dp.c1 + v2.cost AS x2,
+        |           dp.c2 + v3.cost AS x3, dp.c3 + v4.cost AS x4
+        |    FROM dp
+        |    LEFT JOIN vocab v1 ON v1.piece = substr(dp.tok, dp.i + 1, 1)
+        |    LEFT JOIN vocab v2 ON v2.piece = substr(dp.tok, dp.i, 2)
+        |    LEFT JOIN vocab v3 ON v3.piece = substr(dp.tok, dp.i - 1, 3)
+        |    LEFT JOIN vocab v4 ON v4.piece = substr(dp.tok, dp.i - 2, 4)
+        |    WHERE dp.i < dp.len) s),
+        |enc AS (SELECT tok, n0 AS np, c0 AS cost FROM dp WHERE i = len)
+        |SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_words,
+        |       CAST(SUM(dt.c * enc.np) AS BIGINT) AS n_pieces,
+        |       CAST(SUM(dt.c * enc.cost) AS BIGINT) AS cost_units
+        |FROM dt JOIN enc USING (tok)
+        |GROUP BY dt.doc_id
+        |ORDER BY dt.doc_id""".stripMargin,
+
     // bloom filter replayed bit-for-bit: distinct bench bit positions,
     // all-k-positions-set probe, exact semi-join as the FP audit
     "q_bloom_decontaminate" ->
@@ -2305,6 +2368,59 @@ object SparkEntry {
         |       chars_total - chars_kept AS chars_dropped
         |FROM t JOIN k USING (source)
         |ORDER BY source""".stripMargin,
+
+    // PSL algorithm replayed relationally: every label tail (and its
+    // wildcard form) joins the rule dim; exception prevails, else most
+    // labels; unmatched hosts fall to the implicit-star default
+    "q_domain_parse" ->
+      """WITH hosts(h_idx, host) AS (VALUES
+        |  (0, 'www.acme.com'), (1, 'blog.widget.co.uk'), (2, 'contoso.org.uk'),
+        |  (3, 'fabrikam.github.io'), (4, 'example.ac.jp'), (5, 'shop.example.jp'),
+        |  (6, 'foo.bar.ck'), (7, 'www.ck'), (8, 'mail.www.ck'),
+        |  (9, 'nonexistent.zz'), (10, 'com'), (11, 'deep.sub.acme.co.uk')),
+        |rules(match_key, is_exc, rule_labels) AS (VALUES
+        |  ('com', 0, 1), ('org', 0, 1), ('net', 0, 1), ('uk', 0, 1),
+        |  ('co.uk', 0, 2), ('org.uk', 0, 2), ('io', 0, 1), ('github.io', 0, 2),
+        |  ('jp', 0, 1), ('ac.jp', 0, 2), ('*.ck', 0, 2), ('www.ck', 1, 2),
+        |  ('us', 0, 1), ('k12.va.us', 0, 3)),
+        |d AS (SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 12 AS h_idx
+        |      FROM documents),
+        |dh AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+        |              len(string_split(host, '.')) AS n
+        |       FROM d JOIN hosts USING (h_idx)),
+        |t0 AS (SELECT doc_id, host, labels, n,
+        |              CAST(unnest(generate_series(1, n)) AS INT) AS i
+        |       FROM dh),
+        |tails AS (SELECT doc_id, host, labels, n, i,
+        |            array_to_string(labels[i:CAST(n AS INT)], '.') AS tail,
+        |            CASE WHEN n - i >= 1
+        |              THEN '*.' || array_to_string(labels[i+1:CAST(n AS INT)], '.')
+        |            END AS wf
+        |          FROM t0),
+        |mk AS (SELECT doc_id, i, tail AS match_key FROM tails
+        |       UNION ALL
+        |       SELECT doc_id, i, wf FROM tails WHERE wf IS NOT NULL),
+        |m AS (SELECT mk.doc_id, r.is_exc,
+        |             r.rule_labels - r.is_exc AS eff_labels,
+        |             mk.i + r.is_exc AS suffix_start
+        |      FROM mk JOIN rules r USING (match_key)),
+        |best AS (SELECT doc_id, suffix_start FROM
+        |         (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                      ORDER BY is_exc DESC, eff_labels DESC,
+        |                               suffix_start DESC) AS rn
+        |          FROM m)
+        |         WHERE rn = 1),
+        |res AS (SELECT dh.doc_id, dh.host, dh.labels, dh.n,
+        |               CAST(COALESCE(b.suffix_start, dh.n) AS INT) AS ss
+        |        FROM dh LEFT JOIN best b USING (doc_id))
+        |SELECT doc_id, host,
+        |       array_to_string(labels[ss:CAST(n AS INT)], '.') AS public_suffix,
+        |       CASE WHEN ss >= 2
+        |         THEN array_to_string(labels[ss-1:CAST(n AS INT)], '.')
+        |       END AS etld1
+        |FROM res
+        |ORDER BY doc_id""".stripMargin,
 
     // order-independent XOR fold of a 60-bit md5 prefix — the
     // commutativity is what makes the signature shard-order-proof

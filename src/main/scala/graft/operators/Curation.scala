@@ -352,6 +352,96 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Public-suffix rules — a representative subset of the (public)
+    * Public Suffix List covering every rule CLASS the algorithm must
+    * handle: plain TLDs, multi-label suffixes (co.uk, ac.jp,
+    * k12.va.us), a wildcard rule (*.ck), its exception (!www.ck), and
+    * a private-section registry suffix (github.io). A production run
+    * broadcasts the full ~9k-rule list the same way — the dim is
+    * list-sized, never corpus-sized. Encoded as (match_key, is_exc,
+    * rule_labels): exception rules drop their '!' (the key is what a
+    * host tail joins against) and wildcard rules keep the literal
+    * '*.' prefix — a tail's wildcard FORM (first label replaced by
+    * '*') joins against it. */
+  private val pslRules: Seq[(String, Int, Int)] = Seq(
+    ("com", 0), ("org", 0), ("net", 0), ("uk", 0), ("co.uk", 0),
+    ("org.uk", 0), ("io", 0), ("github.io", 0), ("jp", 0), ("ac.jp", 0),
+    ("*.ck", 0), ("www.ck", 1), ("us", 0), ("k12.va.us", 0)
+  ).map { case (k, e) => (k, e, k.split("\\.").length) }
+
+  /** Hosts synthesized per document (md5 coin — the testdata has no
+    * hostname column), chosen to exercise every PSL path: exact match,
+    * longest-of-several, wildcard, exception, a sub-subdomain, an
+    * unlisted TLD (implicit-star default), and a bare public suffix
+    * (NULL registrable domain). */
+  private val hostPool: Seq[String] = Seq(
+    "www.acme.com", "blog.widget.co.uk", "contoso.org.uk",
+    "fabrikam.github.io", "example.ac.jp", "shop.example.jp",
+    "foo.bar.ck", "www.ck", "mail.www.ck", "nonexistent.zz", "com",
+    "deep.sub.acme.co.uk")
+
+  /** Registrable-domain (eTLD+1) parsing against a broadcast
+    * public-suffix dim — what a real web-corpus domain cap keys on
+    * (q_domain_cap's `source` is the stand-in; this operator supplies
+    * the production key). Implements the PSL algorithm: every label
+    * tail of the host (and its wildcard form) joins the rule dim; the
+    * prevailing rule is the exception if one matches, else the most
+    * labels; an exception's effective suffix drops the tail's leftmost
+    * label; an unmatched host falls to the implicit-star default (the
+    * bare TLD). etld1 = prevailing suffix plus one label — NULL when
+    * the host IS a public suffix.
+    *
+    * Scale: tail explosion is map-side (≤2·labels rows per doc), the
+    * rule join is against a broadcast list-sized dim, and the
+    * prevailing-rule pick is ONE map-side-combined max-of-struct
+    * aggregate — the corpus crosses the wire once, skinny. No window,
+    * no second corpus join (host/labels ride the aggregate as
+    * group-constant firsts). */
+  def domainParse(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val rules = pslRules.toDF("match_key", "is_exc", "rule_labels")
+    val hIdx = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % hostPool.length).cast("int")
+    val d = Dedup.spread(t.documents.select(col("doc_id")))
+      .withColumn("host", element_at(array(hostPool.map(lit): _*), hIdx + 1))
+      .withColumn("labels", split(col("host"), "\\."))
+      .withColumn("n", size(col("labels")))
+    val tails = d
+      .select(col("doc_id"), col("host"), col("labels"), col("n"),
+        posexplode(transform(sequence(lit(1), col("n")),
+          i => array_join(slice(col("labels"), i, col("n") - i + 1), "."))))
+      .select(col("doc_id"), col("host"), col("labels"), col("n"),
+        (col("pos") + 1).as("i"), col("col").as("tail"))
+      .withColumn("wf", // the tail's wildcard form, absent for 1-label tails
+        when(col("n") - col("i") >= 1,
+          concat(lit("*."), array_join(
+            slice(col("labels"), col("i") + 1, col("n") - col("i")), "."))))
+    val mk = tails.select(col("doc_id"), col("host"), col("labels"), col("n"),
+      col("i"),
+      explode(when(col("wf").isNotNull, array(col("tail"), col("wf")))
+        .otherwise(array(col("tail")))).as("match_key"))
+    val best = mk.join(broadcast(rules), Seq("match_key"), "left")
+      .select(col("doc_id"), col("host"), col("labels"), col("n"),
+        when(col("rule_labels").isNotNull,
+          struct(col("is_exc"),
+            (col("rule_labels") - col("is_exc")).as("eff_labels"),
+            (col("i") + col("is_exc")).as("suffix_start"))).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("host")).as("host"), first(col("labels")).as("labels"),
+        first(col("n")).as("n"), max(col("m")).as("m"))
+    best
+      .withColumn("ss", coalesce(col("m.suffix_start"), col("n")).cast("int"))
+      .withColumn("public_suffix",
+        array_join(slice(col("labels"), col("ss"), col("n") - col("ss") + 1), "."))
+      .withColumn("etld1",
+        when(col("ss") >= 2,
+          array_join(slice(col("labels"), col("ss") - 1,
+            col("n") - col("ss") + 2), ".")))
+      .select(col("doc_id"), col("host"), col("public_suffix"), col("etld1"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test split manifest: each document lands
     * in a split by an md5 coin on its id against exact ppm boundaries
     * (train < `trainPpm`, val < trainPpm + `valPpm`, else test), and

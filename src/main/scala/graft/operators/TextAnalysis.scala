@@ -745,6 +745,88 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** SentencePiece-style unigram-LM Viterbi ENCODE under a fixed piece
+    * vocabulary (Kudo 2018, the inference half: the EM trainer elects
+    * the vocabulary; HERE the vocabulary is fixed — every corpus
+    * character plus the `topV` most frequent multi-character substrings
+    * (length ≤ `maxPieceLen`), costs from the engine-exact integer
+    * log2 (cost = 40 − ⌊log2 count⌋ via bin-length, no libm) — and
+    * each word type takes its MINIMUM-cost segmentation by dynamic
+    * programming, ties to fewest pieces). Emits per-doc totals:
+    * weighted word, piece, and cost sums under the best segmentation.
+    *
+    * Scale (the bpeEncode shape): the Viterbi DP runs per WORD TYPE —
+    * vocabulary-sized work at any corpus scale — as one `aggregate`
+    * HOF over the word's positions with the piece costs baked as a MAP
+    * literal (alphabet + topV entries, collected once: bounded driver
+    * state, the broadcast-dim class). The corpus-sized work is one
+    * (doc, tok) partial count plus an equi-join against the per-type
+    * DP results. The piece inventory is a dimension-sized explode
+    * (|vocab| × len × maxPieceLen rows) with a map-side-combined
+    * count.
+    *
+    * Engine parity: the DP recurrence, cost table, tie-breaks
+    * (cnt desc / piece asc for vocabulary election; (cost, pieces)
+    * lexicographic min per DP cell) are all integer-exact; DuckDB
+    * replays the DP as a rolling-window recursive CTE. */
+  def unigramEncode(t: Tables, maxPieceLen: Int = 4, topV: Int = 64): DataFrame =
+    unigramEncodeDocs(t.documents, maxPieceLen, topV)
+
+  /** [[unigramEncode]] over an explicit (doc_id, text) frame. */
+  def unigramEncodeDocs(docs: DataFrame, maxPieceLen: Int = 4,
+                        topV: Int = 64): DataFrame = {
+    val docsToks = Dedup.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1) // empty → sequence(1,0) DESCENDS
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .persistTracked() // feeds the type table AND the rollup join
+    val toks = docsToks.groupBy(col("tok"))
+      .agg(sum(col("c")).cast("long").as("c"))
+      .persistTracked() // piece inventory + DP
+    val inv = toks
+      .select(col("tok"), col("c"),
+        explode(sequence(lit(1), length(col("tok")))).as("i"))
+      .select(col("tok"), col("c"), col("i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("tok")))
+      .select(col("tok").substr(col("i"), col("l")).as("piece"), col("c"))
+      .groupBy(col("piece")).agg(sum(col("c")).cast("long").as("cnt"))
+      .persistTracked() // single-char slice + top-V slice
+    val single = inv.filter(length(col("piece")) === 1)
+    val multi = inv.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(topV) // TakeOrdered
+    val vocabRows = single.unionAll(multi)
+      .select(col("piece"),
+        (lit(40) - length(bin(col("cnt")))).cast("long").as("cost"))
+      .collect() // alphabet + topV rows — bounded, the broadcast-dim class
+    val costMap = map(vocabRows.toSeq.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+    val zero = struct(lit(0L).as("cost"), lit(0L).as("np"))
+    // dp(i) = min over piece lengths k of dp(i−k) + cost(tok[i−k+1..i]);
+    // acc is the dp array (0-based get), array_min skips the null
+    // candidates (k > i, or piece not in vocab)
+    val dp = aggregate(sequence(lit(1), length(col("tok"))), array(zero),
+      (acc, i) => concat(acc, array(array_min(
+        array((1 to maxPieceLen).map { k =>
+          val prev = get(acc, i - k)
+          val pc = try_element_at(costMap,
+            col("tok").substr(i - k + lit(1), lit(k)))
+          when(prev.isNotNull && pc.isNotNull,
+            struct((prev.getField("cost") + pc).as("cost"),
+              (prev.getField("np") + lit(1L)).as("np")))
+        }: _*)))))
+    val encoded = toks.select(col("tok"),
+      get(dp, length(col("tok"))).as("d"))
+    docsToks.join(encoded, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_words"),
+        sum(col("c") * col("d.np")).cast("long").as("n_pieces"),
+        sum(col("c") * col("d.cost")).cast("long").as("cost_units"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Count-min sketch heavy hitters with an exact audit column
     * (Cormode & Muthukrishnan 2005): `depth` hash rows × `width`
     * counters, the md5-31bit hash family the LSH operators already
