@@ -179,6 +179,12 @@ object SparkEntry {
     // under the learned vocabulary
     "q_bpe_encode"     -> q(TextAnalysis.bpeEncode(_)),
     "q_unigram_encode" -> q(TextAnalysis.unigramEncode(_)),
+    // CCNet-style LM-perplexity scoring: integer floor-log2 bigram LM
+    // trained on the lang='en' slice, exact-ppm bits per bigram
+    "q_perplexity"     -> q(TextAnalysis.lmPerplexity),
+    // multinomial Naive Bayes lang classifier (fastText-filter shape):
+    // even-id train / odd-id score, integer costs, confusion matrix
+    "q_nb_classify"    -> q(TextAnalysis.nbClassify),
     // count-min sketch under the oracle gate: md5-family hashes, exact
     // audit column beside the estimate
     "q_heavy_hitters"  -> q(TextAnalysis.heavyHitters(_)),
@@ -1894,6 +1900,65 @@ object SparkEntry {
         |FROM dt JOIN enc USING (tok)
         |GROUP BY dt.doc_id
         |ORDER BY dt.doc_id""".stripMargin,
+
+    // floor-log2 bigram LM replayed exactly: reference-slice counts,
+    // bin-length costs, flat OOV=24, integer-ppm bits per bigram
+    "q_perplexity" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+        |pos AS (SELECT doc_id, lang, l, unnest(generate_series(1, len(l) - 1)) AS i FROM tok),
+        |bg AS (SELECT doc_id, lang, l[i] || ' ' || l[i+1] AS bg,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM pos GROUP BY 1, 2, 3),
+        |refbg AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS cb
+        |          FROM bg WHERE lang = 'en' GROUP BY bg),
+        |refctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS cw
+        |           FROM bg WHERE lang = 'en' GROUP BY 1),
+        |costs AS (SELECT bg, CAST(length(bin(cw)) - length(bin(cb)) AS BIGINT) AS cost
+        |          FROM refbg JOIN refctx ON split_part(refbg.bg, ' ', 1) = refctx.w1)
+        |SELECT b.doc_id, b.lang,
+        |       CAST(SUM(b.c) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(b.c * COALESCE(costs.cost, 24)) AS BIGINT) AS cost_units,
+        |       CAST(CAST(SUM(b.c * COALESCE(costs.cost, 24)) AS BIGINT) * 1000000
+        |         // CAST(SUM(b.c) AS BIGINT) AS BIGINT) AS bits_ppm
+        |FROM bg b LEFT JOIN costs USING (bg)
+        |GROUP BY b.doc_id, b.lang
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Naive Bayes replayed integer-exact: even/odd split, add-one
+    // floor-log2 costs via the closed-form absent-token fold,
+    // (cost, cls) lexicographic argmin, classes-squared matrix
+    "q_nb_classify" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY 1, 2, 3),
+        |train AS (SELECT * FROM dt WHERE doc_id % 2 = 0),
+        |test AS (SELECT * FROM dt WHERE doc_id % 2 = 1),
+        |ct AS (SELECT lang AS cls, tok, CAST(SUM(c) AS BIGINT) AS cnt
+        |       FROM train GROUP BY 1, 2),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM ct),
+        |cd AS (SELECT lang AS cls, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+        |       FROM train GROUP BY 1),
+        |td AS (SELECT CAST(SUM(nd) AS BIGINT) AS td FROM cd),
+        |cs AS (SELECT tt.cls,
+        |         CAST(length(bin(tt.total + v.v)) AS BIGINT) AS norm,
+        |         CAST(length(bin(td.td)) - length(bin(cd.nd)) AS BIGINT) AS prior
+        |       FROM (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS total FROM ct GROUP BY cls) tt
+        |       JOIN cd USING (cls) CROSS JOIN v CROSS JOIN td),
+        |gains AS (SELECT t.doc_id, ct.cls,
+        |            CAST(SUM(t.c * (length(bin(ct.cnt + 1)) - 1)) AS BIGINT) AS gain
+        |          FROM test t JOIN ct USING (tok) GROUP BY 1, 2),
+        |dn AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n FROM test GROUP BY 1, 2),
+        |score AS (SELECT dn.doc_id, dn.lang, cs.cls,
+        |            cs.prior + (cs.norm - 1) * dn.n - COALESCE(g.gain, 0) AS cost
+        |          FROM dn CROSS JOIN cs
+        |          LEFT JOIN gains g ON g.doc_id = dn.doc_id AND g.cls = cs.cls),
+        |pred AS (SELECT doc_id, lang, cls AS pred_lang,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cost, cls) AS rn
+        |         FROM score)
+        |SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rn = 1
+        |GROUP BY lang, pred_lang
+        |ORDER BY lang, pred_lang""".stripMargin,
 
     // bloom filter replayed bit-for-bit: distinct bench bit positions,
     // all-k-positions-set probe, exact semi-join as the FP audit

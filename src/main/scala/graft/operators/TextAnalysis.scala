@@ -1050,4 +1050,135 @@ object TextAnalysis {
         sum(col("is_start")).as("n_spans"))
       .orderBy(col("doc_id"))
   }
+
+  /** Flat cost paid per bigram the reference LM has never seen —
+    * strictly above any seen cost at bench scale (seen cost ≤
+    * ⌊log2 c(w1)⌋ ≤ ⌊log2 total tokens⌋ < 24 below ~16M reference
+    * tokens; re-derive for a larger reference slice). */
+  val LmOovCost = 24L
+
+  /** CCNet-style LM-perplexity quality scoring (Wenzek et al. 2020:
+    * rank a web corpus by a language model trained on a TRUSTED
+    * reference corpus; head/middle/tail perplexity buckets drive
+    * keep/drop). The reference's free-text notes would be scored the
+    * same way before warehouse push. Here the trusted slice is the
+    * corpus's `lang = 'en'` documents, the LM is a floor-log2 bigram
+    * model, and every cost is an exact integer: cost(w1 w2) =
+    * ⌊log2 c(w1)⌋ − ⌊log2 c(w1 w2)⌋ (≈ −log2 p(w2|w1), both via
+    * bin-length — no libm), unseen bigrams pay [[LmOovCost]]. Per-doc
+    * output: bigram count, total cost units, and bits-per-bigram in
+    * exact ppm (the one integer division) — the perplexity rank a
+    * curation pass thresholds on.
+    *
+    * Scale: the corpus pays ONE (doc, bigram) partial-agg shuffle that
+    * both training and scoring reuse; the LM frames are
+    * vocabulary-sized (reference-slice bigram + context counts), and
+    * the scoring join keys on the bigram string (xxhash64 the key at
+    * 100 TB). No driver state; the output stays integer end-to-end so
+    * the hash-compare is byte-stable cross-engine. */
+  def lmPerplexity(t: Tables): DataFrame = lmPerplexityDocs(t.documents)
+
+  /** [[lmPerplexity]] over an explicit (doc_id, lang, text) frame. */
+  def lmPerplexityDocs(docs: DataFrame): DataFrame = {
+    val bigrams = Dedup.spread(docs.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.wordNgramsOf(col("toks"), 2))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("lang"), col("bg"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .persistTracked() // LM training slice + scoring pass share it
+    val ref = bigrams.filter(col("lang") === "en")
+    val bgCounts = ref.groupBy(col("bg"))
+      .agg(sum(col("c")).cast("long").as("cb"))
+    val ctxCounts = ref
+      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c"))
+      .groupBy(col("w1")).agg(sum(col("c")).cast("long").as("cw"))
+    // c(bigram) ≤ c(context) within the slice, so cost ≥ 0 always
+    val costs = bgCounts
+      .join(ctxCounts, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("bg"),
+        (length(bin(col("cw"))) - length(bin(col("cb")))).cast("long")
+          .as("cost"))
+    bigrams
+      .join(costs, Seq("bg"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        sum(col("c") * coalesce(col("cost"), lit(LmOovCost))).cast("long")
+          .as("cost_units"))
+      .withColumn("bits_ppm", expr("cost_units * 1000000 DIV n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multinomial Naive Bayes language classifier — the relational
+    * skeleton of the fastText-style quality/domain classifiers LLM
+    * curation pipelines train on a labeled slice and sweep over the
+    * whole corpus (CCNet, LLaMA data prep). Train on even doc_ids
+    * (label = `lang`), score the odd half, emit the confusion matrix.
+    * All integer: with floor-log2 costs, a document's cost under class
+    * k is prior(k) + (norm(k)−1)·N − Σ_tok c·(⌊log2(cnt+1)⌋+1−1) where
+    * norm(k) = ⌊log2(total_k + V)⌋+1 (add-one smoothing's denominator),
+    * so only tokens PRESENT in a class's vocabulary contribute a join
+    * row — absent tokens fold into the closed-form (norm−1)·N term and
+    * the doc×class grid needs no vocabulary-sized default fill.
+    * Prediction = min cost, ties to the lexicographically first class.
+    *
+    * Scale: the corpus pays one (doc, tok) partial-agg shuffle shared
+    * by train and test; the model is a (class, token) vocabulary-sized
+    * frame; scoring is an equi-join on the token key plus a crossJoin
+    * of a skinny per-doc frame against the class-stats frame — BOUNDED
+    * by the language-code dimension (ISO 639: a few hundred rows ever,
+    * the nation-dim class), unhinted so AQE picks the strategy. The
+    * confusion matrix is classes² rows. */
+  def nbClassify(t: Tables): DataFrame = nbClassifyDocs(t.documents)
+
+  /** [[nbClassify]] over an explicit (doc_id, lang, text) frame. */
+  def nbClassifyDocs(docs: DataFrame): DataFrame = {
+    def binlen(c: Column): Column = length(bin(c)).cast("long")
+    val toks = Dedup.spread(docs.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .persistTracked() // train split + test split share the tokenize
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val test = toks.filter(col("doc_id") % 2 === 1)
+    val classTok = train.groupBy(col("lang").as("cls"), col("tok"))
+      .agg(sum(col("c")).cast("long").as("cnt"))
+      .persistTracked() // class totals + vocab size + scoring join
+    val vocabSize = classTok.select(col("tok")).distinct()
+      .agg(count(lit(1)).cast("long").as("v")) // 1 row
+    val classDocs = train.select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).cast("long").as("nd"))
+    val totalDocs = classDocs.agg(sum(col("nd")).cast("long").as("td")) // 1 row
+    val classStats = classTok.groupBy(col("cls"))
+      .agg(sum(col("cnt")).cast("long").as("total"))
+      .join(classDocs, Seq("cls"))
+      .crossJoin(vocabSize).crossJoin(totalDocs)
+      .select(col("cls"),
+        binlen(col("total") + col("v")).as("norm"),
+        (binlen(col("td")) - binlen(col("nd"))).as("prior"))
+    val gains = test.join(classTok, Seq("tok"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("c") * (binlen(col("cnt") + 1) - lit(1L))).cast("long")
+        .as("gain"))
+    val docN = test.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).cast("long").as("n"))
+    docN
+      .crossJoin(classStats) // lang-dim bounded; AQE decides the strategy
+      .join(gains, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("lang"),
+        struct(
+          (col("prior") + (col("norm") - 1) * col("n")
+            - coalesce(col("gain"), lit(0L))).as("cost"),
+          col("cls")).as("sc"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(col("sc")).as("m")) // (cost, cls) lexicographic min
+      .select(col("lang"), col("m.cls").as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
 }
