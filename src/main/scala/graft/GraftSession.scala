@@ -28,12 +28,31 @@ object GraftSession {
     .config("spark.sql.parquet.aggregatePushdown", "true")
     // the generated-class cache defaults to 100 entries — a 167-query
     // workload holds several codegen stages per query, so at the
-    // default every suite pass EVICTS and recompiles most stages (the
-    // committed-vs-suite gap on the wide-expression queries, e.g.
-    // q_hll_audit 0.31 s isolated vs 7.4 s in-suite, is Janino
-    // recompilation, not execution). Static conf: must be set before
-    // the first session; sized to hold the whole suite's stages.
+    // default every suite pass EVICTS and recompiles most stages
+    // (raising it took the full suite 124.7 s → 98.1 s in round 12).
+    // Static conf: must be set before the first session; sized to hold
+    // the whole suite's stages. (q_hll_audit's own suite-vs-isolated
+    // gap turned out to be the inferred generate filter below — the
+    // "isolated 0.31 s" was a warm-cache within-pass rep.)
     .config("spark.sql.codegen.cache.maxEntries", "2000")
+    // InferFiltersFromGenerate turns every explode(e) into a pushed
+    // pre-filter `size(e) > 0 AND isnotnull(e)` — PushDownPredicates
+    // then sinks it BELOW the fan-out exchange, duplicating the
+    // generator expression into a filter evaluated twice per row on
+    // the narrow pre-spread side. For this engine's n-gram/shingle
+    // explodes (interpreted HOF builds: transform + concat_ws +
+    // array_distinct) that is catastrophic: the whole pipeline re-runs
+    // 2x per document in a single pre-exchange task (single-row-group
+    // scans can't split) — measured 7.0 s vs 0.27 s on q_hll_audit's
+    // shingle scan at sf0.1 (tools.HllProbe). The rule only ever
+    // prunes empty-array rows the Generate itself drops one operator
+    // later; every graft explode sits directly above the project that
+    // builds its array, so the filter buys nothing at any scale and
+    // costs a serial re-evaluation stage. Results are identical with
+    // or without the rule (GenerateFilterSpec pins both the plan shape
+    // and the row-level equivalence).
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     .config("spark.sql.ui.explainMode", "formatted")
     .config("spark.ui.enabled", "false")
 

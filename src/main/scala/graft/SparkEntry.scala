@@ -179,6 +179,9 @@ object SparkEntry {
     // under the learned vocabulary
     "q_bpe_encode"     -> q(TextAnalysis.bpeEncode(_)),
     "q_unigram_encode" -> q(TextAnalysis.unigramEncode(_)),
+    // one Viterbi-EM training round under the same seed vocab: path-
+    // carrying DP → usage counts → re-estimated costs + prune set
+    "q_unigram_train"  -> q(TextAnalysis.unigramTrain(_)),
     // CCNet-style LM-perplexity scoring: integer floor-log2 bigram LM
     // trained on the lang='en' slice, exact-ppm bits per bigram
     "q_perplexity"     -> q(TextAnalysis.lmPerplexity),
@@ -1900,6 +1903,79 @@ object SparkEntry {
         |FROM dt JOIN enc USING (tok)
         |GROUP BY dt.doc_id
         |ORDER BY dt.doc_id""".stripMargin,
+
+    // the Viterbi DP extended with a path column: the tie CASE picks
+    // the smallest piece length among (min cost, min pieces), then the
+    // E-step usage agg and M-step re-estimate replay integer-exact
+    "q_unigram_train" ->
+      """WITH RECURSIVE
+        |dt AS MATERIALIZED (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) >= 1 GROUP BY doc_id, tok),
+        |toks AS MATERIALIZED (SELECT tok, CAST(SUM(c) AS BIGINT) AS c FROM dt GROUP BY tok),
+        |q0 AS (SELECT tok, c, unnest(generate_series(1, length(tok))) AS i FROM toks),
+        |q1 AS (SELECT tok, c, i, unnest([1,2,3,4]) AS l FROM q0),
+        |inv AS MATERIALIZED (
+        |  SELECT substr(tok, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        |         CAST(SUM(c) AS BIGINT) AS cnt
+        |  FROM q1 WHERE i + l - 1 <= length(tok) GROUP BY 1),
+        |vocab AS MATERIALIZED (
+        |  SELECT piece, CAST(40 - length(bin(cnt)) AS BIGINT) AS cost
+        |  FROM inv WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, CAST(40 - length(bin(cnt)) AS BIGINT) AS cost FROM
+        |    (SELECT piece, cnt FROM inv WHERE length(piece) >= 2
+        |     ORDER BY cnt DESC, piece LIMIT 64)),
+        |dp AS (
+        |  SELECT tok, length(tok) AS len, 0 AS i,
+        |         CAST(0 AS BIGINT) AS c0, CAST(NULL AS BIGINT) AS c1,
+        |         CAST(NULL AS BIGINT) AS c2, CAST(NULL AS BIGINT) AS c3,
+        |         CAST(0 AS BIGINT) AS n0, CAST(NULL AS BIGINT) AS n1,
+        |         CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+        |         CAST('' AS VARCHAR) AS p0, CAST(NULL AS VARCHAR) AS p1,
+        |         CAST(NULL AS VARCHAR) AS p2, CAST(NULL AS VARCHAR) AS p3
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT tok, len, i, cmin AS c0, pc0 AS c1, pc1 AS c2, pc2 AS c3,
+        |         nmin AS n0, pn0 AS n1, pn1 AS n2, pn2 AS n3,
+        |         CASE WHEN x1 = cmin AND pn0 + 1 = nmin THEN pp0 || s1 || '|'
+        |              WHEN x2 = cmin AND pn1 + 1 = nmin THEN pp1 || s2 || '|'
+        |              WHEN x3 = cmin AND pn2 + 1 = nmin THEN pp2 || s3 || '|'
+        |              WHEN x4 = cmin AND pn3 + 1 = nmin THEN pp3 || s4 || '|' END AS p0,
+        |         pp0 AS p1, pp1 AS p2, pp2 AS p3
+        |  FROM (
+        |    SELECT *, least(x1, x2, x3, x4) AS cmin,
+        |           least(CASE WHEN x1 = least(x1, x2, x3, x4) THEN pn0 + 1 END,
+        |                 CASE WHEN x2 = least(x1, x2, x3, x4) THEN pn1 + 1 END,
+        |                 CASE WHEN x3 = least(x1, x2, x3, x4) THEN pn2 + 1 END,
+        |                 CASE WHEN x4 = least(x1, x2, x3, x4) THEN pn3 + 1 END) AS nmin
+        |    FROM (
+        |      SELECT dp.tok, dp.len, dp.i + 1 AS i,
+        |             dp.c0 AS pc0, dp.c1 AS pc1, dp.c2 AS pc2,
+        |             dp.n0 AS pn0, dp.n1 AS pn1, dp.n2 AS pn2, dp.n3 AS pn3,
+        |             dp.p0 AS pp0, dp.p1 AS pp1, dp.p2 AS pp2, dp.p3 AS pp3,
+        |             substr(dp.tok, dp.i + 1, 1) AS s1, substr(dp.tok, dp.i, 2) AS s2,
+        |             substr(dp.tok, dp.i - 1, 3) AS s3, substr(dp.tok, dp.i - 2, 4) AS s4,
+        |             dp.c0 + v1.cost AS x1, dp.c1 + v2.cost AS x2,
+        |             dp.c2 + v3.cost AS x3, dp.c3 + v4.cost AS x4
+        |      FROM dp
+        |      LEFT JOIN vocab v1 ON v1.piece = substr(dp.tok, dp.i + 1, 1)
+        |      LEFT JOIN vocab v2 ON v2.piece = substr(dp.tok, dp.i, 2)
+        |      LEFT JOIN vocab v3 ON v3.piece = substr(dp.tok, dp.i - 1, 3)
+        |      LEFT JOIN vocab v4 ON v4.piece = substr(dp.tok, dp.i - 2, 4)
+        |      WHERE dp.i < dp.len) s0) s1x),
+        |enc AS (SELECT tok, p0 AS path FROM dp WHERE i = len),
+        |usage AS (
+        |  SELECT piece, CAST(SUM(c) AS BIGINT) AS used FROM (
+        |    SELECT t.c, unnest(string_split(e.path, '|')) AS piece
+        |    FROM toks t JOIN enc e USING (tok)) u
+        |  WHERE length(piece) >= 1 GROUP BY piece)
+        |SELECT v.piece, v.cost AS cost_init,
+        |       CAST(COALESCE(u.used, 0) AS BIGINT) AS used,
+        |       CAST(40 - length(bin(u.used)) AS BIGINT) AS cost_new
+        |FROM vocab v LEFT JOIN usage u ON u.piece = v.piece
+        |ORDER BY v.piece""".stripMargin,
 
     // floor-log2 bigram LM replayed exactly: reference-slice counts,
     // bin-length costs, flat OOV=24, integer-ppm bits per bigram

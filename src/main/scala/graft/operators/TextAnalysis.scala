@@ -1111,6 +1111,95 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** One Viterbi-EM training round for the unigram-LM tokenizer
+    * (Kudo 2018's trainer, hard-EM variant): under the SAME seed
+    * vocabulary and floor-log2 costs as [[unigramEncode]], the E-step
+    * takes each word type's minimum-cost segmentation — now with the
+    * chosen PIECES carried through the DP, tie rule (cost, pieces,
+    * shortest-last-piece) so the path is deterministic — and counts
+    * piece usage weighted by type frequency; the M-step re-estimates
+    * cost'(piece) = 40 − ⌊log2 usage⌋. Pieces the Viterbi pass never
+    * uses get a NULL new cost — exactly the prune candidates
+    * SentencePiece drops between rounds. Output: (piece, cost_init,
+    * used, cost_new) for the whole seed vocabulary.
+    *
+    * Scale (the unigramEncode budget plus nothing): the DP still runs
+    * per word TYPE with the cost table as a bounded map literal; the
+    * E-step explode is segmentation-sized over the type table
+    * (vocabulary-scale, never corpus-scale) and its usage agg is
+    * map-side combined. The corpus is touched once, for the type
+    * counts.
+    *
+    * Engine parity: the path is re-derived in DuckDB by the same
+    * recursive-CTE DP extended with a path column; the tie CASE picks
+    * the smallest piece length among (min cost, min pieces) — the
+    * lexicographic (cost, np, k) struct-min the Spark side takes. */
+  def unigramTrain(t: Tables, maxPieceLen: Int = 4, topV: Int = 64): DataFrame =
+    unigramTrainDocs(t.documents, maxPieceLen, topV)
+
+  /** [[unigramTrain]] over an explicit (doc_id, text) frame. */
+  def unigramTrainDocs(docs: DataFrame, maxPieceLen: Int = 4,
+                       topV: Int = 64): DataFrame = {
+    val docsToks = Dedup.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val toks = docsToks.groupBy(col("tok"))
+      .agg(sum(col("c")).cast("long").as("c"))
+      .persistTracked() // piece inventory + DP + E-step weights
+    val inv = toks
+      .select(col("tok"), col("c"),
+        explode(sequence(lit(1), length(col("tok")))).as("i"))
+      .select(col("tok"), col("c"), col("i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("tok")))
+      .select(col("tok").substr(col("i"), col("l")).as("piece"), col("c"))
+      .groupBy(col("piece")).agg(sum(col("c")).cast("long").as("cnt"))
+      .persistTracked() // single-char slice + top-V slice
+    val single = inv.filter(length(col("piece")) === 1)
+    val multi = inv.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(topV) // TakeOrdered
+    val vocab = single.unionAll(multi)
+      .select(col("piece"),
+        (lit(40) - length(bin(col("cnt")))).cast("long").as("cost"))
+      .persistTracked() // cost map + M-step join-back
+    val vocabRows = vocab.collect() // alphabet + topV — broadcast-dim class
+    val costMap = map(vocabRows.toSeq.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+    val zero = struct(lit(0L).as("cost"), lit(0L).as("np"),
+      lit(0L).as("k"), lit("").as("path"))
+    // unigramEncode's DP with the path carried: candidate structs are
+    // (cost, np, k, path) so array_min's lexicographic compare settles
+    // (cost, np)-ties on the shortest last piece — k is unique per
+    // candidate, so the path field never decides
+    val dp = aggregate(sequence(lit(1), length(col("tok"))), array(zero),
+      (acc, i) => concat(acc, array(array_min(
+        array((1 to maxPieceLen).map { k =>
+          val prev = get(acc, i - k)
+          val piece = col("tok").substr(i - k + lit(1), lit(k))
+          val pc = try_element_at(costMap, piece)
+          when(prev.isNotNull && pc.isNotNull,
+            struct((prev.getField("cost") + pc).as("cost"),
+              (prev.getField("np") + lit(1L)).as("np"),
+              lit(k.toLong).as("k"),
+              concat(prev.getField("path"), piece, lit("|")).as("path")))
+        }: _*)))))
+    val usage = toks
+      .select(col("c"), get(dp, length(col("tok"))).getField("path").as("path"))
+      .select(col("c"), explode(split(col("path"), "\\|")).as("piece"))
+      .filter(length(col("piece")) >= 1) // drop the trailing separator slot
+      .groupBy(col("piece")).agg(sum(col("c")).cast("long").as("used"))
+    vocab.join(usage, Seq("piece"), "left")
+      .select(col("piece"), col("cost").as("cost_init"),
+        // bin(NULL) null-propagates: unused pieces keep a NULL new cost
+        (lit(40) - length(bin(col("used")))).cast("long").as("cost_new"),
+        coalesce(col("used"), lit(0L)).as("used"))
+      .select(col("piece"), col("cost_init"), col("used"), col("cost_new"))
+      .orderBy(col("piece"))
+  }
+
   /** Multinomial Naive Bayes language classifier — the relational
     * skeleton of the fastText-style quality/domain classifiers LLM
     * curation pipelines train on a labeled slice and sweep over the
