@@ -841,11 +841,33 @@ object TextAnalysis {
     * (the exact side here is the audit, same pattern as q_ann_recall).
     * The counter join back is depth·width rows — AQE broadcasts it at
     * runtime, unhinted. */
+  /** Count-min bucket for hash row `r` — the md5-31bit family every
+    * oracled sketch shares with DuckDB. Shared by [[heavyHitters]] and
+    * the streaming twin (`streaming.SketchStream`), so the streaming
+    * counters are bit-compatible with the batch sketch. */
+  def cmsBucket(r: Int, tok: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 8), 16, 10)
+      .cast("long").bitwiseAND(lit(0x7FFFFFFFL)) % width
+
+  /** The (r, b, c) count-min counter table over a frame with a `text`
+    * column — the linear-sketch state [[heavyHitters]] probes and the
+    * batch side of `streaming.SketchStream`'s exact batch-equivalence
+    * (a linear sketch's merge is integer addition, so streaming
+    * counters over any prefix EQUAL this batch table over the same
+    * rows). */
+  def cmsCounters(docs: DataFrame, depth: Int, width: Int): DataFrame =
+    docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r.toLong).as("r"),
+          cmsBucket(r, col("tok"), width).as("b"))): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+
   def heavyHitters(t: Tables, depth: Int = 4, width: Int = 1024,
                    k: Int = 20): DataFrame = {
-    def bucket(r: Int): Column =
-      conv(substring(md5(concat(lit(s"$r:"), col("tok"))), 1, 8), 16, 10)
-        .cast("long").bitwiseAND(lit(0x7FFFFFFFL)) % width
+    def bucket(r: Int): Column = cmsBucket(r, col("tok"), width)
     val toks = Dedup.spread(t.documents.select(col("text")))
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("n_exact"))

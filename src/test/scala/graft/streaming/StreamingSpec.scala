@@ -253,4 +253,54 @@ class StreamingSpec extends SparkSpec {
       assert(fin == batch)
     } finally q.stop()
   }
+
+  test("streaming count-min counters are bit-equal to the batch sketch") {
+    import graft.operators.TextAnalysis
+    val t = tables
+    val texts = t.documents.select($"text").as[String].collect().toSeq
+    val (b1, b2) = texts.zipWithIndex.partition(_._2 % 3 == 0)
+    val input = MemoryStream[String](spark)
+    val depth = 4; val width = 64
+    val q = SketchStream.counters(input.toDF().toDF("text"), depth, width)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1.map(_._1): _*)
+      q.processAllAvailable()
+      // prefix equivalence: streaming state after batch 1 == batch
+      // sketch over batch 1's rows (a linear sketch merges exactly)
+      val sink1 = spark.table("cms")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch1 = TextAnalysis.cmsCounters(
+        b1.map(_._1).toDF("text"), depth, width)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sink1 == batch1)
+      input.addData(b2.map(_._1): _*)
+      q.processAllAvailable()
+      val sink2 = spark.table("cms")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch2 = TextAnalysis.cmsCounters(texts.toDF("text"), depth, width)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sink2 == batch2)
+      // bounded state: the grid never exceeds depth×width regardless
+      // of vocabulary growth
+      assert(sink2.size <= depth * width)
+      // the streaming-maintained table answers the batch probe: every
+      // token's min-over-rows estimate upper-bounds its exact count
+      // (CMS one-sided error), buckets from the SAME shared expression
+      val probe = texts.toDF("text")
+        .select(explode(split($"text", " ")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).cast("long").as("n"))
+        .select($"tok", $"n", array((0 until depth).map(r =>
+          TextAnalysis.cmsBucket(r, $"tok", width)): _*).as("bs"))
+        .as[(String, Long, Seq[Long])].collect()
+      val grid = sink2.map { case (r, b, c) => (r, b) -> c }.toMap
+      assert(probe.nonEmpty)
+      probe.foreach { case (tok, n, bs) =>
+        val est = bs.zipWithIndex.map { case (b, r) =>
+          grid.getOrElse((r.toLong, b), 0L) }.min
+        assert(est >= n, s"CMS underestimated '$tok': $est < $n")
+      }
+    } finally q.stop()
+  }
 }
