@@ -94,6 +94,9 @@ object SparkEntry {
     "q_knn_ivf_fp"     -> q(Similarity.knnIvf(_)),
     // IVF+PQ composed (FAISS IVFADC): oracled exact twin + the float
     // production kernel benched under its own key
+    // JL random projection: md5-parity Rademacher matrix, milli-snap
+    // integer distances, sample-bounded pair distortion audit
+    "q_random_proj"    -> q(Similarity.randomProj(_)),
     "q_knn_ivfpq"      -> q(Similarity.ivfPqKnnExact(_)),
     "q_knn_ivfpq_fp"   -> q(Similarity.ivfPqKnn(_)),
     // —— document assembly, push log, streaming-equivalent, multimodal ——
@@ -1903,6 +1906,38 @@ object SparkEntry {
         |FROM dt JOIN enc USING (tok)
         |GROUP BY dt.doc_id
         |ORDER BY dt.doc_id""".stripMargin,
+
+    // the Rademacher matrix rebuilt from md5('rp_j_d') parity; both
+    // squared distances re-derived per-dimension; one ppm division
+    "q_random_proj" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)) AS m
+        |  FROM embeddings
+        |  WHERE (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |          & 2147483647) % 10 = 0),
+        |el AS (SELECT vec_id, generate_subscripts(m, 1) AS d, unnest(m) AS v FROM m),
+        |sg AS (SELECT j, d,
+        |         CASE WHEN ('0x' || substr(md5('rp_' || j || '_' || d), 1, 8))::BIGINT
+        |                   % 2 = 0
+        |              THEN 1 ELSE -1 END AS sgn
+        |       FROM generate_series(1, 16) s1(j), generate_series(1, 64) s2(d)),
+        |y AS (SELECT vec_id, j, CAST(SUM(sgn * v) AS BIGINT) AS y
+        |      FROM el JOIN sg USING (d) GROUP BY 1, 2),
+        |po AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |              CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2_orig
+        |       FROM el a JOIN el b ON a.d = b.d AND a.vec_id < b.vec_id
+        |       GROUP BY 1, 2),
+        |pp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |              CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_proj
+        |       FROM y a JOIN y b ON a.j = b.j AND a.vec_id < b.vec_id
+        |       GROUP BY 1, 2)
+        |SELECT id_a, id_b, d2_orig, d2_proj,
+        |       d2_proj * 1000000 // (16 * d2_orig) AS ratio_ppm
+        |FROM po JOIN pp USING (id_a, id_b)
+        |WHERE d2_orig > 0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the Viterbi DP extended with a path column: the tie CASE picks
     // the smallest piece length among (min cost, min pieces), then the

@@ -636,6 +636,68 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
+  /** Johnson–Lindenstrauss random projection with a distortion audit —
+    * embedding compression for the 100 TB regime (Achlioptas 2003,
+    * "database-friendly" ±1 form): project 64-d vectors to `k` dims
+    * through a Rademacher matrix whose signs come from md5 parity
+    * (`rp_j_d`), so the matrix — and every projected coordinate — is
+    * bit-reproducible in DuckDB. Coordinates are milli-snapped first
+    * (|v| ≤ ~10³, so every dot, norm and squared distance below stays
+    * an exact integer in doubles), then y_j = sign_j · m is one
+    * codegen'd [[graft.functions.VectorFunctions.dotProduct]] per
+    * output dim.
+    *
+    * The AUDIT is the operator's point (the q_ann_recall pattern:
+    * measure the estimator before committing a corpus to it). For a
+    * Rademacher matrix E‖R·z‖² = k·‖z‖², so for every sampled pair
+    * ratio_ppm = d2_proj·10⁶ DIV (k·d2_orig) concentrates at 10⁶;
+    * the emitted spread IS the JL distortion at this k — the number
+    * that tells an operator whether 16 dims suffice before re-encoding
+    * a billion vectors. Pairs are quadratic BY DEFINITION and bounded
+    * by the md5-coin sample (the ann_recall argument), never the
+    * corpus: the projection itself is one map-side pass.
+    *
+    * Squared distances via the norm identity d² = ‖a‖² + ‖b‖² − 2a·b
+    * — three cached integers per vector, no per-pair 64-dim rescan.
+    * Identical-coordinate pairs (d2_orig = 0) are excluded: the ratio
+    * is undefined and ANSI division would throw. */
+  def randomProj(t: Tables, k: Int = 16, sampleMod: Int = 10): DataFrame = {
+    val planes: Array[Array[Double]] = Array.tabulate(k, 64) { (j, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp_${j + 1}_${d + 1}".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16)
+      if (h % 2 == 0) 1.0 else -1.0
+    }
+    val dot = graft.functions.VectorFunctions.dotProduct _
+    val coin = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").bitwiseAND(lit(0x7FFFFFFFL)) % sampleMod
+    val base = Dedup.spread(t.embeddings.select(col("vec_id"), col("embedding")))
+      .filter(coin === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000d + 0.5d).cast("double")).as("m"))
+      .select(col("vec_id"), col("m"),
+        array(planes.map(p => dot(col("m"), array(p.map(lit): _*))): _*).as("y"))
+      .select(col("vec_id"), col("m"), col("y"),
+        dot(col("m"), col("m")).cast("long").as("aa"),
+        dot(col("y"), col("y")).cast("long").as("pp"))
+      .persistTracked() // both sides of the sample-bounded pair join
+    base.select(col("vec_id").as("id_a"), col("m").as("ma"),
+        col("y").as("ya"), col("aa"), col("pp"))
+      .join(base.select(col("vec_id").as("id_b"), col("m").as("mb"),
+        col("y").as("yb"), col("aa").as("bb"), col("pp").as("qq")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("aa") + col("bb") - lit(2L) * dot(col("ma"), col("mb")).cast("long"))
+          .as("d2_orig"),
+        (col("pp") + col("qq") - lit(2L) * dot(col("ya"), col("yb")).cast("long"))
+          .as("d2_proj"))
+      .filter(col("d2_orig") > 0)
+      .withColumn("ratio_ppm", expr(s"d2_proj * 1000000 DIV ($k * d2_orig)"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def centroidUpdate(t: Tables): DataFrame = {
     val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
     t.embeddings
