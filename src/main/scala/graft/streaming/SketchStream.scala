@@ -35,4 +35,34 @@ object SketchStream {
     * micro-batch. */
   def counters(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
     TextAnalysis.cmsCounters(docs, depth, width)
+
+  /** Streaming HyperLogLog register table — the streaming twin of
+    * `q_hll_audit`'s register build. Stronger merge story than the
+    * count-min counters: register max is idempotent AND commutative,
+    * so the streaming state is exact not just under arbitrary
+    * micro-batch boundaries but under AT-LEAST-ONCE re-delivery —
+    * re-processing a whole batch cannot move a single register
+    * (StreamingSpec re-delivers one and pins it). State is bounded at
+    * 2^p rows forever; the batch estimator formula applied to the
+    * streaming-built registers reproduces the oracled q_hll_audit
+    * estimate bit-for-bit.
+    *
+    * No `spread` fan-out here (the batch operator's repartition
+    * assumes a file-scan input; a streaming micro-batch arrives
+    * already parallel), and no per-doc `array_distinct` (register max
+    * is duplicate-insensitive, so the registers match q_hll_audit's
+    * distinct-shingle build exactly either way). */
+  def hllRegisters(docs: DataFrame, p: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val m = 1 << p
+    docs
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .select(explode(TextFunctions.wordNgramsOf(col("toks"), 3)).as("g"))
+      .select(graft.operators.Dedup.md5Hash31(col("g")).as("hv"))
+      .select((col("hv") % m).as("reg"), expr(s"hv DIV $m").as("h2"))
+      .select(col("reg"), when(col("h2") === 0, lit(22))
+        .otherwise(lit(22) - length(bin(col("h2")))).as("rank"))
+      .groupBy(col("reg")).agg(max(col("rank")).as("mj"))
+  }
 }

@@ -303,4 +303,39 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming HLL registers: exact under re-delivery, estimate matches the oracle") {
+    val t = tables
+    val texts = t.documents.select($"text").as[String].collect().toSeq
+    val (b1, b2) = texts.zipWithIndex.partition(_._2 % 2 == 0)
+    val input = MemoryStream[String](spark)
+    val q = SketchStream.hllRegisters(input.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1.map(_._1): _*)
+      q.processAllAvailable()
+      input.addData(b2.map(_._1): _*)
+      q.processAllAvailable()
+      input.addData(b1.map(_._1): _*) // re-deliver ALL of batch 1
+      q.processAllAvailable()
+      val streamRegs = spark.table("hllregs")
+        .as[(Long, Int)].collect().toMap
+      // idempotent max: re-delivery cannot move a register — the final
+      // table equals the batch registers over the set of rows
+      val batchRegs = SketchStream.hllRegisters(texts.toDF("text"))
+        .as[(Long, Int)].collect().toMap
+      assert(streamRegs == batchRegs)
+      assert(streamRegs.size <= 1024)
+      // the batch estimator over the streaming-built registers
+      // reproduces the oracled q_hll_audit estimate bit-for-bit
+      val s40 = (0 until 1024).map(r =>
+        1L << (40 - streamRegs.getOrElse(r.toLong, 0))).sum
+      val est = math.floor(0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 *
+        1099511627776.0 / s40.toDouble).toLong
+      val oracle = graft.operators.TextAnalysis.hllAudit(t)
+        .select($"hll_est").as[Long].collect().head
+      assert(est == oracle)
+    } finally q.stop()
+  }
 }
