@@ -97,6 +97,11 @@ object SparkEntry {
     // JL random projection: md5-parity Rademacher matrix, milli-snap
     // integer distances, sample-bounded pair distortion audit
     "q_random_proj"    -> q(Similarity.randomProj(_)),
+    // hard-negative mining: exact micro-int cosine, wrong-label top-k
+    // per md5-coin-sampled anchor
+    "q_hard_negatives" -> q(Similarity.hardNegatives(_)),
+    // positional-index phrase search: adjacency as a join key
+    "q_phrase_search"  -> q(Retrieval.phraseSearch(_)),
     "q_knn_ivfpq"      -> q(Similarity.ivfPqKnnExact(_)),
     "q_knn_ivfpq_fp"   -> q(Similarity.ivfPqKnn(_)),
     // —— document assembly, push log, streaming-equivalent, multimodal ——
@@ -1906,6 +1911,45 @@ object SparkEntry {
         |FROM dt JOIN enc USING (tok)
         |GROUP BY dt.doc_id
         |ORDER BY dt.doc_id""".stripMargin,
+
+    // positional postings for the phrase's terms only; adjacency
+    // expressed as equi-joins on (doc, pos − offset)
+    "q_phrase_search" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos FROM tok),
+        |el AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, l[pos] AS term FROM p),
+        |w1 AS (SELECT doc_id, pos FROM el WHERE term = 'data'),
+        |w2 AS (SELECT doc_id, pos FROM el WHERE term = 'join')
+        |SELECT w1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |       CAST(MIN(w1.pos) AS BIGINT) AS first_pos
+        |FROM w1 JOIN w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        |GROUP BY w1.doc_id
+        |ORDER BY w1.doc_id""".stripMargin,
+
+    // exact micro-int cosine replayed per (anchor, wrong-label) pair;
+    // the ppm snap text is Dedup.cosPpmSql verbatim
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |w AS (SELECT vec_id, CAST(label AS BIGINT) AS label, m,
+        |        CAST(list_sum(list_transform(m, x -> x * x)) AS BIGINT) AS aa FROM q),
+        |a AS (SELECT * FROM w
+        |      WHERE (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |              & 2147483647) % 10 = 0),
+        |p AS (SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+        |        CAST(list_sum(list_transform(generate_series(1, len(a.m)),
+        |          i -> a.m[i] * b.m[i])) AS BIGINT) AS dot,
+        |        a.aa AS aa, b.aa AS bb
+        |      FROM a JOIN w b ON a.label <> b.label),
+        |s AS (SELECT anchor_id, neg_id, ${operators.Dedup.cosPpmSql} AS cos_ppm FROM p),
+        |r AS (SELECT anchor_id, neg_id, cos_ppm,
+        |        CAST(ROW_NUMBER() OVER (
+        |          PARTITION BY anchor_id ORDER BY cos_ppm DESC, neg_id) AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT anchor_id, rnk, neg_id, cos_ppm FROM r WHERE rnk <= 3
+        |ORDER BY anchor_id, rnk""".stripMargin,
 
     // the Rademacher matrix rebuilt from md5('rp_j_d') parity; both
     // squared distances re-derived per-dimension; one ppm division

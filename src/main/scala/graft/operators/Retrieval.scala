@@ -177,4 +177,48 @@ object Retrieval {
       .limit(k)
       .select(col("doc_id"), col("r_bm25"), col("r_cos"), col("rrf"))
   }
+
+  /** Exact phrase search over a positional inverted index — the
+    * capability BM25's bag-of-words scoring can't express (finding
+    * "data join" as CONSECUTIVE tokens, the way search engines
+    * implement quoted queries and dedup pipelines locate verbatim
+    * quotations). Postings are (doc, position) rows for the phrase's
+    * terms only; a w-word phrase matches where the w postings lists
+    * align at consecutive positions, expressed as w−1 equi-joins on
+    * (doc_id, pos − offset) — position adjacency AS a join key, never
+    * a per-document scan.
+    *
+    * Scale: the corpus is tokenized once and filtered to the phrase's
+    * terms BEFORE anything shuffles, so each join moves only those
+    * terms' postings (term-frequency-sized, not corpus-sized). The
+    * per-term frames share one persisted postings scan. Duplicate
+    * words in the phrase cost nothing extra — the same postings frame
+    * joins against itself at a different offset. */
+  def phraseSearch(t: Tables,
+                   phrase: Seq[String] = Seq("data", "join")): DataFrame =
+    phraseSearchDocs(t.documents, phrase)
+
+  /** [[phraseSearch]] over an explicit (doc_id, text) frame. */
+  def phraseSearchDocs(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val el = Dedup.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col("text")))
+          .as(Seq("p0", "term")))
+      .filter(col("term").isInCollection(phrase.distinct))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("term"))
+      .persistTracked() // one postings scan feeds all w join legs
+    val first = el.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.tail
+      .foldLeft(first) { case (acc, (w, i)) =>
+        acc.join(el.filter(col("term") === w)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
 }

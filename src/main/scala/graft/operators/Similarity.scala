@@ -698,6 +698,56 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Hard-negative mining for contrastive embedding training (the
+    * DPR/SimCSE data-prep step): for each anchor in a deterministic
+    * md5-coin sample, the top-k most-similar vectors of a DIFFERENT
+    * label — the wrong-class neighbors whose high similarity makes
+    * them the informative negatives a contrastive loss needs.
+    * Similarity is the exact micro-int cosine (every intermediate an
+    * exact integer in doubles; the only rounding is the shared-text
+    * ppm snap), so DuckDB replays every score and rank bit-for-bit.
+    *
+    * Scale: the corpus is scanned ONCE with the sampled anchor set as
+    * the small join side (sample-bounded by construction, the
+    * broadcast-dim class — unhinted, AQE decides); the label
+    * inequality makes this a nested-loop join against that bounded
+    * side, which is exactly brute-force scoring — the
+    * [[knnCosine]] baseline contract. At billion-vector scale the
+    * anchor set probes the IVF index ([[ivfKnn]]) instead and this
+    * exact kernel becomes the recall audit, the q_ann_recall
+    * pattern. Per-anchor top-k is a rank window over anchor-keyed
+    * partitions (anchors × corpus rows, sample-bounded). */
+  def hardNegatives(t: Tables, k: Int = 3, sampleMod: Int = 10): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotProduct _
+    val coin = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").bitwiseAND(lit(0x7FFFFFFFL)) % sampleMod
+    val base = Dedup.spread(
+        t.embeddings.select(col("vec_id"), col("label"), col("embedding")))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
+      .select(col("vec_id"), col("label"), col("m"),
+        dot(col("m"), col("m")).cast("long").as("aa"))
+      .persistTracked() // anchor sample + corpus side share the snap
+    val anchors = base.filter(coin === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("la"),
+        col("m").as("ma"), col("aa"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_ppm").desc, col("neg_id"))
+    base
+      .select(col("vec_id").as("neg_id"), col("label").as("lb"),
+        col("m").as("mb"), col("aa").as("bb"))
+      .join(anchors, col("la") =!= col("lb"))
+      .select(col("anchor_id"), col("neg_id"),
+        dot(col("ma"), col("mb")).cast("long").as("dot"),
+        col("aa"), col("bb"))
+      .withColumn("cos_ppm", expr(Dedup.cosPpmSql))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("anchor_id"), col("rnk"), col("neg_id"), col("cos_ppm"))
+      .orderBy(col("anchor_id"), col("rnk"))
+  }
+
   def centroidUpdate(t: Tables): DataFrame = {
     val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
     t.embeddings
