@@ -193,6 +193,10 @@ object SparkEntry {
     // CCNet-style LM-perplexity scoring: integer floor-log2 bigram LM
     // trained on the lang='en' slice, exact-ppm bits per bigram
     "q_perplexity"     -> q(TextAnalysis.lmPerplexity),
+    // CCNet head/middle/tail: per-lang perplexity tertiles
+    "q_ccnet_bucket"   -> q(TextAnalysis.ccnetBuckets),
+    // temperature-1/2 source mixture via integer sqrt weights
+    "q_sqrt_mixture"   -> q(Curation.sqrtMixture),
     // multinomial Naive Bayes lang classifier (fastText-filter shape):
     // even-id train / odd-id score, integer costs, confusion matrix
     "q_nb_classify"    -> q(TextAnalysis.nbClassify),
@@ -295,6 +299,29 @@ object SparkEntry {
       |        a.aa AS aa, b.aa AS bb
       |      FROM w a JOIN w b ON a.label = b.label AND a.vec_id < b.vec_id),
       |s AS (SELECT id_a, id_b, ${operators.Dedup.cosPpmSql} AS cos_ppm FROM p)""".stripMargin
+
+  /** Shared perplexity CTEs (bigram counts → reference-slice LM →
+    * per-doc integer bits) — the common prefix of q_perplexity (the
+    * per-doc frame) and q_ccnet_bucket (the per-lang tertile cut). */
+  private lazy val perplexityOracleCore: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+      |pos AS (SELECT doc_id, lang, l, unnest(generate_series(1, len(l) - 1)) AS i FROM tok),
+      |bg AS (SELECT doc_id, lang, l[i] || ' ' || l[i+1] AS bg,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM pos GROUP BY 1, 2, 3),
+      |refbg AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS cb
+      |          FROM bg WHERE lang = 'en' GROUP BY bg),
+      |refctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS cw
+      |           FROM bg WHERE lang = 'en' GROUP BY 1),
+      |costs AS (SELECT bg, CAST(length(bin(cw)) - length(bin(cb)) AS BIGINT) AS cost
+      |          FROM refbg JOIN refctx ON split_part(refbg.bg, ' ', 1) = refctx.w1),
+      |px AS (SELECT b.doc_id, b.lang,
+      |         CAST(SUM(b.c) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(b.c * COALESCE(costs.cost, 24)) AS BIGINT) AS cost_units,
+      |         CAST(CAST(SUM(b.c * COALESCE(costs.cost, 24)) AS BIGINT) * 1000000
+      |           // CAST(SUM(b.c) AS BIGINT) AS BIGINT) AS bits_ppm
+      |       FROM bg b LEFT JOIN costs USING (bg)
+      |       GROUP BY b.doc_id, b.lang)""".stripMargin
 
   /** Shared PQ CTEs (subvector micro values → seeded codebook → exact
     * per-centroid distances → per-subspace best code); extended by
@@ -2059,25 +2086,42 @@ object SparkEntry {
     // floor-log2 bigram LM replayed exactly: reference-slice counts,
     // bin-length costs, flat OOV=24, integer-ppm bits per bigram
     "q_perplexity" ->
-      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
-        |pos AS (SELECT doc_id, lang, l, unnest(generate_series(1, len(l) - 1)) AS i FROM tok),
-        |bg AS (SELECT doc_id, lang, l[i] || ' ' || l[i+1] AS bg,
-        |         CAST(COUNT(*) AS BIGINT) AS c
-        |       FROM pos GROUP BY 1, 2, 3),
-        |refbg AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS cb
-        |          FROM bg WHERE lang = 'en' GROUP BY bg),
-        |refctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS cw
-        |           FROM bg WHERE lang = 'en' GROUP BY 1),
-        |costs AS (SELECT bg, CAST(length(bin(cw)) - length(bin(cb)) AS BIGINT) AS cost
-        |          FROM refbg JOIN refctx ON split_part(refbg.bg, ' ', 1) = refctx.w1)
-        |SELECT b.doc_id, b.lang,
-        |       CAST(SUM(b.c) AS BIGINT) AS n_bigrams,
-        |       CAST(SUM(b.c * COALESCE(costs.cost, 24)) AS BIGINT) AS cost_units,
-        |       CAST(CAST(SUM(b.c * COALESCE(costs.cost, 24)) AS BIGINT) * 1000000
-        |         // CAST(SUM(b.c) AS BIGINT) AS BIGINT) AS bits_ppm
-        |FROM bg b LEFT JOIN costs USING (bg)
-        |GROUP BY b.doc_id, b.lang
-        |ORDER BY b.doc_id""".stripMargin,
+      s"""$perplexityOracleCore
+        |SELECT doc_id, lang, n_bigrams, cost_units, bits_ppm FROM px
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-lang NTILE(3) over the shared perplexity frame — the CCNet
+    // head/middle/tail cut, bucket boundaries engine-exact
+    "q_ccnet_bucket" ->
+      s"""$perplexityOracleCore,
+        |b AS (SELECT lang, bits_ppm, n_bigrams,
+        |        NTILE(3) OVER (PARTITION BY lang
+        |                       ORDER BY bits_ppm, doc_id) AS bucket
+        |      FROM px)
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(bits_ppm) AS min_bits_ppm,
+        |       MAX(bits_ppm) AS max_bits_ppm,
+        |       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+        |FROM b GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // integer-sqrt temperature weights: w = floor(sqrt(tokens)), all
+    // shares exact bigint over the integer weight sum
+    "q_sqrt_mixture" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS src_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS w
+        |      FROM per),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total,
+        |               CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM w)
+        |SELECT source, n_docs, src_tokens, w.w,
+        |       w.w * 1000000 // t.w_total AS share_ppm,
+        |       t.total_tokens * (w.w * 1000000 // t.w_total) // 1000000 AS sampled_tokens
+        |FROM w CROSS JOIN tot t
+        |ORDER BY source""".stripMargin,
 
     // Naive Bayes replayed integer-exact: even/odd split, add-one
     // floor-log2 costs via the closed-form absent-token fold,

@@ -151,6 +151,36 @@ object Curation {
     * before training). One skinny per-source aggregate + a broadcast
     * one-row total; ALL arithmetic is bigint (floor division), so the
     * published weights are exact and engine-independent. */
+  /** Temperature-scaled source mixture at T = 1/2 (the UNIMAX / mT5
+    * family's temperature sampling, p_s ∝ n_s^(1/T) with the exponent
+    * realized as a SQUARE ROOT): sampling shares proportional to
+    * √tokens flatten the source distribution — over-represented
+    * sources are tempered, small sources boosted — without the hard
+    * uniform target [[mixtureWeights]] levels to. Cross-engine
+    * exactness without libm pow: SQRT is IEEE-correctly-rounded in
+    * both engines and each per-source weight is floored to an INTEGER
+    * immediately (w_s = ⌊√n_s⌋), so the share denominator is an
+    * integer sum — order-independent, no float-accumulation drift —
+    * and every published share/allocation is exact bigint arithmetic.
+    *
+    * Scale: one per-source aggregate (skinny) + a broadcast one-row
+    * total; the corpus is scanned once for token counts. */
+  def sqrtMixture(t: Tables): DataFrame = {
+    val per = t.documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("text"), lit("[^ ]+"))).cast("long").as("src_tokens"))
+      .withColumn("w", expr("CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE))) AS BIGINT)"))
+    val tot = per.agg(sum(col("w")).as("w_total"),
+      sum(col("src_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("w * 1000000 DIV w_total"))
+      .withColumn("sampled_tokens", expr("total_tokens * share_ppm DIV 1000000"))
+      .select(col("source"), col("n_docs"), col("src_tokens"), col("w"),
+        col("share_ppm"), col("sampled_tokens"))
+      .orderBy(col("source"))
+  }
+
   def mixtureWeights(t: Tables, maxWeightPpm: Long = 4000000L): DataFrame = {
     val per = t.documents
       .groupBy(col("source"))

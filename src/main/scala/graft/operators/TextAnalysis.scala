@@ -1222,6 +1222,33 @@ object TextAnalysis {
       .orderBy(col("piece"))
   }
 
+  /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2020
+    * §4.3): within each language, rank documents by LM perplexity
+    * ([[lmPerplexity]]'s bits_ppm) and cut into tertiles — "head" is
+    * the most reference-like third the pipeline keeps outright,
+    * "tail" the third it drops or down-weights. NTILE over the
+    * deterministic (bits_ppm, doc_id) order is engine-exact (both
+    * engines define NTILE identically: leading buckets take the
+    * remainder), so the bucket boundaries — and the per-bucket
+    * dashboard this emits — replay bit-for-bit.
+    *
+    * Scale: [[lmPerplexity]]'s budget plus one per-lang window (a
+    * lang-partitioned sort of DOC-LEVEL rows, never text) and a
+    * classes×3 aggregate. */
+  def ccnetBuckets(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bits_ppm"), col("doc_id"))
+    lmPerplexityDocs(t.documents)
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("bits_ppm")).as("min_bits_ppm"),
+        max(col("bits_ppm")).as("max_bits_ppm"),
+        sum(col("n_bigrams")).cast("long").as("n_bigrams"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** Multinomial Naive Bayes language classifier — the relational
     * skeleton of the fastText-style quality/domain classifiers LLM
     * curation pipelines train on a labeled slice and sweep over the
