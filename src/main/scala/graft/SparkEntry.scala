@@ -200,6 +200,9 @@ object SparkEntry {
     // multinomial Naive Bayes lang classifier (fastText-filter shape):
     // even-id train / odd-id score, integer costs, confusion matrix
     "q_nb_classify"    -> q(TextAnalysis.nbClassify),
+    // Cavnar-Trenkle rank-profile LID: char-trigram profiles,
+    // out-of-place distance, same train/score harness
+    "q_ct_langid"      -> q(TextAnalysis.ctLangId(_)),
     // count-min sketch under the oracle gate: md5-family hashes, exact
     // audit column beside the estimate
     "q_heavy_hitters"  -> q(TextAnalysis.heavyHitters(_)),
@@ -2122,6 +2125,46 @@ object SparkEntry {
         |       t.total_tokens * (w.w * 1000000 // t.w_total) // 1000000 AS sampled_tokens
         |FROM w CROSS JOIN tot t
         |ORDER BY source""".stripMargin,
+
+    // rank profiles replayed with the same (cnt desc, gram asc) window
+    // ties; absent-gram penalty folded closed-form like the NB oracle
+    "q_ct_langid" ->
+      """WITH g0 AS (SELECT doc_id, lang, text,
+        |              unnest(generate_series(1, length(text) - 2)) AS i
+        |            FROM documents WHERE length(text) >= 3),
+        |gr AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM g0 GROUP BY 1, 2, 3),
+        |lp AS (SELECT cls, g, CAST(rl AS BIGINT) AS rl FROM (
+        |         SELECT lang AS cls, g,
+        |                ROW_NUMBER() OVER (PARTITION BY lang
+        |                                   ORDER BY SUM(c) DESC, g) AS rl
+        |         FROM gr WHERE doc_id % 2 = 0 GROUP BY lang, g) x
+        |       WHERE rl <= 40),
+        |dp AS (SELECT doc_id, lang, g, CAST(rd AS BIGINT) AS rd FROM (
+        |         SELECT doc_id, lang, g,
+        |                ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                   ORDER BY c DESC, g) AS rd
+        |         FROM gr WHERE doc_id % 2 = 1) x
+        |       WHERE rd <= 40),
+        |gains AS (SELECT dp.doc_id, lp.cls,
+        |            CAST(SUM(40 - abs(dp.rd - lp.rl)) AS BIGINT) AS gain
+        |          FROM dp JOIN lp USING (g) GROUP BY 1, 2),
+        |dn AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS np
+        |       FROM dp GROUP BY 1, 2),
+        |cl AS (SELECT DISTINCT cls FROM lp),
+        |score AS (SELECT dn.doc_id, dn.lang, cl.cls,
+        |            40 * dn.np - COALESCE(g.gain, 0) AS dist
+        |          FROM dn CROSS JOIN cl
+        |          LEFT JOIN gains g ON g.doc_id = dn.doc_id AND g.cls = cl.cls),
+        |pred AS (SELECT doc_id, lang, cls AS pred_lang,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                              ORDER BY dist, cls) AS rn
+        |         FROM score)
+        |SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // Naive Bayes replayed integer-exact: even/odd split, add-one
     // floor-log2 costs via the closed-form absent-token fold,

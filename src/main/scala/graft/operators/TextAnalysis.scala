@@ -1249,6 +1249,79 @@ object TextAnalysis {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** Cavnar–Trenkle n-gram language identification (1994, the
+    * rank-profile method behind textcat and most pre-neural LID):
+    * every language gets a PROFILE — its top-`profileN` character
+    * trigrams ranked by frequency — and a document is classified to
+    * the profile minimizing the OUT-OF-PLACE distance: Σ over the
+    * doc's own top-trigram ranks of |rank_doc − rank_lang|, with a
+    * flat `profileN` penalty for trigrams missing from the language
+    * profile. Trained on even doc_ids, scored on the odd half,
+    * confusion matrix out (the [[nbClassify]] harness, second
+    * classifier family: rank statistics instead of likelihoods —
+    * robust to length and topic in ways unigram likelihoods aren't).
+    *
+    * All integer: counts, window ranks with (cnt desc, gram asc)
+    * ties, |rank − rank| sums, flat penalties. The absent-gram
+    * penalty folds closed-form (dist = N·|docProfile| − Σ_present
+    * (N − |Δrank|)), so scoring needs only a gram equi-join plus the
+    * lang-dim-bounded cross join — no profile-sized default fill.
+    *
+    * Scale: one (doc, gram) partial-agg shuffle; profiles are
+    * languages×N rows; doc profiles are docs×N (skinny, never raw
+    * text); the scoring join keys on the gram string. */
+  def ctLangId(t: Tables, profileN: Int = 40): DataFrame =
+    ctLangIdDocs(t.documents, profileN)
+
+  /** [[ctLangId]] over an explicit (doc_id, lang, text) frame. */
+  def ctLangIdDocs(docs: DataFrame, profileN: Int = 40): DataFrame = {
+    val grams = Dedup.spread(docs.select(col("doc_id"), col("lang"), col("text")))
+      .filter(length(col("text")) >= 3) // sequence(1, len-2) must ascend
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
+      .select(col("doc_id"), col("lang"),
+        col("text").substr(col("i"), lit(3)).as("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .persistTracked() // lang profiles + doc profiles share the scan
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cls")).orderBy(col("c").desc, col("g"))
+    val langProf = grams.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang").as("cls"), col("g"))
+      .agg(sum(col("c")).cast("long").as("c"))
+      .withColumn("rl", row_number().over(wLang).cast("long"))
+      .filter(col("rl") <= profileN)
+      .select(col("cls"), col("g"), col("rl"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
+    val docProf = grams.filter(col("doc_id") % 2 === 1)
+      .withColumn("rd", row_number().over(wDoc).cast("long"))
+      .filter(col("rd") <= profileN)
+      .select(col("doc_id"), col("lang"), col("g"), col("rd"))
+      .persistTracked() // gain join + profile-size frame
+    val gains = docProf.join(langProf, Seq("g"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(lit(profileN.toLong) - abs(col("rd") - col("rl")))
+        .cast("long").as("gain"))
+    val docN = docProf.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("np"))
+    val classes = langProf.select(col("cls")).distinct()
+    docN
+      .crossJoin(classes) // lang-dim bounded; AQE decides
+      .join(gains, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("lang"),
+        struct(
+          (lit(profileN.toLong) * col("np") - coalesce(col("gain"), lit(0L)))
+            .as("dist"),
+          col("cls")).as("sc"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(col("sc")).as("m")) // (dist, cls) lexicographic min
+      .select(col("lang"), col("m.cls").as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** Multinomial Naive Bayes language classifier — the relational
     * skeleton of the fastText-style quality/domain classifiers LLM
     * curation pipelines train on a labeled slice and sweep over the
