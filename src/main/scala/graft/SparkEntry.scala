@@ -100,6 +100,9 @@ object SparkEntry {
     // hard-negative mining: exact micro-int cosine, wrong-label top-k
     // per md5-coin-sampled anchor
     "q_hard_negatives" -> q(Similarity.hardNegatives(_)),
+    // MMR diverse reranking: greedy rel − max-sim-to-selected over the
+    // top-depth candidates, trajectory engine-exact
+    "q_mmr_rerank"     -> q(Similarity.mmrRerank(_)),
     // positional-index phrase search: adjacency as a join key
     "q_phrase_search"  -> q(Retrieval.phraseSearch(_)),
     "q_knn_ivfpq"      -> q(Similarity.ivfPqKnnExact(_)),
@@ -1980,6 +1983,53 @@ object SparkEntry {
         |      FROM s)
         |SELECT anchor_id, rnk, neg_id, cos_ppm FROM r WHERE rnk <= 3
         |ORDER BY anchor_id, rnk""".stripMargin,
+
+    // the greedy MMR trajectory unrolled as a 5-round CTE chain; every
+    // pick and penalty is the shared micro-int cosine ppm
+    "q_mmr_rerank" -> {
+      val cos = operators.Dedup.cosPpmSql
+      val rounds = (2 to 5).map { r =>
+        s"""sel${r - 1} AS (SELECT vec_id FROM s${r - 1}${
+          if (r > 2) s" UNION ALL SELECT vec_id FROM sel${r - 2}" else ""}),
+          |p$r AS (SELECT r.vec_id, r.rel_ppm, MAX(pr.sim_ppm) AS pen
+          |        FROM rel r JOIN pr ON pr.ib = r.vec_id
+          |          AND pr.ia IN (SELECT vec_id FROM sel${r - 1})
+          |        WHERE r.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+          |        GROUP BY 1, 2),
+          |s$r AS (SELECT vec_id, rel_ppm, CAST(pen AS BIGINT) AS pen
+          |        FROM p$r ORDER BY rel_ppm - pen DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |w AS (SELECT vec_id, m,
+        |        CAST(list_sum(list_transform(m, x -> x * x)) AS BIGINT) AS aa FROM q),
+        |qv AS (SELECT m AS mq, aa AS qq FROM w WHERE vec_id = 0),
+        |rel0 AS (SELECT w.vec_id, w.m, w.aa AS ca, qv.qq AS bb, w.aa,
+        |           CAST(list_sum(list_transform(generate_series(1, len(w.m)),
+        |             i -> w.m[i] * qv.mq[i])) AS BIGINT) AS dot
+        |         FROM w, qv WHERE w.vec_id <> 0),
+        |rel1 AS (SELECT vec_id, m, ca, $cos AS rel_ppm FROM rel0),
+        |rel AS (SELECT * FROM rel1 ORDER BY rel_ppm DESC, vec_id LIMIT 16),
+        |pr0 AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |          CAST(list_sum(list_transform(generate_series(1, len(a.m)),
+        |            i -> a.m[i] * b.m[i])) AS BIGINT) AS dot,
+        |          a.ca AS aa, b.ca AS bb
+        |        FROM rel a, rel b WHERE a.vec_id <> b.vec_id),
+        |pr AS (SELECT ia, ib, $cos AS sim_ppm FROM pr0),
+        |s1 AS (SELECT vec_id, rel_ppm, CAST(0 AS BIGINT) AS pen
+        |       FROM rel ORDER BY rel_ppm DESC, vec_id LIMIT 1),
+        |$rounds
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rnk, vec_id, rel_ppm, pen AS penalty_ppm,
+        |         rel_ppm - pen AS mmr_score FROM s1
+        |  UNION ALL SELECT 2, vec_id, rel_ppm, pen, rel_ppm - pen FROM s2
+        |  UNION ALL SELECT 3, vec_id, rel_ppm, pen, rel_ppm - pen FROM s3
+        |  UNION ALL SELECT 4, vec_id, rel_ppm, pen, rel_ppm - pen FROM s4
+        |  UNION ALL SELECT 5, vec_id, rel_ppm, pen, rel_ppm - pen FROM s5)
+        |ORDER BY rnk""".stripMargin
+    },
 
     // the Rademacher matrix rebuilt from md5('rp_j_d') parity; both
     // squared distances re-derived per-dimension; one ppm division

@@ -748,6 +748,80 @@ object Similarity {
       .orderBy(col("anchor_id"), col("rnk"))
   }
 
+  /** Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    * 1998) at λ = 1/2: from the top-`depth` most-relevant vectors for
+    * a query, greedily pick `k` results maximizing rel − max-sim-to-
+    * already-selected — the diversification step RAG retrieval runs so
+    * five near-identical chunks don't fill the context window.
+    * Everything numeric is the exact micro-int cosine ppm, so the
+    * greedy trajectory — every pick, every penalty — replays
+    * bit-for-bit in DuckDB (the oracle unrolls the k rounds as a CTE
+    * chain).
+    *
+    * Scale split: the DISTRIBUTED work is relevance scoring (corpus
+    * scanned once against the 1-row query) + the depth² candidate
+    * similarity matrix (bounded by `depth` BY CONSTRUCTION — the
+    * broadcast-dim class). The greedy argmax over that ≤depth² matrix
+    * is bounded driver state (the k-means centroid / BPE merge
+    * election pattern); the result frame derives from the distributed
+    * candidate frame with the chosen ranks as literals. */
+  def mmrRerank(t: Tables, depth: Int = 16, k: Int = 5): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotProduct _
+    val base = Dedup.spread(t.embeddings.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
+      .select(col("vec_id"), col("m"), dot(col("m"), col("m")).cast("long").as("aa"))
+      .persistTracked() // query row + relevance scan + pair matrix
+    val qv = base.filter(col("vec_id") === 0)
+      .select(col("m").as("mq"), col("aa").as("qq")) // 1 row
+    val rel = base.filter(col("vec_id") =!= 0)
+      .crossJoin(qv)
+      .select(col("vec_id"), col("m"), col("aa").as("ca"),
+        dot(col("m"), col("mq")).cast("long").as("dot"),
+        col("aa"), col("qq").as("bb"))
+      .withColumn("rel_ppm", expr(Dedup.cosPpmSql))
+      .orderBy(col("rel_ppm").desc, col("vec_id")).limit(depth) // TakeOrdered
+      .select(col("vec_id"), col("m"), col("ca").as("aa"), col("rel_ppm"))
+      .persistTracked() // pair matrix + output derivation
+    val sims = rel.select(col("vec_id").as("ia"), col("m").as("ma"), col("aa").as("pa"))
+      .crossJoin(rel.select(col("vec_id").as("ib"), col("m").as("mb"),
+        col("aa").as("pb"))) // depth² by construction
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        dot(col("ma"), col("mb")).cast("long").as("dot"),
+        col("pa").as("aa"), col("pb").as("bb"))
+      .withColumn("sim_ppm", expr(Dedup.cosPpmSql))
+      .select(col("ia"), col("ib"), col("sim_ppm"))
+    val relRows = rel.select(col("vec_id"), col("rel_ppm")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)) // ≤ depth rows
+    val simMap = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap // ≤ depth²
+    var selected = Vector.empty[(Long, Long)] // (vec_id, penalty_ppm)
+    (1 to math.min(k, relRows.length)).foreach { _ =>
+      val picked = selected.map(_._1).toSet
+      val best = relRows.filterNot(c => picked(c._1))
+        .map { case (id, r) =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(s => simMap((s._1, id))).max
+          (id, pen, r - pen)
+        }
+        .minBy { case (id, _, sc) => (-sc, id) } // max score, ties id asc
+      selected :+= ((best._1, best._2))
+    }
+    val rankMap = map(selected.zipWithIndex.flatMap { case ((id, _), i) =>
+      Seq(lit(id), lit((i + 1).toLong)) }: _*)
+    val penMap = map(selected.flatMap { case (id, p) => Seq(lit(id), lit(p)) }: _*)
+    rel.select(col("vec_id"), col("rel_ppm"))
+      .withColumn("rnk", try_element_at(rankMap, col("vec_id")))
+      .filter(col("rnk").isNotNull)
+      .withColumn("penalty_ppm", try_element_at(penMap, col("vec_id")))
+      .withColumn("mmr_score", col("rel_ppm") - col("penalty_ppm"))
+      .select(col("rnk"), col("vec_id"), col("rel_ppm"), col("penalty_ppm"),
+        col("mmr_score"))
+      .orderBy(col("rnk"))
+  }
+
   def centroidUpdate(t: Tables): DataFrame = {
     val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
     t.embeddings
