@@ -240,6 +240,8 @@ object SparkEntry {
     "q_epoch_shuffle"  -> q(Curation.epochShuffle(_)),
     "q_shard_checksum" -> q(Curation.shardChecksum(_)),
     "q_centroid_update" -> q(Similarity.centroidUpdate),
+    // per-label farthest-from-centroid sweep (encoder-glitch QC)
+    "q_embed_outliers" -> q(Similarity.embedOutliers(_)),
     // full Lloyd loop (2 iterations, micro-int distances, driver-side
     // bounded centroid state baked as literals — assignment is
     // map-side, the M-step is the only shuffle)
@@ -2576,6 +2578,31 @@ object SparkEntry {
         |         AS centroid_micro
         |FROM m GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+
+    // centroid M-step reused dim-for-dim; distances and label means in
+    // exact integer arithmetic; within-label rank window
+    "q_embed_outliers" ->
+      """WITH p AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+        |             unnest(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+        |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+        |      FROM p),
+        |cent AS (SELECT label, dim,
+        |           CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+        |             AS c
+        |         FROM m GROUP BY label, dim),
+        |d2 AS (SELECT vec_id, m.label,
+        |         CAST(SUM((m.m - c.c) * (m.m - c.c)) AS BIGINT) AS d2
+        |       FROM m JOIN cent c USING (label, dim) GROUP BY 1, 2),
+        |mn AS (SELECT label, CAST(SUM(d2) AS BIGINT) // COUNT(*) AS mean_d2
+        |       FROM d2 GROUP BY label),
+        |r AS (SELECT d2.label, d2.vec_id, d2.d2, mn.mean_d2,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY d2.label
+        |                                ORDER BY d2.d2 DESC, d2.vec_id) AS BIGINT) AS rnk
+        |      FROM d2 JOIN mn USING (label))
+        |SELECT label, rnk, vec_id, d2, mean_d2 FROM r WHERE rnk <= 3
+        |ORDER BY label, rnk""".stripMargin,
 
     "q_split_assign" ->
       """WITH d AS (SELECT

@@ -822,6 +822,53 @@ object Similarity {
       .orderBy(col("rnk"))
   }
 
+  /** Embedding-space outlier detection — the quality-control sweep an
+    * embedding pipeline runs before training on the vectors (encoder
+    * glitches, mislabeled rows and corrupted inputs all land far from
+    * their class centroid): per label, the exact micro-int squared
+    * distance of every vector to its label's floored-mean centroid
+    * (the [[centroidUpdate]] M-step), the label's integer mean
+    * distance as the baseline, and the top-3 farthest vectors per
+    * label — within-label ranking needs no cross-label normalization.
+    *
+    * Scale: one (label, dim) M-step partial agg (centroid-table-sized
+    * state), one join of the dim rows against that labels×dims frame
+    * (AQE broadcasts it), one per-vector distance agg, and a
+    * label-partitioned rank window over SKINNY (vec, d2) rows. All
+    * integer: sums stay under 2⁶³ by construction (64 dims × micro²),
+    * the mean is bigint floor division. */
+  def embedOutliers(t: Tables, k: Int = 3): DataFrame = {
+    val micro = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
+    val dims = Dedup.spread(t.embeddings
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding")))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"), micro.as("m"))
+      .persistTracked() // M-step + distance pass share the snap
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("s"))
+      .withColumn("c",
+        expr("CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+      .select(col("label"), col("dim"), col("c"))
+    val d2 = dims.join(cent, Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("m") - col("c")) * (col("m") - col("c")))
+        .cast("long").as("d2"))
+      .persistTracked() // label mean + rank share it
+    val mean = d2.groupBy(col("label"))
+      .agg(sum(col("d2")).cast("long").as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_d2", expr("s DIV n"))
+      .select(col("label"), col("mean_d2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2").desc, col("vec_id"))
+    d2.join(mean, Seq("label"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("rnk"), col("vec_id"), col("d2"), col("mean_d2"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
   def centroidUpdate(t: Tables): DataFrame = {
     val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
     t.embeddings
