@@ -211,6 +211,9 @@ object SparkEntry {
     "q_heavy_hitters"  -> q(TextAnalysis.heavyHitters(_)),
     // bloom-filter decontamination with the exact join as FP audit
     "q_bloom_decontaminate" -> q(TextAnalysis.bloomDecontaminate(_)),
+    // bloom saturation dashboard: fill ratio, predicted fill^k FP
+    // rate, measured FP rate from the exact audit
+    "q_bloom_saturation" -> q(TextAnalysis.bloomSaturation(_)),
     // HyperLogLog cardinality with exact audit (integer register sums)
     "q_hll_audit"      -> q(TextAnalysis.hllAudit(_)),
     "q_source_audit"   -> q(Curation.sourceAudit),
@@ -2253,6 +2256,40 @@ object SparkEntry {
         |FROM pred WHERE rn = 1
         |GROUP BY lang, pred_lang
         |ORDER BY lang, pred_lang""".stripMargin,
+
+    // the same bit/probe CTEs collapsed to one-row totals; prediction
+    // is k fixed-order IEEE multiplies of one division
+    "q_bloom_saturation" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle FROM p),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+        |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 100 <> 0),
+        |bits AS (SELECT DISTINCT
+        |           (('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT
+        |             & 2147483647) % 4096 AS bit
+        |         FROM bench, range(0, 4) r),
+        |probes AS (SELECT doc_id, shingle, r.range AS r,
+        |             (('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT
+        |               & 2147483647) % 4096 AS bit
+        |           FROM corpus, range(0, 4) r),
+        |positive AS (SELECT doc_id, shingle FROM probes JOIN bits USING (bit)
+        |             GROUP BY doc_id, shingle HAVING COUNT(DISTINCT r) = 4),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM positive),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt
+        |       FROM corpus c JOIN bench b USING (shingle)),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM corpus),
+        |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits),
+        |bn AS (SELECT CAST(COUNT(*) AS BIGINT) AS bench_shingles FROM bench)
+        |SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+        |       bench_shingles, bits_set,
+        |       bits_set * 1000000 // 4096 AS fill_ppm,
+        |       CAST(FLOOR(1000000.0 * (CAST(bits_set AS DOUBLE) / 4096.0)
+        |         * (CAST(bits_set AS DOUBLE) / 4096.0)
+        |         * (CAST(bits_set AS DOUBLE) / 4096.0)
+        |         * (CAST(bits_set AS DOUBLE) / 4096.0)) AS BIGINT) AS fp_pred_ppm,
+        |       (nb - nt) * 1000000 // GREATEST(np - nt, 1) AS fp_meas_ppm
+        |FROM bs CROSS JOIN bn CROSS JOIN nb CROSS JOIN nt CROSS JOIN np""".stripMargin,
 
     // bloom filter replayed bit-for-bit: distinct bench bit positions,
     // all-k-positions-set probe, exact semi-join as the FP audit

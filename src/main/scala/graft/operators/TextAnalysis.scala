@@ -478,6 +478,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter saturation audit — the [[bloomDecontaminate]]
+    * m-sizing rule (m ≈ 10·bench shingles) turned into a measured
+    * one-row dashboard an operator reads BEFORE trusting a
+    * decontamination pass: the filter's fill ratio (bits set / m), the
+    * textbook predicted false-positive rate fill^k (k IEEE
+    * multiplications of one division, fixed order — bit-stable
+    * cross-engine), and the MEASURED FP rate from the exact audit
+    * ((bloom positives − true positives) over true negatives). When
+    * the filter saturates, prediction and measurement climb together —
+    * the signal that m must scale with the bench set.
+    *
+    * Scale: identical wire budget to [[bloomDecontaminate]] (bit
+    * frame ≤ mBits rows, probes join on the bit key) collapsed to
+    * one-row aggregates. */
+  def bloomSaturation(t: Tables, n: Int = 3, mBits: Int = 4096,
+                      kHashes: Int = 4): DataFrame = {
+    def pos(r: Int): Column =
+      conv(substring(md5(concat(lit(s"$r:"), col("shingle"))), 1, 8), 16, 10)
+        .cast("long").bitwiseAND(lit(0x7FFFFFFFL)) % mBits
+    val sh = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordNgramsOf(col("toks"), n))).as("shingle"))
+      .persistTracked() // bench bits + probes + exact audit share it
+    val bench = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("shingle")).distinct().persistTracked()
+    val corpus = sh.filter(col("doc_id") % 100 =!= 0)
+    val bits = (0 until kHashes).map(r => bench.select(pos(r).as("bit")))
+      .reduce(_ unionAll _).distinct().persistTracked() // count + probe join
+    val probes = (0 until kHashes).map(r =>
+        corpus.select(col("doc_id"), col("shingle"),
+          lit(r).as("r"), pos(r).as("bit")))
+      .reduce(_ unionAll _)
+    val nbTot = probes.join(bits, Seq("bit"))
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(countDistinct(col("r")).as("nr"))
+      .filter(col("nr") === kHashes)
+      .agg(count(lit(1)).cast("long").as("nb"))
+    val ntTot = corpus.join(bench, Seq("shingle"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("nt"))
+    val npTot = corpus.agg(count(lit(1)).cast("long").as("np"))
+    val f = s"(CAST(bits_set AS DOUBLE) / $mBits.0)"
+    bits.agg(count(lit(1)).cast("long").as("bits_set"))
+      .crossJoin(bench.agg(count(lit(1)).cast("long").as("bench_shingles")))
+      .crossJoin(nbTot).crossJoin(ntTot).crossJoin(npTot)
+      .select(lit(mBits.toLong).as("m_bits"), lit(kHashes.toLong).as("k_hashes"),
+        col("bench_shingles"), col("bits_set"),
+        expr(s"bits_set * 1000000 DIV $mBits").as("fill_ppm"),
+        expr(s"CAST(FLOOR(1000000.0 * ${Seq.fill(kHashes)(f).mkString(" * ")}) AS BIGINT)")
+          .as("fp_pred_ppm"),
+        expr("(nb - nt) * 1000000 DIV GREATEST(np - nt, 1)").as("fp_meas_ppm"))
+  }
+
   /** HyperLogLog cardinality with an exact audit — the third oracled
     * sketch (after count-min and bloom): 2^p registers over the
     * md5-31bit hash of the corpus' distinct 3-gram shingles, register
