@@ -190,6 +190,9 @@ object SparkEntry {
     // under the learned vocabulary
     "q_bpe_encode"     -> q(TextAnalysis.bpeEncode(_)),
     "q_unigram_encode" -> q(TextAnalysis.unigramEncode(_)),
+    // WordPiece greedy longest-match-first under the same seed vocab
+    // (third tokenizer family; cost provably >= the Viterbi minimum)
+    "q_wordpiece_encode" -> q(TextAnalysis.wordpieceEncode(_)),
     // one Viterbi-EM training round under the same seed vocab: path-
     // carrying DP → usage counts → re-estimated costs + prune set
     "q_unigram_train"  -> q(TextAnalysis.unigramTrain(_)),
@@ -2067,6 +2070,58 @@ object SparkEntry {
         |FROM po JOIN pp USING (id_a, id_b)
         |WHERE d2_orig > 0
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // greedy longest-match recursion advances one PIECE per step; the
+    // boundary guards on the length-k joins stop end-of-word overshoot
+    "q_wordpiece_encode" ->
+      """WITH RECURSIVE
+        |dt AS MATERIALIZED (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) >= 1 GROUP BY doc_id, tok),
+        |toks AS MATERIALIZED (SELECT tok, CAST(SUM(c) AS BIGINT) AS c FROM dt GROUP BY tok),
+        |q0 AS (SELECT tok, c, unnest(generate_series(1, length(tok))) AS i FROM toks),
+        |q1 AS (SELECT tok, c, i, unnest([1,2,3,4]) AS l FROM q0),
+        |inv AS MATERIALIZED (
+        |  SELECT substr(tok, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        |         CAST(SUM(c) AS BIGINT) AS cnt
+        |  FROM q1 WHERE i + l - 1 <= length(tok) GROUP BY 1),
+        |vocab AS MATERIALIZED (
+        |  SELECT piece, CAST(40 - length(bin(cnt)) AS BIGINT) AS cost
+        |  FROM inv WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, CAST(40 - length(bin(cnt)) AS BIGINT) AS cost FROM
+        |    (SELECT piece, cnt FROM inv WHERE length(piece) >= 2
+        |     ORDER BY cnt DESC, piece LIMIT 64)),
+        |wp AS (
+        |  SELECT tok, CAST(1 AS BIGINT) AS pos,
+        |         CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS cost
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT tok, pos + k, np + 1, cost + c FROM (
+        |    SELECT wp.tok, wp.pos, wp.np, wp.cost,
+        |      CASE WHEN v4.cost IS NOT NULL THEN 4
+        |           WHEN v3.cost IS NOT NULL THEN 3
+        |           WHEN v2.cost IS NOT NULL THEN 2 ELSE 1 END AS k,
+        |      CASE WHEN v4.cost IS NOT NULL THEN v4.cost
+        |           WHEN v3.cost IS NOT NULL THEN v3.cost
+        |           WHEN v2.cost IS NOT NULL THEN v2.cost ELSE v1.cost END AS c
+        |    FROM wp
+        |    LEFT JOIN vocab v4 ON wp.pos + 3 <= length(wp.tok)
+        |      AND v4.piece = substr(wp.tok, CAST(wp.pos AS INT), 4)
+        |    LEFT JOIN vocab v3 ON wp.pos + 2 <= length(wp.tok)
+        |      AND v3.piece = substr(wp.tok, CAST(wp.pos AS INT), 3)
+        |    LEFT JOIN vocab v2 ON wp.pos + 1 <= length(wp.tok)
+        |      AND v2.piece = substr(wp.tok, CAST(wp.pos AS INT), 2)
+        |    JOIN vocab v1 ON v1.piece = substr(wp.tok, CAST(wp.pos AS INT), 1)
+        |    WHERE wp.pos <= length(wp.tok)) s),
+        |enc AS (SELECT tok, np, cost FROM wp WHERE pos = length(tok) + 1)
+        |SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_words,
+        |       CAST(SUM(dt.c * enc.np) AS BIGINT) AS n_pieces,
+        |       CAST(SUM(dt.c * enc.cost) AS BIGINT) AS cost_units
+        |FROM dt JOIN enc USING (tok)
+        |GROUP BY dt.doc_id
+        |ORDER BY dt.doc_id""".stripMargin,
 
     // the Viterbi DP extended with a path column: the tie CASE picks
     // the smallest piece length among (min cost, min pieces), then the

@@ -827,9 +827,15 @@ object TextAnalysis {
   def unigramEncode(t: Tables, maxPieceLen: Int = 4, topV: Int = 64): DataFrame =
     unigramEncodeDocs(t.documents, maxPieceLen, topV)
 
-  /** [[unigramEncode]] over an explicit (doc_id, text) frame. */
-  def unigramEncodeDocs(docs: DataFrame, maxPieceLen: Int = 4,
-                        topV: Int = 64): DataFrame = {
+  /** Shared seed for the subword family ([[unigramEncode]],
+    * [[unigramTrain]], [[wordpieceEncode]]): (doc, tok) type counts,
+    * the corpus type table, and the (piece, cost) seed vocabulary —
+    * every corpus character plus the `topV` most-frequent substrings
+    * of length ≤ `maxPieceLen` (ties cnt desc / piece asc), costs from
+    * the engine-exact floor-log2 (40 − bin-length). Frames persisted:
+    * each caller reuses them across its own passes. */
+  private def subwordSeed(docs: DataFrame, maxPieceLen: Int, topV: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val docsToks = Dedup.spread(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
@@ -839,7 +845,7 @@ object TextAnalysis {
       .persistTracked() // feeds the type table AND the rollup join
     val toks = docsToks.groupBy(col("tok"))
       .agg(sum(col("c")).cast("long").as("c"))
-      .persistTracked() // piece inventory + DP
+      .persistTracked() // piece inventory + the per-type encode
     val inv = toks
       .select(col("tok"), col("c"),
         explode(sequence(lit(1), length(col("tok")))).as("i"))
@@ -852,12 +858,25 @@ object TextAnalysis {
     val single = inv.filter(length(col("piece")) === 1)
     val multi = inv.filter(length(col("piece")) >= 2)
       .orderBy(col("cnt").desc, col("piece")).limit(topV) // TakeOrdered
-    val vocabRows = single.unionAll(multi)
+    val vocab = single.unionAll(multi)
       .select(col("piece"),
         (lit(40) - length(bin(col("cnt")))).cast("long").as("cost"))
-      .collect() // alphabet + topV rows — bounded, the broadcast-dim class
-    val costMap = map(vocabRows.toSeq.flatMap(r =>
+    (docsToks, toks, vocab)
+  }
+
+  /** The seed vocabulary as a map LITERAL (alphabet + topV rows —
+    * bounded, the broadcast-dim class). */
+  private def subwordCostMap(vocab: DataFrame): Column = {
+    val vocabRows = vocab.collect()
+    map(vocabRows.toSeq.flatMap(r =>
       Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+  }
+
+  /** [[unigramEncode]] over an explicit (doc_id, text) frame. */
+  def unigramEncodeDocs(docs: DataFrame, maxPieceLen: Int = 4,
+                        topV: Int = 64): DataFrame = {
+    val (docsToks, toks, vocab) = subwordSeed(docs, maxPieceLen, topV)
+    val costMap = subwordCostMap(vocab)
     val zero = struct(lit(0L).as("cost"), lit(0L).as("np"))
     // dp(i) = min over piece lengths k of dp(i−k) + cost(tok[i−k+1..i]);
     // acc is the dp array (0-based get), array_min skips the null
@@ -1217,34 +1236,9 @@ object TextAnalysis {
   /** [[unigramTrain]] over an explicit (doc_id, text) frame. */
   def unigramTrainDocs(docs: DataFrame, maxPieceLen: Int = 4,
                        topV: Int = 64): DataFrame = {
-    val docsToks = Dedup.spread(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-      .filter(length(col("tok")) >= 1)
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast("long").as("c"))
-    val toks = docsToks.groupBy(col("tok"))
-      .agg(sum(col("c")).cast("long").as("c"))
-      .persistTracked() // piece inventory + DP + E-step weights
-    val inv = toks
-      .select(col("tok"), col("c"),
-        explode(sequence(lit(1), length(col("tok")))).as("i"))
-      .select(col("tok"), col("c"), col("i"),
-        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
-      .filter(col("i") + col("l") - 1 <= length(col("tok")))
-      .select(col("tok").substr(col("i"), col("l")).as("piece"), col("c"))
-      .groupBy(col("piece")).agg(sum(col("c")).cast("long").as("cnt"))
-      .persistTracked() // single-char slice + top-V slice
-    val single = inv.filter(length(col("piece")) === 1)
-    val multi = inv.filter(length(col("piece")) >= 2)
-      .orderBy(col("cnt").desc, col("piece")).limit(topV) // TakeOrdered
-    val vocab = single.unionAll(multi)
-      .select(col("piece"),
-        (lit(40) - length(bin(col("cnt")))).cast("long").as("cost"))
-      .persistTracked() // cost map + M-step join-back
-    val vocabRows = vocab.collect() // alphabet + topV — broadcast-dim class
-    val costMap = map(vocabRows.toSeq.flatMap(r =>
-      Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+    val (_, toks, vocab0) = subwordSeed(docs, maxPieceLen, topV)
+    val vocab = vocab0.persistTracked() // cost map + M-step join-back
+    val costMap = subwordCostMap(vocab)
     val zero = struct(lit(0L).as("cost"), lit(0L).as("np"),
       lit(0L).as("k"), lit("").as("path"))
     // unigramEncode's DP with the path carried: candidate structs are
@@ -1275,6 +1269,60 @@ object TextAnalysis {
         coalesce(col("used"), lit(0L)).as("used"))
       .select(col("piece"), col("cost_init"), col("used"), col("cost_new"))
       .orderBy(col("piece"))
+  }
+
+  /** WordPiece greedy encode — the third tokenizer family (BERT's
+    * inference rule: at each position take the LONGEST vocabulary
+    * piece, longest-match-first, no backtracking) under the same seed
+    * vocabulary and floor-log2 costs as [[unigramEncode]], so the two
+    * are directly comparable: greedy can never beat the Viterbi
+    * minimum on cost (Round12Spec pins cost_greedy ≥ cost_viterbi per
+    * document). Single characters are always in the seed vocabulary,
+    * so no unk path is needed.
+    *
+    * Scale: the [[unigramEncode]] shape exactly — the greedy consume
+    * runs per word TYPE as one aggregate HOF with the cost table as a
+    * bounded map literal; the corpus pays the shared (doc, tok)
+    * partial count plus an equi-join. The fold visits every char
+    * index but only CONSUMES at piece starts (state carries the next
+    * consume position), so the per-type work is O(len·maxPieceLen)
+    * string probes. */
+  def wordpieceEncode(t: Tables, maxPieceLen: Int = 4,
+                      topV: Int = 64): DataFrame =
+    wordpieceEncodeDocs(t.documents, maxPieceLen, topV)
+
+  /** [[wordpieceEncode]] over an explicit (doc_id, text) frame. */
+  def wordpieceEncodeDocs(docs: DataFrame, maxPieceLen: Int = 4,
+                          topV: Int = 64): DataFrame = {
+    val (docsToks, toks, vocab) = subwordSeed(docs, maxPieceLen, topV)
+    val costMap = subwordCostMap(vocab)
+    val zero = struct(lit(1L).as("pos"), lit(0L).as("np"), lit(0L).as("cost"))
+    val enc = aggregate(sequence(lit(1), length(col("tok"))), zero,
+      (acc, i) => {
+        val pos = acc.getField("pos")
+        def candCost(k: Int) =
+          try_element_at(costMap, col("tok").substr(i, lit(k)))
+        def consume(k: Int) = struct(
+          (pos + lit(k.toLong)).as("pos"),
+          (acc.getField("np") + lit(1L)).as("np"),
+          (acc.getField("cost") + candCost(k)).as("cost"))
+        // longest-match-first chain; k = 1 always matches (alphabet
+        // pieces are complete by construction)
+        val matched = (maxPieceLen to 2 by -1).foldRight(consume(1)) {
+          (k, shorter) =>
+            when(i + lit(k - 1) <= length(col("tok")) &&
+              candCost(k).isNotNull, consume(k))
+              .otherwise(shorter)
+        }
+        when(i < pos, acc).otherwise(matched)
+      })
+    val encoded = toks.select(col("tok"), enc.as("e"))
+    docsToks.join(encoded, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_words"),
+        sum(col("c") * col("e.np")).cast("long").as("n_pieces"),
+        sum(col("c") * col("e.cost")).cast("long").as("cost_units"))
+      .orderBy(col("doc_id"))
   }
 
   /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2020
