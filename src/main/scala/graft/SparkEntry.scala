@@ -240,6 +240,8 @@ object SparkEntry {
     "q_soft_dedup"     -> q(Dedup.softDedup),
     "q_lsh_audit"      -> q(Dedup.lshAudit),
     "q_pagerank"       -> q(Components.docPageRank(_)),
+    // degree-ordered triangle counting over the co-purchase graph
+    "q_triangles"      -> q(Components.copurchaseTriangles(_)),
     "q_split_assign"   -> q(Curation.splitAssign(_)),
     // the composed filter→dedup→pack→split pipeline, fully oracled
     "q_pipeline_e2e"   -> q(Curation.pipelineE2E(_)),
@@ -1053,6 +1055,38 @@ object SparkEntry {
          |  GROUP BY pr.iter, e.dst)
          |SELECT node AS doc_id, p AS pagerank_ppm FROM pr WHERE iter = 5
          |ORDER BY doc_id""".stripMargin,
+
+    // degree-ordered orientation replayed literally: the oracle builds
+    // the same (deg, id)-ordered DAG, so each triangle is produced once
+    // at its apex in both engines and the per-corner credit matches
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |o AS (SELECT
+        |        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |             THEN e.a ELSE e.b END AS u,
+        |        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |             THEN e.b ELSE e.a END AS v,
+        |        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |             THEN db.deg ELSE da.deg END AS dv
+        |      FROM e JOIN deg da ON da.node = e.a
+        |             JOIN deg db ON db.node = e.b),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |        FROM o e1 JOIN o e2 ON e1.u = e2.u
+        |          AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+        |        JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT node AS part_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY 1
+        |ORDER BY n_tri DESC, part_id""".stripMargin,
 
     // 60-bit md5-nibble SimHash; the oracle brute-forces all pairs —
     // pigeonhole (hamming ≤ 3 over 4 chunks) proves the Spark side's

@@ -352,4 +352,72 @@ object Components extends Logging {
       .select(col("node").as("doc_id"), col("p").as("pagerank_ppm"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-node triangle counts over an undirected (a < b) edge list,
+    * via degree-ordered edge orientation — the classic trick that makes
+    * distributed triangle counting feasible: orient every edge from its
+    * lower-(degree, id) endpoint to its higher one, so each triangle is
+    * produced EXACTLY ONCE (at its unique doubly-outgoing apex) and the
+    * wedge join fans out from low-degree nodes only. A hub of degree d
+    * contributes ZERO wedges as an apex unless d is among the smallest
+    * of its edges' endpoints, bounding wedge production at O(m^{3/2})
+    * regardless of the degree distribution — the difference between a
+    * celebrity node exploding into d²/2 candidate wedges and the same
+    * node costing nothing. All three joins are equi-joins on node keys
+    * (hash-shuffled, AQE skew-split eligible); no state, no iteration.
+    *
+    * Returns (node, n_tri) for nodes in ≥1 triangle, plus each node's
+    * triangle count — every triangle credits all 3 corners. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.persistTracked()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient u→v by (deg, id) total order; carry the far endpoint's
+    // degree so the wedge join can order its two spokes the same way
+    val ed = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = ed.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persistTracked()
+    // wedge (u→v, u→w) with (dv,v) < (dw,w), closed by oriented v→w:
+    // the closing edge is necessarily oriented v→w because the total
+    // order already ranks v below w
+    val spokeLt = (col("e1.dv") < col("e2.dv")) ||
+      (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.u") === col("e2.u") && spokeLt)
+      .join(o.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+  }
+
+  /** Oracled triangle instance: the co-purchase graph (parts sharing
+    * ≥ minCo orders, same edge derivation as [[copurchaseClusters]]) —
+    * triangle density is the standard cohesion signal that separates
+    * genuine product communities from star-shaped catalog hubs. */
+  def copurchaseTriangles(t: Tables, minCo: Int = 2): DataFrame = {
+    val l = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .repartition(t.spark.sparkContext.defaultParallelism, col("l_orderkey"))
+    val edges = l.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(l.select(col("l_orderkey"), col("l_partkey").as("b")), Seq("l_orderkey"))
+      .filter(col("b") > col("a"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+      .select(col("a"), col("b"))
+    triangleCounts(edges)
+      .select(col("node").as("part_id"), col("n_tri"))
+      .orderBy(col("n_tri").desc, col("part_id"))
+  }
 }
