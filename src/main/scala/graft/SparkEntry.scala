@@ -114,6 +114,9 @@ object SparkEntry {
     "q_stream_window"  -> q(graft.streaming.EventStreams.streamWindowBatch),
     "q_multimodal_meta" -> q(Multimodal.mediaMeta),
     "q_multimodal_feat" -> q(Multimodal.mediaFeatures(_)),
+    // REAL codec round-trip: ImageIO PNG encode → ImageIO decode →
+    // pixel stats; lossless, so stats replay as integer/double SQL
+    "q_multimodal_decode" -> q(Multimodal.realMediaFeatures(_)),
     // —— relational completeness ——
     "q_semi_anti"      -> q(Relational.semiAnti),
     "q_setops"         -> q(Relational.setOps),
@@ -2600,6 +2603,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes, CAST(8 AS INT) AS feature_dim,
         |       CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS feat_sum_micro
         |FROM v GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // real ImageIO PNG round-trip: the payload is a genuine compressed
+    // PNG stream, but PNG is lossless and the source color is the first
+    // three md5(text) bytes, so decoded pixel stats replay exactly —
+    // channel mean r/255 in pure doubles, ITU-R 601 integer luma bin
+    "q_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS r,
+        |    CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS g,
+        |    CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS b
+        |  FROM documents)
+        |SELECT doc_id, CAST(1 AS INT) AS decoded,
+        |  CAST(doc_id % 64 + 16 AS INT) AS img_width,
+        |  CAST(doc_id % 48 + 12 AS INT) AS img_height,
+        |  CAST(FLOOR(CAST(r AS DOUBLE) / 255 * 1000000 + 0.5) AS BIGINT) AS mean_r_micro,
+        |  CAST(FLOOR(CAST(g AS DOUBLE) / 255 * 1000000 + 0.5) AS BIGINT) AS mean_g_micro,
+        |  CAST(FLOOR(CAST(b AS DOUBLE) / 255 * 1000000 + 0.5) AS BIGINT) AS mean_b_micro,
+        |  CAST(((r * 299 + g * 587 + b * 114) // 1000 * 5) // 256 AS INT) AS luma_mode_bin
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
 
     "q_gopher_rules" ->

@@ -229,29 +229,41 @@ object Components extends Logging {
     hierarchyFlatten(t.customer.select(col("c_custkey").as("node"),
       org.apache.spark.sql.functions.expr("c_custkey DIV 10").as("parent")))
 
-  /** Co-purchase part clusters: parts are connected when they appear
-    * in the same order at least twice (the repeat threshold prunes the
-    * one-off noise that would otherwise glue everything into a single
-    * giant component). Edge generation is an equi-join on the order key
-    * — per-order fan-out is (lines choose 2), bounded by order size,
-    * never a global cross product. */
-  def copurchaseClusters(t: Tables, minCo: Int = 2): DataFrame = {
-    // Repartition on the join key BEFORE the self-join: the projected
-    // two-column frame is small enough to broadcast, and a broadcast
-    // join would stream the other side's single-row-group scan through
-    // ONE task — the whole pair explosion runs serially. Pre-hashing by
-    // l_orderkey forces the streamed side wide; the build side can
-    // still broadcast. (On a multi-split cluster table the scan is
-    // already parallel and this reshuffle is one pass of two longs/row.)
+  /** The co-purchase edge list shared by [[copurchaseClusters]] and
+    * [[copurchaseTriangles]]: parts are connected when they appear in
+    * the same order at least `minCo` times (the repeat threshold prunes
+    * the one-off noise that would otherwise glue everything into a
+    * single giant component). Edge generation is an equi-join on the
+    * order key — per-order fan-out is (lines choose 2), bounded by
+    * order size, never a global cross product.
+    *
+    * Repartition on the join key BEFORE the self-join: the projected
+    * two-column frame is small enough to broadcast, and a broadcast
+    * join would stream the other side's single-row-group scan through
+    * ONE task — the whole pair explosion runs serially. Pre-hashing by
+    * l_orderkey forces the streamed side wide; the build side can
+    * still broadcast. (On a multi-split cluster table the scan is
+    * already parallel and this reshuffle is one pass of two longs/row.)
+    *
+    * Both oracled instances (`q_components`, `q_triangles`) pin
+    * minCo=2 — the oracle SQL hard-codes `HAVING COUNT(*) >= 2`, so a
+    * non-default call is a different (un-oracled) query. */
+  private def copurchaseEdges(t: Tables, minCo: Int): DataFrame = {
     val l = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
       .repartition(t.spark.sparkContext.defaultParallelism, col("l_orderkey"))
-    val edges = l.select(col("l_orderkey"), col("l_partkey").as("a"))
+    l.select(col("l_orderkey"), col("l_partkey").as("a"))
       .join(l.select(col("l_orderkey"), col("l_partkey").as("b")), Seq("l_orderkey"))
       .filter(col("b") > col("a"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= minCo)
       .select(col("a"), col("b"))
+  }
+
+  /** Co-purchase part clusters over [[copurchaseEdges]] (oracle pins
+    * minCo=2). */
+  def copurchaseClusters(t: Tables, minCo: Int = 2): DataFrame = {
+    val edges = copurchaseEdges(t, minCo)
     val w = Window.partitionBy(col("cluster_id"))
     connectedComponents(edges)
       .select(col("node").as("part_id"), col("lbl").as("cluster_id"))
@@ -395,28 +407,21 @@ object Components extends Logging {
       .join(o.as("e3"),
         col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    // No ORDER BY here: callers (copurchaseTriangles) impose their own
+    // ordering on the renamed columns, and a sort below a rename-only
+    // select is dead work unless EliminateSorts happens to fire.
     tri.select(col("x").as("node"))
       .unionAll(tri.select(col("y").as("node")))
       .unionAll(tri.select(col("z").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("node"))
   }
 
-  /** Oracled triangle instance: the co-purchase graph (parts sharing
-    * ≥ minCo orders, same edge derivation as [[copurchaseClusters]]) —
-    * triangle density is the standard cohesion signal that separates
-    * genuine product communities from star-shaped catalog hubs. */
+  /** Oracled triangle instance: the co-purchase graph
+    * ([[copurchaseEdges]]; oracle pins minCo=2) — triangle density is
+    * the standard cohesion signal that separates genuine product
+    * communities from star-shaped catalog hubs. */
   def copurchaseTriangles(t: Tables, minCo: Int = 2): DataFrame = {
-    val l = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .repartition(t.spark.sparkContext.defaultParallelism, col("l_orderkey"))
-    val edges = l.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(l.select(col("l_orderkey"), col("l_partkey").as("b")), Seq("l_orderkey"))
-      .filter(col("b") > col("a"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= minCo)
-      .select(col("a"), col("b"))
-    triangleCounts(edges)
+    triangleCounts(copurchaseEdges(t, minCo))
       .select(col("node").as("part_id"), col("n_tri"))
       .orderBy(col("n_tri").desc, col("part_id"))
   }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.BinaryIngest
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+import org.apache.spark.sql.functions._
+
+/** Round-13 pins: the multimodal kernel is REAL — actual PNG bytes
+  * written by ImageIO flow through BinaryIngest's binaryFile scan and
+  * the mapPartitions decode kernel, and decoded pixels are checked
+  * against the source colors (PNG is lossless, so exactly). */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def writePng(dir: java.nio.file.Path, name: String,
+                       w: Int, h: Int, rgbAt: (Int, Int) => Int): Unit = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+    ImageIO.write(img, "png", dir.resolve(name).toFile)
+  }
+
+  test("real PNG fixtures through binaryFile scan decode to exact pixel stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-png")
+    // doc 0: solid red 10x8; doc 1: half black / half white 16x4
+    writePng(dir, "0.png", 10, 8, (_, _) => 0xFF0000)
+    writePng(dir, "1.png", 16, 4, (x, _) => if (x < 8) 0x000000 else 0xFFFFFF)
+    // doc 2: not an image at all
+    java.nio.file.Files.write(dir.resolve("2.png"), "not a png".getBytes)
+
+    val media = BinaryIngest.binaryFiles(spark, dir.toString + "/*.png")
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+        col("content").as("media"))
+    val r = Multimodal.decodeImageFeatures(media, bins = 5)
+      .orderBy("doc_id").collect()
+
+    assert(r.length == 3)
+    val red = r(0)
+    assert(red.getBoolean(2) && red.getInt(3) == 10 && red.getInt(4) == 8)
+    assert(red.getDouble(5) == 1.0 && red.getDouble(6) == 0.0 && red.getDouble(7) == 0.0)
+    // luma(red) = 299*255/1000 = 76 -> bin 76*5/256 = 1; all 80 pixels there
+    assert(red.getSeq[Long](8) == Seq(0L, 80L, 0L, 0L, 0L))
+
+    val bw = r(1)
+    assert(bw.getBoolean(2) && bw.getInt(3) == 16 && bw.getInt(4) == 4)
+    assert(bw.getDouble(5) == 0.5 && bw.getDouble(6) == 0.5 && bw.getDouble(7) == 0.5)
+    assert(bw.getSeq[Long](8) == Seq(32L, 0L, 0L, 0L, 32L)) // black bin 0, white bin 4
+
+    val bad = r(2)
+    assert(!bad.getBoolean(2) && bad.isNullAt(3) && bad.isNullAt(8))
+  }
+
+  test("encodePngMedia produces genuine PNGs whose decode recovers the md5 color") {
+    val docs = tables.documents.limit(8)
+    val enc = Multimodal.encodePngMedia(docs).persist()
+    // real PNG magic bytes on every payload
+    enc.select("media").collect().foreach { row =>
+      val b = row.getAs[Array[Byte]](0)
+      assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+    }
+    val dec = Multimodal.decodeImageFeatures(enc, bins = 5)
+      .join(enc.select(col("doc_id"), col("src_r"), col("src_g"), col("src_b"),
+        col("width"), col("height")), Seq("doc_id"))
+      .collect()
+    assert(dec.nonEmpty)
+    dec.foreach { row =>
+      assert(row.getAs[Boolean]("decoded"))
+      assert(row.getAs[Int]("img_width").toLong == row.getAs[Long]("width"))
+      assert(row.getAs[Int]("img_height").toLong == row.getAs[Long]("height"))
+      // lossless round-trip: channel mean of a solid image IS the source byte
+      assert(row.getAs[Double]("mean_r") == row.getAs[Int]("src_r") / 255d)
+      assert(row.getAs[Double]("mean_g") == row.getAs[Int]("src_g") / 255d)
+      assert(row.getAs[Double]("mean_b") == row.getAs[Int]("src_b") / 255d)
+    }
+    enc.unpersist()
+  }
+
+  test("realMediaFeatures: oracle-shape columns match the md5-replay by hand") {
+    val r = Multimodal.realMediaFeatures(tables, bins = 5)
+      .filter(col("doc_id") < 5).collect()
+    assert(r.length == 5)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val texts = tables.documents.filter(col("doc_id") < 5)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    r.foreach { row =>
+      val id = row.getLong(0)
+      val h = md.digest(texts(id).getBytes("UTF-8"))
+      val (cr, cg, cb) = (h(0) & 0xff, h(1) & 0xff, h(2) & 0xff)
+      assert(row.getInt(1) == 1) // decoded
+      assert(row.getLong(4) == math.floor(cr / 255d * 1000000d + 0.5d).toLong)
+      assert(row.getLong(5) == math.floor(cg / 255d * 1000000d + 0.5d).toLong)
+      assert(row.getLong(6) == math.floor(cb / 255d * 1000000d + 0.5d).toLong)
+      assert(row.getInt(7) == ((cr * 299 + cg * 587 + cb * 114) / 1000 * 5) / 256)
+    }
+  }
+}
