@@ -135,6 +135,9 @@ object SparkEntry {
     "q_null_semantics" -> q(Relational.nullSemantics),
     // —— corpus curation (composed training-data pipeline) ——
     "q_corpus_curate"  -> q(Curation.curate),
+    // jusText-style boilerplate extraction: synthesized HTML page →
+    // script strip → block-line split → link-density classification
+    "q_html_extract"   -> q(Curation.htmlExtract),
     "q_corpus_stats"   -> q(Curation.corpusStats),
     "q_shard_balance"  -> q(Curation.shardBalance(_)),
     "q_sample_hash"    -> q(Curation.sampleHash),
@@ -196,6 +199,11 @@ object SparkEntry {
     // WordPiece greedy longest-match-first under the same seed vocab
     // (third tokenizer family; cost provably >= the Viterbi minimum)
     "q_wordpiece_encode" -> q(TextAnalysis.wordpieceEncode(_)),
+    // the 32k-vocab deploy path: per-type piece maps by equi-join
+    // (probe cost independent of |V|) — result-identical kernels,
+    // oracled against the SAME SQL as their literal-map twins
+    "q_unigram_encode_join" -> q(TextAnalysis.unigramEncodeJoined(_)),
+    "q_wordpiece_encode_join" -> q(TextAnalysis.wordpieceEncodeJoined(_)),
     // one Viterbi-EM training round under the same seed vocab: path-
     // carrying DP → usage counts → re-estimated costs + prune set
     "q_unigram_train"  -> q(TextAnalysis.unigramTrain(_)),
@@ -1383,6 +1391,66 @@ object SparkEntry {
         |  (CASE WHEN o_orderkey % 3 != 0 THEN o_totalprice END IS NULL) AS was_null
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // jusText-style extraction replay: the page is synthesized from
+    // text (nav + script + 10-word <p> chunks, (doc_id+ci)%4==0 fully
+    // linked, footer), then the extraction kernel — script strip,
+    // block-line split, tag strip, link-density classify — runs as
+    // the same regexp/list expressions; 0.5 threshold is the integer
+    // cross-product 2*link_words <= words, division-free
+    "q_html_extract" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |pg AS (SELECT doc_id,
+        |    '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+        |    || '<script>var x = 1;</script>'
+        |    || array_to_string(list_transform(
+        |         generate_series(0, greatest((len(ws) + 9) // 10, 1) - 1),
+        |         ci -> '<p>' || CASE WHEN (doc_id + ci) % 4 = 0
+        |             THEN array_to_string(list_transform(
+        |                    list_slice(ws, ci * 10 + 1, ci * 10 + 10),
+        |                    x -> '<a href="#">' || x || '</a>'), ' ')
+        |             ELSE array_to_string(
+        |                    list_slice(ws, ci * 10 + 1, ci * 10 + 10), ' ')
+        |           END || '</p>'), '')
+        |    || '<div><a href="/tos">Terms</a></div>' AS html
+        |  FROM w),
+        |ln AS (SELECT doc_id,
+        |    string_split_regex(
+        |      regexp_replace(html, '<script[^<]*</script>', ' ', 'g'),
+        |      '</p>|</div>') AS lines
+        |  FROM pg),
+        |st AS (SELECT doc_id,
+        |    list_transform(lines, l -> {
+        |      'txt': trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'),
+        |                                 ' +', ' ', 'g')),
+        |      'lw': list_sum(list_transform(
+        |              regexp_extract_all(l, '<a [^>]*>([^<]*)</a>', 1),
+        |              s -> CASE WHEN trim(regexp_replace(s, ' +', ' ', 'g')) = ''
+        |                   THEN 0 ELSE len(string_split(
+        |                     trim(regexp_replace(s, ' +', ' ', 'g')), ' ')) END))
+        |    }) AS sts
+        |  FROM ln),
+        |st2 AS (SELECT doc_id,
+        |    list_filter(list_transform(sts, s -> {
+        |      'nw': CASE WHEN s.txt = '' THEN 0 ELSE len(string_split(s.txt, ' ')) END,
+        |      'lw': COALESCE(s.lw, 0), 'txt': s.txt
+        |    }), s -> s.nw > 0) AS ne
+        |  FROM st),
+        |cl AS (SELECT doc_id, ne,
+        |    list_filter(ne, s -> s.nw >= 3 AND s.lw * 2 <= s.nw) AS ct
+        |  FROM st2)
+        |SELECT doc_id,
+        |  CAST(len(ne) AS BIGINT) AS n_lines,
+        |  CAST(len(ct) AS BIGINT) AS n_content,
+        |  CAST(len(ne) - len(ct) AS BIGINT) AS n_boiler,
+        |  CAST(COALESCE(list_sum(list_transform(ct, s -> s.nw)), 0) AS BIGINT) AS content_words,
+        |  CAST(COALESCE(list_sum(list_transform(ne, s -> s.lw)), 0) AS BIGINT) AS link_words,
+        |  md5(COALESCE(array_to_string(list_transform(ct, s -> s.txt), chr(10)), ''))
+        |    AS content_hash
+        |FROM cl
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_curate" ->
       """WITH scored AS (
@@ -3579,5 +3647,14 @@ object SparkEntry {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin
-  )
+  ).withJoinTwins
+
+  /** The join-based tokenizer kernels are result-identical to their
+    * literal-map twins, so they verify against the SAME oracle SQL —
+    * the scalable deploy-depth kernel itself sits under the gate. */
+  private implicit class OracleTwins(m: Map[String, String]) {
+    def withJoinTwins: Map[String, String] = m +
+      ("q_unigram_encode_join" -> m("q_unigram_encode")) +
+      ("q_wordpiece_encode_join" -> m("q_wordpiece_encode"))
+  }
 }

@@ -580,4 +580,76 @@ object Curation {
         when(h < 900000L, "train").when(h < 950000L, "val").otherwise("test"))
       .orderBy(col("seq_id"))
   }
+
+  /** HTML boilerplate extraction (jusText-style, Pomikálek 2011's core
+    * signal): strip script blocks, split the page into block-tag
+    * lines, classify each line by LINK DENSITY + length — a line is
+    * content iff it has ≥ 3 words and ≤ half of them inside `<a>`
+    * anchors (the 0.5 threshold as the integer cross-product
+    * `2·link_words ≤ words`, division-free) — and keep the content
+    * lines' text. Navigation bars, footers, and fully-linked
+    * paragraphs drop; prose survives.
+    *
+    * The documents table has no HTML, so the page is SYNTHESIZED
+    * deterministically first (nav + script + one `<p>` per 10-word
+    * chunk — every (doc_id+chunk)%4==0 paragraph fully linked — +
+    * footer), the same device spanCorrupt uses for corruption:
+    * construction AND extraction are regexp/array expressions both
+    * engines replay, so the whole operator sits under the oracle.
+    *
+    * Scale: entirely map-side — one projection per document, no
+    * shuffle but the final presentation sort; the per-line stats are
+    * array HOFs inside codegen. A real crawl feed swaps the synthetic
+    * `html` column for the fetched page body and keeps the kernel. */
+  def htmlExtract(t: Tables): DataFrame = htmlExtractDocs(t.documents)
+
+  /** [[htmlExtract]] over an explicit (doc_id, text) frame. */
+  def htmlExtractDocs(docs: DataFrame): DataFrame = {
+    // —— synthesis: words → 10-word <p> chunks, some fully linked ——
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val nChunks = ((size(ws) + lit(9)) / lit(10)).cast("int") // (n+9) div 10
+    val paras = transform(
+      sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      ci => {
+        val cw = slice(ws, ci * 10 + 1, lit(10))
+        val linked = transform(cw,
+          w => concat(lit("<a href=\"#\">"), w, lit("</a>")))
+        concat(lit("<p>"),
+          array_join(when((col("doc_id") + ci) % 4 === 0, linked)
+            .otherwise(cw), " "),
+          lit("</p>"))
+      })
+    val html = concat(
+      lit("<div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>"),
+      lit("<script>var x = 1;</script>"),
+      array_join(paras, ""),
+      lit("<div><a href=\"/tos\">Terms</a></div>"))
+    // —— extraction: the actual operator kernel ——
+    val noScript = regexp_replace(html, "<script[^<]*</script>", " ")
+    val lines = split(noScript, "</p>|</div>")
+    val stats = transform(lines, l => {
+      val txt = trim(regexp_replace(regexp_replace(l, "<[^>]*>", " "), " +", " "))
+      val nw = when(txt === "", lit(0)).otherwise(size(split(txt, " ")))
+      val linkTexts = regexp_extract_all(l, lit("<a [^>]*>([^<]*)</a>"), lit(1))
+      val lw = aggregate(linkTexts, lit(0),
+        (a, s) => {
+          val st = trim(regexp_replace(s, " +", " "))
+          a + when(st === "", lit(0)).otherwise(size(split(st, " ")))
+        })
+      struct(nw.as("nw"), lw.as("lw"), txt.as("txt"))
+    })
+    val nonEmpty = filter(stats, s => s.getField("nw") > 0)
+    val content = filter(nonEmpty, s =>
+      s.getField("nw") >= 3 && s.getField("lw") * 2 <= s.getField("nw"))
+    docs.select(
+        col("doc_id"),
+        size(nonEmpty).cast("long").as("n_lines"),
+        size(content).cast("long").as("n_content"),
+        (size(nonEmpty) - size(content)).cast("long").as("n_boiler"),
+        aggregate(content, lit(0L), (a, s) => a + s.getField("nw")).as("content_words"),
+        aggregate(nonEmpty, lit(0L), (a, s) => a + s.getField("lw")).as("link_words"),
+        md5(array_join(transform(content, s => s.getField("txt")), "\n"))
+          .as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
 }

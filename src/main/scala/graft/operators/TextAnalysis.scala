@@ -872,16 +872,16 @@ object TextAnalysis {
       Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
   }
 
-  /** [[unigramEncode]] over an explicit (doc_id, text) frame. */
-  def unigramEncodeDocs(docs: DataFrame, maxPieceLen: Int = 4,
-                        topV: Int = 64): DataFrame = {
-    val (docsToks, toks, vocab) = subwordSeed(docs, maxPieceLen, topV)
-    val costMap = subwordCostMap(vocab)
+  /** The Viterbi DP over `tok` under a piece→cost map column:
+    * dp(i) = min over piece lengths k of dp(i−k) + cost(tok[i−k+1..i]);
+    * acc is the dp array (0-based get), array_min skips the null
+    * candidates (k > i, or piece not in the map). The map column may be
+    * a bounded LITERAL (the oracled small-vocab path) or a per-row map
+    * built by an equi-join (the 32k-vocab path — per-probe cost then
+    * depends on len·maxPieceLen, never |V|). */
+  private def unigramDp(costMap: Column, maxPieceLen: Int): Column = {
     val zero = struct(lit(0L).as("cost"), lit(0L).as("np"))
-    // dp(i) = min over piece lengths k of dp(i−k) + cost(tok[i−k+1..i]);
-    // acc is the dp array (0-based get), array_min skips the null
-    // candidates (k > i, or piece not in vocab)
-    val dp = aggregate(sequence(lit(1), length(col("tok"))), array(zero),
+    aggregate(sequence(lit(1), length(col("tok"))), array(zero),
       (acc, i) => concat(acc, array(array_min(
         array((1 to maxPieceLen).map { k =>
           val prev = get(acc, i - k)
@@ -891,15 +891,91 @@ object TextAnalysis {
             struct((prev.getField("cost") + pc).as("cost"),
               (prev.getField("np") + lit(1L)).as("np")))
         }: _*)))))
-    val encoded = toks.select(col("tok"),
-      get(dp, length(col("tok"))).as("d"))
+  }
+
+  /** Per-document rollup shared by the subword encoders: weight each
+    * word type's (np, cost) by its in-doc count. */
+  private def subwordRollup(docsToks: DataFrame, encoded: DataFrame,
+                            d: String): DataFrame =
     docsToks.join(encoded, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_words"),
-        sum(col("c") * col("d.np")).cast("long").as("n_pieces"),
-        sum(col("c") * col("d.cost")).cast("long").as("cost_units"))
+        sum(col("c") * col(s"$d.np")).cast("long").as("n_pieces"),
+        sum(col("c") * col(s"$d.cost")).cast("long").as("cost_units"))
       .orderBy(col("doc_id"))
+
+  /** [[unigramEncode]] over an explicit (doc_id, text) frame. */
+  def unigramEncodeDocs(docs: DataFrame, maxPieceLen: Int = 4,
+                        topV: Int = 64): DataFrame = {
+    val (docsToks, toks, vocab) = subwordSeed(docs, maxPieceLen, topV)
+    val dp = unigramDp(subwordCostMap(vocab), maxPieceLen)
+    val encoded = toks.select(col("tok"),
+      get(dp, length(col("tok"))).as("d"))
+    subwordRollup(docsToks, encoded, "d")
   }
+
+  /** Per-TYPE piece cost maps by equi-join — the deploy-depth path.
+    * The map-literal lookup in [[subwordCostMap]] is a linear scan of
+    * the literal per probe (Catalyst's GetMapValue has no hash index),
+    * so a 32k-piece vocabulary would pay |V| compares per substring
+    * probe. Here the vocabulary stays a DISTRIBUTED frame: each word
+    * type explodes its ≤ len·maxPieceLen candidate substrings ONCE,
+    * an equi-join on `piece` keeps the matching (piece, cost) rows,
+    * and map_from_entries folds them into a per-row map the same DP
+    * probes — per-probe cost is now bounded by the type's own length,
+    * independent of |V|. The join shuffles (type-substring, cost)
+    * pairs only: vocabulary-scale traffic, never corpus-scale, and
+    * AQE broadcasts the vocab side when it fits. */
+  private def typePieceMaps(toks: DataFrame, vocab: DataFrame,
+                            maxPieceLen: Int): DataFrame = {
+    val cand = toks
+      .select(col("tok"),
+        explode(sequence(lit(1), length(col("tok")))).as("i"))
+      .select(col("tok"), col("i"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("tok")))
+      .select(col("tok"), col("tok").substr(col("i"), col("l")).as("piece"))
+      .distinct()
+    cand.join(vocab, Seq("piece"))
+      .groupBy(col("tok"))
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("cost"))))
+        .as("pmap"))
+  }
+
+  /** Pad the vocabulary to `padTo` extra entries of never-matching
+    * pieces (space-prefixed — tokens are whitespace-split, so no
+    * candidate substring ever contains a space; same convention as
+    * BpeBench's pad merges). The synthetic corpus saturates below a
+    * production vocabulary, so the 32k deploy-depth claim is measured
+    * with 32k REAL vocabulary rows flowing through the piece join. */
+  private def padVocab(vocab: DataFrame, padTo: Int): DataFrame =
+    if (padTo <= 0) vocab
+    else vocab.unionAll(
+      vocab.sparkSession.range(padTo)
+        .select(concat(lit(" pad"), col("id").cast("string")).as("piece"),
+          lit(40L).as("cost")))
+
+  /** [[unigramEncodeDocs]] with the join-based per-type cost maps —
+    * IDENTICAL results to the literal-map kernel at any vocabulary
+    * (Round13Spec pins equality; the oracled q_unigram_encode_join
+    * runs THIS kernel against the same DuckDB SQL), but scales to a
+    * production 32k vocabulary: |V| affects one equi-join's build
+    * side, not every substring probe. `padTo` > 0 pads the vocabulary
+    * with never-matching pieces for deploy-depth measurement. */
+  def unigramEncodeJoinedDocs(docs: DataFrame, maxPieceLen: Int = 4,
+                              topV: Int = 64, padTo: Int = 0): DataFrame = {
+    val (docsToks, toks, vocab) = subwordSeed(docs, maxPieceLen, topV)
+    val dp = unigramDp(col("pmap"), maxPieceLen)
+    val encoded = typePieceMaps(toks, padVocab(vocab, padTo), maxPieceLen)
+      .select(col("tok"), get(dp, length(col("tok"))).as("d"))
+    subwordRollup(docsToks, encoded, "d")
+  }
+
+  /** Oracled instance of the join-based kernel (same SQL as
+    * q_unigram_encode — the kernels are result-identical). */
+  def unigramEncodeJoined(t: Tables, maxPieceLen: Int = 4,
+                          topV: Int = 64): DataFrame =
+    unigramEncodeJoinedDocs(t.documents, maxPieceLen, topV)
 
   /** Count-min sketch heavy hitters with an exact audit column
     * (Cormode & Muthukrishnan 2005): `depth` hash rows × `width`
@@ -1291,13 +1367,11 @@ object TextAnalysis {
                       topV: Int = 64): DataFrame =
     wordpieceEncodeDocs(t.documents, maxPieceLen, topV)
 
-  /** [[wordpieceEncode]] over an explicit (doc_id, text) frame. */
-  def wordpieceEncodeDocs(docs: DataFrame, maxPieceLen: Int = 4,
-                          topV: Int = 64): DataFrame = {
-    val (docsToks, toks, vocab) = subwordSeed(docs, maxPieceLen, topV)
-    val costMap = subwordCostMap(vocab)
+  /** The WordPiece greedy consume fold under a piece→cost map column
+    * (literal or per-row — see [[unigramDp]] for the distinction). */
+  private def wordpieceFold(costMap: Column, maxPieceLen: Int): Column = {
     val zero = struct(lit(1L).as("pos"), lit(0L).as("np"), lit(0L).as("cost"))
-    val enc = aggregate(sequence(lit(1), length(col("tok"))), zero,
+    aggregate(sequence(lit(1), length(col("tok"))), zero,
       (acc, i) => {
         val pos = acc.getField("pos")
         def candCost(k: Int) =
@@ -1316,14 +1390,35 @@ object TextAnalysis {
         }
         when(i < pos, acc).otherwise(matched)
       })
-    val encoded = toks.select(col("tok"), enc.as("e"))
-    docsToks.join(encoded, Seq("tok"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_words"),
-        sum(col("c") * col("e.np")).cast("long").as("n_pieces"),
-        sum(col("c") * col("e.cost")).cast("long").as("cost_units"))
-      .orderBy(col("doc_id"))
   }
+
+  /** [[wordpieceEncode]] over an explicit (doc_id, text) frame. */
+  def wordpieceEncodeDocs(docs: DataFrame, maxPieceLen: Int = 4,
+                          topV: Int = 64): DataFrame = {
+    val (docsToks, toks, vocab) = subwordSeed(docs, maxPieceLen, topV)
+    val enc = wordpieceFold(subwordCostMap(vocab), maxPieceLen)
+    val encoded = toks.select(col("tok"), enc.as("e"))
+    subwordRollup(docsToks, encoded, "e")
+  }
+
+  /** [[wordpieceEncodeDocs]] with join-based per-type cost maps —
+    * result-identical at any vocabulary (the oracled
+    * q_wordpiece_encode_join runs THIS kernel against the same DuckDB
+    * SQL), |V|-independent probe cost; `padTo` pads the vocabulary for
+    * deploy-depth measurement, same as the unigram twin. */
+  def wordpieceEncodeJoinedDocs(docs: DataFrame, maxPieceLen: Int = 4,
+                                topV: Int = 64, padTo: Int = 0): DataFrame = {
+    val (docsToks, toks, vocab) = subwordSeed(docs, maxPieceLen, topV)
+    val enc = wordpieceFold(col("pmap"), maxPieceLen)
+    val encoded = typePieceMaps(toks, padVocab(vocab, padTo), maxPieceLen)
+      .select(col("tok"), enc.as("e"))
+    subwordRollup(docsToks, encoded, "e")
+  }
+
+  /** Oracled instance of the join-based WordPiece kernel. */
+  def wordpieceEncodeJoined(t: Tables, maxPieceLen: Int = 4,
+                            topV: Int = 64): DataFrame =
+    wordpieceEncodeJoinedDocs(t.documents, maxPieceLen, topV)
 
   /** CCNet's head/middle/tail corpus partition (Wenzek et al. 2020
     * §4.3): within each language, rank documents by LM perplexity

@@ -76,6 +76,40 @@ class Round13Spec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("join-based tokenizer kernels are result-identical to the literal-map twins") {
+    val docs = tables.documents
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(TextAnalysis.unigramEncodeJoinedDocs(docs)) ==
+      rows(TextAnalysis.unigramEncodeDocs(docs)))
+    assert(rows(TextAnalysis.wordpieceEncodeJoinedDocs(docs)) ==
+      rows(TextAnalysis.wordpieceEncodeDocs(docs)))
+    // padding the vocabulary with never-matching pieces changes nothing
+    assert(rows(TextAnalysis.unigramEncodeJoinedDocs(docs, padTo = 512)) ==
+      rows(TextAnalysis.unigramEncodeDocs(docs)))
+    assert(rows(TextAnalysis.wordpieceEncodeJoinedDocs(docs, padTo = 512)) ==
+      rows(TextAnalysis.wordpieceEncodeDocs(docs)))
+  }
+
+  test("htmlExtract: nav/footer/linked paragraphs drop, prose survives") {
+    // doc 0, 20 words: chunk 0 is (0+0)%4==0 -> fully linked (boiler);
+    // chunk 1 plain prose (content). Plus nav (2 words, all linked),
+    // script (stripped), footer (1 word, linked).
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, words)).toDF("doc_id", "text")
+    val r = Curation.htmlExtractDocs(docs).collect()(0)
+    assert(r.getAs[Long]("n_lines") == 4)     // nav, p0, p1, footer
+    assert(r.getAs[Long]("n_content") == 1)   // p1 only
+    assert(r.getAs[Long]("n_boiler") == 3)
+    assert(r.getAs[Long]("content_words") == 10)
+    assert(r.getAs[Long]("link_words") == 13) // nav 2 + p0 10 + footer 1
+    // the surviving text is exactly chunk 1's words
+    val expected = (11 to 20).map(i => s"w$i").mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("content_hash") == hex)
+  }
+
   test("realMediaFeatures: oracle-shape columns match the md5-replay by hand") {
     val r = Multimodal.realMediaFeatures(tables, bins = 5)
       .filter(col("doc_id") < 5).collect()
