@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.DecimalType
   * at any scale.
   */
 object DocumentAssembly {
-  import Enrichment.{CollectionId, SourceId}
+  import Enrichment.CollectionId
 
   /** event_type → taxon URI, the 2024.R:60-71 switch. 'error' is
     * deliberately unmapped: the reference's switch yields NULL for
@@ -90,8 +90,13 @@ object DocumentAssembly {
 
   /** 2023-script variant (crowdsorsa-etl-2023.R): hour/minute fields,
     * WGS84 crs, municipality via the key lookup — and NO abundance
-    * fields (those are 2024-only; 2024.R:133-136). */
-  def assemble(t: Tables): DataFrame = {
+    * fields (those are 2024-only; 2024.R:133-136). The oracled
+    * instance is the PROD profile; [[DeployProfile.Test]] swaps the
+    * sourceId to KE.1501 exactly as the branch switch does. */
+  def assemble(t: Tables): DataFrame = assemble(t, DeployProfile.Prod)
+
+  /** [[assemble]] under an explicit deploy profile. */
+  def assemble(t: Tables, profile: DeployProfile): DataFrame = {
     val e = t.events
       .select(Enrichment.overrideKey(col("user_id")).as("obs_key"),
         col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -134,7 +139,7 @@ object DocumentAssembly {
 
     val document = struct(
       lit("laji-etl").as("schema"),
-      lit(s"http://tun.fi/$SourceId").as("sourceId"),
+      lit(profile.sourceUri).as("sourceId"),
       lit(s"http://tun.fi/$CollectionId").as("collectionId"),
       uri("").as("documentId"),
       struct(
@@ -153,7 +158,11 @@ object DocumentAssembly {
     * (2024.R:46), abundanceString formatted to one-decimal minimum
     * (R `format(nsmall=1)`) + RELATIVE_DENSITY, facts always present
     * (2024.R:137-144). */
-  def assemble2024(t: Tables): DataFrame = {
+  def assemble2024(t: Tables): DataFrame =
+    assemble2024(t, DeployProfile.Prod)
+
+  /** [[assemble2024]] under an explicit deploy profile. */
+  def assemble2024(t: Tables, profile: DeployProfile): DataFrame = {
     val e = t.events
       .select(Enrichment.overrideKey(col("user_id")).as("obs_key"),
         col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -197,7 +206,7 @@ object DocumentAssembly {
 
     val document = struct(
       lit("laji-etl").as("schema"),
-      lit(s"http://tun.fi/$SourceId").as("sourceId"),
+      lit(profile.sourceUri).as("sourceId"),
       lit(s"http://tun.fi/$CollectionId").as("collectionId"),
       uri("").as("documentId"),
       struct(

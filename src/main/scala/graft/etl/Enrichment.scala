@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
 object Enrichment {
 
   val CollectionId = "HR.5835"
-  val SourceId     = "KE.1721"
+  /** The PROD source id; the full prod/test switch (API host + source
+    * + token env, 2023.R:13-27) lives in [[DeployProfile]]. */
+  val SourceId: String = DeployProfile.Prod.sourceId
 
   /** Mirrors the municipality-code override (2023.R:51: "864" → "20")
     * before the key lookup: a data-repair remap applied pre-join. */

@@ -35,6 +35,15 @@ object HttpPushSink {
     }
   }
 
+  /** [[push]] under a deploy profile: endpoint + token resolve from
+    * the profile's host and env var (2023.R:17-27), so a prod-source
+    * document can only ever be pushed at the prod host. */
+  def push(docs: DataFrame, idCol: String, docCol: String,
+           transport: PushTransport, profile: graft.etl.DeployProfile,
+           logDir: String): Unit =
+    push(docs, idCol, docCol, transport, profile.pushUrl, logDir,
+      profile.token())
+
   /** Push every (id, doc) row; write one JSONL log file per partition
     * under `logDir`, with `token` redacted from every line. 5xx
     * responses are retried up to `maxRetries` times (the reference just

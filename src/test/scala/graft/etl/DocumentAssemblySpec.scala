@@ -28,6 +28,33 @@ class DocumentAssemblySpec extends SparkSpec {
     assert(errorDocs.nonEmpty && errorDocs.forall(!_.contains("reportedTaxonId")))
   }
 
+  test("deploy profile switch: prod vs test documents differ ONLY in sourceId") {
+    // 2023.R:13-27 — branch != main flips api host, source id, token
+    // env together; the assembled document carries the source switch
+    val prod = DocumentAssembly.assemble(tables, DeployProfile.Prod)
+      .limit(20).collect().map(_.getString(1))
+    val test = DocumentAssembly.assemble(tables, DeployProfile.Test)
+      .limit(20).collect().map(_.getString(1))
+    prod.zip(test).foreach { case (p, tst) =>
+      assert(p.contains("\"sourceId\":\"http://tun.fi/KE.1721\""))
+      assert(tst.contains("\"sourceId\":\"http://tun.fi/KE.1501\""))
+      assert(tst.replace("KE.1501", "KE.1721") == p)
+    }
+    // 2024 variant under the same switch
+    val t24 = DocumentAssembly.assemble2024(tables, DeployProfile.Test)
+      .limit(5).collect().map(_.getString(1))
+    assert(t24.forall(_.contains("\"sourceId\":\"http://tun.fi/KE.1501\"")))
+    // branch selection mirrors the R condition exactly
+    assert(DeployProfile.forBranch("main") == DeployProfile.Prod)
+    assert(DeployProfile.forBranch("feature/x") == DeployProfile.Test)
+    // the profile triple stays coupled
+    assert(DeployProfile.Test.pushUrl ==
+      "https://apitest.laji.fi/v0/warehouse/push")
+    assert(DeployProfile.Test.token(Map("FINBIF_DEV_ACCESS_TOKEN" -> "d",
+      "FINBIF_ACCESS_TOKEN" -> "p")) == "d")
+    assert(DeployProfile.Prod.token(Map.empty) == "SECRET123") // test fallback
+  }
+
   test("golden documents: byte-exact JSON for hand-built rows (both script variants)") {
     // Five rows covering every conditional branch of the assembly
     // (2023.R:110-179, 2024.R:87-147): controlled/uncontrolled, facts

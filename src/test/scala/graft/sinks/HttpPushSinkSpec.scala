@@ -25,4 +25,21 @@ class HttpPushSinkSpec extends SparkSpec {
     assert(lines.filter(_.contains("\"status\":200"))
       .forall(_.contains("\"level\":\"INFO\"")))
   }
+
+  test("push under a deploy profile targets the profile's host") {
+    val docs = DocumentAssembly
+      .assemble(tables, graft.etl.DeployProfile.Test).limit(20)
+    val logDir = java.nio.file.Files.createTempDirectory("graft-push-t").toString
+    HttpPushSink.push(docs, "event_id", "doc", new HttpPushSink.StubTransport,
+      graft.etl.DeployProfile.Test, logDir)
+    val lines = new java.io.File(logDir).listFiles()
+      .filter(_.getName.endsWith(".jsonl"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toList)
+    assert(lines.length == 20)
+    // every push went at the TEST endpoint (the coupled switch)
+    assert(lines.forall(_.contains(
+      "https://apitest.laji.fi/v0/warehouse/push")))
+    // and the resolved token (env fallback here) is redacted
+    assert(!lines.exists(_.contains("SECRET123")))
+  }
 }
