@@ -490,17 +490,91 @@ object Similarity {
     * per-vector aggregates, probe pruning in the (b, s, c) join.
     * Semantics pinned by the oracled exact twin; recall vs exact
     * cosine truth audited in Round12Spec (the q_ann_recall pattern). */
-  def ivfPqKnn(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
-               dimsPerSub: Int = 2, nCent: Int = 16,
-               nQueries: Int = 10): DataFrame = {
+  /** Coarse codebook for the float IVFADC twin. "forgy": seed each of
+    * the nlist centroids from an actual vector + ONE Lloyd round with
+    * empty-cluster carry — the same upgrade the RESIDUAL codebook got
+    * in round 12 (its measured recall@5 0.18→0.46); a random-partition
+    * M-step ("partition", kept for the measured A/B) averages 1/nlist
+    * of the corpus per cell, so all nlist centroids collapse toward
+    * the global mean and probe pruning admits near-arbitrary buckets.
+    * Cost of forgy: one extra corpus pass (distance to the seed
+    * codebook), map-side combined like every other pass here. */
+  private def fpCoarse(v: DataFrame, nlist: Int,
+                       coarseInit: String): DataFrame = coarseInit match {
+    case "partition" =>
+      v.withColumn("b", col("vec_id") % nlist)
+        .groupBy(col("b"), col("dim")).agg(avg(col("m")).as("cm"))
+    case "forgy" =>
+      val c0 = v.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("b"), col("dim"), col("m").as("cm"))
+      val d0 = v.join(broadcast(c0), Seq("dim"))
+        .groupBy(col("vec_id"), col("b"))
+        .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+      val w0 = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
+      val a0 = d0.withColumn("rn", row_number().over(w0))
+        .filter(col("rn") === 1).select(col("vec_id"), col("b"))
+      val mm = v.join(a0, Seq("vec_id"))
+        .groupBy(col("b"), col("dim")).agg(avg(col("m")).as("cmm"))
+      c0.withColumnRenamed("cm", "cm0")
+        .join(mm, Seq("b", "dim"), "left")
+        .select(col("b"), col("dim"),
+          coalesce(col("cmm"), col("cm0")).as("cm"))
+    case other => throw new IllegalArgumentException(
+      s"coarseInit must be forgy|partition, got $other")
+  }
+
+  /** Probe-pruning CEILING for the float IVFADC twin: exact L2 top-k
+    * restricted to candidates whose assigned bucket is among the
+    * query's nprobe probed buckets — the best any ADC scoring could do
+    * under this coarse codebook. Recall of THIS against global exact
+    * truth isolates how much the coarse init choice costs (the rest of
+    * the gap, ceiling→ADC, is quantization error). */
+  def ivfPqCeiling(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
+                   nQueries: Int = 10,
+                   coarseInit: String = "forgy"): DataFrame = {
     val v = spread(t.embeddings)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         col("x").cast("double").as("m"))
       .persistTracked()
-    val cent = v.withColumn("b", col("vec_id") % nlist)
-      .groupBy(col("b"), col("dim")).agg(avg(col("m")).as("cm"))
+    val cent = fpCoarse(v, nlist, coarseInit).persistTracked()
+    val dist = v.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
       .persistTracked()
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
+    val assign = dist.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1).select(col("vec_id"), col("b"))
+    val probes = dist.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("b"))
+    val admitted = assign.withColumnRenamed("vec_id", "neighbor_id")
+      .join(probes, Seq("b")) // bucket equi-join IS the pruning
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("dim"), col("m").as("qm"))
+    val exact = admitted
+      .join(v.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(q, Seq("query_id", "dim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum((col("qm") - col("m")) * (col("qm") - col("m"))).as("d2"))
+    val kw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(kw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def ivfPqKnn(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
+               dimsPerSub: Int = 2, nCent: Int = 16,
+               nQueries: Int = 10, coarseInit: String = "forgy"): DataFrame = {
+    val v = spread(t.embeddings)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("m"))
+      .persistTracked()
+    val cent = fpCoarse(v, nlist, coarseInit).persistTracked()
     val dist = v.join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"), col("b"))
       .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))

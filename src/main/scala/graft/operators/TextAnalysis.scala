@@ -507,12 +507,14 @@ object TextAnalysis {
     val bench = sh.filter(col("doc_id") % 100 === 0)
       .select(col("shingle")).distinct().persistTracked()
     val corpus = sh.filter(col("doc_id") % 100 =!= 0)
-    val bits = (0 until kHashes).map(r => bench.select(pos(r).as("bit")))
-      .reduce(_ unionAll _).distinct().persistTracked() // count + probe join
-    val probes = (0 until kHashes).map(r =>
-        corpus.select(col("doc_id"), col("shingle"),
-          lit(r).as("r"), pos(r).as("bit")))
-      .reduce(_ unionAll _)
+    // ONE scan each for the bit frame and the probe frame: the k hash
+    // positions explode from a per-row array (r12 advice: the earlier
+    // kHashes unionAll copies re-scanned the shingle frame k times)
+    val posArray = array((0 until kHashes).map(r => pos(r)): _*)
+    val bits = bench.select(explode(posArray).as("bit"))
+      .distinct().persistTracked() // count + probe join
+    val probes = corpus.select(col("doc_id"), col("shingle"),
+      posexplode(posArray).as(Seq("r", "bit")))
     val nbTot = probes.join(bits, Seq("bit"))
       .groupBy(col("doc_id"), col("shingle"))
       .agg(countDistinct(col("r")).as("nr"))
