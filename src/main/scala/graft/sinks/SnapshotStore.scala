@@ -1,0 +1,167 @@
+package graft.sinks
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned snapshot log over parquet — the manifest layer
+  * TableWriter.compact's scaladoc points at: its directory-rename swap
+  * has a two-rename crash window and destroys old data the moment the
+  * swap lands, so a reader mid-scan during compaction races the
+  * rename. Here data files are IMMUTABLE and every table state is a
+  * numbered manifest listing its files (Delta/Iceberg's core idea,
+  * single-writer variant):
+  *
+  * ```
+  * table/
+  *   data/v<N>-<uuid>/part-*.parquet   -- written once, never mutated
+  *   _snapshots/v<N>.manifest          -- one data-file path per line
+  *   _snapshots/_latest                -- the committed version number
+  * ```
+  *
+  * Commit protocol: write the new files, write the manifest, then
+  * PUBLISH with one atomic rename of the `_latest` pointer — readers
+  * see the old version until that instant and the new one after; there
+  * is no window with no live table and nothing a crash can corrupt
+  * (an unpublished manifest/data dir is garbage, not damage). Readers
+  * pin a version at plan time, so a scan KEEPS its snapshot while any
+  * number of later versions commit — compaction becomes just another
+  * commit (same rows, fewer files) and time-travel read is "give me
+  * manifest N".
+  *
+  * Scale: the manifest holds file PATHS (thousands of lines at 100 TB,
+  * driver-trivial); data moves only through distributed parquet
+  * read/write. Single-writer is enforced with the same O_EXCL lock as
+  * TableWriter.compact; multi-writer commit arbitration (optimistic
+  * retry on the pointer) is the Delta/Iceberg feature deliberately out
+  * of scope. */
+object SnapshotStore {
+
+  private def snapDir(path: String) = new File(path, "_snapshots")
+  private def manifestFile(path: String, v: Long) =
+    new File(snapDir(path), f"v$v%08d.manifest")
+  private def latestFile(path: String) = new File(snapDir(path), "_latest")
+
+  /** The committed version, or 0 if the table has no snapshot yet. */
+  def latestVersion(path: String): Long = {
+    val f = latestFile(path)
+    if (f.exists()) new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  private def manifest(path: String, v: Long): Seq[String] = {
+    val f = manifestFile(path, v)
+    require(f.exists(), s"snapshot v$v does not exist under $path")
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Read a snapshot: the latest committed version by default, or an
+    * explicit `version` for time travel. The returned frame is pinned
+    * to that version's files — later commits and compactions never
+    * touch them, so the scan is consistent however long it runs. */
+  def read(spark: SparkSession, path: String,
+           version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(path))
+    require(v > 0, s"no committed snapshot under $path")
+    spark.read.parquet(manifest(path, v): _*)
+  }
+
+  /** Write `df` as the table's next version. `mode=Overwrite` replaces
+    * the table contents; `mode=Append` carries the previous manifest's
+    * files forward and adds the new ones (an append commits in O(new
+    * data) — old files are never rewritten). Returns the published
+    * version number. */
+  def commit(df: DataFrame, path: String,
+             mode: SaveMode = SaveMode.Overwrite): Long = {
+    val lock = new File(path.stripSuffix("/") + ".snapshot-lock")
+    new File(path).mkdirs()
+    if (!lock.createNewFile())
+      throw new java.io.IOException(
+        s"snapshot commit: ${lock.getName} exists — concurrent writer (or crashed one; remove the lock after inspection)")
+    try {
+      val prev = latestVersion(path)
+      val v = prev + 1
+      val dataDir = new File(new File(path, "data"),
+        f"v$v%08d-${java.util.UUID.randomUUID().toString.take(8)}")
+      df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.getPath)
+      val fresh = Option(dataDir.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getPath).sorted
+      require(fresh.nonEmpty, s"snapshot commit: empty write for $path")
+      val carried = mode match {
+        case SaveMode.Append if prev > 0 => manifest(path, prev)
+        case _ => Nil
+      }
+      publish(path, v, carried ++ fresh)
+      v
+    } finally { lock.delete(): Unit }
+  }
+
+  /** Manifest + atomic pointer swap — the single publication instant. */
+  private def publish(path: String, v: Long, files: Seq[String]): Unit = {
+    snapDir(path).mkdirs()
+    Files.write(manifestFile(path, v).toPath,
+      (files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    val tmp = new File(snapDir(path), s"_latest.tmp")
+    Files.write(tmp.toPath, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, latestFile(path).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Compaction as a COMMIT: read the latest snapshot, rewrite into
+    * ~targetBytes files (sorted within files when `sortCols` given, so
+    * min/max stats stay selective), publish as the next version. The
+    * previous version's files are untouched — a reader that pinned
+    * version N mid-scan finishes against N while N+1 serves new
+    * plans; TableWriter.compact's crash window and reader race do not
+    * exist here. Returns the new version. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): Long = {
+    val v = latestVersion(path)
+    require(v > 0, s"no committed snapshot under $path")
+    val files = manifest(path, v)
+    val bytes = files.map(f => new File(f).length()).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(files: _*)
+    val out = if (sortCols.nonEmpty)
+      df.repartition(nFiles).sortWithinPartitions(
+        sortCols.map(org.apache.spark.sql.functions.col): _*)
+    else df.coalesce(nFiles)
+    commit(out, path, SaveMode.Overwrite)
+  }
+
+  /** Drop data files referenced by NO manifest in the retained window
+    * (the newest `keepVersions` manifests). Old manifests outside the
+    * window are deleted too: time travel is bounded by retention,
+    * exactly like Delta's VACUUM. Never touches the live version. */
+  def vacuum(path: String, keepVersions: Int = 2): Long = {
+    val v = latestVersion(path)
+    if (v == 0) return 0L
+    val keepFrom = math.max(1L, v - keepVersions + 1)
+    val live: Set[String] =
+      (keepFrom to v).flatMap(ver => manifest(path, ver)).toSet
+    var dropped = 0L
+    // delete expired manifests
+    (1L until keepFrom).foreach { ver =>
+      val f = manifestFile(path, ver)
+      if (f.exists()) { f.delete(); () }
+    }
+    // delete unreferenced data files, then empty version dirs
+    val dataRoot = new File(path, "data")
+    Option(dataRoot.listFiles()).toSeq.flatten.filter(_.isDirectory)
+      .foreach { d =>
+        Option(d.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && !live.contains(f.getPath))
+          .foreach { f => if (f.delete()) dropped += 1 }
+        val left = Option(d.listFiles()).toSeq.flatten
+        if (left.forall(f => !f.getName.endsWith(".parquet"))) {
+          left.foreach(_.delete()); d.delete(): Unit
+        }
+      }
+    dropped
+  }
+}

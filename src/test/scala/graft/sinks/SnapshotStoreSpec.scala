@@ -1,0 +1,88 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+
+  test("commit / append / time-travel read") {
+    val path = freshTable()
+    val v1 = SnapshotStore.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    assert(v1 == 1 && SnapshotStore.latestVersion(path) == 1)
+    val v2 = SnapshotStore.commit(
+      Seq((3L, "c")).toDF("id", "s"), path, SaveMode.Append)
+    assert(v2 == 2)
+    // latest sees the union; v1 still sees exactly the first commit
+    assert(SnapshotStore.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(SnapshotStore.read(spark, path, Some(1)).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("a reader pinned at version N survives a concurrent compaction") {
+    val path = freshTable()
+    // many tiny files: one per row
+    val df = spark.range(100).repartition(20)
+      .select(col("id"), (col("id") * 7).as("v"))
+    SnapshotStore.commit(df, path)
+    val before = SnapshotStore.read(spark, path) // pins v1's files NOW
+    val filesBefore = before.inputFiles.length
+    assert(filesBefore > 1)
+
+    val v2 = SnapshotStore.compact(spark, path, targetBytes = 1L << 30,
+      sortCols = Seq("id"))
+    assert(v2 == 2)
+
+    // the pinned reader still scans v1's immutable files, consistently
+    assert(before.select(sum(col("v"))).head.getLong(0) == (0 until 100).map(_ * 7L).sum)
+    assert(before.inputFiles.length == filesBefore)
+
+    // the new version serves the SAME rows from fewer files
+    val after = SnapshotStore.read(spark, path)
+    assert(after.inputFiles.length < filesBefore)
+    assert(after.select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      before.select("id", "v").as[(Long, Long)].collect().sorted.toSeq)
+
+    // probe parity post-commit: the same point query answers identically
+    def probe(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("id") === 42).select("v").as[Long].collect().toSeq
+    assert(probe(after) == Seq(294L) && probe(before) == Seq(294L))
+    // and time travel to v1 remains available after the commit
+    assert(SnapshotStore.read(spark, path, Some(1)).count() == 100)
+  }
+
+  test("vacuum drops only out-of-retention files; live version intact") {
+    val path = freshTable()
+    SnapshotStore.commit(spark.range(50).toDF("id"), path)           // v1
+    SnapshotStore.compact(spark, path, targetBytes = 1L << 30)       // v2
+    SnapshotStore.commit(spark.range(50, 60).toDF("id"), path,
+      SaveMode.Append)                                               // v3
+    val dropped = SnapshotStore.vacuum(path, keepVersions = 2)
+    assert(dropped > 0) // v1's files are referenced by no retained manifest
+    // live version still complete
+    assert(SnapshotStore.read(spark, path).count() == 60)
+    // retained time travel works; expired version is gone
+    assert(SnapshotStore.read(spark, path, Some(2)).count() == 50)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.read(spark, path, Some(1))
+    }
+  }
+
+  test("single-writer lock rejects a concurrent commit") {
+    val path = freshTable()
+    SnapshotStore.commit(spark.range(5).toDF("id"), path)
+    val lock = new java.io.File(path.stripSuffix("/") + ".snapshot-lock")
+    assert(lock.createNewFile())
+    try intercept[java.io.IOException] {
+      SnapshotStore.commit(spark.range(5).toDF("id"), path)
+    } finally lock.delete()
+    // and the table is untouched by the rejected commit
+    assert(SnapshotStore.latestVersion(path) == 1)
+  }
+}
