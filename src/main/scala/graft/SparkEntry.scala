@@ -103,6 +103,12 @@ object SparkEntry {
     // MMR diverse reranking: greedy rel − max-sim-to-selected over the
     // top-depth candidates, trajectory engine-exact
     "q_mmr_rerank"     -> q(Similarity.mmrRerank(_)),
+    // margin-criterion bitext mining: distance-margin over micro-int
+    // cosines, forward∩backward mutual-best (LASER/CCMatrix rule)
+    "q_bitext_mine"    -> q(Similarity.bitextMine(_)),
+    // distinct-n diversity + Zipf octave-mass audit (corpus QC)
+    "q_distinct_ngrams" -> q(TextAnalysis.distinctNgrams),
+    "q_zipf_audit"     -> q(TextAnalysis.zipfAudit),
     // positional-index phrase search: adjacency as a join key
     "q_phrase_search"  -> q(Retrieval.phraseSearch(_)),
     "q_knn_ivfpq"      -> q(Similarity.ivfPqKnnExact(_)),
@@ -2074,6 +2080,79 @@ object SparkEntry {
 
     // exact micro-int cosine replayed per (anchor, wrong-label) pair;
     // the ppm snap text is Dedup.cosPpmSql verbatim
+    // margin-criterion bitext mining: the dense lang×lang cosine
+    // matrix, per-side k-NN sums, distance margin 2k·cos − Σx − Σy,
+    // mined iff mutual-best by margin (forward ∩ backward)
+    "q_bitext_mine" ->
+      s"""WITH e AS (SELECT d.doc_id, d.lang,
+        |    list_transform(em.embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS m
+        |  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id),
+        |nrm AS (SELECT doc_id, lang, m,
+        |        CAST(list_sum(list_transform(m, x -> x * x)) AS BIGINT) AS nn FROM e),
+        |x AS (SELECT doc_id AS src_id, m AS mx, nn AS aa FROM nrm WHERE lang = 'en'),
+        |y AS (SELECT doc_id AS tgt_id, m AS my, nn AS bb FROM nrm WHERE lang = 'de'),
+        |p0 AS (SELECT src_id, tgt_id,
+        |        CAST(list_sum(list_transform(generate_series(1, len(mx)),
+        |          i -> mx[i] * my[i])) AS BIGINT) AS dot, aa, bb
+        |      FROM x CROSS JOIN y),
+        |p AS (SELECT src_id, tgt_id, ${operators.Dedup.cosPpmSql} AS cos_ppm FROM p0),
+        |dx AS (SELECT src_id, CAST(SUM(cos_ppm) AS BIGINT) AS dx FROM (
+        |        SELECT src_id, cos_ppm, ROW_NUMBER() OVER (
+        |          PARTITION BY src_id ORDER BY cos_ppm DESC, tgt_id) AS rn FROM p)
+        |      WHERE rn <= 4 GROUP BY src_id),
+        |dy AS (SELECT tgt_id, CAST(SUM(cos_ppm) AS BIGINT) AS dy FROM (
+        |        SELECT tgt_id, cos_ppm, ROW_NUMBER() OVER (
+        |          PARTITION BY tgt_id ORDER BY cos_ppm DESC, src_id) AS rn FROM p)
+        |      WHERE rn <= 4 GROUP BY tgt_id),
+        |sc AS (SELECT p.src_id, p.tgt_id, p.cos_ppm,
+        |        CAST(8 * p.cos_ppm - dx.dx - dy.dy AS BIGINT) AS margin2k
+        |      FROM p JOIN dx USING (src_id) JOIN dy USING (tgt_id)),
+        |f AS (SELECT src_id, tgt_id, cos_ppm, margin2k, ROW_NUMBER() OVER (
+        |        PARTITION BY src_id ORDER BY margin2k DESC, tgt_id) AS rf FROM sc),
+        |b AS (SELECT src_id, tgt_id, ROW_NUMBER() OVER (
+        |        PARTITION BY tgt_id ORDER BY margin2k DESC, src_id) AS rb FROM sc)
+        |SELECT f.src_id, f.tgt_id, f.cos_ppm, f.margin2k
+        |FROM f JOIN b ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+        |WHERE f.rf = 1 AND b.rb = 1
+        |ORDER BY f.src_id""".stripMargin,
+
+    "q_distinct_ngrams" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(l) < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(l) - 1),
+        |                i -> l[i] || ' ' || l[i + 1]) END AS g2,
+        |    CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+        |         ELSE list_transform(generate_series(1, len(l) - 2),
+        |                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]) END AS g3
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CAST(len(g2) AS BIGINT) AS n2,
+        |  CAST(len(list_distinct(g2)) AS BIGINT) AS u2,
+        |  CAST(len(list_distinct(g2)) * 1000000 // GREATEST(len(g2), 1) AS BIGINT) AS d2_ppm,
+        |  CAST(len(g3) AS BIGINT) AS n3,
+        |  CAST(len(list_distinct(g3)) AS BIGINT) AS u3,
+        |  CAST(len(list_distinct(g3)) * 1000000 // GREATEST(len(g3), 1) AS BIGINT) AS d3_ppm
+        |FROM g
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_zipf_audit" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+        |r AS (SELECT c, CAST(length(bin(CAST(ROW_NUMBER() OVER (
+        |        ORDER BY c DESC, tok) AS BIGINT))) AS BIGINT) AS octave FROM c),
+        |o AS (SELECT octave, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |        CAST(SUM(c) AS BIGINT) AS mass,
+        |        CAST(MAX(c) AS BIGINT) AS top_count
+        |      FROM r GROUP BY octave)
+        |SELECT octave, n_types, mass, top_count,
+        |  CAST(CASE WHEN LAG(mass) OVER (ORDER BY octave) IS NULL THEN NULL
+        |       ELSE mass * 1000000 // LAG(mass) OVER (ORDER BY octave) END
+        |    AS BIGINT) AS mass_ratio_ppm
+        |FROM o
+        |ORDER BY octave""".stripMargin,
+
     "q_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id, label,
         |    list_transform(embedding,

@@ -956,4 +956,72 @@ object Similarity {
       .select(col("label"), col("dim"), col("n"), col("centroid_micro"))
       .orderBy(col("label"), col("dim"))
   }
+
+  /** Margin-criterion bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix device): candidate translation pairs between a
+    * source-language and a target-language document set are scored not
+    * by raw cosine but by the MARGIN between the pair's similarity and
+    * each side's local similarity level (the mean of its k nearest
+    * neighbors on the other side) — the correction that stops "hub"
+    * vectors, globally close to everything, from pairing with
+    * everything. Distance-margin variant in exact integers:
+    * `margin2k = 2k·cos_ppm(x,y) − ΣNNk(x) − ΣNNk(y)` over the shared
+    * micro-int cosine ppm. A pair is MINED iff it is MUTUAL-best by
+    * margin (forward ∩ backward — the high-precision intersection
+    * rule the paper reports).
+    *
+    * Scale: the oracled instance scores the dense |X|×|Y| matrix —
+    * both sides LANGUAGE-BOUNDED slices, the dimension-bounded
+    * crossJoin class, with the smaller side broadcast. A web-scale
+    * run replaces the dense matrix with per-side IVF probes
+    * ([[ivfKnn]]) exactly like [[hardNegatives]]' scale split; the
+    * margin arithmetic and the mutual-best rule are unchanged. */
+  def bitextMine(t: Tables, srcLang: String = "en", tgtLang: String = "de",
+                 k: Int = 4): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotProduct _
+    val base = Dedup.spread(t.documents.select(col("doc_id"), col("lang")))
+      .join(t.embeddings.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
+      .select(col("doc_id"), col("lang"), col("m"),
+        dot(col("m"), col("m")).cast("long").as("nn"))
+    val xs = base.filter(col("lang") === srcLang)
+      .select(col("doc_id").as("src_id"), col("m").as("mx"), col("nn").as("aa"))
+    val ys = base.filter(col("lang") === tgtLang)
+      .select(col("doc_id").as("tgt_id"), col("m").as("my"), col("nn").as("bb"))
+    val pairs = xs.crossJoin(broadcast(ys))
+      .select(col("src_id"), col("tgt_id"),
+        dot(col("mx"), col("my")).cast("long").as("dot"),
+        col("aa"), col("bb"))
+      .withColumn("cos_ppm", expr(Dedup.cosPpmSql))
+      .select(col("src_id"), col("tgt_id"), col("cos_ppm"))
+      .persistTracked() // neighborhood sums + margins share the matrix
+    val fw = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_ppm").desc, col("tgt_id"))
+    val bw = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos_ppm").desc, col("src_id"))
+    val dx = pairs.withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= k).groupBy(col("src_id"))
+      .agg(sum(col("cos_ppm")).as("dx"))
+    val dy = pairs.withColumn("rn", row_number().over(bw))
+      .filter(col("rn") <= k).groupBy(col("tgt_id"))
+      .agg(sum(col("cos_ppm")).as("dy"))
+    val scored = pairs.join(dx, Seq("src_id")).join(dy, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos_ppm"),
+        (lit(2L * k) * col("cos_ppm") - col("dx") - col("dy")).as("margin2k"))
+    val mf = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin2k").desc, col("tgt_id"))
+    val mb = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin2k").desc, col("src_id"))
+    val fwd = scored.withColumn("rn", row_number().over(mf))
+      .filter(col("rn") === 1).drop("rn")
+    val bwd = scored.withColumn("rn", row_number().over(mb))
+      .filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"))
+    fwd.join(bwd, Seq("src_id", "tgt_id")) // forward ∩ backward
+      .select(col("src_id"), col("tgt_id"), col("cos_ppm"), col("margin2k"))
+      .orderBy(col("src_id"))
+  }
 }

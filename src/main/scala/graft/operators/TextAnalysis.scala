@@ -1592,4 +1592,65 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
   }
+
+  /** Distinct-n n-gram diversity (the distinct-1/2/3 metric of Li et
+    * al. 2016, standard in corpus/generation quality cards): per
+    * document, unique-vs-total bigram and trigram ratios in ppm — the
+    * self-repetition signal that catches template spam and looping
+    * generations which pass length/stopword filters. Entirely map-side
+    * (array HOFs inside codegen, no shuffle but the presentation
+    * sort); ratios in integer ppm with a GREATEST(n,1) floor so empty
+    * gram sets divide safely. */
+  def distinctNgrams(t: Tables): DataFrame = distinctNgramsDocs(t.documents)
+
+  /** [[distinctNgrams]] over an explicit (doc_id, text) frame. */
+  def distinctNgramsDocs(docs: DataFrame): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    def g(n: Int) = graft.functions.TextFunctions.wordNgramsOf(col("toks"), n)
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(g(2)).cast("long").as("n2"),
+        size(array_distinct(g(2))).cast("long").as("u2"),
+        size(g(3)).cast("long").as("n3"),
+        size(array_distinct(g(3))).cast("long").as("u3"))
+      .select(col("doc_id"), col("n2"), col("u2"),
+        expr("u2 * 1000000 DIV GREATEST(n2, 1)").as("d2_ppm"),
+        col("n3"), col("u3"),
+        expr("u3 * 1000000 DIV GREATEST(n3, 1)").as("d3_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zipf octave audit: corpus token frequencies bucketed by the OCTAVE
+    * of their frequency rank (bucket b holds ranks 2^(b−1)…2^b−1, the
+    * floor-log2 bin-length device every sketch here shares). Under a
+    * Zipf law with exponent 1 each octave carries roughly EQUAL total
+    * mass (Σ_{r=2^b}^{2^{b+1}} C/r ≈ C·ln 2), so the per-octave
+    * mass ratio vs the previous octave hovering near 10⁶ ppm IS the
+    * Zipf diagnostic — a corpus whose ratios decay fast is
+    * vocabulary-starved (template spam); one whose ratios grow is
+    * shard-duplicated boilerplate. All integer arithmetic.
+    *
+    * Scale: one map-side token expand + the wordCount vocabulary
+    * aggregate; the rank window sorts the VOCABULARY (Heaps-bounded),
+    * never the corpus, and the octave rollup is ≤ 64 rows. */
+  def zipfAudit(t: Tables): DataFrame = {
+    val counts = t.documents
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok"))
+    val ranked = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("c"), length(bin(col("rank"))).cast("long").as("octave"))
+    ranked.groupBy(col("octave"))
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        sum(col("c")).cast("long").as("mass"),
+        max(col("c")).cast("long").as("top_count"))
+      // explicit NULL for the first octave: GREATEST-with-NULL differs
+      // across engines, CASE does not
+      .withColumn("mass_ratio_ppm",
+        expr("CASE WHEN LAG(mass) OVER (ORDER BY octave) IS NULL THEN NULL " +
+          "ELSE mass * 1000000 DIV LAG(mass) OVER (ORDER BY octave) END")
+          .cast("long"))
+      .orderBy(col("octave"))
+  }
 }

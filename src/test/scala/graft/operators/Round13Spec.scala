@@ -110,6 +110,40 @@ class Round13Spec extends SparkSpec {
     assert(r.getAs[String]("content_hash") == hex)
   }
 
+  test("bitextMine: mutual-best is a partial matching; margins decompose") {
+    val r = Similarity.bitextMine(tables).collect()
+    assert(r.nonEmpty)
+    // forward ∩ backward can use each src and each tgt at most once
+    assert(r.map(_.getLong(0)).distinct.length == r.length)
+    assert(r.map(_.getLong(1)).distinct.length == r.length)
+    // distance margin is bounded: 2k·cos − Σk best ≤ k·(cos − worst)
+    r.foreach { row =>
+      val (cos, margin) = (row.getLong(2), row.getLong(3))
+      assert(margin <= 8L * cos - 8L * (-1000000L)) // cos_ppm ≥ −10⁶ each side
+    }
+  }
+
+  test("distinctNgrams: repetition drives the ratio, diversity saturates it") {
+    val docs = Seq((0L, "a a a a"), (1L, "a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.distinctNgramsDocs(docs).collect()
+    assert(r(0).getLong(1) == 3 && r(0).getLong(2) == 1) // n2=3 u2=1
+    assert(r(0).getLong(3) == 333333L)
+    assert(r(1).getLong(3) == 1000000L && r(1).getLong(6) == 1000000L)
+  }
+
+  test("zipfAudit: octave structure is sound") {
+    val r = TextAnalysis.zipfAudit(tables).collect()
+    assert(r.nonEmpty)
+    // octave b holds at most 2^(b-1) ranks
+    r.foreach { row =>
+      val (oct, nTypes) = (row.getLong(0), row.getLong(1))
+      assert(nTypes <= (1L << (oct - 1).toInt))
+    }
+    // first octave is rank 1 only; ratios defined from the second on
+    assert(r.head.getLong(0) == 1 && r.head.getLong(1) == 1)
+    assert(r.head.isNullAt(4) && r.tail.forall(!_.isNullAt(4)))
+  }
+
   test("realMediaFeatures: oracle-shape columns match the md5-replay by hand") {
     val r = Multimodal.realMediaFeatures(tables, bins = 5)
       .filter(col("doc_id") < 5).collect()
