@@ -75,13 +75,15 @@ object SnapshotStore {
     * data) — old files are never rewritten). Returns the published
     * version number. */
   def commit(df: DataFrame, path: String,
-             mode: SaveMode = SaveMode.Overwrite): Long = {
+             mode: SaveMode = SaveMode.Overwrite,
+             batchId: Option[Long] = None): Long = {
     val lock = new File(path.stripSuffix("/") + ".snapshot-lock")
     new File(path).mkdirs()
     if (!lock.createNewFile())
       throw new java.io.IOException(
         s"snapshot commit: ${lock.getName} exists — concurrent writer (or crashed one; remove the lock after inspection)")
     try {
+      healLocked(path)
       val prev = latestVersion(path)
       val v = prev + 1
       val dataDir = new File(new File(path, "data"),
@@ -95,20 +97,95 @@ object SnapshotStore {
         case SaveMode.Append if prev > 0 => manifest(path, prev)
         case _ => Nil
       }
-      publish(path, v, carried ++ fresh)
+      publish(path, v, carried ++ fresh, batchId)
       v
     } finally { lock.delete(): Unit }
   }
 
-  /** Manifest + atomic pointer swap — the single publication instant. */
-  private def publish(path: String, v: Long, files: Seq[String]): Unit = {
-    snapDir(path).mkdirs()
-    Files.write(manifestFile(path, v).toPath,
-      (files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    val tmp = new File(snapDir(path), s"_latest.tmp")
-    Files.write(tmp.toPath, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, latestFile(path).toPath,
+  // ——— streaming integration: exactly-once foreachBatch commits ———
+
+  private def batchFile(path: String, v: Long) =
+    new File(snapDir(path), f"v$v%08d.batch")
+
+  /** Complete or roll back a crashed publish. The publish sequence is
+    * data → manifest → batch sidecar → pointer (each file landing via
+    * atomic rename), so a crash leaves at most version latest+1
+    * artifacts, and the SIDECAR decides the direction:
+    *   - sidecar present: replay detection is already observable, so
+    *     the data MUST become visible — roll FORWARD (finish the
+    *     pointer swap);
+    *   - sidecar absent: nothing about this commit is observable —
+    *     roll BACK (drop the manifest; the orphaned data dir is
+    *     garbage for vacuum, and the caller/stream simply redoes the
+    *     commit).
+    * Either way the exactly-once invariant holds: a batch id is
+    * recorded iff its rows are (or will be, after this heal) visible.
+    * Idempotent; takes the writer lock. */
+  def recoverCommit(path: String): Unit = {
+    val lock = new File(path.stripSuffix("/") + ".snapshot-lock")
+    if (!snapDir(path).exists()) return
+    if (!lock.createNewFile())
+      throw new java.io.IOException(
+        s"recoverCommit: ${lock.getName} exists — concurrent writer")
+    try healLocked(path) finally { lock.delete(): Unit }
+  }
+
+  private def healLocked(path: String): Unit = {
+    val v = latestVersion(path) + 1
+    val mf = manifestFile(path, v)
+    if (mf.exists()) {
+      if (batchFile(path, v).exists()) publishPointer(path, v) // roll forward
+      else { mf.delete(): Unit }                               // roll back
+    }
+  }
+
+  /** Highest micro-batch id ever committed into this table, or −1.
+    * Batch ids are recorded in per-version sidecar files; together
+    * with [[recoverCommit]]'s heal rule, a batch id is observable here
+    * iff its rows are visible — the replay-detection invariant. */
+  def lastStreamBatch(path: String): Long = {
+    val d = snapDir(path)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".batch"))
+      .map(f => new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim.toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** An exactly-once streaming sink: use as
+    * `stream.writeStream.foreachBatch(SnapshotStore.streamSink(path) _)`.
+    * Each micro-batch becomes an APPEND snapshot commit; on checkpoint
+    * recovery Structured Streaming re-delivers the last possibly-
+    * uncommitted batch, and the recorded batch id makes the replay a
+    * no-op — the table sees every micro-batch exactly once even
+    * though the delivery contract is at-least-once. */
+  def streamSink(path: String)(df: DataFrame, batchId: Long): Unit = {
+    recoverCommit(path) // a crashed publish must heal BEFORE the skip check
+    if (batchId > lastStreamBatch(path)) {
+      commit(df, path, SaveMode.Append, batchId = Some(batchId)): Unit
+    }
+  }
+
+  /** Every publication file lands via write-to-tmp + atomic rename, so
+    * existence implies completeness (the heal rule depends on it). */
+  private def atomicWrite(target: File, content: String): Unit = {
+    val tmp = new File(target.getParentFile, target.getName + ".tmp")
+    Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, target.toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def publishPointer(path: String, v: Long): Unit =
+    atomicWrite(latestFile(path), v.toString)
+
+  /** Manifest (+ batch sidecar) + atomic pointer swap — the pointer
+    * rename is the single publication instant. */
+  private def publish(path: String, v: Long, files: Seq[String],
+                      batchId: Option[Long]): Unit = {
+    snapDir(path).mkdirs()
+    atomicWrite(manifestFile(path, v), files.mkString("\n") + "\n")
+    batchId.foreach(b => atomicWrite(batchFile(path, v), b.toString))
+    publishPointer(path, v)
   }
 
   /** Compaction as a COMMIT: read the latest snapshot, rewrite into
@@ -149,6 +226,8 @@ object SnapshotStore {
     (1L until keepFrom).foreach { ver =>
       val f = manifestFile(path, ver)
       if (f.exists()) { f.delete(); () }
+      // keep .batch sidecars even when expired: replay detection must
+      // survive retention, or a vacuumed table re-ingests an old batch
     }
     // delete unreferenced data files, then empty version dirs
     val dataRoot = new File(path, "data")

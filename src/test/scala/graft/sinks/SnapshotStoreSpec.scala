@@ -74,6 +74,60 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming foreachBatch sink: exactly-once across batch replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = freshTable()
+    val input = MemoryStream[Long](spark)
+    val q = input.toDF().toDF("id").writeStream
+      .foreachBatch(SnapshotStore.streamSink(path) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-snap-ck").toString)
+      .start()
+    try {
+      input.addData(1L, 2L, 3L); q.processAllAvailable()
+      input.addData(4L, 5L); q.processAllAvailable()
+      assert(SnapshotStore.read(spark, path).select("id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val v = SnapshotStore.latestVersion(path)
+      val lastBatch = SnapshotStore.lastStreamBatch(path)
+      assert(lastBatch >= 1)
+      // at-least-once redelivery: replaying the last batch is a no-op
+      SnapshotStore.streamSink(path)(Seq(4L, 5L).toDF("id"), lastBatch)
+      assert(SnapshotStore.latestVersion(path) == v)
+      assert(SnapshotStore.read(spark, path).count() == 5)
+      // a genuinely new batch commits
+      SnapshotStore.streamSink(path)(Seq(6L).toDF("id"), lastBatch + 1)
+      assert(SnapshotStore.read(spark, path).count() == 6)
+    } finally q.stop()
+  }
+
+  test("crashed publish heals: sidecar decides forward vs back") {
+    val path = freshTable()
+    SnapshotStore.commit(spark.range(3).toDF("id"), path) // v1
+    val snap = new java.io.File(path, "_snapshots")
+
+    // crash AFTER manifest, BEFORE sidecar/pointer → roll BACK
+    val m2 = new java.io.File(snap, "v00000002.manifest")
+    java.nio.file.Files.write(m2.toPath, "/nonexistent.parquet\n".getBytes)
+    SnapshotStore.recoverCommit(path)
+    assert(!m2.exists() && SnapshotStore.latestVersion(path) == 1)
+
+    // crash AFTER sidecar, BEFORE pointer → roll FORWARD (the batch id
+    // is observable, so its rows must become visible)
+    val v1Files = SnapshotStore.read(spark, path).inputFiles.toSeq
+    java.nio.file.Files.write(m2.toPath,
+      (v1Files.mkString("\n") + "\n").getBytes)
+    java.nio.file.Files.write(
+      new java.io.File(snap, "v00000002.batch").toPath, "7".getBytes)
+    SnapshotStore.recoverCommit(path)
+    assert(SnapshotStore.latestVersion(path) == 2)
+    assert(SnapshotStore.lastStreamBatch(path) == 7)
+    assert(SnapshotStore.read(spark, path).count() == 3)
+    // and the replay of batch 7 is now correctly a no-op
+    SnapshotStore.streamSink(path)(spark.range(99).toDF("id"), 7L)
+    assert(SnapshotStore.latestVersion(path) == 2)
+  }
+
   test("single-writer lock rejects a concurrent commit") {
     val path = freshTable()
     SnapshotStore.commit(spark.range(5).toDF("id"), path)
