@@ -3523,9 +3523,21 @@ object SparkEntry {
         |v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
         |             CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
         |      FROM p),
-        |cent AS (SELECT vec_id % 16 AS b, dim,
-        |                CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
-        |         FROM v GROUP BY 1, 2),
+        |c0 AS (SELECT vec_id AS b, dim, m AS cm FROM v WHERE vec_id < 16),
+        |a0 AS (SELECT vec_id, b FROM
+        |       (SELECT d0.vec_id, d0.b,
+        |               ROW_NUMBER() OVER (PARTITION BY d0.vec_id
+        |                                  ORDER BY d0.d2, d0.b) AS rn
+        |        FROM (SELECT v.vec_id, c0.b,
+        |                     CAST(SUM((v.m - c0.cm) * (v.m - c0.cm)) AS BIGINT) AS d2
+        |              FROM v JOIN c0 USING (dim) GROUP BY 1, 2) d0)
+        |       WHERE rn = 1),
+        |mm AS (SELECT a0.b, v.dim,
+        |              CAST(FLOOR(CAST(SUM(v.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |                   AS BIGINT) AS cmm
+        |       FROM v JOIN a0 USING (vec_id) GROUP BY 1, 2),
+        |cent AS (SELECT c0.b, c0.dim, COALESCE(mm.cmm, c0.cm) AS cm
+        |         FROM c0 LEFT JOIN mm ON mm.b = c0.b AND mm.dim = c0.dim),
         |dist AS (SELECT vec_id, b, CAST(SUM((m - cm) * (m - cm)) AS BIGINT) AS d2
         |         FROM v JOIN cent USING (dim) GROUP BY 1, 2),
         |assign AS (SELECT vec_id AS neighbor_id, b FROM
@@ -3564,9 +3576,21 @@ object SparkEntry {
         |v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
         |             CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
         |      FROM p),
-        |cent AS (SELECT vec_id % 16 AS b, dim,
-        |                CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
-        |         FROM v GROUP BY 1, 2),
+        |c0 AS (SELECT vec_id AS b, dim, m AS cm FROM v WHERE vec_id < 16),
+        |a0 AS (SELECT vec_id, b FROM
+        |       (SELECT d0.vec_id, d0.b,
+        |               ROW_NUMBER() OVER (PARTITION BY d0.vec_id
+        |                                  ORDER BY d0.d2, d0.b) AS rn
+        |        FROM (SELECT v.vec_id, c0.b,
+        |                     CAST(SUM((v.m - c0.cm) * (v.m - c0.cm)) AS BIGINT) AS d2
+        |              FROM v JOIN c0 USING (dim) GROUP BY 1, 2) d0)
+        |       WHERE rn = 1),
+        |mm AS (SELECT a0.b, v.dim,
+        |              CAST(FLOOR(CAST(SUM(v.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |                   AS BIGINT) AS cmm
+        |       FROM v JOIN a0 USING (vec_id) GROUP BY 1, 2),
+        |cent AS (SELECT c0.b, c0.dim, COALESCE(mm.cmm, c0.cm) AS cm
+        |         FROM c0 LEFT JOIN mm ON mm.b = c0.b AND mm.dim = c0.dim),
         |dist AS (SELECT vec_id, b, CAST(SUM((m - cm) * (m - cm)) AS BIGINT) AS d2
         |         FROM v JOIN cent USING (dim) GROUP BY 1, 2),
         |assign AS (SELECT vec_id, b FROM

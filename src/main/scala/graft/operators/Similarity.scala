@@ -172,6 +172,32 @@ object Similarity {
     * pqEncode pattern); the probe scan touches only the nprobe
     * buckets' members, and candidate scoring joins value rows by id —
     * corpus×query never materializes. */
+  /** Exact coarse codebook shared by [[ivfKnnExact]] and
+    * [[ivfPqKnnExact]]: Forgy seed (centroid b = vector b) + ONE
+    * Lloyd round with empty-cluster carry, all in exact integer
+    * arithmetic (integer squared distances, FLOOR-division M-step) so
+    * DuckDB replays the build verbatim. Round-13 A/B vs the previous
+    * random-partition M-step: probe ceiling 0.74→1.0 at sf0.1. */
+  private def exactCoarse(v: DataFrame, nlist: Int): DataFrame = {
+    val c0 = v.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("b"), col("dim"), col("m").as("cm"))
+    val d0w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
+    val a0 = v.join(broadcast(c0), Seq("dim"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+      .withColumn("rn", row_number().over(d0w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("b"))
+    val mm = v.join(a0, Seq("vec_id"))
+      .groupBy(col("b"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("sm"))
+      .select(col("b"), col("dim"),
+        expr("CAST(FLOOR(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
+          .as("cmm"))
+    c0.withColumnRenamed("cm", "cm0")
+      .join(mm, Seq("b", "dim"), "left")
+      .select(col("b"), col("dim"), coalesce(col("cmm"), col("cm0")).as("cm"))
+  }
+
   def ivfKnnExact(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
                   nQueries: Int = 10): DataFrame = {
     val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
@@ -179,13 +205,7 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"), m.as("m"))
       .persistTracked() // feeds centroids, both distance passes (see tfIdf)
-    val cent = v
-      .withColumn("b", col("vec_id") % nlist)
-      .groupBy(col("b"), col("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("sm"))
-      .select(col("b"), col("dim"),
-        expr("CAST(FLOOR(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
-          .as("cm"))
+    val cent = exactCoarse(v, nlist)
     val dist = v.join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"), col("b"))
       .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
@@ -401,12 +421,10 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"), m.as("m"))
       .persistTracked() // feeds coarse codebook, residuals, query residuals
-    val cent = v.withColumn("b", col("vec_id") % nlist)
-      .groupBy(col("b"), col("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("sm"))
-      .select(col("b"), col("dim"),
-        expr("CAST(FLOOR(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
-          .as("cm"))
+    // Coarse codebook: the shared Forgy + one-Lloyd exact build
+    // ([[exactCoarse]] — same init as the residual codebook AND the
+    // float twin; oracle replays it verbatim).
+    val cent = exactCoarse(v, nlist)
       .persistTracked() // joined by the distance pass and BOTH residual passes
     val dist = v.join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"), col("b"))
