@@ -144,6 +144,9 @@ object SparkEntry {
     // jusText-style boilerplate extraction: synthesized HTML page →
     // script strip → block-line split → link-density classification
     "q_html_extract"   -> q(Curation.htmlExtract),
+    // C4-style phrase-blocklist filter: broadcast deny-list joined
+    // against the 1/2-gram explode, zero-hit docs kept with zeros
+    "q_blocklist"      -> q(Curation.blocklistFilter(_)),
     "q_corpus_stats"   -> q(Curation.corpusStats),
     "q_shard_balance"  -> q(Curation.shardBalance(_)),
     "q_sample_hash"    -> q(Curation.sampleHash),
@@ -1456,6 +1459,25 @@ object SparkEntry {
         |  md5(COALESCE(array_to_string(list_transform(ct, s -> s.txt), chr(10)), ''))
         |    AS content_hash
         |FROM cl
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_blocklist" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id, unnest(list_concat(l,
+        |        CASE WHEN len(l) < 2 THEN []::VARCHAR[]
+        |             ELSE list_transform(generate_series(1, len(l) - 1),
+        |                    i -> l[i] || ' ' || l[i + 1]) END)) AS phrase
+        |      FROM tok),
+        |h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |        CAST(COUNT(DISTINCT phrase) AS BIGINT) AS n_phrases
+        |      FROM g
+        |      WHERE phrase IN ('dup', 'slow scan', 'big hash', 'stream dup')
+        |      GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.n_phrases, 0) AS n_phrases,
+        |  CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END AS dropped
+        |FROM documents d LEFT JOIN h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_curate" ->

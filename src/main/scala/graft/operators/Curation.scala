@@ -581,6 +581,41 @@ object Curation {
       .orderBy(col("seq_id"))
   }
 
+  /** C4-style phrase-blocklist filter (Raffel et al. 2020 §2.2: drop
+    * any page containing a blocklisted word; generalized here to 1–2
+    * word PHRASES, the form real deny-lists take). Per document: how
+    * many blocklist phrases occur (distinct and total) and the drop
+    * flag. The blocklist is a BROADCAST dimension — a real deny-list
+    * is thousands of rows, still broadcast class — joined against the
+    * doc's 1/2-gram explode; corpus-sized work is one map-side gram
+    * expand + one per-doc aggregate. Zero-hit documents are kept with
+    * zeros via the left join (row count stable under any list). */
+  val DefaultBlocklist: Seq[String] =
+    Seq("dup", "slow scan", "big hash", "stream dup")
+
+  def blocklistFilter(t: Tables,
+                      phrases: Seq[String] = DefaultBlocklist): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val block = broadcast(phrases.toDF("phrase"))
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val grams = t.documents.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(concat(
+        graft.functions.TextFunctions.wordNgramsOf(col("toks"), 1),
+        graft.functions.TextFunctions.wordNgramsOf(col("toks"), 2))).as("phrase"))
+    val hits = grams.join(block, Seq("phrase"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        countDistinct(col("phrase")).cast("long").as("n_phrases"))
+    t.documents.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"),
+        when(col("n_hits").isNotNull, lit(1)).otherwise(lit(0)).as("dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** HTML boilerplate extraction (jusText-style, Pomikálek 2011's core
     * signal): strip script blocks, split the page into block-tag
     * lines, classify each line by LINK DENSITY + length — a line is
