@@ -76,30 +76,114 @@ object SnapshotStore {
     * version number. */
   def commit(df: DataFrame, path: String,
              mode: SaveMode = SaveMode.Overwrite,
-             batchId: Option[Long] = None): Long = {
+             batchId: Option[Long] = None,
+             statsKey: Option[String] = None): Long =
+    withLock(path) {
+      val prev = latestVersion(path)
+      val carried = mode match {
+        case SaveMode.Append if prev > 0 => manifest(path, prev)
+        case _ => Nil
+      }
+      commitLocked(df, path, carried, batchId, statsKey)
+    }
+
+  private def withLock[A](path: String)(body: => A): A = {
     val lock = new File(path.stripSuffix("/") + ".snapshot-lock")
     new File(path).mkdirs()
     if (!lock.createNewFile())
       throw new java.io.IOException(
         s"snapshot commit: ${lock.getName} exists — concurrent writer (or crashed one; remove the lock after inspection)")
-    try {
-      healLocked(path)
-      val prev = latestVersion(path)
-      val v = prev + 1
-      val dataDir = new File(new File(path, "data"),
-        f"v$v%08d-${java.util.UUID.randomUUID().toString.take(8)}")
-      df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.getPath)
-      val fresh = Option(dataDir.listFiles()).toSeq.flatten
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.getPath).sorted
-      require(fresh.nonEmpty, s"snapshot commit: empty write for $path")
-      val carried = mode match {
-        case SaveMode.Append if prev > 0 => manifest(path, prev)
-        case _ => Nil
+    try { healLocked(path); body } finally { lock.delete(): Unit }
+  }
+
+  /** Write `df` as fresh files, carry `carried` forward, publish. When
+    * `statsKey` is set, per-file (min, max) ranges of that column are
+    * recorded in the version's stats sidecar (one extra skinny agg
+    * over the fresh files, grouped by input_file_name) — the footer-
+    * stats layer [[mergeCommit]] prunes with. */
+  private def commitLocked(df: DataFrame, path: String,
+                           carried: Seq[String], batchId: Option[Long],
+                           statsKey: Option[String]): Long = {
+    val prev = latestVersion(path)
+    val v = prev + 1
+    val dataDir = new File(new File(path, "data"),
+      f"v$v%08d-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.getPath)
+    val fresh = Option(dataDir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    require(fresh.nonEmpty, s"snapshot commit: empty write for $path")
+    statsKey.foreach { key =>
+      val spark = df.sparkSession
+      val freshStats = spark.read.parquet(fresh: _*)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .agg(org.apache.spark.sql.functions.min(key).cast("long").as("lo"),
+          org.apache.spark.sql.functions.max(key).cast("long").as("hi"))
+        .collect()
+        .map(r => normalizePath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val carriedStats =
+        if (prev > 0) stats(path, prev) else Map.empty[String, (Long, Long)]
+      val all = (carried ++ fresh).flatMap { f =>
+        freshStats.get(f).orElse(carriedStats.get(f)).map(f -> _)
       }
-      publish(path, v, carried ++ fresh, batchId)
-      v
-    } finally { lock.delete(): Unit }
+      atomicWrite(statsFile(path, v),
+        all.map { case (f, (lo, hi)) => s"$f\t$lo\t$hi" }
+          .mkString("\n") + "\n")
+    }
+    publish(path, v, carried ++ fresh, batchId)
+    v
+  }
+
+  private def statsFile(path: String, v: Long) =
+    new File(snapDir(path), f"v$v%08d.stats")
+
+  /** input_file_name() yields a file: URI; manifests hold plain paths. */
+  private def normalizePath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  /** Per-file (min, max) key ranges recorded at commit time, empty if
+    * the version has no stats sidecar (then nothing can be pruned). */
+  private def stats(path: String, v: Long): Map[String, (Long, Long)] = {
+    val f = statsFile(path, v)
+    if (!f.exists()) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { l =>
+        val a = l.split("\t"); (a(0), (a(1).toLong, a(2).toLong))
+      }.toMap
+  }
+
+  /** Delta-style MERGE as a snapshot commit (upsert-by-key): rows of
+    * `df` replace same-key rows of the live version. File-level stats
+    * pruning makes this O(touched data), not O(table): only files
+    * whose recorded [min, max] key range overlaps the batch's key
+    * range are read and rewritten (minus replaced keys); every
+    * disjoint file is CARRIED by reference — at 100 TB with
+    * range-partitioned commits a point-key batch rewrites one file.
+    * Files without stats (or a table without sidecars) degrade to
+    * "touched", never to wrong results. Returns the new version. */
+  def mergeCommit(spark: SparkSession, path: String, df: DataFrame,
+                  key: String): Long = withLock(path) {
+    import org.apache.spark.sql.functions.col
+    val v = latestVersion(path)
+    require(v > 0, s"no committed snapshot under $path")
+    val files = manifest(path, v)
+    val st = stats(path, v)
+    val bounds = df.agg(
+      org.apache.spark.sql.functions.min(key).cast("long"),
+      org.apache.spark.sql.functions.max(key).cast("long")).head()
+    require(!bounds.isNullAt(0), s"mergeCommit: empty batch for $path")
+    val (bLo, bHi) = (bounds.getLong(0), bounds.getLong(1))
+    val (untouched, touched) = files.partition { f =>
+      st.get(f).exists { case (lo, hi) => hi < bLo || lo > bHi }
+    }
+    val survivors =
+      if (touched.isEmpty) df
+      else spark.read.parquet(touched: _*)
+        .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
+        .unionByName(df)
+    commitLocked(survivors, path, untouched, None, Some(key))
   }
 
   // ——— streaming integration: exactly-once foreachBatch commits ———
@@ -169,6 +253,7 @@ object SnapshotStore {
   /** Every publication file lands via write-to-tmp + atomic rename, so
     * existence implies completeness (the heal rule depends on it). */
   private def atomicWrite(target: File, content: String): Unit = {
+    target.getParentFile.mkdirs()
     val tmp = new File(target.getParentFile, target.getName + ".tmp")
     Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, target.toPath,

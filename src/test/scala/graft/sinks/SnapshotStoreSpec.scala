@@ -128,6 +128,57 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.latestVersion(path) == 2)
   }
 
+  test("mergeCommit: stats pruning rewrites only overlapping files") {
+    val path = freshTable()
+    // 4 range-partitioned files with disjoint id ranges + stats sidecar
+    val base = spark.range(100)
+      .select(col("id"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("id"))
+    SnapshotStore.commit(base, path, statsKey = Some("id"))
+    val v1Files = SnapshotStore.read(spark, path).inputFiles.toSet
+    assert(v1Files.size == 4)
+
+    // upsert a narrow key range: only the file(s) covering 10..15 move
+    val batch = spark.range(10, 16)
+      .select(col("id"), (col("id") * 1000).as("v"))
+    val v2 = SnapshotStore.mergeCommit(spark, path, batch, "id")
+    assert(v2 == 2)
+    val v2Files = SnapshotStore.read(spark, path).inputFiles.toSet
+    val carried = v1Files.intersect(v2Files)
+    assert(carried.nonEmpty && carried.size < v1Files.size,
+      s"expected partial carry, got ${carried.size}/${v1Files.size}")
+
+    // upsert semantics: batch rows replaced, everything else intact
+    val after = SnapshotStore.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(after.size == 100)
+    (0L until 100L).foreach { id =>
+      assert(after(id) == (if (id >= 10 && id <= 15) id * 1000 else id * 10))
+    }
+    // time travel still sees the pre-merge values
+    val before = SnapshotStore.read(spark, path, Some(1))
+      .filter(col("id") === 12).select("v").as[Long].head()
+    assert(before == 120)
+
+    // a second merge against the merged table also prunes (stats were
+    // carried + recomputed for the rewritten files)
+    val v3 = SnapshotStore.mergeCommit(spark, path,
+      spark.range(90, 92).select(col("id"), lit(7L).as("v")), "id")
+    assert(v3 == 3)
+    assert(SnapshotStore.read(spark, path).filter(col("v") === 7).count() == 2)
+  }
+
+  test("mergeCommit without stats degrades to full rewrite, stays correct") {
+    val path = freshTable()
+    SnapshotStore.commit(
+      spark.range(20).select(col("id"), col("id").as("v")), path) // no stats
+    SnapshotStore.mergeCommit(spark, path,
+      spark.range(5, 8).select(col("id"), lit(0L).as("v")), "id")
+    val m = SnapshotStore.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(m.size == 20 && m(5) == 0 && m(6) == 0 && m(7) == 0 && m(4) == 4)
+  }
+
   test("single-writer lock rejects a concurrent commit") {
     val path = freshTable()
     SnapshotStore.commit(spark.range(5).toDF("id"), path)
