@@ -147,6 +147,9 @@ object SparkEntry {
     // C4-style phrase-blocklist filter: broadcast deny-list joined
     // against the 1/2-gram explode, zero-hit docs kept with zeros
     "q_blocklist"      -> q(Curation.blocklistFilter(_)),
+    // URL canonicalization: lowercase scheme/host, default-port strip,
+    // fragment + tracking-param drop, sorted query — synthesized URLs
+    "q_url_canon"      -> q(Curation.urlCanon),
     "q_corpus_stats"   -> q(Curation.corpusStats),
     "q_shard_balance"  -> q(Curation.shardBalance(_)),
     "q_sample_hash"    -> q(Curation.sampleHash),
@@ -1460,6 +1463,56 @@ object SparkEntry {
         |    AS content_hash
         |FROM cl
         |ORDER BY doc_id""".stripMargin,
+
+    "q_url_canon" ->
+      """WITH c AS (SELECT doc_id,
+        |    (('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT & 2147483647) AS c0,
+        |    (('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT & 2147483647) AS c1,
+        |    (('0x' || substr(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT & 2147483647) AS c2,
+        |    (('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT & 2147483647) AS c3,
+        |    (('0x' || substr(md5('4:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT & 2147483647) AS c4,
+        |    (('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT & 2147483647) AS c5
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |    (CASE WHEN c1 % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |    || '://'
+        |    || (CASE WHEN c2 % 2 = 0
+        |         THEN upper(HOSTS[CAST(c0 % 12 AS INT) + 1])
+        |         ELSE HOSTS[CAST(c0 % 12 AS INT) + 1] END)
+        |    || ':' || CAST(HOSTPORTS[CAST(c3 % 3 AS INT) + 1] AS VARCHAR)
+        |    || '/p' || CAST(doc_id % 7 AS VARCHAR)
+        |    || (CASE WHEN c4 % 3 = 0 THEN '?b=2&utm_source=news&a=1'
+        |             WHEN c4 % 3 = 1 THEN '?a=1&fbclid=xyz&b=2'
+        |             ELSE '' END)
+        |    || (CASE WHEN c5 % 2 = 0 THEN '#sec1' ELSE '' END) AS url
+        |  FROM c),
+        |x AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS s,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS h,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:(\d+)', 1) AS pt,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS pa,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |y AS (SELECT doc_id, url, s, h, pt, pa,
+        |    list_filter(string_split(q, '&'), p -> length(p) > 0) AS allp,
+        |    list_filter(string_split(q, '&'), p -> length(p) > 0
+        |      AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=')
+        |      AND NOT starts_with(p, 'gclid=')) AS keep
+        |  FROM x)
+        |SELECT doc_id, url,
+        |  s || '://' || h
+        |  || (CASE WHEN pt <> '' AND NOT ((s = 'http' AND pt = '80')
+        |            OR (s = 'https' AND pt = '443'))
+        |       THEN ':' || pt ELSE '' END)
+        |  || pa
+        |  || (CASE WHEN len(keep) > 0
+        |       THEN '?' || array_to_string(list_sort(keep), '&') ELSE '' END)
+        |    AS canon_url,
+        |  CAST(len(allp) - len(keep) AS BIGINT) AS dropped_params
+        |FROM y
+        |ORDER BY doc_id""".stripMargin
+        .replace("HOSTPORTS", "[80, 443, 8080]")
+        .replace("HOSTS", "['www.acme.com', 'blog.widget.co.uk', 'contoso.org.uk', 'fabrikam.github.io', 'example.ac.jp', 'shop.example.jp', 'foo.bar.ck', 'www.ck', 'mail.www.ck', 'nonexistent.zz', 'com', 'deep.sub.acme.co.uk']"),
 
     "q_blocklist" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

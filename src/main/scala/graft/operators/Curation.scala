@@ -581,6 +581,58 @@ object Curation {
       .orderBy(col("seq_id"))
   }
 
+  /** URL canonicalization — the normalization every crawl pipeline
+    * runs before URL-level dedup and domain capping (and the reason
+    * two spellings of one page don't double-count a domain cap):
+    * lowercase scheme+host, strip the scheme's default port, drop the
+    * fragment, drop tracking parameters (utm_*, fbclid, gclid), sort
+    * the surviving query parameters. The URL is SYNTHESIZED from
+    * doc_id (mixed-case scheme/host, varying port, shuffled params —
+    * every rule gets exercised), the q_html_extract device: both
+    * construction and normalization are string/array expressions, so
+    * the operator is fully oracled. Map-side; no shuffle but the
+    * presentation sort. */
+  def urlCanon(t: Tables): DataFrame = {
+    def coin(r: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(s"$r:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+    val hIdx = (coin(0) % hostPool.length).cast("int")
+    val host0 = element_at(array(hostPool.map(lit): _*), hIdx + 1)
+    val scheme = when(coin(1) % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+    val host = when(coin(2) % 2 === 0, upper(host0)).otherwise(host0)
+    val port = element_at(array(lit(80L), lit(443L), lit(8080L)),
+      (coin(3) % 3).cast("int") + 1)
+    val path = concat(lit("/p"), (col("doc_id") % 7).cast("string"))
+    val query = when(coin(4) % 3 === 0, lit("b=2&utm_source=news&a=1"))
+      .when(coin(4) % 3 === 1, lit("a=1&fbclid=xyz&b=2"))
+      .otherwise(lit(""))
+    val frag = when(coin(5) % 2 === 0, lit("#sec1")).otherwise(lit(""))
+    val url = concat(scheme, lit("://"), host, lit(":"), port.cast("string"),
+      path, when(query =!= "", concat(lit("?"), query)).otherwise(lit("")), frag)
+    // —— the canonicalization kernel ——
+    val lscheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+    val lhost = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1))
+    val pport = regexp_extract(col("url"), "^[A-Za-z]+://[^/:?#]+:(\\d+)", 1)
+    val ppath = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1)
+    val pquery = regexp_extract(col("url"), "\\?([^#]*)", 1)
+    val defaultPort = (lscheme === "http" && pport === "80") ||
+      (lscheme === "https" && pport === "443")
+    val keepPort = when(pport =!= "" && !defaultPort,
+      concat(lit(":"), pport)).otherwise(lit(""))
+    val params = filter(split(pquery, "&"), p =>
+      length(p) > 0 && !p.startsWith("utm_") &&
+        !p.startsWith("fbclid=") && !p.startsWith("gclid="))
+    val canonQ = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit(""))
+    val canon = concat(lscheme, lit("://"), lhost, keepPort, ppath, canonQ)
+    val nDropped = (size(filter(split(pquery, "&"), p => length(p) > 0))
+      - size(params)).cast("long")
+    t.documents.select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"), canon.as("canon_url"),
+        nDropped.as("dropped_params"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style phrase-blocklist filter (Raffel et al. 2020 §2.2: drop
     * any page containing a blocklisted word; generalized here to 1–2
     * word PHRASES, the form real deny-lists take). Per document: how
