@@ -179,6 +179,37 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(m.size == 20 && m(5) == 0 && m(6) == 0 && m(7) == 0 && m(4) == 4)
   }
 
+  test("snapshot reads keep parquet filter pushdown and column pruning") {
+    val path = freshTable()
+    SnapshotStore.commit(spark.range(1000)
+      .select(col("id"), (col("id") * 2).as("v"), lit("pad").as("s")), path)
+    val plan = SnapshotStore.read(spark, path)
+      .filter(col("id") === 42).select("v")
+      .queryExecution.executedPlan.toString
+    // the manifest layer must not break the parquet source's planning:
+    // the predicate reaches the scan and only (id, v) are read
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,42)]"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:bigint>"), plan)
+  }
+
+  test("stream-static join: a stream enriches against a snapshot table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = freshTable()
+    SnapshotStore.commit(
+      Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier"), path)
+    val input = MemoryStream[Long](spark)
+    val joined = input.toDF().toDF("id")
+      .join(SnapshotStore.read(spark, path), Seq("id"), "left")
+    val q = joined.writeStream.format("memory").queryName("snapjoin")
+      .outputMode("append").start()
+    try {
+      input.addData(1L, 2L, 3L); q.processAllAvailable()
+      val rows = spark.table("snapjoin")
+        .select("id", "tier").as[(Long, Option[String])].collect().toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("single-writer lock rejects a concurrent commit") {
     val path = freshTable()
     SnapshotStore.commit(spark.range(5).toDF("id"), path)
