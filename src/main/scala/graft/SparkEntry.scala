@@ -161,6 +161,9 @@ object SparkEntry {
     // —— round 2: interval join, graph, text-pipeline, TPC-H widening ——
     "q_range_join"     -> q(RangeJoin.clicksBeforePurchase),
     "q_components"     -> q(Components.copurchaseClusters(_)),
+    // synchronous LPA, deterministic ties, fixed rounds — trajectory
+    // replayed round-by-round in the oracle (the CTE-unroll device)
+    "q_label_prop"     -> q(Components.copurchaseCommunities(_)),
     "q_pii_redact"     -> q(TextAnalysis.piiRedact),
     "q_tfidf"          -> q(TextAnalysis.tfIdf),
     "q_word_count"     -> q(TextAnalysis.wordCount),
@@ -1622,6 +1625,41 @@ object SparkEntry {
         |SELECT purchase_id, n_clicks, COALESCE(click_value, 0.0) AS click_value
         |FROM m
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_label_prop" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b AS src, a AS dst FROM e),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+        |l1 AS (SELECT node, lbl FROM (
+        |    SELECT s.src AS node, l.lbl, COUNT(*) AS n,
+        |           ROW_NUMBER() OVER (PARTITION BY s.src
+        |                              ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |    FROM sym s JOIN l0 l ON s.dst = l.node
+        |    GROUP BY s.src, l.lbl)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT node, lbl FROM (
+        |    SELECT s.src AS node, l.lbl, COUNT(*) AS n,
+        |           ROW_NUMBER() OVER (PARTITION BY s.src
+        |                              ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |    FROM sym s JOIN l1 l ON s.dst = l.node
+        |    GROUP BY s.src, l.lbl)
+        |  WHERE rn = 1),
+        |l3 AS (SELECT node, lbl FROM (
+        |    SELECT s.src AS node, l.lbl, COUNT(*) AS n,
+        |           ROW_NUMBER() OVER (PARTITION BY s.src
+        |                              ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |    FROM sym s JOIN l2 l ON s.dst = l.node
+        |    GROUP BY s.src, l.lbl)
+        |  WHERE rn = 1)
+        |SELECT node AS part_id, lbl AS community,
+        |       COUNT(*) OVER (PARTITION BY lbl) AS community_size
+        |FROM l3
+        |ORDER BY part_id""".stripMargin,
 
     "q_components" ->
       """WITH RECURSIVE e AS (

@@ -416,6 +416,50 @@ object Components extends Logging {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * DETERMINISTIC tie rule and a FIXED round count — the community-
+    * detection step between plain connected components (which glues
+    * everything reachable) and full modularity methods: each round
+    * every node adopts the most frequent label among its neighbors,
+    * ties to the smallest label. Fixed `rounds` (no convergence test)
+    * keeps the trajectory engine-exact, so DuckDB replays each round
+    * as one CTE — the q_mmr_rerank unrolling device.
+    *
+    * Scale: per round one equi-join of the skinny (node, lbl) frame
+    * against the symmetric edge list + one (node, lbl) count + one
+    * per-node window argmax — the connectedComponents round budget;
+    * the edge list is hashed once and reused. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persistTracked()
+    var lbl = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("n").desc, col("lbl"))
+    for (_ <- 1 to rounds) {
+      lbl = sym
+        .join(lbl.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+    }
+    val cw = Window.partitionBy(col("lbl"))
+    lbl
+      .withColumn("community_size", count(lit(1)).over(cw).cast("long"))
+      .orderBy(col("node"))
+  }
+
+  /** Oracled LPA instance over the co-purchase graph
+    * ([[copurchaseEdges]]; oracle pins minCo=2, rounds=3). */
+  def copurchaseCommunities(t: Tables, rounds: Int = 3): DataFrame =
+    labelPropagation(copurchaseEdges(t, 2), rounds)
+      .select(col("node").as("part_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("part_id"))
+
   /** Oracled triangle instance: the co-purchase graph
     * ([[copurchaseEdges]]; oracle pins minCo=2) — triangle density is
     * the standard cohesion signal that separates genuine product

@@ -131,6 +131,31 @@ class Round13Spec extends SparkSpec {
     assert(r(1).getLong(3) == 1000000L && r(1).getLong(6) == 1000000L)
   }
 
+  test("labelPropagation matches a hand-rolled synchronous LPA replay") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    val got = Components.labelPropagation(edges, rounds = 3)
+      .select("node", "lbl").as[(Long, Long)].collect().toMap
+    // JVM replay: same sync update, same (count desc, lbl asc) tie rule
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (10L, 11L), (11L, 10L))
+    var lbl = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = sym.groupBy(_._1).map { case (n, es) =>
+        val counts = es.map(e => lbl(e._2)).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == lbl)
+    // community_size is exactly the number of nodes sharing the label
+    val rows = Components.labelPropagation(edges, rounds = 3)
+      .select("node", "lbl", "community_size")
+      .as[(Long, Long, Long)].collect()
+    val byLbl = rows.groupBy(_._2).map { case (l, xs) => (l, xs.length.toLong) }
+    rows.foreach { case (_, l, cs) => assert(cs == byLbl(l)) }
+  }
+
   test("zipfAudit: octave structure is sound") {
     val r = TextAnalysis.zipfAudit(tables).collect()
     assert(r.nonEmpty)
