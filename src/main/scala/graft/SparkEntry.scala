@@ -164,6 +164,10 @@ object SparkEntry {
     // synchronous LPA, deterministic ties, fixed rounds — trajectory
     // replayed round-by-round in the oracle (the CTE-unroll device)
     "q_label_prop"     -> q(Components.copurchaseCommunities(_)),
+    // prefix-doubling suffix-array ranks gated by substring grouping:
+    // rank groups == raw-substr groups, so the oracle checks the
+    // whole distributed doubling construction
+    "q_repeated_spans" -> q(SuffixArray.repeatedSpans(_)),
     "q_pii_redact"     -> q(TextAnalysis.piiRedact),
     "q_tfidf"          -> q(TextAnalysis.tfIdf),
     "q_word_count"     -> q(TextAnalysis.wordCount),
@@ -1625,6 +1629,19 @@ object SparkEntry {
         |SELECT purchase_id, n_clicks, COALESCE(click_value, 0.0) AS click_value
         |FROM m
         |ORDER BY purchase_id""".stripMargin,
+
+    // the SA rank table's repeated groups must equal plain substring
+    // grouping — DuckDB takes the direct route, Spark the doubling one
+    "q_repeated_spans" ->
+      """WITH pos AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text))) AS off
+        |  FROM documents),
+        |s AS (SELECT substr(text, CAST(off AS INT), 16) AS prefix, doc_id
+        |      FROM pos)
+        |SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM s GROUP BY prefix HAVING COUNT(*) >= 2
+        |ORDER BY prefix""".stripMargin,
 
     "q_label_prop" ->
       """WITH e AS (

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.CacheRegistry.Tracked
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction by prefix doubling
+  * (Manber & Myers 1993; the shuffle-based formulation of Flick &
+  * Aluru 2015) — the exact-substring machinery behind suffix-array
+  * training-data dedup (Lee et al. 2022): after round k every suffix
+  * carries an integer rank ORDER-ISOMORPHIC to its first 2^k
+  * characters, so equal ranks ⟺ equal 2^k-prefixes and sorting by
+  * the final rank IS the suffix array. substrDedup's fixed-k shingle
+  * islands approximate this; the SA is the exact arbitrary-length
+  * tool.
+  *
+  * Suffixes never cross document boundaries: positions are keyed
+  * (doc_id, off) and the doubling lookup joins on (doc_id, off + 2^k),
+  * so a suffix that runs off its document's end pairs with the −1
+  * sentinel (shorter-suffix-sorts-first, and two suffixes group
+  * together only when their characters AND lengths agree — exactly
+  * substring equality).
+  *
+  * Scale: round k is three skinny shuffles of (doc_id, off, rank)
+  * rows — the doubling self-join (hash on (doc_id, off)), a distinct
+  * over (rank, rank2) pairs, and the join-back — plus a RANGE
+  * partition over the distinct pairs for dense re-ranking via
+  * Curation.globalRowNumber (never a single-partition window).
+  * O(log maxLen) rounds; state is localCheckpoint'ed per round, the
+  * Components lineage discipline. At 100 TB the corpus crosses the
+  * wire as (docId, off, rank) triples — ~20 bytes/char/round — the
+  * known cost of exact SA dedup, paid only by the pipelines that need
+  * arbitrary-length exact repeats (fixed-length needs stay on the
+  * cheaper shingle operators). */
+object SuffixArray {
+
+  /** One row per character: (doc_id, off 1-based, rank = char code). */
+  private def charRanks(docs: DataFrame): DataFrame =
+    Dedup.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), posexplode(split(col("text"), ""))
+        .as(Seq("off0", "ch")))
+      .filter(length(col("ch")) > 0) // split("") can emit empty edges
+      .select(col("doc_id"), (col("off0") + 1).cast("long").as("off"),
+        ascii(col("ch")).cast("long").as("rank"))
+
+  /** Prefix-doubling ranks after `rounds` rounds: equal `rank` ⟺ the
+    * suffixes at those positions agree on their first 2^rounds
+    * characters (comparing end-of-document as a sentinel). Ranks are
+    * DENSE and order-isomorphic to 2^rounds-prefix order. */
+  def buildRanks(docs: DataFrame, rounds: Int): DataFrame = {
+    var r = charRanks(docs).localCheckpoint()
+    var step = 1L
+    for (_ <- 1 to rounds) {
+      val prev = r
+      val right = r.select(col("doc_id"), (col("off") - step).as("off"),
+        col("rank").as("r2"))
+      val paired = r.join(right, Seq("doc_id", "off"), "left")
+        .select(col("doc_id"), col("off"), col("rank"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      val groups = Curation.globalRowNumber(
+          paired.select(col("rank"), col("r2")).distinct(),
+          col("rank"), col("r2"))
+        .withColumnRenamed("_rn", "nrank")
+      r = paired.join(groups, Seq("rank", "r2"))
+        .select(col("doc_id"), col("off"), col("nrank").as("rank"))
+        .localCheckpoint()
+      Components.freeCheckpoint(prev)
+      step *= 2
+    }
+    r
+  }
+
+  /** The full (generalized) suffix array: doubling until the rank
+    * partition reaches its FIXPOINT — the distinct-rank count is
+    * strictly increasing until no 2^k can split any group further
+    * (identical suffixes appearing in SEVERAL documents keep one
+    * shared dense rank forever, so "all ranks unique" would never
+    * terminate; the fixpoint test handles duplicates for free). The
+    * final dense rank IS the 1-based suffix-array position, with ties
+    * exactly on identical cross-document suffixes. Returns
+    * (sa_pos, doc_id, off). */
+  def suffixArray(docs: DataFrame): DataFrame = {
+    var r = charRanks(docs).localCheckpoint()
+    var step = 1L
+    var prevDistinct = -1L
+    var distinctRanks = r.select(col("rank")).distinct().count()
+    while (distinctRanks > prevDistinct) {
+      prevDistinct = distinctRanks
+      val prev = r
+      val right = r.select(col("doc_id"), (col("off") - step).as("off"),
+        col("rank").as("r2"))
+      val paired = r.join(right, Seq("doc_id", "off"), "left")
+        .select(col("doc_id"), col("off"), col("rank"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      val groups = Curation.globalRowNumber(
+          paired.select(col("rank"), col("r2")).distinct(),
+          col("rank"), col("r2"))
+        .withColumnRenamed("_rn", "nrank")
+      r = paired.join(groups, Seq("rank", "r2"))
+        .select(col("doc_id"), col("off"), col("nrank").as("rank"))
+        .localCheckpoint()
+      Components.freeCheckpoint(prev)
+      distinctRanks = r.select(col("rank")).distinct().count()
+      step *= 2
+    }
+    r.select(col("rank").as("sa_pos"), col("doc_id"), col("off"))
+      .orderBy(col("sa_pos"))
+  }
+
+  /** Exact repeated spans of (up to) `2^rounds` characters across the
+    * corpus, FROM THE RANK TABLE: suffix positions sharing a round-k
+    * rank share their first 2^k characters, so rank groups with ≥ 2
+    * members are exactly the repeated prefixes — the oracle groups by
+    * the raw substring instead, which gates the whole doubling
+    * construction (a wrong rank anywhere splits or merges a group).
+    * Output: (prefix, n_occ, n_docs) for each repeated span, the
+    * repeated-substring report a dedup pass consumes. */
+  def repeatedSpans(t: Tables, rounds: Int = 4): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val ranks = buildRanks(docs, rounds)
+    val span = 1 << rounds
+    val groups = ranks.groupBy(col("rank"))
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        min(struct(col("doc_id"), col("off"))).as("rep"))
+      .filter(col("n_occ") >= 2)
+    groups
+      .join(docs.withColumnRenamed("doc_id", "rdoc"),
+        col("rep.doc_id") === col("rdoc"))
+      .select(
+        substring(col("text"), col("rep.off").cast("int"), lit(span)).as("prefix"),
+        col("n_occ"), col("n_docs"))
+      .orderBy(col("prefix"))
+  }
+}

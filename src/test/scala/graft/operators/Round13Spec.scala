@@ -169,6 +169,32 @@ class Round13Spec extends SparkSpec {
     assert(r.head.isNullAt(4) && r.tail.forall(!_.isNullAt(4)))
   }
 
+  test("suffixArray: prefix doubling matches the brute-force suffix sort") {
+    val docs = Seq(
+      (0L, "banana"), (1L, "bandana"), (2L, "a"), (3L, "")
+    ).toDF("doc_id", "text")
+    val got = SuffixArray.suffixArray(docs)
+      .select("sa_pos", "doc_id", "off").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).map(r => (r._2, r._3)).toSeq
+    // brute force: every (doc, off) suffix, plain lexicographic sort
+    // with shorter-prefix-first (exactly String.compareTo), doc_id/off
+    // ties impossible (suffixes within a doc are distinct; across docs
+    // equal suffixes CAN tie — break by (suffix, doc, off) like the
+    // dense-rank's deterministic group order)
+    val brute = Seq((0L, "banana"), (1L, "bandana"), (2L, "a"))
+      .flatMap { case (id, t) =>
+        (1 to t.length).map(o => (t.substring(o - 1), id, o.toLong)) }
+      .sorted.map(s => (s._2, s._3))
+    // equal suffixes share a rank -> positions of equal suffixes can
+    // come back in either order within their tie; compare the SORTED
+    // suffix STRINGS instead of positions
+    def str(seq: Seq[(Long, Long)]): Seq[String] = {
+      val texts = Map(0L -> "banana", 1L -> "bandana", 2L -> "a")
+      seq.map { case (d, o) => texts(d).substring(o.toInt - 1) }
+    }
+    assert(str(got) == str(brute.map(x => (x._1, x._2))))
+  }
+
   test("realMediaFeatures: oracle-shape columns match the md5-replay by hand") {
     val r = Multimodal.realMediaFeatures(tables, bins = 5)
       .filter(col("doc_id") < 5).collect()
