@@ -1635,7 +1635,7 @@ object SparkEntry {
     "q_repeated_spans" ->
       """WITH pos AS (SELECT doc_id, text,
         |    unnest(generate_series(1, length(text))) AS off
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 5 = 0),
         |s AS (SELECT substr(text, CAST(off AS INT), 16) AS prefix, doc_id
         |      FROM pos)
         |SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_occ,

