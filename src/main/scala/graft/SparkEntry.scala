@@ -118,6 +118,9 @@ object SparkEntry {
     "q_doc_assembly24" -> q(etl.DocumentAssembly.assemble2024),
     "q_push_log"       -> q(graft.sinks.HttpPushSink.pushLog),
     "q_stream_window"  -> q(graft.streaming.EventStreams.streamWindowBatch),
+    // built-in session_window: engine-managed gap sessions, oracled
+    // via the gaps-and-islands replay (end = last event + gap)
+    "q_session_window" -> q(graft.streaming.EventStreams.sessionWindowBatch),
     "q_multimodal_meta" -> q(Multimodal.mediaMeta),
     "q_multimodal_feat" -> q(Multimodal.mediaFeatures(_)),
     // REAL codec round-trip: ImageIO PNG encode → ImageIO decode →
@@ -1256,6 +1259,23 @@ object SparkEntry {
         |FROM x
         |GROUP BY status
         |ORDER BY status""".stripMargin,
+
+    "q_session_window" ->
+      """WITH m AS (SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |             >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS s_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n

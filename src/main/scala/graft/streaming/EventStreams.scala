@@ -29,6 +29,36 @@ object EventStreams {
   def streamWindowBatch(t: Tables): DataFrame =
     windowedCounts(t.events).orderBy(col("win_start"), col("event_type"))
 
+  /** Gap-based sessionization via the BUILT-IN `session_window`
+    * (Spark 3.2+) — the declarative twin of SessionStream's
+    * flatMapGroupsWithState kernel: same gap semantics (a session's
+    * window ends `gap` after its last event; an event extends the
+    * session iff it lands strictly before that end), but session
+    * state, merging, and eviction are ENGINE-managed — the form to
+    * prefer when the per-group logic is expressible, keeping the
+    * custom-state kernel for semantics windowed aggs can't say.
+    * Works identically in batch (the oracled q_session_window) and
+    * streaming (attach a watermark via [[sessionWindowStream]]). */
+  def sessionWindowCounts(events: DataFrame,
+                          gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"))
+
+  /** Streaming variant: the watermark both admits late data within 10
+    * minutes and lets the engine finalize + evict closed sessions. */
+  def sessionWindowStream(events: DataFrame,
+                          gap: String = "30 minutes"): DataFrame =
+    sessionWindowCounts(events.withWatermark("ts", "10 minutes"), gap)
+
+  /** Batch oracle instance. */
+  def sessionWindowBatch(t: Tables): DataFrame =
+    sessionWindowCounts(t.events).orderBy(col("user_id"), col("s_start"))
+
   /** Stream-static enrichment: a streaming event feed joined to a
     * static dimension (user → segment) with a broadcast hint, then
     * windowed counts per segment. The static side is re-read per

@@ -195,6 +195,27 @@ class Round13Spec extends SparkSpec {
     assert(str(got) == str(brute.map(x => (x._1, x._2))))
   }
 
+  test("session_window twin matches the typed kernel's pure fold") {
+    import graft.streaming.SessionStream
+    val gap = 30 * 60000L
+    val ev = tables.events.filter(col("user_id") < 20)
+      .select("user_id", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._3))
+        .map(e => SessionStream.Ev(u, e._2, e._3)).toSeq
+      // advance merges at diff <= its gap; session_window merges at
+      // diff < gap — align exactly with gap-1ms (ms-resolution data)
+      val (closed, open) = SessionStream.advance(None, sorted, gap - 1)
+      (closed ++ open).map(s => (u, s.start, s.end + gap, s.n))
+    }.toSet
+    val got = graft.streaming.EventStreams
+      .sessionWindowCounts(tables.events.filter(col("user_id") < 20))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("realMediaFeatures: oracle-shape columns match the md5-replay by hand") {
     val r = Multimodal.realMediaFeatures(tables, bins = 5)
       .filter(col("doc_id") < 5).collect()
