@@ -109,6 +109,9 @@ object SparkEntry {
     // distinct-n diversity + Zipf octave-mass audit (corpus QC)
     "q_distinct_ngrams" -> q(TextAnalysis.distinctNgrams),
     "q_zipf_audit"     -> q(TextAnalysis.zipfAudit),
+    // native codegen'd NFC normalization (java.text.Normalizer under
+    // whole-stage codegen), oracled against DuckDB's nfc_normalize
+    "q_unicode_norm"   -> q(TextAnalysis.unicodeNorm),
     // positional-index phrase search: adjacency as a join key
     "q_phrase_search"  -> q(Retrieval.phraseSearch(_)),
     "q_knn_ivfpq"      -> q(Similarity.ivfPqKnnExact(_)),
@@ -2285,6 +2288,18 @@ object SparkEntry {
         |  CAST(len(list_distinct(g3)) AS BIGINT) AS u3,
         |  CAST(len(list_distinct(g3)) * 1000000 // GREATEST(len(g3), 1) AS BIGINT) AS d3_ppm
         |FROM g
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_unicode_norm" ->
+      """WITH r AS (SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' zu' || chr(776) || 'rich' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT) AS n_composed,
+        |  md5(nfc_normalize(raw)) AS nfc_hash
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
 
     "q_zipf_audit" ->

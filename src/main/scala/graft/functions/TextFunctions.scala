@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * a null element fails with a descriptive error rather than a deep
   * NPE inside UTF8String.compareTo. */
 object GraftTextKernels {
+
+  /** NFC-normalize one UTF8String; identity (no copy) when already
+    * normalized. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def slidingMin(a: org.apache.spark.sql.catalyst.util.ArrayData, w: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = a.numElements()
@@ -44,6 +55,40 @@ object GraftTextKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** NFC Unicode normalization as a native codegen'd expression —
+  * java.text.Normalizer under whole-stage codegen (no UDF): canonical
+  * composition so visually-identical strings ("e" + U+0301 vs U+00E9)
+  * hash and dedup identically — a real-corpus prerequisite for every
+  * hash-keyed operator here. The isNormalized fast path makes the
+  * already-NFC common case a scan-speed check. DuckDB's
+  * nfc_normalize replays it exactly (both implement UAX #15). */
+case class NfcNormalize(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nfc requires string, got ${other.catalogString}")
+    }
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullSafeEval(input: Any): Any =
+    GraftTextKernels.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftTextKernels.nfc($c)")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nfc"
 }
 
 case class SlidingMin(child: org.apache.spark.sql.catalyst.expressions.Expression, w: Int)
@@ -84,6 +129,11 @@ case class SlidingMin(child: org.apache.spark.sql.catalyst.expressions.Expressio
   * all as codegen'd Catalyst expressions (no UDFs).
   */
 object TextFunctions {
+
+  /** NFC normalization column (see [[NfcNormalize]]). */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      NfcNormalize(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   /** Repair the common latin1-read-as-UTF8 mojibake the reference fixes
     * one gsub at a time (crowdsorsa-etl-2023.R:90-94: "Ã¶"→"ö", "Ã¤"→"ä"). */

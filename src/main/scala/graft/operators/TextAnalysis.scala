@@ -1593,6 +1593,27 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Unicode NFC normalization audit (UAX #15) over a synthesized
+    * decomposed corpus: each document gains a suffix with combining-
+    * mark sequences ("e"+U+0301, "u"+U+0308), the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression composes them, and
+    * the audit reports code-point lengths before/after plus the
+    * normalized hash — the prerequisite step that makes visually-
+    * identical strings hash/dedup identically in every hash-keyed
+    * operator here. Map-side, no shuffle but the presentation sort;
+    * DuckDB's nfc_normalize replays it exactly. */
+  def unicodeNorm(t: Tables): DataFrame = {
+    val raw = concat(col("text"), lit(" cafe\u0301 zu\u0308rich"))
+    val nfc = graft.functions.TextFunctions.nfcNormalize(raw)
+    t.documents.select(
+        col("doc_id"),
+        length(raw).cast("long").as("len_raw"),
+        length(nfc).cast("long").as("len_nfc"),
+        (length(raw) - length(nfc)).cast("long").as("n_composed"),
+        md5(nfc).as("nfc_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinct-n n-gram diversity (the distinct-1/2/3 metric of Li et
     * al. 2016, standard in corpus/generation quality cards): per
     * document, unique-vs-total bigram and trigram ratios in ppm — the

@@ -216,6 +216,26 @@ class Round13Spec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("NfcNormalize: native expression composes combining marks in codegen") {
+    import graft.functions.TextFunctions.nfcNormalize
+    val df = Seq(
+      ("café", "café"),   // e + combining acute -> é
+      ("zürich", "zürich"),
+      ("plain ascii", "plain ascii")
+    ).toDF("raw", "expected")
+    val r = df.select(nfcNormalize(col("raw")).as("nfc"), col("expected"))
+      .collect()
+    r.foreach(row => assert(row.getString(0) == row.getString(1)))
+    // the expression stays inside whole-stage codegen (assert over a
+    // parquet scan — a local Seq collapses to LocalTableScan)
+    val plan = tables.documents.select(nfcNormalize(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_nfc"), plan) // * = codegen stage
+    // null-safe
+    assert(Seq((null: String, 0)).toDF("raw", "x")
+      .select(nfcNormalize(col("raw"))).head.isNullAt(0))
+  }
+
   test("realMediaFeatures: oracle-shape columns match the md5-replay by hand") {
     val r = Multimodal.realMediaFeatures(tables, bins = 5)
       .filter(col("doc_id") < 5).collect()
