@@ -31,6 +31,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window stream: sessions finalize when the watermark passes") {
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val df = input.toDF().toDF("user_id", "ts")
+    val q = EventStreams.sessionWindowStream(df)
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    try {
+      // one 2-event session for user 1, then a far-future event whose
+      // watermark closes it
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      input.addData((9L, Timestamp.valueOf("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      input.addData((9L, Timestamp.valueOf("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+      val r = spark.table("sesswin")
+        .select(col("user_id"), col("s_start").cast("string"),
+          col("s_end").cast("string"), col("n_events"))
+        .as[(Long, String, String, Long)].collect().toSet
+      // user 1's session: [10:00, 10:10 + 30min gap), 2 events
+      assert(r.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2L)))
+      // user 9's first session finalized by the 18:00 watermark
+      assert(r.contains((9L, "2024-01-01 14:00:00", "2024-01-01 14:30:00", 1L)))
+    } finally q.stop()
+  }
+
   test("session stream: flatMapGroupsWithState closes sessions on gap/watermark") {
     import SessionStream._
     val input = MemoryStream[Ev](spark)
