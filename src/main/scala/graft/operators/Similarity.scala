@@ -1009,7 +1009,11 @@ object Similarity {
       .select(col("doc_id").as("src_id"), col("m").as("mx"), col("nn").as("aa"))
     val ys = base.filter(col("lang") === tgtLang)
       .select(col("doc_id").as("tgt_id"), col("m").as("my"), col("nn").as("bb"))
-    val pairs = xs.crossJoin(broadcast(ys))
+    // no broadcast HINT: a language slice is data-sized, not schema-
+    // bounded — the planner broadcasts it while it fits the threshold
+    // and falls back to a partitioned cross product beyond (the
+    // IVF-probe scale path replaces the dense matrix long before then)
+    val pairs = xs.crossJoin(ys)
       .select(col("src_id"), col("tgt_id"),
         dot(col("mx"), col("my")).cast("long").as("dot"),
         col("aa"), col("bb"))
