@@ -174,6 +174,9 @@ object SparkEntry {
     // rank groups == raw-substr groups, so the oracle checks the
     // whole distributed doubling construction
     "q_repeated_spans" -> q(SuffixArray.repeatedSpans(_)),
+    // exact-substring doc dedup on the SA ranks: span groups (hub cap)
+    // -> star edges -> components -> min-id survivors
+    "q_sa_dedup"       -> q(SuffixArray.saDedup(_)),
     "q_pii_redact"     -> q(TextAnalysis.piiRedact),
     "q_tfidf"          -> q(TextAnalysis.tfIdf),
     "q_word_count"     -> q(TextAnalysis.wordCount),
@@ -1655,6 +1658,32 @@ object SparkEntry {
 
     // the SA rank table's repeated groups must equal plain substring
     // grouping — DuckDB takes the direct route, Spark the doubling one
+    "q_sa_dedup" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |pos AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text))) AS off FROM d),
+        |s AS (SELECT substr(text, CAST(off AS INT), 32) AS prefix, doc_id FROM pos),
+        |g AS (SELECT prefix FROM s GROUP BY prefix
+        |      HAVING COUNT(*) BETWEEN 2 AND 20),
+        |gd AS (SELECT DISTINCT s.prefix, s.doc_id FROM s JOIN g USING (prefix)),
+        |gm AS (SELECT prefix, MIN(doc_id) AS a FROM gd GROUP BY prefix),
+        |e AS (SELECT DISTINCT gm.a, gd.doc_id AS b
+        |      FROM gd JOIN gm ON gd.prefix = gm.prefix
+        |      WHERE gd.doc_id <> gm.a),
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |        UNION SELECT b AS src, a AS dst FROM e),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src AS node, src AS lbl FROM sym
+        |  UNION
+        |  SELECT s2.src, r.lbl FROM sym s2 JOIN reach r ON s2.dst = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+        |SELECT d.doc_id,
+        |  COALESCE(cc.lbl, d.doc_id) AS cluster_id,
+        |  CASE WHEN COALESCE(cc.lbl, d.doc_id) = d.doc_id THEN 1 ELSE 0 END
+        |    AS survivor
+        |FROM d LEFT JOIN cc ON cc.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_repeated_spans" ->
       """WITH pos AS (SELECT doc_id, text,
         |    unnest(generate_series(1, length(text))) AS off

@@ -142,6 +142,43 @@ object SuffixArray {
       // repeatedSpansDocs directly
       t.documents.filter(col("doc_id") % 5 === 0), rounds)
 
+  /** Exact-substring DOCUMENT dedup on the suffix-array ranks — the
+    * Lee et al. 2022 application end-to-end: documents sharing any
+    * repeated 2^rounds-char span are linked and collapsed to one
+    * survivor per cluster (min doc id, the Dedup convention). The
+    * registered instance links on 32-char spans (rounds=5) — 16-char
+    * spans over the synthetic 20-word vocabulary link everything into
+    * one cluster, the span-length sensitivity a real deployment tunes.
+    * Hub spans occurring more than `maxOcc` times are boilerplate and
+    * skipped — the minhash giant-bucket cap's exact-substring analog,
+    * and the reason group linking stays LINEAR: each kept group
+    * contributes star edges to its min doc, never pairwise fan-out.
+    * Runs on the same 20% slice as [[repeatedSpans]]; fully oracled
+    * (substring groups → star edges → recursive-CTE closure). */
+  def saDedup(t: Tables, rounds: Int = 5, maxOcc: Long = 20): DataFrame = {
+    val docs = t.documents.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val ranks = buildRanks(docs, rounds)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("rank"))
+    val kept = ranks
+      .withColumn("n_occ", count(lit(1)).over(w))
+      .filter(col("n_occ") >= 2 && col("n_occ") <= maxOcc)
+    val gd = kept.select(col("rank"), col("doc_id")).distinct()
+    val gmin = gd.groupBy(col("rank")).agg(min(col("doc_id")).as("a"))
+    val edges = gd.join(gmin, Seq("rank"))
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b")).distinct()
+    val cc = Components.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("lbl"))
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+        when(coalesce(col("lbl"), col("doc_id")) === col("doc_id"), 1)
+          .otherwise(0).as("survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[repeatedSpans]] over an explicit (doc_id, text) frame. */
   def repeatedSpansDocs(documents: DataFrame, rounds: Int = 4): DataFrame = {
     val docs = documents.select(col("doc_id"), col("text"))

@@ -236,6 +236,21 @@ class Round13Spec extends SparkSpec {
       .select(nfcNormalize(col("raw"))).head.isNullAt(0))
   }
 
+  test("saDedup: clusters are consistent and survivors are cluster minima") {
+    val rows = SuffixArray.saDedup(tables)
+      .select("doc_id", "cluster_id", "survivor")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, xs) =>
+      assert(xs.map(_._1).min == cid)        // label = min member id
+      assert(xs.count(_._3 == 1) == 1)       // exactly one survivor
+      assert(xs.find(_._3 == 1).get._1 == cid)
+    }
+    // every sliced doc appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("realMediaFeatures: oracle-shape columns match the md5-replay by hand") {
     val r = Multimodal.realMediaFeatures(tables, bins = 5)
       .filter(col("doc_id") < 5).collect()
