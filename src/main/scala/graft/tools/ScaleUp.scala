@@ -68,6 +68,21 @@ object ScaleUp {
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * 100000L))
     ).repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
 
+    // events: disjoint per-copy user/event-id populations over the SAME
+    // time range — N independent tenant loads in one window, so
+    // sessions/funnels/windows grow linearly with no cross-copy state.
+    // (ts passes through as read; with nanosAsLong that re-writes a
+    // NANOS file as BIGINT nanos, which Tables.events handles.)
+    if (new java.io.File(s"$src/events.parquet").exists()) {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      copies(ev, (e, k) =>
+        if (k == 0) e
+        else e
+          .withColumn("event_id", col("event_id") + lit(k * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(k * 1000000L))
+      ).repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    }
+
     println(s"scaled $src x$n -> $out")
     spark.stop()
   }
