@@ -547,9 +547,12 @@ object Similarity {
     * under this coarse codebook. Recall of THIS against global exact
     * truth isolates how much the coarse init choice costs (the rest of
     * the gap, ceiling→ADC, is quantization error). */
-  def ivfPqCeiling(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
-                   nQueries: Int = 10,
-                   coarseInit: String = "forgy"): DataFrame = {
+  /** Shared float coarse layer: micro-exploded values, the coarse
+    * codebook under `coarseInit`, per-(vector, bucket) distances, the
+    * argmin assignment, and each query's nprobe probed buckets. */
+  private def fpIvfParts(t: Tables, nlist: Int, nprobe: Int, nQueries: Int,
+                         coarseInit: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val v = spread(t.embeddings)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
@@ -566,6 +569,14 @@ object Similarity {
     val probes = dist.filter(col("vec_id") < nQueries)
       .withColumn("rn", row_number().over(aw)).filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("b"))
+    (v, cent, assign, probes)
+  }
+
+  def ivfPqCeiling(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
+                   nQueries: Int = 10,
+                   coarseInit: String = "forgy"): DataFrame = {
+    val (v, _, assign, probes) =
+      fpIvfParts(t, nlist, nprobe, nQueries, coarseInit)
     val admitted = assign.withColumnRenamed("vec_id", "neighbor_id")
       .join(probes, Seq("b")) // bucket equi-join IS the pruning
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -587,19 +598,8 @@ object Similarity {
   def ivfPqKnn(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
                dimsPerSub: Int = 2, nCent: Int = 16,
                nQueries: Int = 10, coarseInit: String = "forgy"): DataFrame = {
-    val v = spread(t.embeddings)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        col("x").cast("double").as("m"))
-      .persistTracked()
-    val cent = fpCoarse(v, nlist, coarseInit).persistTracked()
-    val dist = v.join(broadcast(cent), Seq("dim"))
-      .groupBy(col("vec_id"), col("b"))
-      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
-      .persistTracked()
-    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
-    val assign = dist.withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1).select(col("vec_id"), col("b"))
+    val (v, cent, assign, probes) =
+      fpIvfParts(t, nlist, nprobe, nQueries, coarseInit)
     val subCols = Seq(
       expr(s"CAST(dim DIV $dimsPerSub AS BIGINT)").as("s"),
       expr(s"CAST(dim % $dimsPerSub AS BIGINT)").as("sd"))
@@ -629,9 +629,6 @@ object Similarity {
       .agg(sum((col("r") - col("rc")) * (col("r") - col("rc"))).as("rd2"))
       .withColumn("rn", row_number().over(cw)).filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("s"), col("c"))
-    val probes = dist.filter(col("vec_id") < nQueries)
-      .withColumn("rn", row_number().over(aw)).filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("b"))
     val qresid = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("dim"), col("m").as("qm"))
       .join(probes, Seq("query_id"))
