@@ -104,8 +104,12 @@ object SparkEntry {
     // top-depth candidates, trajectory engine-exact
     "q_mmr_rerank"     -> q(Similarity.mmrRerank(_)),
     // margin-criterion bitext mining: distance-margin over micro-int
-    // cosines, forward∩backward mutual-best (LASER/CCMatrix rule)
+    // cosines, forward∩backward mutual-best (LASER/CCMatrix rule);
+    // the IVF-probe scale twin replaces the dense lang×lang matrix
+    // with per-cell candidate equi-joins (rows-only — margin+mutual
+    // stage shared verbatim with the oracled dense sibling)
     "q_bitext_mine"    -> q(Similarity.bitextMine(_)),
+    "q_bitext_mine_ivf" -> q(Similarity.bitextMineIvf(_)),
     // distinct-n diversity + Zipf octave-mass audit (corpus QC)
     "q_distinct_ngrams" -> q(TextAnalysis.distinctNgrams),
     "q_zipf_audit"     -> q(TextAnalysis.zipfAudit),

@@ -17,10 +17,19 @@ final case class DeployProfile(
   def sourceUri: String = s"http://tun.fi/$sourceId"
   /** The warehouse push endpoint at this profile's host. */
   def pushUrl: String = s"${apiUrl}v0/warehouse/push"
-  /** Resolve the access token from this profile's env var; the
-    * fallback keeps zero-egress tests deterministic. */
+  /** Resolve the access token from this profile's env var. The
+    * deterministic fallback that keeps zero-egress tests runnable is
+    * restricted to the TEST profile — a prod push with
+    * FINBIF_ACCESS_TOKEN unset must fail fast (the reference reads the
+    * env var directly and a missing token surfaces on the first push),
+    * not silently authenticate with a dummy token. */
   def token(env: Map[String, String] = sys.env): String =
-    env.getOrElse(tokenEnv, "SECRET123")
+    env.get(tokenEnv) match {
+      case Some(t) => t
+      case None if name == "test" => "SECRET123"
+      case None => throw new IllegalStateException(
+        s"deploy profile '$name': access token env var $tokenEnv is unset")
+    }
 }
 
 object DeployProfile {

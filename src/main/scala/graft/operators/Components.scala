@@ -96,11 +96,25 @@ object Components extends Logging {
     // label keys, not a distinct over edges): with self-edges present,
     // min-over-neighbor-labels already includes the node's own label,
     // which deletes the old lab⋈nbrMin "carry" join from every round.
-    // Persisted hashed by dst so per-round joins re-shuffle only the
-    // (skinny) label frame, never the edges.
+    // Checkpointed hashed by dst so per-round joins re-shuffle only
+    // the (skinny) label frame, never the edges.
+    //
+    // localCheckpoint, NOT persist: sym's plan EMBEDS the round-0
+    // label frame (the self-loop branch), and the pointer jump's
+    // broadcast side is a DeduplicateRelations COPY of the sym
+    // fragment that Spark's CacheManager does not reliably match
+    // (observed: canonically identical fragments with
+    // sameResult=false when the copied LogicalRDDs carry captured
+    // partitioning) — a cache MISS there recomputes sym from scratch
+    // every round and, after round 0 frees the initial label
+    // checkpoint, dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. An
+    // eager checkpoint severs the lineage instead: every plan copy
+    // shares the one materialized RDD, so neither double-compute nor
+    // the freed-parent read is reachable, cache matching no longer
+    // affects correctness, and freeing lab below stays sound.
     val sym = symN.union(lab.select(col("node").as("src"), col("node").as("dst")))
       .repartition(parts, col("dst"))
-      .persistTracked()
+      .localCheckpoint()
     // Small-graph fast path (the loop-level analogue of what AQE does
     // per-stage, which it can't see across rounds): when the whole
     // label frame fits a broadcast (~64 MB at 16 B/row), hint every
@@ -163,7 +177,7 @@ object Components extends Logging {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    sym.unpersist()
+    freeCheckpoint(sym)
     freeCheckpoint(e) // sym (materialized) was its only consumer
     lab
   }

@@ -192,17 +192,97 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Resize stub: recompute target dims preserving aspect ratio and
-    * derive the "resized" payload deterministically (a real impl swaps
-    * the kernel, not the plan). Pure column expressions — map-side. */
-  def resizeStub(media: DataFrame, maxSide: Long): DataFrame = {
-    val scale = least(lit(1.0),
-      lit(maxSide) / greatest(col("width"), col("height")))
-    media
-      .withColumn("out_width", floor(col("width") * scale).cast("long"))
-      .withColumn("out_height", floor(col("height") * scale).cast("long"))
-      .withColumn("media", when(scale < 1.0, sha2(col("media"), 256).cast("binary"))
-        .otherwise(col("media")))
+  /** Attach a REAL JPEG payload per document — [[encodePngMedia]]'s
+    * lossy-codec sibling, the common web-corpus case: same md5-derived
+    * solid color and doc_id dims, encoded by the actual ImageIO JPEG
+    * writer (JFIF + DCT + chroma subsampling). LOSSY, so decoded pixel
+    * stats only approximate the source color — the rows-only spec
+    * asserts a tolerance band while the PNG path stays the oracled
+    * route. */
+  def encodeJpegMedia(docs: DataFrame): DataFrame = {
+    val enc = Encoders.row(pngSchema)
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("h"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { row =>
+          val id = row.getLong(0)
+          val h = row.getAs[Array[Byte]](1)
+          val (r, g, b) = (h(0) & 0xff, h(1) & 0xff, h(2) & 0xff)
+          val w = (id % 64 + 16).toInt
+          val ht = (id % 48 + 12).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (r << 16) | (g << 8) | b
+          var y = 0
+          while (y < ht) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", out)
+          Row(id, out.toByteArray, "image/jpeg", w.toLong, ht.toLong, r, g, b)
+        }
+      }(enc)
+  }
+
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media", BinaryType),
+    StructField("out_width", IntegerType),
+    StructField("out_height", IntegerType),
+    StructField("resized", BooleanType)))
+
+  /** REAL aspect-preserving resize (replaces the former resizeStub):
+    * decode via ImageIO, scale so max(w, h) == maxSide with a bilinear
+    * Graphics2D draw, re-encode PNG — all inside the one-pass
+    * mapPartitions kernel shape, codec init amortized per partition.
+    * Images already within bounds pass through byte-identical
+    * (resized=false, original dims); undecodable payloads pass through
+    * with null dims — a 100 TB scan filters, never throws. */
+  def resizeImage(media: DataFrame, maxSide: Int): DataFrame = {
+    val enc = Encoders.row(resizedSchema)
+    media.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) Row(id, bytes, null, null, false)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val side = math.max(w, h)
+            if (side <= maxSide) Row(id, bytes, w, h, false)
+            else {
+              // pin the LONG side to maxSide exactly and round the
+              // short one: floor(w * (maxSide/w)) can land on
+              // maxSide-1 through float error (63 * (32/63.0) =
+              // 31.999…), which would break the contract on its own
+              // input
+              val scale = maxSide.toDouble / side
+              val ow = if (w >= h) maxSide
+                       else math.max(1, math.round(w * scale).toInt)
+              val oh = if (w >= h) math.max(1, math.round(h * scale).toInt)
+                       else maxSide
+              val dst = new java.awt.image.BufferedImage(
+                ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g2 = dst.createGraphics()
+              g2.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g2.drawImage(img, 0, 0, ow, oh, null)
+              g2.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              Row(id, out.toByteArray, ow, oh, true)
+            }
+          }
+        }
+      }(enc)
   }
 
   /** Frame sampling: one row per sampled frame index — the video

@@ -1017,6 +1017,17 @@ object Similarity {
       .withColumn("cos_ppm", expr(Dedup.cosPpmSql))
       .select(col("src_id"), col("tgt_id"), col("cos_ppm"))
       .persistTracked() // neighborhood sums + margins share the matrix
+    marginMutualBest(pairs, k)
+  }
+
+  /** The margin-criterion scoring + mutual-best rule over a scored
+    * candidate set — SHARED verbatim by the dense oracled instance
+    * ([[bitextMine]], which feeds it the full |X|×|Y| matrix) and the
+    * IVF-probe scale twin ([[bitextMineIvf]], which feeds it only the
+    * probed candidates): `margin2k = 2k·cos_ppm − ΣNNk(src) −
+    * ΣNNk(tgt)` with the k-NN sums taken over whatever candidate set
+    * was supplied, then forward ∩ backward best-by-margin. */
+  private def marginMutualBest(pairs: DataFrame, k: Int): DataFrame = {
     val fw = Window.partitionBy(col("src_id"))
       .orderBy(col("cos_ppm").desc, col("tgt_id"))
     val bw = Window.partitionBy(col("tgt_id"))
@@ -1042,5 +1053,69 @@ object Similarity {
     fwd.join(bwd, Seq("src_id", "tgt_id")) // forward ∩ backward
       .select(col("src_id"), col("tgt_id"), col("cos_ppm"), col("margin2k"))
       .orderBy(col("src_id"))
+  }
+
+  /** IVF-probe scale twin of [[bitextMine]] — the web-scale path the
+    * dense instance's scaladoc names, now a registered operator
+    * (rows-only; semantics pinned by the oracled dense sibling, which
+    * shares [[marginMutualBest]] verbatim — only the CANDIDATE SET
+    * differs). The |X|×|Y| language-slice matrix never materializes:
+    *
+    *   1. a coarse codebook is Lloyd-trained over the TARGET slice
+    *      ([[ivfAssign]]) — centroid state is (nlist × dims),
+    *      broadcast-bounded at any corpus size;
+    *   2. each source vector probes its `nprobe` nearest cells (one
+    *      corpus-scan cross vs the broadcast centroids);
+    *   3. candidate pairs are the EQUI-JOIN of probes with the target
+    *      cell assignment — per source, only the probed cells'
+    *      members are scored, so pair count grows ~|X|·(nprobe/nlist)
+    *      ·|Y|/nlist-ish, sub-quadratic by construction (size nlist ~
+    *      √|Y| at scale; hot cells are AQE-skew-split equi-join work,
+    *      never a cross product);
+    *   4. cosines use the SAME micro-int `cos_ppm` arithmetic as the
+    *      dense instance (pair-local, hence bit-equal for any pair
+    *      both paths score), and the margin + mutual-best stage is
+    *      the shared helper — the twin's approximation lives ONLY in
+    *      the k-NN sums seeing the candidate subset, the standard
+    *      CCMatrix trade. */
+  def bitextMineIvf(t: Tables, srcLang: String = "en", tgtLang: String = "de",
+                    k: Int = 4, nlist: Int = 16, nprobe: Int = 6): DataFrame = {
+    val dotF = graft.functions.VectorFunctions.dotProduct _
+    val base = Dedup.spread(t.documents.select(col("doc_id"), col("lang")))
+      .join(t.embeddings.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
+      .select(col("doc_id"), col("lang"), col("m"),
+        dotF(col("m"), col("m")).cast("long").as("nn"))
+    val xs = base.filter(col("lang") === srcLang)
+      .select(col("doc_id").as("src_id"), col("m").as("mx"), col("nn").as("aa"))
+    val ys = base.filter(col("lang") === tgtLang)
+      .select(col("doc_id").as("tgt_id"), col("m").as("my"), col("nn").as("bb"))
+    val (assignedY, cents) = ivfAssign(
+      ys.select(col("tgt_id").as("vec_id"), col("my").as("embedding")),
+      nlist, iters = 2)
+    val yCell = assignedY.select(col("neighbor_id").as("tgt_id"), col("bucket"))
+    val probeW = Window.partitionBy(col("src_id"))
+      .orderBy(col("csim").desc, col("bucket"))
+    val probes = xs.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("mx"), col("centroid")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("src_id"), col("bucket"))
+    // a target lives in exactly one cell, so (src, tgt) candidates are
+    // distinct without a dedup pass
+    val pairs = probes
+      .join(xs, Seq("src_id"))
+      .join(yCell, Seq("bucket"))
+      .join(ys, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        dotF(col("mx"), col("my")).cast("long").as("dot"),
+        col("aa"), col("bb"))
+      .withColumn("cos_ppm", expr(Dedup.cosPpmSql))
+      .select(col("src_id"), col("tgt_id"), col("cos_ppm"))
+      .persistTracked() // neighborhood sums + margins share the candidates
+    marginMutualBest(pairs, k)
   }
 }

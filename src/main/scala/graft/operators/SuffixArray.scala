@@ -61,25 +61,32 @@ object SuffixArray {
     * ~24 bytes — the session default would run 32 near-empty tasks per
     * stage at gate scale), and on small inputs switch AQE off so each
     * round schedules as one classic job (per-round JOB LATENCY, not
-    * data, dominates small-corpus doubling). Restored in the finally.
-    * The callback receives the checkpointed char table and the
-    * one-round function. */
+    * data, dominates small-corpus doubling).
+    *
+    * The tuning lives on an ISOLATED child session:
+    * `spark.newSession()` shares the SparkContext — and therefore the
+    * localCheckpoint block store — but owns its SQLConf, so the
+    * loop-sized shuffle partitions and the AQE switch never apply to a
+    * plan compiled concurrently on the caller's session (parallel
+    * suites, another operator), and a body failure mid-loop has
+    * nothing to restore: the child session's conf simply dies with it
+    * (orphaned round checkpoints are unpersisted by the
+    * ContextCleaner when their RDDs are collected). The callback
+    * receives the checkpointed char table re-rooted in the child
+    * session and the one-round function. */
   private def withLoopTuning(docs: DataFrame)(
       body: (DataFrame, (DataFrame, Long) => DataFrame) => DataFrame)
       : DataFrame = {
-    val r0 = charRanks(docs).localCheckpoint()
-    val spark = r0.sparkSession
-    val n = r0.count()
+    val chars = charRanks(docs).localCheckpoint()
+    val n = chars.count()
     val parts = math.max(8L, math.min(20000L, n / 250000L + 1)).toInt
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    if (n < 4000000L) spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body(r0, doubleRound)
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+    val loopSpark = chars.sparkSession.newSession()
+    loopSpark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    if (n < 4000000L) loopSpark.conf.set("spark.sql.adaptive.enabled", "false")
+    val r0 = loopSpark.createDataFrame(chars.rdd, chars.schema)
+      .localCheckpoint() // eager: materialize before freeing `chars`
+    Components.freeCheckpoint(chars)
+    body(r0, doubleRound)
   }
 
   /** One doubling round: rank ⊕ rank-at-(off+step) → dense re-rank. */

@@ -154,6 +154,67 @@ object SnapshotStore {
       }.toMap
   }
 
+  /** Changelog (CDC) read: the row-level DELTA between two committed
+    * versions, read in O(changed files) — never O(table). Data files
+    * are immutable, so the manifest SET DIFFERENCE is exact file-level
+    * change pruning: files carried between the versions cannot hold
+    * changed rows and are never opened (the same sidecar discipline
+    * that makes [[mergeCommit]] O(touched data) makes this read
+    * O(touched data) — a point-key merge at 100 TB yields a CDC read
+    * of one removed + one added file).
+    *
+    * Keyless: every row of an added file is an `insert`, every row of
+    * a removed file a `delete` — exact for any table, but a compaction
+    * (same rows, new files) shows up as delete+insert pairs.
+    * With `key` (the [[mergeCommit]] key-unique contract): removed and
+    * added rows are full-outer-joined on the key and classified
+    * insert / update / delete, with payload-identical rewrites — a
+    * compaction, or a merge's carried survivors — SUPPRESSED, so a
+    * pure compaction produces an EMPTY changelog. Output: the table's
+    * columns (new-side payload for insert/update, old-side for
+    * delete) plus `_change`. */
+  def readChanges(spark: SparkSession, path: String, fromV: Long, toV: Long,
+                  key: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV >= 1 && toV >= fromV,
+      s"readChanges: need 1 <= fromV <= toV, got $fromV..$toV")
+    val before = manifest(path, fromV)
+    val after = manifest(path, toV)
+    val added = after.filterNot(before.toSet).sorted
+    val removed = before.filterNot(after.toSet).sorted
+    def readFiles(fs: Seq[String]): DataFrame =
+      if (fs.nonEmpty) spark.read.parquet(fs: _*)
+      else spark.read.parquet(after.headOption.getOrElse(before.head))
+        .limit(0)
+    val ins = readFiles(added)
+    val del = readFiles(removed)
+    key match {
+      case None =>
+        ins.withColumn("_change", lit("insert"))
+          .unionByName(del.withColumn("_change", lit("delete")))
+      case Some(k) =>
+        val cols = ins.columns.toSeq
+        require(cols.contains(k), s"readChanges: key $k not in ${cols.mkString(",")}")
+        val payload = cols.filterNot(_ == k)
+        def side(df: DataFrame, tag: String) = df.select(
+          col(k).as("_k"),
+          struct(cols.map(col): _*).as(s"_row_$tag"),
+          sha2(to_json(struct(payload.map(col): _*)), 256).as(s"_h_$tag"))
+        side(del, "o").join(side(ins, "n"), Seq("_k"), "full")
+          .withColumn("_change",
+            when(col("_row_o").isNull, "insert")
+              .when(col("_row_n").isNull, "delete")
+              .when(col("_h_o") =!= col("_h_n"), "update"))
+          .filter(col("_change").isNotNull) // identical rewrite → no change
+          // whole-struct nullness picks the side (a field-level
+          // coalesce would leak old values into null NEW fields)
+          .select(cols.map(c =>
+            when(col("_row_n").isNotNull, col(s"_row_n.$c"))
+              .otherwise(col(s"_row_o.$c")).as(c)) :+
+            col("_change"): _*)
+    }
+  }
+
   /** Delta-style MERGE as a snapshot commit (upsert-by-key): rows of
     * `df` replace same-key rows of the live version. File-level stats
     * pruning makes this O(touched data), not O(table): only files
@@ -279,10 +340,16 @@ object SnapshotStore {
     * previous version's files are untouched — a reader that pinned
     * version N mid-scan finishes against N while N+1 serves new
     * plans; TableWriter.compact's crash window and reader race do not
-    * exist here. Returns the new version. */
+    * exist here. The whole read→rewrite→publish runs INSIDE the writer
+    * lock: resolving the source manifest outside it would let a commit
+    * (e.g. a streamSink append) land between the read and the publish
+    * and be silently overwritten by the stale snapshot — a lost update
+    * whose batch-id sidecar would still claim the rows were ingested.
+    * Holding the lock for the rewrite is the single-writer contract,
+    * not a new cost. Returns the new version. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20,
-              sortCols: Seq[String] = Nil): Long = {
+              sortCols: Seq[String] = Nil): Long = withLock(path) {
     val v = latestVersion(path)
     require(v > 0, s"no committed snapshot under $path")
     val files = manifest(path, v)
@@ -293,16 +360,25 @@ object SnapshotStore {
       df.repartition(nFiles).sortWithinPartitions(
         sortCols.map(org.apache.spark.sql.functions.col): _*)
     else df.coalesce(nFiles)
-    commit(out, path, SaveMode.Overwrite)
+    commitLocked(out, path, Nil, None, None)
   }
 
   /** Drop data files referenced by NO manifest in the retained window
     * (the newest `keepVersions` manifests). Old manifests outside the
     * window are deleted too: time travel is bounded by retention,
-    * exactly like Delta's VACUUM. Never touches the live version. */
-  def vacuum(path: String, keepVersions: Int = 2): Long = {
+    * exactly like Delta's VACUUM. Never touches the live version.
+    * Runs under the writer lock: an in-flight commit's fresh data dir
+    * is referenced by no manifest until its pointer publishes, so an
+    * unlocked vacuum could destroy it mid-commit and leave the new
+    * manifest pointing at deleted files. Inside the lock (which heals
+    * any crashed publish first) every data dir above latestVersion is
+    * definitively rolled-back garbage and safe to drop. */
+  def vacuum(path: String, keepVersions: Int = 2): Long = withLock(path) {
     val v = latestVersion(path)
-    if (v == 0) return 0L
+    if (v == 0) 0L else vacuumLocked(path, v, keepVersions)
+  }
+
+  private def vacuumLocked(path: String, v: Long, keepVersions: Int): Long = {
     val keepFrom = math.max(1L, v - keepVersions + 1)
     val live: Set[String] =
       (keepFrom to v).flatMap(ver => manifest(path, ver)).toSet

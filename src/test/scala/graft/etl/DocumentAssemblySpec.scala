@@ -52,7 +52,10 @@ class DocumentAssemblySpec extends SparkSpec {
       "https://apitest.laji.fi/v0/warehouse/push")
     assert(DeployProfile.Test.token(Map("FINBIF_DEV_ACCESS_TOKEN" -> "d",
       "FINBIF_ACCESS_TOKEN" -> "p")) == "d")
-    assert(DeployProfile.Prod.token(Map.empty) == "SECRET123") // test fallback
+    // the deterministic fallback is TEST-only; an unset prod token fails fast
+    assert(DeployProfile.Test.token(Map.empty) == "SECRET123")
+    assert(DeployProfile.Prod.token(Map("FINBIF_ACCESS_TOKEN" -> "p")) == "p")
+    intercept[IllegalStateException] { DeployProfile.Prod.token(Map.empty) }
   }
 
   test("golden documents: byte-exact JSON for hand-built rows (both script variants)") {

@@ -313,15 +313,25 @@ class SimilaritySpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("resize stub preserves aspect ratio and leaves small media untouched") {
-    val m = Multimodal.withFakeMedia(tables.documents)
-    val r = Multimodal.resizeStub(m, maxSide = 32)
-      .select("doc_id", "width", "height", "out_width", "out_height")
-      .collect()
+  test("real resize: aspect preserved, small media pass through byte-identical") {
+    val m = Multimodal.encodePngMedia(tables.documents.limit(40))
+    val srcBytes = m.select("doc_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val r = Multimodal.resizeImage(m, maxSide = 32).collect()
+    assert(r.length == 40)
     r.foreach { row =>
-      val (w, h, ow, oh) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
-      assert(math.max(ow, oh) <= 32)
-      if (math.max(w, h) <= 32) assert((ow, oh) == ((w, h)))
+      val id = row.getLong(0)
+      val (w, h) = ((id % 64 + 16).toInt, (id % 48 + 12).toInt)
+      val (ow, oh) = (row.getInt(2), row.getInt(3))
+      if (math.max(w, h) <= 32) {
+        assert(!row.getBoolean(4) && (ow, oh) == ((w, h)))
+        assert(row.getAs[Array[Byte]](1).sameElements(srcBytes(id)))
+      } else {
+        val scale = 32.0 / math.max(w, h)
+        assert(row.getBoolean(4) && math.max(ow, oh) == 32)
+        if (w >= h) assert(ow == 32 && oh == math.max(1, math.round(h * scale).toInt))
+        else assert(oh == 32 && ow == math.max(1, math.round(w * scale).toInt))
+      }
     }
   }
 

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Round14Spec extends SparkSpec {
+
+  test("bitextMineIvf: partial matching, pair-local cos bit-parity, recall vs dense") {
+    val ivf = Similarity.bitextMineIvf(tables)
+      .select("src_id", "tgt_id", "cos_ppm", "margin2k").collect()
+    assert(ivf.nonEmpty)
+    // mutual-best ⇒ a partial matching: each side appears at most once
+    assert(ivf.map(_.getLong(0)).distinct.length == ivf.length)
+    assert(ivf.map(_.getLong(1)).distinct.length == ivf.length)
+
+    // pair-local cosine arithmetic is shared with the dense path —
+    // replay cos_ppm by hand for every mined pair and demand equality
+    val emb = tables.embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000d + 0.5d)))
+      .toMap
+    ivf.foreach { r =>
+      val (s, t) = (r.getLong(0), r.getLong(1))
+      val (mx, my) = (emb(s), emb(t))
+      val dot = mx.zip(my).map { case (a, b) => a * b }.sum.toLong
+      val aa = mx.map(a => a * a).sum.toLong
+      val bb = my.map(b => b * b).sum.toLong
+      val cos = math.floor(1000000.0 * dot.toDouble /
+        (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble))).toLong
+      assert(r.getLong(2) == cos, s"cos mismatch for ($s,$t)")
+    }
+
+    // the probe path recovers a healthy share of the dense mutual-best
+    // pairs (deterministic here: no RNG anywhere in the build)
+    val dense = Similarity.bitextMine(tables)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(dense).size.toDouble / dense.size
+    info(s"bitextMineIvf recall vs dense: $recall (${got.size} mined, ${dense.size} dense)")
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+  }
+
+  test("JPEG lossy decode: real DCT bytes decode within tolerance of source color") {
+    val docs = tables.documents.limit(40)
+    val j = Multimodal.encodeJpegMedia(docs)
+    val meta = j.select("doc_id", "width", "height", "src_r", "src_g", "src_b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    // the payload really is a JFIF stream, not a re-labeled PNG
+    val first = j.select("media").head.getAs[Array[Byte]](0)
+    assert((first(0) & 0xff) == 0xff && (first(1) & 0xff) == 0xd8) // SOI marker
+    val dec = Multimodal.decodeImageFeatures(j).collect()
+    assert(dec.length == 40)
+    dec.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, sr, sg, sb) = meta(id)
+      assert(r.getBoolean(2), s"doc $id failed to decode")
+      assert(r.getInt(3) == w.toInt && r.getInt(4) == h.toInt)
+      // lossy: solid-color means land within a small band of the source
+      assert(math.abs(r.getDouble(5) * 255d - sr) <= 8, s"doc $id R off")
+      assert(math.abs(r.getDouble(6) * 255d - sg) <= 8, s"doc $id G off")
+      assert(math.abs(r.getDouble(7) * 255d - sb) <= 8, s"doc $id B off")
+    }
+  }
+
+  test("resize pixels: solid color survives the bilinear kernel (PNG and JPEG inputs)") {
+    val docs = tables.documents.limit(20)
+    // PNG (lossless source): resized solid color is EXACT
+    val png = Multimodal.encodePngMedia(docs)
+    val srcColor = png.select("doc_id", "src_r", "src_g", "src_b").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val rp = Multimodal.decodeImageFeatures(
+      Multimodal.resizeImage(png, maxSide = 20)).collect()
+    rp.foreach { r =>
+      val (sr, sg, sb) = srcColor(r.getLong(0))
+      assert(r.getBoolean(2))
+      assert(math.max(r.getInt(3), r.getInt(4)) <= 20)
+      assert(math.round(r.getDouble(5) * 255d) == sr)
+      assert(math.round(r.getDouble(6) * 255d) == sg)
+      assert(math.round(r.getDouble(7) * 255d) == sb)
+    }
+    // JPEG (lossy source): resized output stays within the decode band
+    val rj = Multimodal.decodeImageFeatures(
+      Multimodal.resizeImage(Multimodal.encodeJpegMedia(docs), maxSide = 20)).collect()
+    rj.foreach { r =>
+      val (sr, sg, sb) = srcColor(r.getLong(0))
+      assert(r.getBoolean(2))
+      assert(math.abs(r.getDouble(5) * 255d - sr) <= 9)
+      assert(math.abs(r.getDouble(6) * 255d - sg) <= 9)
+      assert(math.abs(r.getDouble(7) * 255d - sb) <= 9)
+    }
+  }
+}

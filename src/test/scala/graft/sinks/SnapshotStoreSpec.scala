@@ -210,6 +210,68 @@ class SnapshotStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readChanges: keyed CDC classifies I/U/D, prunes carried files, compaction is silent") {
+    val path = freshTable()
+    val base = spark.range(100)
+      .select(col("id"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("id"))
+    SnapshotStore.commit(base, path, statsKey = Some("id"))          // v1
+    val v1Files = SnapshotStore.read(spark, path).inputFiles.toSet
+    val pinned = SnapshotStore.read(spark, path) // pinned at v1
+
+    // v2: merge updates 90..95 and inserts 100..102 — a NARROW key
+    // range [90, 102], so the stats sidecar carries the low files
+    val batch = spark.range(90, 96)
+      .select(col("id"), (col("id") * 1000).as("v"))
+      .unionByName(spark.range(100, 103).select(col("id"), lit(-1L).as("v")))
+    SnapshotStore.mergeCommit(spark, path, batch, "id")              // v2
+
+    val cdc = SnapshotStore.readChanges(spark, path, 1, 2, Some("id"))
+    val rows = cdc.select("id", "v", "_change")
+      .as[(Long, Long, String)].collect().toSet
+    // exactly the merged keys appear; carried survivors are silent
+    assert(rows == ((90L to 95L).map(i => (i, i * 1000, "update")) ++
+      (100L to 102L).map(i => (i, -1L, "insert"))).toSet)
+    // file-level pruning: the CDC scan never opens carried files
+    val carried = v1Files.intersect(SnapshotStore.read(spark, path).inputFiles.toSet)
+    assert(carried.nonEmpty)
+    assert(cdc.inputFiles.toSet.intersect(carried).isEmpty,
+      "CDC read opened a carried (unchanged) file")
+
+    // diff parity vs the full-outer-join twin over complete snapshots
+    val o = SnapshotStore.read(spark, path, Some(1))
+      .select(col("id"), col("v").as("v_o"))
+    val n = SnapshotStore.read(spark, path, Some(2))
+      .select(col("id"), col("v").as("v_n"))
+    val fullDiff = o.join(n, Seq("id"), "full")
+      .select(col("id"),
+        when(col("v_o").isNull, "insert")
+          .when(col("v_n").isNull, "delete")
+          .when(!(col("v_o") <=> col("v_n")), "update").as("_change"))
+      .filter(col("_change").isNotNull)
+      .as[(Long, String)].collect().toSet
+    assert(rows.map(r => (r._1, r._3)) == fullDiff)
+
+    // v3: overwrite to the first half → second half becomes deletes,
+    // identical first-half rewrites stay silent
+    SnapshotStore.commit(SnapshotStore.read(spark, path, Some(2))
+      .filter(col("id") < 50), path)                                 // v3
+    val del = SnapshotStore.readChanges(spark, path, 2, 3, Some("id"))
+    assert(del.select("_change").distinct().as[String].collect().toSeq == Seq("delete"))
+    assert(del.count() == 53) // 50..99 + the 3 inserts
+
+    // v4: compaction — same rows, new files → EMPTY keyed changelog,
+    // while the keyless exact variant sees the rewrite as churn
+    SnapshotStore.compact(spark, path, targetBytes = 1L << 30)       // v4
+    assert(SnapshotStore.readChanges(spark, path, 3, 4, Some("id")).count() == 0)
+    assert(SnapshotStore.readChanges(spark, path, 3, 4, None)
+      .filter(col("_change") === "insert").count() == 50)
+
+    // the v1-pinned reader is untouched by any of the commits above
+    assert(pinned.count() == 100)
+    assert(pinned.filter(col("id") === 12).select("v").as[Long].head() == 120)
+  }
+
   test("single-writer lock rejects a concurrent commit") {
     val path = freshTable()
     SnapshotStore.commit(spark.range(5).toDF("id"), path)
