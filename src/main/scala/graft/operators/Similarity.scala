@@ -1078,8 +1078,26 @@ object Similarity {
     *      the shared helper — the twin's approximation lives ONLY in
     *      the k-NN sums seeing the candidate subset, the standard
     *      CCMatrix trade. */
+  /** `nlist <= 0` (the registered default) derives the cell count from
+    * the TARGET slice size — ~64 vectors per cell, the embedPairs
+    * corpus-scaled-bits discipline transplanted: with a FIXED nlist,
+    * candidates grow |X|·|Y|/nlist² — quadratic again, just divided by
+    * a constant (measured: 80k → 8.0M scored pairs at 10×) — while
+    * cell-occupancy-targeted nlist keeps per-source candidate work
+    * bounded and total candidates O(|X|·nprobe·targetCell), linear in
+    * the corpus. */
   def bitextMineIvf(t: Tables, srcLang: String = "en", tgtLang: String = "de",
-                    k: Int = 4, nlist: Int = 16, nprobe: Int = 6): DataFrame = {
+                    k: Int = 4, nlist: Int = 0, nprobe: Int = 6): DataFrame =
+    marginMutualBest(bitextIvfPairs(t, srcLang, tgtLang, nlist, nprobe), k)
+
+  /** Scored-candidate count of the IVF path at this corpus — the
+    * sub-quadratic evidence tools.BitextProbe records next to the
+    * dense path's |X|·|Y| (BENCH_SCALING). */
+  def bitextMineIvfCandidates(t: Tables): Long =
+    bitextIvfPairs(t, "en", "de", 0, 6).count()
+
+  private def bitextIvfPairs(t: Tables, srcLang: String, tgtLang: String,
+                             nlist0: Int, nprobe: Int): DataFrame = {
     val dotF = graft.functions.VectorFunctions.dotProduct _
     val base = Dedup.spread(t.documents.select(col("doc_id"), col("lang")))
       .join(t.embeddings.select(col("vec_id"), col("embedding")),
@@ -1093,6 +1111,12 @@ object Similarity {
       .select(col("doc_id").as("src_id"), col("m").as("mx"), col("nn").as("aa"))
     val ys = base.filter(col("lang") === tgtLang)
       .select(col("doc_id").as("tgt_id"), col("m").as("my"), col("nn").as("bb"))
+    val nlist = if (nlist0 > 0) nlist0 else {
+      // ~64 vectors/cell, floor 16 — centroid state stays (nlist×dims)
+      // broadcast-bounded up to millions of cells
+      val yCount = ys.count()
+      math.max(16L, math.min(1L << 20, yCount / 64L)).toInt
+    }
     val (assignedY, cents) = ivfAssign(
       ys.select(col("tgt_id").as("vec_id"), col("my").as("embedding")),
       nlist, iters = 2)
@@ -1116,6 +1140,6 @@ object Similarity {
       .withColumn("cos_ppm", expr(Dedup.cosPpmSql))
       .select(col("src_id"), col("tgt_id"), col("cos_ppm"))
       .persistTracked() // neighborhood sums + margins share the candidates
-    marginMutualBest(pairs, k)
+    pairs
   }
 }

@@ -47,12 +47,17 @@ object ScaleUp {
     ).repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    // vec_id offset MATCHES the documents offset (k·100000): operators
+    // that join documents⋈embeddings on doc_id = vec_id (bitext mining,
+    // doc-level semdedup) must see copy-k docs paired with copy-k
+    // vectors — a mismatched offset silently shrinks a "10×" run of
+    // those operators back to the 1× slice (caught in round 14)
     copies(emb, (e, k) =>
       if (k == 0) e
       else {
         val shift = (k * 7) % 64
         e.select(
-          (col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          (col("vec_id") + lit(k * 100000L)).as("vec_id"),
           transform(sequence(lit(0), lit(63)),
             i => element_at(col("embedding"), (i + lit(shift)) % 64 + 1)).as("embedding"),
           col("label"))
