@@ -77,15 +77,20 @@ object SuffixArray {
   private def withLoopTuning(docs: DataFrame)(
       body: (DataFrame, (DataFrame, Long) => DataFrame) => DataFrame)
       : DataFrame = {
-    val chars = charRanks(docs).localCheckpoint()
-    val n = chars.count()
+    // char count == Σ length(text): one cheap scan sizes the loop
+    // WITHOUT materializing the char table first (the tuning must be
+    // known before the char table is checkpointed into the child
+    // session, and a count on the exploded table would cost a full
+    // extra materialization pass)
+    val n = docs.agg(coalesce(sum(length(col("text"))), lit(0L)).cast("long"))
+      .head.getLong(0)
     val parts = math.max(8L, math.min(20000L, n / 250000L + 1)).toInt
-    val loopSpark = chars.sparkSession.newSession()
+    val loopSpark = docs.sparkSession.newSession()
     loopSpark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     if (n < 4000000L) loopSpark.conf.set("spark.sql.adaptive.enabled", "false")
+    val chars = charRanks(docs)
     val r0 = loopSpark.createDataFrame(chars.rdd, chars.schema)
-      .localCheckpoint() // eager: materialize before freeing `chars`
-    Components.freeCheckpoint(chars)
+      .localCheckpoint() // eager — the one materialization of the char table
     body(r0, doubleRound)
   }
 

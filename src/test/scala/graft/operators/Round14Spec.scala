@@ -42,6 +42,26 @@ class Round14Spec extends SparkSpec {
     assert(recall >= 0.3, s"recall collapsed: $recall")
   }
 
+  test("regression: connectedComponents survives a cache-substitution miss (round-14 latent bug)") {
+    // The pointer jump's broadcast side is a DeduplicateRelations COPY
+    // of the sym fragment; Spark's CacheManager missed it for plans
+    // like this one (range-rooted edges), recomputed sym RAW, and read
+    // the round-0 label checkpoint AFTER the loop freed it —
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. sym is now an eager
+    // localCheckpoint, making the miss harmless; this exact shape
+    // crashed before the fix.
+    val edges = spark.range(0, 1000).selectExpr("id as a", "(id % 97) as b")
+    val cc = Components.connectedComponents(edges)
+    // 97 joint components expected: a ≡ a mod 97 chains every residue class
+    assert(cc.select("lbl").distinct().count() == 97)
+    // and the same shape rooted in a CHILD session (the SuffixArray
+    // loop-tuning path) resolves too
+    val s2 = spark.newSession()
+    val edges2 = s2.range(0, 500).selectExpr("id as a", "(id % 31) as b")
+    assert(Components.connectedComponents(edges2)
+      .select("lbl").distinct().count() == 31)
+  }
+
   test("JPEG lossy decode: real DCT bytes decode within tolerance of source color") {
     val docs = tables.documents.limit(40)
     val j = Multimodal.encodeJpegMedia(docs)

@@ -272,15 +272,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(pinned.filter(col("id") === 12).select("v").as[Long].head() == 120)
   }
 
-  test("single-writer lock rejects a concurrent commit") {
+  test("single-writer lock rejects a concurrent commit — and compact/vacuum take it too") {
     val path = freshTable()
     SnapshotStore.commit(spark.range(5).toDF("id"), path)
     val lock = new java.io.File(path.stripSuffix("/") + ".snapshot-lock")
     assert(lock.createNewFile())
-    try intercept[java.io.IOException] {
-      SnapshotStore.commit(spark.range(5).toDF("id"), path)
+    try {
+      intercept[java.io.IOException] {
+        SnapshotStore.commit(spark.range(5).toDF("id"), path)
+      }
+      // ADVICE r13: compact and vacuum must respect the writer lock —
+      // an unlocked compact can overwrite an interleaved commit, an
+      // unlocked vacuum can delete an in-flight commit's data files
+      intercept[java.io.IOException] {
+        SnapshotStore.compact(spark, path)
+      }
+      intercept[java.io.IOException] {
+        SnapshotStore.vacuum(path)
+      }
     } finally lock.delete()
-    // and the table is untouched by the rejected commit
+    // and the table is untouched by the rejected operations
     assert(SnapshotStore.latestVersion(path) == 1)
+    assert(SnapshotStore.read(spark, path).count() == 5)
   }
 }
