@@ -133,6 +133,10 @@ object SparkEntry {
     // REAL codec round-trip: ImageIO PNG encode → ImageIO decode →
     // pixel stats; lossless, so stats replay as integer/double SQL
     "q_multimodal_decode" -> q(Multimodal.realMediaFeatures(_)),
+    // REAL resize round-trip: PNG encode -> bilinear Graphics2D resize
+    // -> decode; solid-color pixels and pinned-long-side dims are an
+    // exact integer function of (doc_id, maxSide) => fully oracled
+    "q_multimodal_resize" -> q(Multimodal.realResizeFeatures(_)),
     // —— relational completeness ——
     "q_semi_anti"      -> q(Relational.semiAnti),
     "q_setops"         -> q(Relational.setOps),
@@ -190,6 +194,10 @@ object SparkEntry {
     "q_unpivot"        -> q(Relational.unpivotCounts),
     "q_hop_window"     -> q(Relational.hopWindow),
     "q_snapshot_diff"  -> q(Relational.snapshotDiff),
+    // the same classification driven through the REAL table layer:
+    // SnapshotStore commit v1/v2 -> readChanges CDC -> agg (oracled
+    // against the plain full-outer diff, minus the suppressed S row)
+    "q_snapshot_cdc"   -> q(Relational.snapshotCdc),
     "q6_forecast"      -> q(Relational.q6Forecast),
     "q4_priority"      -> q(Relational.q4Priority),
     "q12_shipmode"     -> q(Relational.q12Shipmode),
@@ -1898,6 +1906,27 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
 
+    "q_snapshot_cdc" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |old AS (SELECT o_orderkey AS k, o_orderstatus AS st_o, o_totalprice AS pr_o
+        |        FROM o WHERE o_orderkey % 10 != 0),
+        |neu AS (SELECT o_orderkey AS k, o_orderstatus AS st_n,
+        |               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |                    ELSE o_totalprice END AS pr_n
+        |        FROM o WHERE o_orderkey % 7 != 0),
+        |d AS (
+        |  SELECT COALESCE(old.k, neu.k) AS k,
+        |    CASE WHEN st_o IS NULL THEN 'I'
+        |         WHEN st_n IS NULL THEN 'D'
+        |         WHEN pr_o IS DISTINCT FROM pr_n OR st_o IS DISTINCT FROM st_n THEN 'U'
+        |         ELSE 'S' END AS change
+        |  FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+        |SELECT change, COUNT(*) AS n, MIN(k) AS first_key, MAX(k) AS last_key
+        |FROM d
+        |WHERE change != 'S'
+        |GROUP BY change
+        |ORDER BY change""".stripMargin,
+
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |old AS (SELECT o_orderkey AS k, o_orderstatus AS st_o, o_totalprice AS pr_o
@@ -2954,6 +2983,33 @@ object SparkEntry {
     // PNG stream, but PNG is lossless and the source color is the first
     // three md5(text) bytes, so decoded pixel stats replay exactly —
     // channel mean r/255 in pure doubles, ITU-R 601 integer luma bin
+    "q_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS r,
+        |    CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS g,
+        |    CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS b,
+        |    CAST(doc_id % 64 + 16 AS INT) AS w,
+        |    CAST(doc_id % 48 + 12 AS INT) AS h
+        |  FROM documents),
+        |dims AS (SELECT doc_id, r, g, b,
+        |    CASE WHEN GREATEST(w, h) <= 20 THEN w
+        |         WHEN w >= h THEN 20
+        |         ELSE GREATEST(1, CAST(FLOOR(CAST(w AS DOUBLE) * (20.0 / CAST(GREATEST(w, h) AS DOUBLE)) + 0.5) AS INT))
+        |    END AS ow,
+        |    CASE WHEN GREATEST(w, h) <= 20 THEN h
+        |         WHEN w >= h THEN GREATEST(1, CAST(FLOOR(CAST(h AS DOUBLE) * (20.0 / CAST(GREATEST(w, h) AS DOUBLE)) + 0.5) AS INT))
+        |         ELSE 20
+        |    END AS oh
+        |  FROM m)
+        |SELECT doc_id, CAST(1 AS INT) AS decoded,
+        |  ow AS img_width, oh AS img_height,
+        |  CAST(FLOOR(CAST(r AS DOUBLE) / 255 * 1000000 + 0.5) AS BIGINT) AS mean_r_micro,
+        |  CAST(FLOOR(CAST(g AS DOUBLE) / 255 * 1000000 + 0.5) AS BIGINT) AS mean_g_micro,
+        |  CAST(FLOOR(CAST(b AS DOUBLE) / 255 * 1000000 + 0.5) AS BIGINT) AS mean_b_micro,
+        |  CAST(((r * 299 + g * 587 + b * 114) // 1000 * 5) // 256 AS INT) AS luma_mode_bin
+        |FROM dims
+        |ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_decode" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS r,

@@ -285,6 +285,32 @@ object Multimodal {
       }(enc)
   }
 
+  /** End-to-end REAL resize round-trip, fully oracled — the
+    * [[realMediaFeatures]] treatment applied to the resize kernel:
+    * documents → ImageIO PNG encode → bilinear Graphics2D resize →
+    * PNG re-encode → ImageIO decode → pixel stats. Bilinear
+    * interpolation of a SOLID color is exactly that color at every
+    * output pixel, and the output dims are a pure integer function of
+    * doc_id and maxSide (long side pinned to maxSide, short side
+    * floor(x+0.5)-rounded), so DuckDB replays dims + micro-means +
+    * modal luma bin without ever seeing a compressed byte — the
+    * actual codec and scaler run inside the plan, the oracle checks
+    * their output exactly. */
+  def realResizeFeatures(t: Tables, maxSide: Int = 20, bins: Int = 5): DataFrame = {
+    val dec = decodeImageFeatures(
+      resizeImage(encodePngMedia(t.documents), maxSide), bins)
+    dec.select(
+        col("doc_id"),
+        col("decoded").cast("int").as("decoded"),
+        col("img_width"), col("img_height"),
+        floor(col("mean_r") * 1000000d + 0.5d).cast("long").as("mean_r_micro"),
+        floor(col("mean_g") * 1000000d + 0.5d).cast("long").as("mean_g_micro"),
+        floor(col("mean_b") * 1000000d + 0.5d).cast("long").as("mean_b_micro"),
+        expr(s"""filter(transform(luma_hist, (c, i) -> IF(c = array_max(luma_hist), i, -1)),
+                        i -> i >= 0)[0]""").cast("int").as("luma_mode_bin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame sampling: one row per sampled frame index — the video
     * analog of explode. A real decoder would slice the container; the
     * stub derives per-frame bytes from (media, frame_idx). */

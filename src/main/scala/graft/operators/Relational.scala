@@ -362,6 +362,41 @@ object Relational {
       .orderBy(col("change"))
   }
 
+  /** [[snapshotDiff]]'s classification driven through the REAL table
+    * layer (oracled CDC): the two deterministic order slices are
+    * COMMITTED as SnapshotStore versions 1 and 2 of a scratch table,
+    * and the changelog comes from
+    * [[graft.sinks.SnapshotStore.readChanges]] — manifest
+    * set-difference file pruning, keyed full-outer classification,
+    * identical-rewrite suppression — aggregated to the same
+    * (change, n, first_key, last_key) shape. The oracle replays the
+    * classification as the plain full-outer join over the slices
+    * (minus the 'S' row readChanges suppresses by design), so the
+    * whole commit → manifest → CDC-read path is gated on result
+    * equality, not just specs. */
+  def snapshotCdc(t: Tables): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cdc").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val v1 = o.filter(col("o_orderkey") % 10 =!= 0)
+    val v2 = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    graft.sinks.SnapshotStore.commit(v1, dir)
+    graft.sinks.SnapshotStore.commit(v2, dir)
+    graft.sinks.SnapshotStore
+      .readChanges(t.spark, dir, 1, 2, Some("o_orderkey"))
+      .select(col("o_orderkey").as("k"),
+        expr("CASE _change WHEN 'insert' THEN 'I' WHEN 'delete' THEN 'D' ELSE 'U' END")
+          .as("change"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("first_key"),
+        max(col("k")).as("last_key"))
+      .orderBy(col("change"))
+  }
+
   /** Keep-first dedup by business key (the pipeline "latest record
     * wins" pattern, inverted to earliest): one row per (lang, source)
     * — a single window shuffle, no self-join. */
