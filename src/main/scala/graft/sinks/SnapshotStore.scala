@@ -215,6 +215,51 @@ object SnapshotStore {
     }
   }
 
+  // ——— incremental consumers: checkpointed changelog reads ———
+
+  private def consumerFile(path: String, id: String) = {
+    require(id.matches("[A-Za-z0-9_-]+"), s"consumer id '$id'")
+    new File(new File(path, "_consumers"), id)
+  }
+
+  /** The last version consumer `id` acknowledged, or 0 (nothing). */
+  def consumerVersion(path: String, id: String): Long = {
+    val f = consumerFile(path, id)
+    if (f.exists()) new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** Incremental-ETL read: everything that changed since consumer `id`
+    * last acknowledged, as (changes, toVersion). First call returns
+    * the WHOLE live table as inserts (from version 0 there is no
+    * "before"). The consumer processes the frame, then calls
+    * [[ackChanges]] with the returned version — ack-after-process
+    * gives at-least-once delivery (a crash between the two re-delivers
+    * the same delta; an idempotent downstream — e.g. a keyed upsert —
+    * makes it effectively exactly-once, the streamSink batch-id
+    * pattern at the consumer side). Returns changes=None when the
+    * consumer is already at the live version. */
+  def consumeChanges(spark: SparkSession, path: String, id: String,
+                     key: Option[String] = None)
+      : (Option[DataFrame], Long) = {
+    val from = consumerVersion(path, id)
+    val to = latestVersion(path)
+    if (to <= from) (None, from)
+    else if (from == 0L)
+      (Some(read(spark, path, Some(to))
+        .withColumn("_change", org.apache.spark.sql.functions.lit("insert"))), to)
+    else (Some(readChanges(spark, path, from, to, key)), to)
+  }
+
+  /** Record consumer `id` as caught up through `version` (atomic
+    * pointer write; monotone — an ack below the current pointer is
+    * ignored, so replays can ack blindly). */
+  def ackChanges(path: String, id: String, version: Long): Unit = {
+    if (version > consumerVersion(path, id))
+      atomicWrite(consumerFile(path, id), version.toString)
+  }
+
   /** Delta-style MERGE as a snapshot commit (upsert-by-key): rows of
     * `df` replace same-key rows of the live version. File-level stats
     * pruning makes this O(touched data), not O(table): only files
@@ -349,18 +394,33 @@ object SnapshotStore {
     * not a new cost. Returns the new version. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20,
-              sortCols: Seq[String] = Nil): Long = withLock(path) {
+              sortCols: Seq[String] = Nil,
+              statsKey: Option[String] = None): Long = withLock(path) {
     val v = latestVersion(path)
     require(v > 0, s"no committed snapshot under $path")
     val files = manifest(path, v)
     val bytes = files.map(f => new File(f).length()).sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(files: _*)
+    // RANGE partition under sortCols: the rewritten files get DISJOINT
+    // key ranges, which is what makes the re-recorded stats sidecar
+    // selective (round-robin + local sort would leave every file
+    // spanning the whole key range — stats present but useless)
     val out = if (sortCols.nonEmpty)
-      df.repartition(nFiles).sortWithinPartitions(
-        sortCols.map(org.apache.spark.sql.functions.col): _*)
+      df.repartitionByRange(nFiles,
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
     else df.coalesce(nFiles)
-    commitLocked(out, path, Nil, None, None)
+    // re-record stats for the rewritten files: compaction would
+    // otherwise DROP the sidecar and silently degrade every later
+    // mergeCommit to a full-table rewrite. Default to the sidecar key
+    // the table already tracks (sortCols.head under a sorted compact —
+    // sorting by the merge key is also what keeps the ranges
+    // selective).
+    val key = statsKey.orElse(
+      if (stats(path, v).nonEmpty) sortCols.headOption else None)
+    commitLocked(out, path, Nil, None, key)
   }
 
   /** Drop data files referenced by NO manifest in the retained window

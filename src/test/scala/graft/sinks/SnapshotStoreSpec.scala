@@ -272,6 +272,56 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(pinned.filter(col("id") === 12).select("v").as[Long].head() == 120)
   }
 
+  test("incremental consumer: consume → ack → consume sees only the new delta") {
+    val path = freshTable()
+    SnapshotStore.commit(spark.range(10)
+      .select(col("id"), col("id").as("v")), path, statsKey = Some("id"))
+    // bootstrap: the whole live table arrives as inserts
+    val (c1, v1) = SnapshotStore.consumeChanges(spark, path, "etl", Some("id"))
+    assert(v1 == 1 && c1.get.count() == 10)
+    assert(c1.get.select("_change").distinct().as[String].collect().toSeq == Seq("insert"))
+    SnapshotStore.ackChanges(path, "etl", v1)
+    assert(SnapshotStore.consumeChanges(spark, path, "etl", Some("id"))._1.isEmpty)
+    // a merge lands; the consumer sees exactly its delta
+    SnapshotStore.mergeCommit(spark, path,
+      spark.range(5, 7).select(col("id"), lit(99L).as("v")), "id")
+    val (c2, v2) = SnapshotStore.consumeChanges(spark, path, "etl", Some("id"))
+    assert(v2 == 2)
+    assert(c2.get.select("id", "v", "_change").as[(Long, Long, String)]
+      .collect().toSet == Set((5L, 99L, "update"), (6L, 99L, "update")))
+    // un-acked ⇒ redelivered (at-least-once); stale acks are ignored
+    assert(SnapshotStore.consumeChanges(spark, path, "etl", Some("id"))._1.get.count() == 2)
+    SnapshotStore.ackChanges(path, "etl", v2)
+    SnapshotStore.ackChanges(path, "etl", 1L)
+    assert(SnapshotStore.consumerVersion(path, "etl") == 2)
+    // an independent consumer has its own pointer
+    assert(SnapshotStore.consumeChanges(spark, path, "audit")._1.get.count() == 10)
+  }
+
+  test("compaction re-records the stats sidecar: a post-compact merge still prunes") {
+    val path = freshTable()
+    SnapshotStore.commit(spark.range(2000)
+      .select(col("id"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("id")), path, statsKey = Some("id"))
+    // compact into several RANGE-disjoint files, sidecar re-recorded
+    val v2 = SnapshotStore.compact(spark, path, targetBytes = 4096,
+      sortCols = Seq("id"))
+    val v2Files = SnapshotStore.read(spark, path).inputFiles.toSet
+    assert(v2Files.size > 1, s"need >1 post-compact file, got ${v2Files.size}")
+    // a narrow merge touches only the overlapping file(s)
+    val v3 = SnapshotStore.mergeCommit(spark, path,
+      spark.range(10, 16).select(col("id"), lit(0L).as("v")), "id")
+    assert(v3 == v2 + 1)
+    val carried = v2Files.intersect(SnapshotStore.read(spark, path).inputFiles.toSet)
+    assert(carried.nonEmpty && carried.size < v2Files.size,
+      s"expected partial carry post-compact, got ${carried.size}/${v2Files.size}")
+    // and the data is right
+    val m = SnapshotStore.read(spark, path)
+      .filter(col("id").isin(9, 10, 15, 16)).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(9L -> 90L, 10L -> 0L, 15L -> 0L, 16L -> 160L))
+  }
+
   test("single-writer lock rejects a concurrent commit — and compact/vacuum take it too") {
     val path = freshTable()
     SnapshotStore.commit(spark.range(5).toDF("id"), path)
