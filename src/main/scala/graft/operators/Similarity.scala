@@ -1002,6 +1002,7 @@ object Similarity {
           x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
       .select(col("doc_id"), col("lang"), col("m"),
         dot(col("m"), col("m")).cast("long").as("nn"))
+      .persistTracked() // both slice scans share the doc⋈embedding join
     val xs = base.filter(col("lang") === srcLang)
       .select(col("doc_id").as("src_id"), col("m").as("mx"), col("nn").as("aa"))
     val ys = base.filter(col("lang") === tgtLang)
@@ -1107,6 +1108,7 @@ object Similarity {
           x => floor(x.cast("double") * 1000000d + 0.5d).cast("double")).as("m"))
       .select(col("doc_id"), col("lang"), col("m"),
         dotF(col("m"), col("m")).cast("long").as("nn"))
+      .persistTracked() // nlist sizing + codebook + probes + both candidate joins
     val xs = base.filter(col("lang") === srcLang)
       .select(col("doc_id").as("src_id"), col("m").as("mx"), col("nn").as("aa"))
     val ys = base.filter(col("lang") === tgtLang)

@@ -239,7 +239,12 @@ object SnapshotStore {
     * the same delta; an idempotent downstream — e.g. a keyed upsert —
     * makes it effectively exactly-once, the streamSink batch-id
     * pattern at the consumer side). Returns changes=None when the
-    * consumer is already at the live version. */
+    * consumer is already at the live version.
+    *
+    * Retention contract: the delta needs BOTH endpoint manifests, so
+    * [[vacuum]]'s `keepVersions` must exceed the slowest consumer's
+    * lag — a consumer behind the retention window fails fast on the
+    * missing manifest (Delta semantics) and must re-bootstrap. */
   def consumeChanges(spark: SparkSession, path: String, id: String,
                      key: Option[String] = None)
       : (Option[DataFrame], Long) = {
