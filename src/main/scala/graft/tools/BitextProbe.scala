@@ -19,9 +19,15 @@ object BitextProbe {
     val langs = t.documents.groupBy(col("lang")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val dense = langs.getOrElse("en", 0L) * langs.getOrElse("de", 0L)
-    val mined = graft.operators.Similarity.bitextMineIvf(t).count()
+    val ivf = graft.operators.Similarity.bitextMineIvf(t)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val cand = graft.operators.Similarity.bitextMineIvfCandidates(t)
-    println(s"""{"metric":"bitext_probe","sf_dir":"$dir","dense_pairs":$dense,"ivf_candidates":$cand,"ivf_mined":$mined}""")
+    val dn = graft.operators.Similarity.bitextMine(t)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (dn.isEmpty) 1.0 else ivf.intersect(dn).size.toDouble / dn.size
+    println(f"""{"metric":"bitext_probe","sf_dir":"$dir","dense_pairs":$dense,"ivf_candidates":$cand,"ivf_mined":${ivf.size},"dense_mined":${dn.size},"recall_vs_dense":$recall%.3f}""")
     spark.stop()
   }
 }

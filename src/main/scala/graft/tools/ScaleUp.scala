@@ -88,6 +88,19 @@ object ScaleUp {
       ).repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
     }
 
+    // remaining tables (TPC-H dims + orders etc.) pass through UNSCALED
+    // so every registered query runs against the scaled dir — dims
+    // don't grow with corpus factor anyway, and a missing table would
+    // silently zero out its queries' scaling cells
+    val scaled = Set("documents", "embeddings", "lineitem", "events")
+    Option(new java.io.File(src).listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !scaled(f.getName.stripSuffix(".parquet")))
+      .foreach { f =>
+        spark.read.parquet(f.getPath).write
+          .mode(SaveMode.Overwrite).parquet(s"$out/${f.getName}")
+      }
+
     println(s"scaled $src x$n -> $out")
     spark.stop()
   }
