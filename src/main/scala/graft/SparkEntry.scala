@@ -137,6 +137,10 @@ object SparkEntry {
     // -> decode; solid-color pixels and pinned-long-side dims are an
     // exact integer function of (doc_id, maxSide) => fully oracled
     "q_multimodal_resize" -> q(Multimodal.realResizeFeatures(_)),
+    // REAL multi-frame container round-trip: animated-GIF encode (LZW,
+    // explicit per-frame palette => lossless) -> ImageIO frame
+    // extraction -> exact per-frame color stats, fully oracled
+    "q_frame_extract"  -> q(Multimodal.realFrameFeatures(_)),
     // —— relational completeness ——
     "q_semi_anti"      -> q(Relational.semiAnti),
     "q_setops"         -> q(Relational.setOps),
@@ -2983,6 +2987,23 @@ object SparkEntry {
     // PNG stream, but PNG is lossless and the source color is the first
     // three md5(text) bytes, so decoded pixel stats replay exactly —
     // channel mean r/255 in pure doubles, ITU-R 601 integer luma bin
+    "q_frame_extract" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS r,
+        |    CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS g,
+        |    CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS b
+        |  FROM documents),
+        |f AS (SELECT doc_id, r, g, b, UNNEST([0, 3, 6]) AS i FROM m)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(8 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 16 + 8 AS BIGINT) AS fr_width,
+        |  CAST(doc_id % 12 + 6 AS BIGINT) AS fr_height,
+        |  CAST(FLOOR(CAST((r + 17 * i) % 256 AS DOUBLE) / 255 * 1000000 + 0.5) AS BIGINT) AS mean_r_micro,
+        |  CAST(FLOOR(CAST((g + 29 * i) % 256 AS DOUBLE) / 255 * 1000000 + 0.5) AS BIGINT) AS mean_g_micro,
+        |  CAST(FLOOR(CAST((b + 43 * i) % 256 AS DOUBLE) / 255 * 1000000 + 0.5) AS BIGINT) AS mean_b_micro
+        |FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q_multimodal_resize" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS r,

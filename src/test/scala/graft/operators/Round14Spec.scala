@@ -62,6 +62,32 @@ class Round14Spec extends SparkSpec {
       .select("lbl").distinct().count() == 31)
   }
 
+  test("animated-GIF container: real frame extraction recovers exact per-frame colors") {
+    val docs = tables.documents.limit(30)
+    val gif = Multimodal.encodeGifMedia(docs, nFrames = 8)
+    // the payload really is a GIF89a stream
+    val first = gif.select("media").head.getAs[Array[Byte]](0)
+    assert(new String(first.take(6), "US-ASCII") == "GIF89a")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = Multimodal.frameExtract(gif, everyNth = 3).collect()
+    assert(rows.length == 30 * 3) // frames 0, 3, 6 per doc
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val i = r.getInt(1)
+      assert(r.getInt(2) == 8) // the reader counted all container frames
+      val h = md.digest(texts(id).getBytes("UTF-8"))
+      val er = ((h(0) & 0xff) + 17 * i) % 256
+      val eg = ((h(1) & 0xff) + 29 * i) % 256
+      val eb = ((h(2) & 0xff) + 43 * i) % 256
+      assert(math.round(r.getDouble(5) * 255d) == er, s"doc $id frame $i R")
+      assert(math.round(r.getDouble(6) * 255d) == eg, s"doc $id frame $i G")
+      assert(math.round(r.getDouble(7) * 255d) == eb, s"doc $id frame $i B")
+      assert(r.getInt(3) == (id % 16 + 8).toInt && r.getInt(4) == (id % 12 + 6).toInt)
+    }
+  }
+
   test("JPEG lossy decode: real DCT bytes decode within tolerance of source color") {
     val docs = tables.documents.limit(40)
     val j = Multimodal.encodeJpegMedia(docs)
