@@ -141,6 +141,9 @@ object SparkEntry {
     // explicit per-frame palette => lossless) -> ImageIO frame
     // extraction -> exact per-frame color stats, fully oracled
     "q_frame_extract"  -> q(Multimodal.realFrameFeatures(_)),
+    // REAL audio round-trip: 16-bit PCM WAV encode (javax.sound RIFF
+    // writer) -> container decode -> exact integer sample stats
+    "q_audio_features" -> q(Multimodal.realAudioFeatures(_)),
     // —— relational completeness ——
     "q_semi_anti"      -> q(Relational.semiAnti),
     "q_setops"         -> q(Relational.setOps),
@@ -2987,6 +2990,25 @@ object SparkEntry {
     // PNG stream, but PNG is lossless and the source color is the first
     // three md5(text) bytes, so decoded pixel stats replay exactly —
     // channel mean r/255 in pure doubles, ITU-R 601 integer luma bin
+    "q_audio_features" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) * 256
+        |      + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS seed,
+        |    (CAST(('0x' || substr(md5(text), 5, 2)) AS INT) * 256
+        |      + CAST(('0x' || substr(md5(text), 7, 2)) AS INT)) | 1 AS step
+        |  FROM documents),
+        |s AS (SELECT doc_id, ((seed + k * step) % 65536) - 32768 AS v
+        |      FROM m, generate_series(0, 2047) AS t(k))
+        |SELECT doc_id, CAST(1 AS INT) AS decoded,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |FROM s
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_frame_extract" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS r,

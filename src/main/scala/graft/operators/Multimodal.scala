@@ -458,6 +458,109 @@ object Multimodal {
         unhex(md5(concat(hex(col("media")), col("frame_idx").cast("string")))))
       .select(col("doc_id"), col("frame_idx"), col("frame"))
 
+  // ——— REAL audio path (javax.sound.sampled) ———
+
+  private val wavSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media", BinaryType),
+    StructField("format", StringType),
+    StructField("n_samples", IntegerType)))
+
+  /** Attach a REAL audio payload per document: a 16-bit mono PCM WAV
+    * written by the actual `javax.sound.sampled` encoder (RIFF/WAVE
+    * container). The waveform is a deterministic integer sawtooth —
+    * s(k) = ((seed + k·step) mod 65536) − 32768 with seed/step from
+    * md5(text) — so PCM being lossless makes every decoded sample an
+    * exact integer function of (text, k): the audio analog of the
+    * PNG/GIF contract, and what lets [[realAudioFeatures]] be fully
+    * oracled. */
+  def encodeWavMedia(docs: DataFrame, nSamples: Int = 2048,
+                     sampleRate: Int = 8000): DataFrame = {
+    val enc = Encoders.row(wavSchema)
+    Dedup.spread(docs.select(col("doc_id"), unhex(md5(col("text"))).as("h")))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val h = row.getAs[Array[Byte]](1)
+          val seed = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+          val step = (((h(2) & 0xff) << 8) | (h(3) & 0xff)) | 1
+          val pcm = new Array[Byte](nSamples * 2)
+          var k = 0
+          while (k < nSamples) {
+            val s = ((seed + k.toLong * step) % 65536).toInt - 32768
+            pcm(2 * k) = (s & 0xff).toByte          // little-endian
+            pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+            k += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            sampleRate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, bos.toByteArray, "audio/wav", nSamples)
+        }
+      }(enc)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("decoded", BooleanType),
+    StructField("n_samples", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("peak_abs", LongType),
+    StructField("sum_sq", LongType),
+    StructField("n_pos", LongType)))
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the
+    * RIFF container (format, rate, sample width from the actual
+    * header), the PCM body is drained and reduced to exact integer
+    * stats — peak amplitude, energy (Σ s², bounded by 2¹⁵²·n ≪ 2⁶³),
+    * non-negative-sample count. Undecodable payloads return
+    * decoded=false; the curation-filter contract of the image path. */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioSchema)
+    media.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+            val body = ais.readAllBytes()
+            val n = body.length / 2
+            var peak = 0L; var ss = 0L; var pos = 0L
+            var k = 0
+            while (k < n) {
+              val s = ((body(2 * k) & 0xff) | (body(2 * k + 1) << 8)).toShort.toLong
+              if (math.abs(s) > peak) peak = math.abs(s)
+              ss += s * s
+              if (s >= 0) pos += 1
+              k += 1
+            }
+            Row(id, true, n.toLong, fmt.getSampleRate.toInt, peak, ss, pos)
+          } catch {
+            case _: Exception => Row(id, false, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** End-to-end REAL audio round-trip, fully oracled: documents → WAV
+    * encode → container decode → exact integer sample statistics. The
+    * sawtooth replays in SQL as a generate_series aggregate, so the
+    * oracle covers the real RIFF/PCM codec path exactly. */
+  def realAudioFeatures(t: Tables, nSamples: Int = 2048): DataFrame =
+    decodeAudioFeatures(encodeWavMedia(t.documents, nSamples))
+      .select(col("doc_id"), col("decoded").cast("int").as("decoded"),
+        col("n_samples"), col("sample_rate").cast("long").as("sample_rate"),
+        col("peak_abs"), col("sum_sq"), col("n_pos"))
+      .orderBy(col("doc_id"))
+
   /** Oracle-verifiable slice: the metadata plumbing (binary length +
     * typed dims) — everything except the non-SQL decode kernel. */
   def mediaMeta(t: Tables): DataFrame =

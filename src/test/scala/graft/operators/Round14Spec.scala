@@ -88,6 +88,29 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("WAV audio container: genuine RIFF bytes, exact sample stats recovered") {
+    val docs = tables.documents.limit(30)
+    val wav = Multimodal.encodeWavMedia(docs, nSamples = 512)
+    val first = wav.select("media").head.getAs[Array[Byte]](0)
+    assert(new String(first.take(4), "US-ASCII") == "RIFF")
+    assert(new String(first.slice(8, 12), "US-ASCII") == "WAVE")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = Multimodal.decodeAudioFeatures(wav).collect()
+    assert(rows.length == 30 && rows.forall(_.getBoolean(1)))
+    rows.foreach { r =>
+      val h = md.digest(texts(r.getLong(0)).getBytes("UTF-8"))
+      val seed = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+      val step = (((h(2) & 0xff) << 8) | (h(3) & 0xff)) | 1
+      val vs = (0 until 512).map(k => ((seed + k.toLong * step) % 65536) - 32768)
+      assert(r.getLong(2) == 512 && r.getInt(3) == 8000)
+      assert(r.getLong(4) == vs.map(math.abs).max)
+      assert(r.getLong(5) == vs.map(v => v * v).sum)
+      assert(r.getLong(6) == vs.count(_ >= 0))
+    }
+  }
+
   test("JPEG lossy decode: real DCT bytes decode within tolerance of source color") {
     val docs = tables.documents.limit(40)
     val j = Multimodal.encodeJpegMedia(docs)
