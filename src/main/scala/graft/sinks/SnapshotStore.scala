@@ -190,8 +190,13 @@ object SnapshotStore {
     val del = readFiles(removed)
     key match {
       case None =>
+        // allowMissingColumns: versions may differ in schema (columns
+        // added between commits) — the missing side null-fills, the
+        // Delta CDF convention. The KEYED variant requires a stable
+        // schema (payload hashing is column-wise).
         ins.withColumn("_change", lit("insert"))
-          .unionByName(del.withColumn("_change", lit("delete")))
+          .unionByName(del.withColumn("_change", lit("delete")),
+            allowMissingColumns = true)
       case Some(k) =>
         val cols = ins.columns.toSeq
         require(cols.contains(k), s"readChanges: key $k not in ${cols.mkString(",")}")

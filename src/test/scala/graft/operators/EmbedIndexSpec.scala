@@ -112,6 +112,33 @@ class EmbedIndexSpec extends SparkSpec {
     assert(rows(stored) == expected)
     assertIndexJoinsInPlace(stored, "eidx2")
     graft.CacheRegistry.drain()
+
+    // day 4: maintenance — the bucketed rewrite restores one file per
+    // non-empty bucket without changing probe results or the in-place
+    // plan (the DedupIndex compaction contract, embedding side)
+    def bucketFiles(table: String): Seq[String] = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .filter(col("col_name") === "Location").head.getString(1)))
+      Option(loc.listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.endsWith(".parquet"))
+    }
+    assert(bucketFiles("eidx2_ebuckets").size > 8,
+      "append should have left >1 file in some bucket")
+    EmbedIndex.compactIndex(spark, "eidx2")
+    graft.CacheRegistry.drain()
+    assert(bucketFiles("eidx2_ebuckets").size <= 8)
+    assert(bucketFiles("eidx2_evectors").size <= 8)
+    // a FRESH session (stale relation caches from s2 would read the
+    // pre-compact file list — the same reason the deployment probes
+    // from a new session per day)
+    val s3 = probeSession()
+    val postCompact = EmbedIndex.probe(s3,
+      graft.sources.Tables(s3, sfDir).embeddings
+        .filter(col("vec_id") % 10 === 0), "eidx2", multiProbe = false)
+    assert(rows(postCompact) == expected)
+    assertIndexJoinsInPlace(postCompact, "eidx2")
+    graft.CacheRegistry.drain()
   }
 }
 
