@@ -88,6 +88,9 @@ object SparkEntry {
     "q_line_dedup"     -> q(Dedup.lineDedup(_)),
     "q_ann_recall"     -> q(Dedup.annRecallAudit),
     "q_jsonl_ingest"   -> q(t => graft.sources.JsonLines.roundtrip(t)),
+    // WebDataset-style TAR shards: POSIX ustar pack + parse inside the
+    // plan (system-tar interop spec'd); oracled as the identity
+    "q_tar_roundtrip"  -> q(t => graft.sources.TarShards.tarRoundtrip(t)),
     // oracled engine-exact IVF (integer index build replayed by DuckDB)
     // + the float-Lloyd production kernel benched under its own key
     "q_knn_ivf"        -> q(Similarity.ivfKnnExact(_)),
@@ -1912,6 +1915,14 @@ object SparkEntry {
         |FROM h
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "q_tar_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(doc_id // 64 AS BIGINT) AS shard_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q_snapshot_cdc" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -1,0 +1,144 @@
+package graft.sources
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WebDataset-style TAR shards — the de-facto container for
+  * large-scale multimodal training data (a corpus travels as .tar
+  * files of `<key>.<ext>` entries; loaders stream entries
+  * sequentially). Both directions in pure JVM byte logic — POSIX
+  * ustar headers, 512-byte block padding, two-zero-block EOF — so the
+  * shards are REAL tar streams (the spec shells out to the system
+  * `tar` to prove interop), and both directions run INSIDE the plan:
+  * shard assembly is a per-group kernel after one hash partition on
+  * the shard id, parsing is a flatMap over opaque binary — no
+  * driver-side I/O, which is what makes the format usable at 100 TB
+  * (shards are just rows of a binary column; store them in parquet,
+  * object storage, or a SnapshotStore table like any other payload).
+  */
+object TarShards {
+
+  private val BLOCK = 512
+
+  private def octal(v: Long, width: Int): Array[Byte] = {
+    // POSIX numeric field: zero-padded octal + NUL
+    val s = v.toOctalString
+    val pad = "0" * (width - 1 - s.length) + s
+    (pad + "\u0000").getBytes("US-ASCII")
+  }
+
+  /** One ustar entry: header block + content + zero padding. */
+  private def entry(name: String, content: Array[Byte]): Array[Byte] = {
+    val h = new Array[Byte](BLOCK)
+    def put(off: Int, bytes: Array[Byte]): Unit =
+      System.arraycopy(bytes, 0, h, off, bytes.length)
+    put(0, name.getBytes("US-ASCII").take(100))
+    put(100, octal(420, 8))            // mode 0644
+    put(108, octal(0, 8))              // uid
+    put(116, octal(0, 8))              // gid
+    put(124, octal(content.length.toLong, 12))
+    put(136, octal(0, 12))             // mtime: epoch, deterministic
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum field = spaces
+    h(156) = '0'                       // typeflag: regular file
+    put(257, "ustar\u0000".getBytes("US-ASCII"))
+    put(263, "00".getBytes("US-ASCII"))
+    val sum = h.map(_ & 0xff).sum
+    put(148, (f"$sum%06o" + "\u0000 ").getBytes("US-ASCII"))
+    val padded = (content.length + BLOCK - 1) / BLOCK * BLOCK
+    val out = new Array[Byte](BLOCK + padded)
+    System.arraycopy(h, 0, out, 0, BLOCK)
+    System.arraycopy(content, 0, out, BLOCK, content.length)
+    out
+  }
+
+  private val shardSchema = StructType(Seq(
+    StructField("shard_id", LongType),
+    StructField("n_entries", IntegerType),
+    StructField("tar", BinaryType)))
+
+  /** Pack documents into TAR shards: one row per shard,
+    * `docsPerShard` entries named `<doc_id>.txt`, entries ordered by
+    * doc id (deterministic bytes). One shuffle (hash on the shard id);
+    * shard assembly is a sort + concat inside the group kernel. */
+  def tarShards(docs: DataFrame, docsPerShard: Int = 64): DataFrame = {
+    val enc = Encoders.row(shardSchema)
+    Dedup.spread(docs.select(col("doc_id"), col("text")))
+      .withColumn("shard_id", (col("doc_id") / docsPerShard).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("entries"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val shard = r.getLong(0)
+          val entries = r.getSeq[Row](1)
+          val bos = new java.io.ByteArrayOutputStream()
+          entries.foreach { e =>
+            bos.write(entry(s"${e.getLong(0)}.txt",
+              e.getString(1).getBytes("UTF-8")))
+          }
+          bos.write(new Array[Byte](2 * BLOCK)) // EOF: two zero blocks
+          Row(shard, entries.length, bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  private val entrySchema = StructType(Seq(
+    StructField("shard_id", LongType),
+    StructField("name", StringType),
+    StructField("content", BinaryType)))
+
+  /** Parse TAR shards back to entries — the WebDataset loader side:
+    * walk 512-byte headers, read the octal size, slurp the content,
+    * skip the padding, stop at the zero block. flatMap over opaque
+    * binary; malformed trailing bytes end the shard (stream-robust,
+    * never throws mid-scan). */
+  def untar(shards: DataFrame): DataFrame = {
+    val enc = Encoders.row(entrySchema)
+    shards.select(col("shard_id"), col("tar"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val shard = r.getLong(0)
+          val tar = r.getAs[Array[Byte]](1)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var off = 0
+          var done = false
+          while (!done && off + BLOCK <= tar.length) {
+            if (tar(off) == 0) done = true // zero block: EOF
+            else {
+              val nameEnd = {
+                var i = off; while (i < off + 100 && tar(i) != 0) i += 1; i
+              }
+              val name = new String(tar, off, nameEnd - off, "US-ASCII")
+              val sizeStr = new String(tar, off + 124, 12, "US-ASCII")
+                .takeWhile(c => c >= '0' && c <= '7')
+              val size = java.lang.Long.parseLong(
+                if (sizeStr.isEmpty) "0" else sizeStr, 8).toInt
+              val body = off + BLOCK
+              if (body + size > tar.length) done = true // truncated
+              else {
+                out += Row(shard, name,
+                  java.util.Arrays.copyOfRange(tar, body, body + size))
+                off = body + (size + BLOCK - 1) / BLOCK * BLOCK
+              }
+            }
+          }
+          out
+        }
+      }(enc)
+  }
+
+  /** Oracled end-to-end round-trip: documents → tar shards → untar →
+    * per-document identity stats. The oracle computes the same rows
+    * straight from `documents` — equality proves the pack/parse pair
+    * is the identity on real tar bytes. */
+  def tarRoundtrip(t: Tables, docsPerShard: Int = 64): DataFrame =
+    untar(tarShards(t.documents, docsPerShard))
+      .select(
+        expr("CAST(substr(name, 1, length(name) - 4) AS BIGINT)").as("doc_id"),
+        col("shard_id"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}
