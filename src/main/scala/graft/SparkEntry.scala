@@ -147,6 +147,9 @@ object SparkEntry {
     // REAL audio round-trip: 16-bit PCM WAV encode (javax.sound RIFF
     // writer) -> container decode -> exact integer sample stats
     "q_audio_features" -> q(Multimodal.realAudioFeatures(_)),
+    // WebDataset end-to-end: three real codecs into ustar shards ->
+    // loader regroups by key -> per-modality decode, all oracled
+    "q_webdataset"     -> q(Multimodal.webdatasetFeatures(_)),
     // —— relational completeness ——
     "q_semi_anti"      -> q(Relational.semiAnti),
     "q_setops"         -> q(Relational.setOps),
@@ -3001,6 +3004,25 @@ object SparkEntry {
     // PNG stream, but PNG is lossless and the source color is the first
     // three md5(text) bytes, so decoded pixel stats replay exactly —
     // channel mean r/255 in pure doubles, ITU-R 601 integer luma bin
+    "q_webdataset" ->
+      """WITH m AS (SELECT doc_id, length(text) AS n_chars,
+        |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS r,
+        |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) * 256
+        |      + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS seed,
+        |    (CAST(('0x' || substr(md5(text), 5, 2)) AS INT) * 256
+        |      + CAST(('0x' || substr(md5(text), 7, 2)) AS INT)) | 1 AS step
+        |  FROM documents),
+        |s AS (SELECT doc_id, ((seed + k * step) % 65536) - 32768 AS v
+        |      FROM m, generate_series(0, 511) AS t(k)),
+        |a AS (SELECT doc_id, MAX(ABS(v)) AS peak_abs, SUM(v * v) AS sum_sq
+        |      FROM s GROUP BY doc_id)
+        |SELECT m.doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(FLOOR(CAST(r AS DOUBLE) / 255 * 1000000 + 0.5) AS BIGINT) AS mean_r_micro,
+        |  CAST(peak_abs AS BIGINT) AS peak_abs,
+        |  CAST(sum_sq AS BIGINT) AS sum_sq
+        |FROM m JOIN a ON m.doc_id = a.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
+
     "q_audio_features" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) * 256

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheRegistry.Tracked
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
@@ -560,6 +561,68 @@ object Multimodal {
         col("n_samples"), col("sample_rate").cast("long").as("sample_rate"),
         col("peak_abs"), col("sum_sq"), col("n_pos"))
       .orderBy(col("doc_id"))
+
+  // ——— WebDataset shards: the three modalities in one container ———
+
+  /** Pack each document as a REAL WebDataset sample — `<id>.txt` +
+    * `<id>.png` + `<id>.wav` entries sharing a key inside ustar
+    * shards, the layout multimodal training loaders stream. Composes
+    * the codec kernels with [[graft.sources.TarShards]]: all bytes
+    * are genuine (zlib PNG, RIFF PCM, POSIX tar), all deterministic. */
+  def webdatasetShards(t: Tables, docsPerShard: Int = 64,
+                       nSamples: Int = 512): DataFrame = {
+    val sid = (col("doc_id") / docsPerShard).cast("long").as("shard_id")
+    val nm = (ext: String) =>
+      concat(col("doc_id").cast("string"), lit("." + ext)).as("name")
+    val txt = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .select(sid, nm("txt"), col("text").cast("binary").as("content"))
+    val png = encodePngMedia(t.documents)
+      .select(sid, nm("png"), col("media").as("content"))
+    val wav = encodeWavMedia(t.documents, nSamples)
+      .select(sid, nm("wav"), col("media").as("content"))
+    graft.sources.TarShards.tarEntryShards(txt.unionByName(png).unionByName(wav))
+  }
+
+  /** The loader side: untar the shards and fold same-key entries back
+    * into one row per sample with one typed column per modality — the
+    * WebDataset grouping rule (key = name up to the extension). */
+  def webdatasetSamples(shards: DataFrame): DataFrame =
+    graft.sources.TarShards.untar(shards)
+      .select(
+        expr("CAST(substring_index(name, '.', 1) AS BIGINT)").as("doc_id"),
+        expr("substring_index(name, '.', -1)").as("ext"),
+        col("content"))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(when(col("ext") === "txt", col("content")), ignoreNulls = true)
+          .as("txt"),
+        first(when(col("ext") === "png", col("content")), ignoreNulls = true)
+          .as("png"),
+        first(when(col("ext") === "wav", col("content")), ignoreNulls = true)
+          .as("wav"))
+
+  /** Oracled end-to-end: documents → WebDataset shards → loader →
+    * per-modality decode → one stats row per sample. Every column is
+    * an exact integer function of the source text, so the WHOLE
+    * container + three-codec path is gated in DuckDB: text length,
+    * decoded PNG color, decoded PCM peak/energy. */
+  def webdatasetFeatures(t: Tables, nSamples: Int = 512): DataFrame = {
+    val samples = webdatasetSamples(webdatasetShards(t, nSamples = nSamples))
+      .persistTracked() // three decode scans share the loader output
+    val img = decodeImageFeatures(
+      samples.select(col("doc_id"), col("png").as("media")))
+      .select(col("doc_id"),
+        floor(col("mean_r") * 1000000d + 0.5d).cast("long").as("mean_r_micro"))
+    val aud = decodeAudioFeatures(
+      samples.select(col("doc_id"), col("wav").as("media")))
+      .select(col("doc_id"), col("peak_abs"), col("sum_sq"))
+    samples
+      .select(col("doc_id"),
+        length(col("txt").cast("string")).cast("long").as("n_chars"))
+      .join(img, Seq("doc_id"))
+      .join(aud, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Oracle-verifiable slice: the metadata plumbing (binary length +
     * typed dims) — everything except the non-SQL decode kernel. */

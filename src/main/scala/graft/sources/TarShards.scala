@@ -58,31 +58,38 @@ object TarShards {
     StructField("n_entries", IntegerType),
     StructField("tar", BinaryType)))
 
-  /** Pack documents into TAR shards: one row per shard,
-    * `docsPerShard` entries named `<doc_id>.txt`, entries ordered by
-    * doc id (deterministic bytes). One shuffle (hash on the shard id);
-    * shard assembly is a sort + concat inside the group kernel. */
-  def tarShards(docs: DataFrame, docsPerShard: Int = 64): DataFrame = {
+  /** Pack generic (shard_id, name, content) entries into TAR shards:
+    * one row per shard, entries sorted by name within the shard
+    * (deterministic bytes). One shuffle (hash on the shard id); shard
+    * assembly is a sort + concat inside the group kernel. */
+  def tarEntryShards(entries: DataFrame): DataFrame = {
     val enc = Encoders.row(shardSchema)
-    Dedup.spread(docs.select(col("doc_id"), col("text")))
-      .withColumn("shard_id", (col("doc_id") / docsPerShard).cast("long"))
+    entries.select(col("shard_id"), col("name"), col("content"))
       .groupBy(col("shard_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+      .agg(sort_array(collect_list(struct(col("name"), col("content"))))
         .as("entries"))
       .mapPartitions { rows =>
         rows.map { r =>
           val shard = r.getLong(0)
-          val entries = r.getSeq[Row](1)
+          val es = r.getSeq[Row](1)
           val bos = new java.io.ByteArrayOutputStream()
-          entries.foreach { e =>
-            bos.write(entry(s"${e.getLong(0)}.txt",
-              e.getString(1).getBytes("UTF-8")))
+          es.foreach { e =>
+            bos.write(entry(e.getString(0), e.getAs[Array[Byte]](1)))
           }
           bos.write(new Array[Byte](2 * BLOCK)) // EOF: two zero blocks
-          Row(shard, entries.length, bos.toByteArray)
+          Row(shard, es.length, bos.toByteArray)
         }
       }(enc)
   }
+
+  /** Pack documents into TAR shards: `docsPerShard` entries named
+    * `<doc_id>.txt` per shard. */
+  def tarShards(docs: DataFrame, docsPerShard: Int = 64): DataFrame =
+    tarEntryShards(
+      Dedup.spread(docs.select(col("doc_id"), col("text")))
+        .select((col("doc_id") / docsPerShard).cast("long").as("shard_id"),
+          concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+          col("text").cast("binary").as("content")))
 
   private val entrySchema = StructType(Seq(
     StructField("shard_id", LongType),
