@@ -23,8 +23,10 @@ object TarShards {
   private val BLOCK = 512
 
   private def octal(v: Long, width: Int): Array[Byte] = {
-    // POSIX numeric field: zero-padded octal + NUL
+    // POSIX numeric field: zero-padded octal + NUL. Fail fast on
+    // overflow — a silently truncated size field corrupts the stream
     val s = v.toOctalString
+    require(s.length <= width - 1, s"tar numeric field overflow: $v / $width")
     val pad = "0" * (width - 1 - s.length) + s
     (pad + "\u0000").getBytes("US-ASCII")
   }
@@ -34,7 +36,10 @@ object TarShards {
     val h = new Array[Byte](BLOCK)
     def put(off: Int, bytes: Array[Byte]): Unit =
       System.arraycopy(bytes, 0, h, off, bytes.length)
-    put(0, name.getBytes("US-ASCII").take(100))
+    val nameBytes = name.getBytes("US-ASCII")
+    require(nameBytes.length <= 100,
+      s"tar entry name over 100 bytes: $name (use the ustar prefix field)")
+    put(0, nameBytes)
     put(100, octal(420, 8))            // mode 0644
     put(108, octal(0, 8))              // uid
     put(116, octal(0, 8))              // gid
@@ -120,8 +125,11 @@ object TarShards {
               val name = new String(tar, off, nameEnd - off, "US-ASCII")
               val sizeStr = new String(tar, off + 124, 12, "US-ASCII")
                 .takeWhile(c => c >= '0' && c <= '7')
-              val size = java.lang.Long.parseLong(
-                if (sizeStr.isEmpty) "0" else sizeStr, 8).toInt
+              val size64 = java.lang.Long.parseLong(
+                if (sizeStr.isEmpty) "0" else sizeStr, 8)
+              require(size64 <= Int.MaxValue - BLOCK,
+                s"tar entry too large for in-memory parse: $size64")
+              val size = size64.toInt
               val body = off + BLOCK
               if (body + size > tar.length) done = true // truncated
               else {
