@@ -233,6 +233,11 @@ object SparkEntry {
     // —— round-5 curation ops, registered round 7 ——
     "q_block_dedup"    -> q(Dedup.blockDedup(_)),
     "q_chunk_overlap"  -> q(Curation.chunkOverlap(_)),
+    // content-defined chunking (word-level FastCDC) + chunk-level
+    // dedup: boundaries from the md5 gram hash mod target, so an edit
+    // shifts one chunk, not the whole slicing; both oracled
+    "q_cdc_chunks"     -> q(Curation.cdcChunks(_)),
+    "q_chunk_dedup"    -> q(Curation.cdcChunkDedup(_)),
     "q_repetition"     -> q(TextAnalysis.repetition),
     "q_pmi_colloc"     -> q(TextAnalysis.pmiColloc(_)),
     "q_mixture_weights" -> q(Curation.mixtureWeights(_)),
@@ -2205,6 +2210,64 @@ object SparkEntry {
         |JOIN uc u2 ON b2.t2 = u2.tok
         |ORDER BY pmi_ppm DESC, g
         |LIMIT 30""".stripMargin,
+
+    "q_cdc_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (SELECT doc_id, l, len(l) AS n,
+        |    list_append(
+        |      CASE WHEN len(l) >= 2 THEN
+        |        list_filter(generate_series(2, len(l)),
+        |          j -> ((('0x' || substr(md5(array_to_string(l[j-1:j], ' ')), 1, 8))::BIGINT & 2147483647) % 8 = 0)
+        |               AND j < len(l))
+        |      ELSE CAST([] AS BIGINT[]) END,
+        |      len(l)) AS ends
+        |  FROM tok WHERE len(l) >= 1),
+        |d AS (SELECT doc_id, n, l, ends,
+        |    list_transform(generate_series(1, len(ends)),
+        |      i -> CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END) AS starts
+        |  FROM c),
+        |e AS (SELECT doc_id, n, ends, starts,
+        |    list_transform(generate_series(1, len(ends)), i -> ends[i] - starts[i] + 1) AS lens,
+        |    list_transform(generate_series(1, len(ends)),
+        |      i -> md5(array_to_string(l[starts[i]:ends[i]], ' '))) AS fps
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+        |  CAST(len(lens) AS BIGINT) AS n_chunks,
+        |  CAST(list_min(lens) AS BIGINT) AS min_len,
+        |  CAST(list_max(lens) AS BIGINT) AS max_len,
+        |  md5(array_to_string(fps, ',')) AS fp_sig
+        |FROM e
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (SELECT doc_id, l, len(l) AS n,
+        |    list_append(
+        |      CASE WHEN len(l) >= 2 THEN
+        |        list_filter(generate_series(2, len(l)),
+        |          j -> ((('0x' || substr(md5(array_to_string(l[j-1:j], ' ')), 1, 8))::BIGINT & 2147483647) % 8 = 0)
+        |               AND j < len(l))
+        |      ELSE CAST([] AS BIGINT[]) END,
+        |      len(l)) AS ends
+        |  FROM tok WHERE len(l) >= 1),
+        |d AS (SELECT doc_id, n, l, ends,
+        |    list_transform(generate_series(1, len(ends)),
+        |      i -> CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END) AS starts
+        |  FROM c),
+        |e AS (SELECT doc_id, n, ends, starts,
+        |    list_transform(generate_series(1, len(ends)), i -> ends[i] - starts[i] + 1) AS lens,
+        |    list_transform(generate_series(1, len(ends)),
+        |      i -> md5(array_to_string(l[starts[i]:ends[i]], ' '))) AS fps
+        |  FROM d),
+        |x AS (SELECT doc_id, n, UNNEST(fps) AS fp, UNNEST(lens) AS len FROM e),
+        |f AS (SELECT fp, COUNT(*) AS cnt FROM x GROUP BY fp)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_toks,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(FLOOR(1000000.0 * SUM(CASE WHEN cnt >= 2 THEN len ELSE 0 END) / MAX(n)) AS BIGINT) AS dup_token_ppm
+        |FROM x JOIN f USING (fp)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_winnowing" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

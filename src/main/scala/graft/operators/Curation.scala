@@ -117,6 +117,92 @@ object Curation {
       .orderBy(col("shard"))
   }
 
+  /** Content-defined chunking (the Rabin/FastCDC idea at word
+    * granularity): a chunk boundary falls AFTER token j whenever the
+    * md5-derived 31-bit hash of the k-gram ending at j is ≡ 0 mod
+    * `target` — boundaries depend only on LOCAL content, so an
+    * insertion early in a document shifts at most one chunk instead of
+    * re-slicing everything (the property fixed-size chunking lacks,
+    * and the reason dedup storage and incremental training-data
+    * pipelines chunk this way). Average chunk length ≈ `target`
+    * tokens. Entirely map-side (per-row HOF array ops over the token
+    * array; the md5 gram hash is the winnowing/LSH oracle device) —
+    * at 100 TB this runs at scan speed. Emits per-doc chunk stats +
+    * an order-preserving fingerprint digest. */
+  def cdcChunks(t: Tables, k: Int = 2, target: Int = 8): DataFrame =
+    cdcChunkFrame(t, k, target)
+      .select(col("doc_id"), col("n").as("n_toks"),
+        size(col("lens")).cast("long").as("n_chunks"),
+        array_min(col("lens")).cast("long").as("min_len"),
+        array_max(col("lens")).cast("long").as("max_len"),
+        md5(concat_ws(",", col("fps"))).as("fp_sig"))
+      .orderBy(col("doc_id"))
+
+  /** Exploded per-chunk view (doc_id, chunk_idx, fp, len) — the form
+    * chunk-store writers and cross-doc dedup consume. */
+  def cdcChunkList(docs: DataFrame, k: Int = 2, target: Int = 8): DataFrame =
+    cdcChunkFrameOf(docs, k, target)
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("fps"), col("lens"))).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.fps").as("fp"), col("c.lens").cast("long").as("len"))
+
+  /** (doc_id, n, ends, lens, fps) — the shared CDC chunk layout. */
+  private def cdcChunkFrame(t: Tables, k: Int, target: Int): DataFrame =
+    cdcChunkFrameOf(t.documents.select(col("doc_id"), col("text")), k, target)
+
+  private def cdcChunkFrameOf(documents: DataFrame, k: Int,
+                              target: Int): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    graft.operators.Dedup.spread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("n", size(col("toks")))
+      // cuts strictly BEFORE the end; the last token always closes its
+      // chunk (append n, never dedupe — deterministic in both engines)
+      .withColumn("ends", concat(
+        when(col("n") >= k,
+          filter(sequence(lit(k), col("n")),
+            j => graft.operators.Dedup.md5Hash31(
+              concat_ws(" ", slice(col("toks"), j - (k - 1), lit(k))))
+              % target === 0 && j < col("n")))
+          .otherwise(array().cast("array<int>")),
+        array(col("n"))))
+      .withColumn("starts", transform(sequence(lit(1), size(col("ends"))),
+        i => when(i === 1, lit(1))
+          .otherwise(element_at(col("ends"), i - 1) + 1)))
+      .withColumn("lens", zip_with(col("ends"), col("starts"), (e, st) => e - st))
+      .withColumn("lens", transform(col("lens"), d => d + 1))
+      .withColumn("fps", transform(sequence(lit(1), size(col("ends"))),
+        i => md5(concat_ws(" ", slice(col("toks"),
+          element_at(col("starts"), i),
+          element_at(col("ends"), i) - element_at(col("starts"), i) + 1)))))
+  }
+
+  /** Chunk-level dedup over the CDC chunks — the storage-dedup
+    * metric: how much of each document is made of chunks that occur
+    * MORE THAN ONCE in the corpus. One explode + one fingerprint
+    * aggregate + one join back (all equi on the fingerprint — at
+    * 100 TB the chunk-frequency table is the only shuffled state, and
+    * it is corpus-unique-chunk-sized, not corpus-sized). */
+  def cdcChunkDedup(t: Tables, k: Int = 2, target: Int = 8): DataFrame = {
+    val ch = cdcChunkFrame(t, k, target)
+      .select(col("doc_id"), col("n"),
+        explode(arrays_zip(col("fps"), col("lens"))).as("c"))
+      .select(col("doc_id"), col("n"), col("c.fps").as("fp"),
+        col("c.lens").cast("long").as("len"))
+    val freq = ch.groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+    ch.join(freq, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).cast("long").as("n_toks"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        expr("CAST(FLOOR(1000000.0 * SUM(CASE WHEN cnt >= 2 THEN len ELSE 0 END) / first(n)) AS BIGINT)")
+          .as("dup_token_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sliding-window chunking (retrieval / context-window prep): each
     * document yields chunks of `size` tokens starting every `stride`
     * tokens (overlap = size − stride), the standard RAG chunker.

@@ -62,6 +62,24 @@ class Round14Spec extends SparkSpec {
       .select("lbl").distinct().count() == 31)
   }
 
+  test("CDC chunking: a front insertion reslices exactly one chunk") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "xxx " + base)).toDF("doc_id", "text")
+    val ch = Curation.cdcChunkList(docs).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getString(2)).toSeq
+      }
+    val (a, b) = (ch(1L), ch(2L))
+    assert(a.length > 2, s"need several chunks, got ${a.length}")
+    // content-defined cuts depend only on local grams, so every chunk
+    // of A after its first survives VERBATIM in B; only the first
+    // chunk (which absorbed the inserted token) differs
+    assert(b.length == a.length)
+    assert(b.tail == a.tail)
+    assert(b.head != a.head)
+  }
+
   test("animated-GIF container: real frame extraction recovers exact per-frame colors") {
     val docs = tables.documents.limit(30)
     val gif = Multimodal.encodeGifMedia(docs, nFrames = 8)
