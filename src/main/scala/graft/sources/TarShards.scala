@@ -101,18 +101,41 @@ object TarShards {
     StructField("name", StringType),
     StructField("content", BinaryType)))
 
+  /** Gzip the shard payloads (JDK Deflate) — the `.tar.gz` form
+    * WebDataset shards actually ship in. [[untar]] auto-detects the
+    * 1f 8b magic, so compressed and plain shards mix freely. */
+  def gzipShards(shards: DataFrame): DataFrame = {
+    val enc = Encoders.row(shardSchema)
+    shards.select(col("shard_id"), col("n_entries"), col("tar"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(r.getAs[Array[Byte]](2)); gz.close()
+          Row(r.getLong(0), r.getInt(1), bos.toByteArray)
+        }
+      }(enc)
+  }
+
   /** Parse TAR shards back to entries — the WebDataset loader side:
     * walk 512-byte headers, read the octal size, slurp the content,
     * skip the padding, stop at the zero block. flatMap over opaque
-    * binary; malformed trailing bytes end the shard (stream-robust,
-    * never throws mid-scan). */
+    * binary; gzipped shards (1f 8b magic) inflate transparently;
+    * malformed trailing bytes end the shard (stream-robust, never
+    * throws mid-scan). */
   def untar(shards: DataFrame): DataFrame = {
     val enc = Encoders.row(entrySchema)
     shards.select(col("shard_id"), col("tar"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val shard = r.getLong(0)
-          val tar = r.getAs[Array[Byte]](1)
+          val raw = r.getAs[Array[Byte]](1)
+          val tar =
+            if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+                (raw(1) & 0xff) == 0x8b)
+              new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(raw)).readAllBytes()
+            else raw
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var off = 0
           var done = false

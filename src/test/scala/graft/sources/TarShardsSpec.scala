@@ -21,6 +21,24 @@ class TarShardsSpec extends SparkSpec {
     assert(back == orig)
   }
 
+  test("gzipped shards: .tar.gz round-trips and the system tar -tzf reads it") {
+    val docs = tables.documents.filter(col("doc_id") < 5)
+    val gz = TarShards.gzipShards(TarShards.tarShards(docs, 64))
+    val bytes = gz.select("tar").head.getAs[Array[Byte]](0)
+    assert((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+    // the loader auto-detects and inflates
+    val back = TarShards.untar(gz).select("name").as[String].collect().sorted
+    assert(back.toSeq == (0 until 5).map(i => s"$i.txt").sorted)
+    // and the system tar agrees it is a valid .tar.gz
+    val dir = java.nio.file.Files.createTempDirectory("graft-tgz")
+    val f = dir.resolve("shard.tar.gz")
+    java.nio.file.Files.write(f, bytes)
+    val p = new ProcessBuilder("tar", "-tzf", f.toString)
+      .redirectErrorStream(true).start()
+    val names = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    assert(p.waitFor() == 0 && names.sorted == back.toList)
+  }
+
   test("shard bytes are REAL tar: the system tar lists and extracts them") {
     val one = TarShards.tarShards(tables.documents.filter(col("doc_id") < 5), 64)
       .select("tar").head.getAs[Array[Byte]](0)
