@@ -87,12 +87,26 @@ object SnapshotStore {
       commitLocked(df, path, carried, batchId, statsKey)
     }
 
+  /** How long a writer WAITS for the lock before giving up. Waiting
+    * (rather than failing immediately) is what lets the documented
+    * stream-ingest + periodic-compaction pairing coexist: a micro-batch
+    * landing while compact holds the lock parks briefly instead of
+    * failing the streaming query. A lock held past the timeout is
+    * assumed crashed/abandoned and surfaces as the explicit error. */
+  @volatile var lockWaitMs: Long = 60000L
+
   private def withLock[A](path: String)(body: => A): A = {
     val lock = new File(path.stripSuffix("/") + ".snapshot-lock")
     new File(path).mkdirs()
-    if (!lock.createNewFile())
+    val deadline = System.nanoTime() + lockWaitMs * 1000000L
+    var acquired = lock.createNewFile()
+    while (!acquired && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      acquired = lock.createNewFile()
+    }
+    if (!acquired)
       throw new java.io.IOException(
-        s"snapshot commit: ${lock.getName} exists — concurrent writer (or crashed one; remove the lock after inspection)")
+        s"snapshot commit: ${lock.getName} held for over ${lockWaitMs} ms — concurrent writer (or crashed one; remove the lock after inspection)")
     try { healLocked(path); body } finally { lock.delete(): Unit }
   }
 
@@ -188,6 +202,8 @@ object SnapshotStore {
         .limit(0)
     val ins = readFiles(added)
     val del = readFiles(removed)
+    require(!ins.columns.contains("_change") && !del.columns.contains("_change"),
+      "readChanges: the table already has a _change column (reserved)")
     key match {
       case None =>
         // allowMissingColumns: versions may differ in schema (columns
@@ -322,12 +338,8 @@ object SnapshotStore {
     * recorded iff its rows are (or will be, after this heal) visible.
     * Idempotent; takes the writer lock. */
   def recoverCommit(path: String): Unit = {
-    val lock = new File(path.stripSuffix("/") + ".snapshot-lock")
     if (!snapDir(path).exists()) return
-    if (!lock.createNewFile())
-      throw new java.io.IOException(
-        s"recoverCommit: ${lock.getName} exists — concurrent writer")
-    try healLocked(path) finally { lock.delete(): Unit }
+    withLock(path)(()) // withLock heals before the (empty) body
   }
 
   private def healLocked(path: String): Unit = {

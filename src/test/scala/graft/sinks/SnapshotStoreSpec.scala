@@ -327,6 +327,8 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.commit(spark.range(5).toDF("id"), path)
     val lock = new java.io.File(path.stripSuffix("/") + ".snapshot-lock")
     assert(lock.createNewFile())
+    val prevWait = SnapshotStore.lockWaitMs
+    SnapshotStore.lockWaitMs = 200 // keep the abandoned-lock waits short here
     try {
       intercept[java.io.IOException] {
         SnapshotStore.commit(spark.range(5).toDF("id"), path)
@@ -340,9 +342,16 @@ class SnapshotStoreSpec extends SparkSpec {
       intercept[java.io.IOException] {
         SnapshotStore.vacuum(path)
       }
-    } finally lock.delete()
+    } finally { SnapshotStore.lockWaitMs = prevWait; lock.delete(): Unit }
     // and the table is untouched by the rejected operations
     assert(SnapshotStore.latestVersion(path) == 1)
     assert(SnapshotStore.read(spark, path).count() == 5)
+
+    // a BRIEFLY held lock parks the writer instead of failing it — the
+    // stream-batch-during-compaction pairing
+    assert(lock.createNewFile())
+    new Thread(() => { Thread.sleep(400); lock.delete(): Unit }).start()
+    SnapshotStore.commit(spark.range(5, 8).toDF("id"), path, SaveMode.Append)
+    assert(SnapshotStore.read(spark, path).count() == 8)
   }
 }
