@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Round15Spec extends SparkSpec {
+
+  test("twoLevelAssign: every vector lands in exactly one (sup, child) cell; cells partition the corpus") {
+    val (assigned, cells, supers) =
+      Similarity.twoLevelAssign(tables.embeddings, nlist = 16, iters = 1)
+    val n = tables.embeddings.count()
+    assert(assigned.count() == n) // total function: no vector dropped or doubled
+    assert(assigned.select("neighbor_id").distinct().count() == n)
+    val nsup = supers.count()
+    assert(nsup == 4) // ceil(sqrt(16))
+    // every occupied cell's super exists in the super table
+    val cellSups = cells.select("sup").distinct().collect().map(_.getInt(0)).toSet
+    val supIds = supers.collect().map(_.getInt(0)).toSet
+    assert(cellSups.subsetOf(supIds))
+    // assignment is consistent with the cell table (no orphan cells)
+    val orphan = assigned.join(cells, Seq("sup", "child"), "left_anti").count()
+    assert(orphan == 0)
+  }
+
+  test("ivfKnnTwoLevel: recall vs brute-force truth, ranks well-formed") {
+    val k = 5
+    val truth = Similarity.knnCosine(tables, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.knnIvf2l(tables, k).collect()
+    assert(got.nonEmpty)
+    // per query: ranks are 1..m without gaps, neighbors distinct
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq)
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length)
+    }
+    val pairs = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = pairs.intersect(truth).size.toDouble / truth.size
+    info(s"ivfKnnTwoLevel recall@$k vs brute force: $recall")
+    assert(recall >= 0.5, s"two-level recall collapsed: $recall")
+  }
+
+  test("webdatasetGzFromDisk: gzip → disk → binaryFile → inflate → regroup is the identity on text") {
+    import spark.implicits._
+    val got = Multimodal.webdatasetGzFromDisk(tables).collect()
+    val docs = tables.documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id / 64, "file-name shard id")
+      assert(r.getLong(2) == 3L, "all three modalities survive")
+      assert(r.getLong(3) == docs(id).getBytes("UTF-8").length.toLong)
+    }
+  }
+
+  test("bitextMineIvf on the two-level index: recall vs dense held") {
+    val dense = Similarity.bitextMine(tables)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.bitextMineIvf(tables)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall =
+      if (dense.isEmpty) 1.0 else ivf.intersect(dense).size.toDouble / dense.size
+    info(s"two-level bitext recall vs dense: $recall (${ivf.size} mined, ${dense.size} dense)")
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+  }
+}
