@@ -601,6 +601,55 @@ object Multimodal {
         first(when(col("ext") === "wav", col("content")), ignoreNulls = true)
           .as("wav"))
 
+  /** The `.tar.gz`-from-DISK loader path a training job actually runs
+    * (r15, oracled as q_webdataset_gz): shards are gzipped
+    * ([[graft.sources.TarShards.gzipShards]], JDK Deflate), written as
+    * REAL `.tar.gz` files — one per shard, EXECUTOR-side I/O via
+    * foreachPartition (the object-store PUT shape; never a driver
+    * collect) — then read back through Spark's `binaryFile` source,
+    * inflated by untar's 1f-8b magic sniff, and regrouped into
+    * samples. The output is per-sample identity evidence: the
+    * file-name-derived shard id, the modality count (all three
+    * entries survived the container), and the text entry byte-exact
+    * (length + md5) — all SQL-expressible, so the WHOLE
+    * gzip → disk → binaryFile → inflate → regroup loop is gated in
+    * DuckDB. */
+  def webdatasetGzFromDisk(t: Tables, docsPerShard: Int = 64,
+                           nSamples: Int = 512): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft-wds-gz").toString
+    graft.sources.TarShards.gzipShards(webdatasetShards(t, docsPerShard, nSamples))
+      .select(col("shard_id"), col("tar"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"shard-${r.getLong(0)}%05d.tar.gz"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    val files = graft.sources.BinaryIngest
+      .binaryFiles(spark, dir + "/shard-*.tar.gz")
+      .select(
+        regexp_extract(col("path"), "shard-(\\d+)\\.tar\\.gz$", 1)
+          .cast("long").as("shard_id"),
+        col("content").as("tar"))
+    graft.sources.TarShards.untar(files)
+      .select(col("shard_id"),
+        expr("CAST(substring_index(name, '.', 1) AS BIGINT)").as("doc_id"),
+        expr("substring_index(name, '.', -1)").as("ext"),
+        col("content"))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("shard_id")).as("shard_id"),
+        countDistinct(col("ext")).as("n_modalities"),
+        first(when(col("ext") === "txt", col("content")), ignoreNulls = true)
+          .as("txt"))
+      .select(col("doc_id"), col("shard_id"), col("n_modalities"),
+        octet_length(col("txt")).cast("long").as("n_chars"),
+        md5(col("txt")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracled end-to-end: documents → WebDataset shards → loader →
     * per-modality decode → one stats row per sample. Every column is
     * an exact integer function of the source text, so the WHOLE

@@ -31,15 +31,38 @@ object TarShards {
     (pad + "\u0000").getBytes("US-ASCII")
   }
 
-  /** One ustar entry: header block + content + zero padding. */
+  /** Split a long path into (prefix, base) per the ustar prefix rule:
+    * the rightmost '/' where the remainder fits the 100-byte name
+    * field and the head fits the 155-byte prefix field. The reader
+    * rejoins them as `prefix + "/" + name`. */
+  private def prefixSplit(name: String): (String, String) = {
+    if (name.length <= 100) return ("", name)
+    val candidates = name.indices.filter(name(_) == '/')
+      .filter(i => name.length - i - 1 <= 100 && i <= 155)
+    require(candidates.nonEmpty,
+      s"tar entry name unsplittable across name+prefix fields: $name")
+    val i = candidates.head
+    (name.substring(0, i), name.substring(i + 1))
+  }
+
+  /** One ustar entry: header block + content + zero padding. Names over
+    * 100 bytes route through the ustar prefix field ([[prefixSplit]]);
+    * non-ASCII names fail fast (US-ASCII encoding would silently
+    * substitute '?' and collide distinct names). */
   private def entry(name: String, content: Array[Byte]): Array[Byte] = {
     val h = new Array[Byte](BLOCK)
     def put(off: Int, bytes: Array[Byte]): Unit =
       System.arraycopy(bytes, 0, h, off, bytes.length)
-    val nameBytes = name.getBytes("US-ASCII")
+    require(name.forall(_ < 0x80), s"non-ASCII tar entry name: $name")
+    val (prefix, base) = prefixSplit(name)
+    val nameBytes = base.getBytes("US-ASCII")
     require(nameBytes.length <= 100,
-      s"tar entry name over 100 bytes: $name (use the ustar prefix field)")
+      s"tar entry name over 100 bytes after prefix split: $name")
+    val prefixBytes = prefix.getBytes("US-ASCII")
+    require(prefixBytes.length <= 155,
+      s"tar prefix field over 155 bytes: $name")
     put(0, nameBytes)
+    put(345, prefixBytes)
     put(100, octal(420, 8))            // mode 0644
     put(108, octal(0, 8))              // uid
     put(116, octal(0, 8))              // gid
@@ -117,12 +140,48 @@ object TarShards {
       }(enc)
   }
 
+  /** NUL-terminated string field at [off, off+max). */
+  private def strField(tar: Array[Byte], off: Int, max: Int): String = {
+    var i = off; while (i < off + max && i < tar.length && tar(i) != 0) i += 1
+    new String(tar, off, i - off, "UTF-8")
+  }
+
+  /** PAX extended-header payload: `<len> <key>=<value>\n` records.
+    * Returns the `path` override if present (the key that renames the
+    * FOLLOWING entry — the only PAX key a sample loader needs). */
+  private def paxPath(content: Array[Byte]): Option[String] = {
+    val s = new String(content, "UTF-8")
+    var off = 0
+    var found: Option[String] = None
+    while (off < s.length) {
+      val sp = s.indexOf(' ', off)
+      if (sp < 0) return found
+      val len =
+        try s.substring(off, sp).trim.toInt
+        catch { case _: NumberFormatException => return found }
+      if (len <= 0 || off + len > s.length) return found
+      val rec = s.substring(sp + 1, off + len).stripSuffix("\n")
+      val eq = rec.indexOf('=')
+      if (eq > 0 && rec.substring(0, eq) == "path")
+        found = Some(rec.substring(eq + 1))
+      off += len
+    }
+    found
+  }
+
   /** Parse TAR shards back to entries — the WebDataset loader side:
     * walk 512-byte headers, read the octal size, slurp the content,
-    * skip the padding, stop at the zero block. flatMap over opaque
-    * binary; gzipped shards (1f 8b magic) inflate transparently;
-    * malformed trailing bytes end the shard (stream-robust, never
-    * throws mid-scan). */
+    * skip the padding, stop at the zero block. Foreign tars (written
+    * by GNU/BSD tar, not just our packer) parse correctly: the
+    * typeflag byte gates what counts as DATA (regular files only —
+    * directories, links and device nodes are skipped, never surfaced
+    * as samples), PAX extended headers ('x', per-entry `path`
+    * override honored; 'g' skipped) and GNU long-name entries ('L')
+    * rename the following entry instead of leaking metadata blocks as
+    * content, and the ustar prefix field rejoins split long paths.
+    * flatMap over opaque binary; gzipped shards (1f 8b magic) inflate
+    * transparently; malformed trailing bytes end the shard
+    * (stream-robust, never throws mid-scan). */
   def untar(shards: DataFrame): DataFrame = {
     val enc = Encoders.row(entrySchema)
     shards.select(col("shard_id"), col("tar"))
@@ -139,13 +198,12 @@ object TarShards {
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var off = 0
           var done = false
+          // metadata entries rename the NEXT entry; PAX wins over 'L'
+          var longName: Option[String] = None
+          var paxName: Option[String] = None
           while (!done && off + BLOCK <= tar.length) {
             if (tar(off) == 0) done = true // zero block: EOF
             else {
-              val nameEnd = {
-                var i = off; while (i < off + 100 && tar(i) != 0) i += 1; i
-              }
-              val name = new String(tar, off, nameEnd - off, "US-ASCII")
               val sizeStr = new String(tar, off + 124, 12, "US-ASCII")
                 .takeWhile(c => c >= '0' && c <= '7')
               val size64 = java.lang.Long.parseLong(
@@ -156,8 +214,30 @@ object TarShards {
               val body = off + BLOCK
               if (body + size > tar.length) done = true // truncated
               else {
-                out += Row(shard, name,
-                  java.util.Arrays.copyOfRange(tar, body, body + size))
+                val typeflag = tar(off + 156)
+                val isUstar = tar.length >= off + 262 &&
+                  new String(tar, off + 257, 5, "US-ASCII") == "ustar"
+                lazy val headerName = {
+                  val base = strField(tar, off, 100)
+                  val prefix = if (isUstar) strField(tar, off + 345, 155) else ""
+                  if (prefix.isEmpty) base else prefix + "/" + base
+                }
+                lazy val content =
+                  java.util.Arrays.copyOfRange(tar, body, body + size)
+                typeflag match {
+                  case '0' | 0 | '7' => // regular file ('7': contiguous)
+                    val name = paxName.orElse(longName).getOrElse(headerName)
+                    out += Row(shard, name, content)
+                    longName = None; paxName = None
+                  case 'L' => // GNU long name: content names the next entry
+                    longName = Some(new String(content, "UTF-8")
+                      .takeWhile(_ != 0))
+                  case 'x' => // PAX per-entry header: path override
+                    paxName = paxPath(content).orElse(paxName)
+                  case 'g' => // PAX global header: no per-sample meaning
+                  case _ => // dir/link/device/other metadata: not a sample
+                    longName = None; paxName = None
+                }
                 off = body + (size + BLOCK - 1) / BLOCK * BLOCK
               }
             }

@@ -39,6 +39,74 @@ class TarShardsSpec extends SparkSpec {
     assert(p.waitFor() == 0 && names.sorted == back.toList)
   }
 
+  test("foreign tars: system-tar archives with subdirectories + 150-char names parse (gnu and pax formats)") {
+    // a REAL WebDataset shard written by another tool: subdirectory
+    // entries, nested paths, and a >100-char name that forces GNU 'L'
+    // (gnu format) or a PAX 'x' header (pax format)
+    val dir = java.nio.file.Files.createTempDirectory("graft-foreign")
+    val sub = dir.resolve("samples/batch-000")
+    java.nio.file.Files.createDirectories(sub)
+    val longBase = "sample-" + ("x" * 130) + ".txt" // 141 chars
+    val longRel = s"samples/batch-000/$longBase"    // >150 chars total
+    java.nio.file.Files.write(sub.resolve(longBase),
+      "long-name payload".getBytes("UTF-8"))
+    java.nio.file.Files.write(sub.resolve("0.txt"),
+      "short payload".getBytes("UTF-8"))
+    for (fmt <- Seq("gnu", "pax")) {
+      val f = dir.resolve(s"foreign-$fmt.tar")
+      val p = new ProcessBuilder("tar", s"--format=$fmt", "-cf", f.toString,
+        "-C", dir.toString, "samples").redirectErrorStream(true).start()
+      assert(p.waitFor() == 0)
+      val bytes = java.nio.file.Files.readAllBytes(f)
+      val shard = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(0L, 2, bytes)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("shard_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_entries",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("tar",
+            org.apache.spark.sql.types.BinaryType))))
+      val back = TarShards.untar(shard)
+        .select("name", "content").as[(String, Array[Byte])].collect().toMap
+      // ONLY the two regular files surface — no directory entries, no
+      // PAX/longname metadata blocks leaked as samples
+      assert(back.keySet == Set(longRel, "samples/batch-000/0.txt"),
+        s"[$fmt] got: ${back.keySet}")
+      assert(new String(back(longRel), "UTF-8") == "long-name payload")
+      assert(new String(back("samples/batch-000/0.txt"), "UTF-8") == "short payload")
+    }
+  }
+
+  test("writer prefix field: >100-byte names round-trip and the system tar rejoins them") {
+    val longName = "deep/nested/prefix-dir-" + ("p" * 60) + "/file-" + ("f" * 80) + ".txt"
+    assert(longName.length > 100 && longName.length <= 255)
+    val entries = Seq((0L, longName, "prefix payload".getBytes("UTF-8")))
+      .toDF("shard_id", "name", "content")
+    val shards = TarShards.tarEntryShards(entries)
+    // our own loader rejoins prefix + name
+    val back = TarShards.untar(shards)
+      .select("name", "content").as[(String, Array[Byte])].collect()
+    assert(back.length == 1 && back.head._1 == longName)
+    assert(new String(back.head._2, "UTF-8") == "prefix payload")
+    // and the system tar agrees on the full path
+    val dirT = java.nio.file.Files.createTempDirectory("graft-prefix")
+    val f = dirT.resolve("shard.tar")
+    java.nio.file.Files.write(f, shards.select("tar").head.getAs[Array[Byte]](0))
+    val p = new ProcessBuilder("tar", "-tf", f.toString)
+      .redirectErrorStream(true).start()
+    val names = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    assert(p.waitFor() == 0 && names == List(longName), s"tar -tf: $names")
+    // non-ASCII names fail fast instead of colliding via '?' substitution
+    val bad = Seq((0L, "nimi-ä.txt", Array[Byte](1)))
+      .toDF("shard_id", "name", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.tarEntryShards(bad).collect()
+    }
+    assert(e.getMessage.contains("non-ASCII") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-ASCII")))
+  }
+
   test("shard bytes are REAL tar: the system tar lists and extracts them") {
     val one = TarShards.tarShards(tables.documents.filter(col("doc_id") < 5), 64)
       .select("tar").head.getAs[Array[Byte]](0)
