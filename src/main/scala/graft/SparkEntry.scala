@@ -95,6 +95,9 @@ object SparkEntry {
     // + the float-Lloyd production kernel benched under its own key
     "q_knn_ivf"        -> q(Similarity.ivfKnnExact(_)),
     "q_knn_ivf_fp"     -> q(Similarity.knnIvf(_)),
+    // two-level coarse quantizer twin (r15): no stage computes
+    // |queries|·nlist dots — the corpus-scaled-nlist production shape
+    "q_knn_ivf_2l"     -> q(Similarity.knnIvf2l(_)),
     // IVF+PQ composed (FAISS IVFADC): oracled exact twin + the float
     // production kernel benched under its own key
     // JL random projection: md5-parity Rademacher matrix, milli-snap
@@ -150,6 +153,10 @@ object SparkEntry {
     // WebDataset end-to-end: three real codecs into ustar shards ->
     // loader regroups by key -> per-modality decode, all oracled
     "q_webdataset"     -> q(Multimodal.webdatasetFeatures(_)),
+    // the .tar.gz-from-DISK loader loop (r15): gzip -> executor-side
+    // file writes -> binaryFile re-read -> magic-sniff inflate ->
+    // regroup; text modality byte-exact under the DuckDB gate
+    "q_webdataset_gz"  -> q(Multimodal.webdatasetGzFromDisk(_)),
     // —— relational completeness ——
     "q_semi_anti"      -> q(Relational.semiAnti),
     "q_setops"         -> q(Relational.setOps),
@@ -211,6 +218,9 @@ object SparkEntry {
     // SnapshotStore commit v1/v2 -> readChanges CDC -> agg (oracled
     // against the plain full-outer diff, minus the suppressed S row)
     "q_snapshot_cdc"   -> q(Relational.snapshotCdc),
+    // row-level DELETE commits (r15): stats-pruned takedown through
+    // the real table layer + the keyed CDC delete delta, oracled
+    "q_snapshot_delete" -> q(Relational.snapshotDelete),
     "q6_forecast"      -> q(Relational.q6Forecast),
     "q4_priority"      -> q(Relational.q4Priority),
     "q12_shipmode"     -> q(Relational.q12Shipmode),
@@ -1932,6 +1942,18 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // gzip -> disk -> binaryFile -> inflate -> regroup identity: the
+    // shard id survives via the FILE NAME, all three modalities
+    // survive the container, the text entry is byte-exact
+    "q_webdataset_gz" ->
+      """SELECT doc_id,
+        |  CAST(doc_id // 64 AS BIGINT) AS shard_id,
+        |  CAST(3 AS BIGINT) AS n_modalities,
+        |  CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  md5(text) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "q_snapshot_cdc" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |old AS (SELECT o_orderkey AS k, o_orderstatus AS st_o, o_totalprice AS pr_o
@@ -1952,6 +1974,24 @@ object SparkEntry {
         |WHERE change != 'S'
         |GROUP BY change
         |ORDER BY change""".stripMargin,
+
+    // stats-pruned row deletes + keyed CDC delete delta: live side is
+    // the surviving slice, delete counts carry the OLD payload
+    "q_snapshot_delete" ->
+      """WITH live AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |             WHERE o_orderkey % 13 != 0),
+        |dels AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |         WHERE o_orderkey % 13 = 0),
+        |l AS (SELECT o_orderstatus, COUNT(*) AS n_live,
+        |        MIN(o_orderkey) AS first_live, MAX(o_orderkey) AS last_live
+        |      FROM live GROUP BY o_orderstatus),
+        |d AS (SELECT o_orderstatus, COUNT(*) AS n_deleted
+        |      FROM dels GROUP BY o_orderstatus)
+        |SELECT COALESCE(l.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+        |  COALESCE(n_live, 0) AS n_live, first_live, last_live,
+        |  COALESCE(n_deleted, 0) AS n_deleted
+        |FROM l FULL OUTER JOIN d ON l.o_orderstatus = d.o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -46,7 +46,7 @@ object Components extends Logging {
     * the lifetime of the session. Only call once NOTHING downstream
     * can recompute through the frame — checkpointing severed the
     * lineage, so evicted blocks are gone for good. */
-  private[operators] def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _              => ()

@@ -397,6 +397,46 @@ object Relational {
       .orderBy(col("change"))
   }
 
+  /** Row-level DELETE driven through the REAL table layer (r15,
+    * oracled): orders are committed range-partitioned WITH the stats
+    * sidecar, a deterministic key slice (o_orderkey % 13 = 0) is
+    * removed via [[graft.sinks.SnapshotStore.deleteCommit]] — the
+    * stats-pruned takedown path (only key-range-overlapping files
+    * rewritten; here every file overlaps some deleted key, which
+    * exercises the rewrite arm, while SnapshotStoreSpec pins the
+    * pruning arm) — and the output joins the LIVE table's per-status
+    * totals with the keyed CDC delta's per-status delete counts
+    * (deletes carry the OLD payload). The oracle replays both sides
+    * as plain slices of orders, so the commit → stats → delete →
+    * changelog loop is gated on result equality. */
+  def snapshotDelete(t: Tables): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-del").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"))
+    graft.sinks.SnapshotStore.commit(
+      o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      dir, statsKey = Some("o_orderkey"))
+    graft.sinks.SnapshotStore.deleteCommit(t.spark, dir,
+      o.filter(col("o_orderkey") % 13 === 0).select(col("o_orderkey")),
+      "o_orderkey")
+    val live = graft.sinks.SnapshotStore.read(t.spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        min(col("o_orderkey")).as("first_live"),
+        max(col("o_orderkey")).as("last_live"))
+    val dels = graft.sinks.SnapshotStore
+      .readChanges(t.spark, dir, 1, 2, Some("o_orderkey"))
+      .filter(col("_change") === "delete")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_deleted"))
+    live.join(dels, Seq("o_orderstatus"), "full")
+      .select(col("o_orderstatus"), coalesce(col("n_live"), lit(0L)).as("n_live"),
+        col("first_live"), col("last_live"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Keep-first dedup by business key (the pipeline "latest record
     * wins" pattern, inverted to earliest): one row per (lang, source)
     * — a single window shuffle, no self-join. */

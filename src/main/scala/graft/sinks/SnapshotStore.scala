@@ -32,10 +32,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Scale: the manifest holds file PATHS (thousands of lines at 100 TB,
   * driver-trivial); data moves only through distributed parquet
-  * read/write. Single-writer is enforced with the same O_EXCL lock as
-  * TableWriter.compact; multi-writer commit arbitration (optimistic
-  * retry on the pointer) is the Delta/Iceberg feature deliberately out
-  * of scope. */
+  * read/write. Same-host writers serialize on the same O_EXCL lock as
+  * TableWriter.compact; committers that prepared against a stale
+  * snapshot go through [[commitIf]]'s optimistic conditional publish
+  * (append rebases, everything else aborts with
+  * [[VersionConflictException]] — the Delta/Iceberg commit rule). */
 object SnapshotStore {
 
   private def snapDir(path: String) = new File(path, "_snapshots")
@@ -87,6 +88,49 @@ object SnapshotStore {
       commitLocked(df, path, carried, batchId, statsKey)
     }
 
+  /** A concurrent commit advanced the table past the version this
+    * writer prepared against, and the commit cannot be auto-rebased
+    * (non-append semantics). Re-read the new snapshot and retry. */
+  final class VersionConflictException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Optimistic CONDITIONAL publish — the Delta/Iceberg multi-writer
+    * commit rule (r15), for committers that prepared work against a
+    * snapshot without holding the writer lock the whole time: pass
+    * the version you read (`expectedVersion`); under the lock the
+    * live version is re-read and
+    *
+    *   - unchanged → the commit publishes normally;
+    *   - advanced + `mode=Append` → the commit REBASES: fresh data
+    *     dirs are UUID-named so two appends are file-disjoint by
+    *     construction — the loser simply carries the WINNER's manifest
+    *     instead of its stale one, and both writers' rows land;
+    *   - advanced + any other mode → [[VersionConflictException]]:
+    *     the prepared rows may depend on rows the winner changed, so
+    *     auto-merge would be a lost update — the caller re-reads and
+    *     retries (the mergeCommit/deleteCommit paths already serialize
+    *     under the lock and never need this).
+    *
+    * A crash between manifest write and pointer publish heals exactly
+    * as for [[commit]] (withLock heals first). Returns the published
+    * version. */
+  def commitIf(df: DataFrame, path: String, expectedVersion: Long,
+               mode: SaveMode = SaveMode.Append,
+               batchId: Option[Long] = None,
+               statsKey: Option[String] = None): Long =
+    withLock(path) {
+      val cur = latestVersion(path)
+      if (cur != expectedVersion && mode != SaveMode.Append)
+        throw new VersionConflictException(
+          s"snapshot commit: $path advanced to v$cur (prepared against " +
+            s"v$expectedVersion) — re-read and retry")
+      val carried = mode match {
+        case SaveMode.Append if cur > 0 => manifest(path, cur) // rebase
+        case _ => Nil
+      }
+      commitLocked(df, path, carried, batchId, statsKey)
+    }
+
   /** How long a writer WAITS for the lock before giving up. Waiting
     * (rather than failing immediately) is what lets the documented
     * stream-ingest + periodic-compaction pairing coexist: a micro-batch
@@ -126,24 +170,33 @@ object SnapshotStore {
     val fresh = Option(dataDir.listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getPath).sorted
-    require(fresh.nonEmpty, s"snapshot commit: empty write for $path")
+    // a carried-only commit (fresh empty) is legal — deleteCommit's
+    // "every touched row deleted" case; a fully-empty table is not
+    require(fresh.nonEmpty || carried.nonEmpty,
+      s"snapshot commit: empty write for $path")
     statsKey.foreach { key =>
       val spark = df.sparkSession
-      val freshStats = spark.read.parquet(fresh: _*)
-        .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
-        .agg(org.apache.spark.sql.functions.min(key).cast("long").as("lo"),
-          org.apache.spark.sql.functions.max(key).cast("long").as("hi"))
-        .collect()
-        .map(r => normalizePath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
-        .toMap
+      val freshStats =
+        if (fresh.isEmpty) Map.empty[String, (Long, Long)]
+        else spark.read.parquet(fresh: _*)
+          .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+          .agg(org.apache.spark.sql.functions.min(key).cast("long").as("lo"),
+            org.apache.spark.sql.functions.max(key).cast("long").as("hi"))
+          .collect()
+          .map(r => normalizePath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+          .toMap
       val carriedStats =
         if (prev > 0) stats(path, prev) else Map.empty[String, (Long, Long)]
       val all = (carried ++ fresh).flatMap { f =>
         freshStats.get(f).orElse(carriedStats.get(f)).map(f -> _)
       }
+      // the sidecar records WHICH column it tracks, so maintenance
+      // commits (compact without sortCols) can keep recording it
+      // instead of silently dropping the pruning layer
       atomicWrite(statsFile(path, v),
-        all.map { case (f, (lo, hi)) => s"$f\t$lo\t$hi" }
-          .mkString("\n") + "\n")
+        s"#key=$key\n" +
+          all.map { case (f, (lo, hi)) => s"$f\t$lo\t$hi" }
+            .mkString("\n") + "\n")
     }
     publish(path, v, carried ++ fresh, batchId)
     v
@@ -163,9 +216,20 @@ object SnapshotStore {
     if (!f.exists()) Map.empty
     else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .filterNot(_.startsWith("#"))
       .map { l =>
         val a = l.split("\t"); (a(0), (a(1).toLong, a(2).toLong))
       }.toMap
+  }
+
+  /** The column a version's stats sidecar tracks (its `#key=` header),
+    * if any — lets maintenance commits preserve the pruning layer. */
+  private def statsKeyOf(path: String, v: Long): Option[String] = {
+    val f = statsFile(path, v)
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").find(_.startsWith("#key="))
+      .map(_.stripPrefix("#key=").trim).filter(_.nonEmpty)
   }
 
   /** Changelog (CDC) read: the row-level DELTA between two committed
@@ -208,19 +272,38 @@ object SnapshotStore {
       case None =>
         // allowMissingColumns: versions may differ in schema (columns
         // added between commits) — the missing side null-fills, the
-        // Delta CDF convention. The KEYED variant requires a stable
-        // schema (payload hashing is column-wise).
+        // Delta CDF convention.
         ins.withColumn("_change", lit("insert"))
           .unionByName(del.withColumn("_change", lit("delete")),
             allowMissingColumns = true)
       case Some(k) =>
-        val cols = ins.columns.toSeq
-        require(cols.contains(k), s"readChanges: key $k not in ${cols.mkString(",")}")
-        val payload = cols.filterNot(_ == k)
-        def side(df: DataFrame, tag: String) = df.select(
-          col(k).as("_k"),
-          struct(cols.map(col): _*).as(s"_row_$tag"),
-          sha2(to_json(struct(payload.map(col): _*)), 256).as(s"_h_$tag"))
+        // Schema evolution (r15): the keyed variant hashes only the
+        // COMMON payload columns — a column present on one side only
+        // cannot distinguish an update from an identical rewrite, so
+        // it is excluded from change detection and NULL-filled on the
+        // side that lacks it (Delta CDF's union semantics). A rewrite
+        // that differs ONLY in a fresh column's values is therefore
+        // suppressed — by design: the old rows never carried the
+        // column, there is nothing to diff against.
+        // Determinism caveat: payload equality is sha2(to_json(...)),
+        // which requires deterministic serialization — parquet scalar/
+        // struct/array columns qualify; MAP columns do NOT (key order
+        // is not canonical) and can surface spurious 'update' rows.
+        val insCols = ins.columns.toSeq
+        val delCols = del.columns.toSeq
+        val cols = insCols ++ delCols.filterNot(insCols.contains)
+        require(insCols.contains(k) && delCols.contains(k),
+          s"readChanges: key $k missing on one side " +
+            s"(new: ${insCols.mkString(",")}; old: ${delCols.mkString(",")})")
+        val common = insCols.filter(delCols.contains).filterNot(_ == k)
+        def side(df: DataFrame, tag: String) = {
+          val have = df.columns.toSet
+          df.select(
+            col(k).as("_k"),
+            struct(cols.map(c =>
+              (if (have(c)) col(c) else lit(null)).as(c)): _*).as(s"_row_$tag"),
+            sha2(to_json(struct(common.map(col): _*)), 256).as(s"_h_$tag"))
+        }
         side(del, "o").join(side(ins, "n"), Seq("_k"), "full")
           .withColumn("_change",
             when(col("_row_o").isNull, "insert")
@@ -272,10 +355,13 @@ object SnapshotStore {
     val from = consumerVersion(path, id)
     val to = latestVersion(path)
     if (to <= from) (None, from)
-    else if (from == 0L)
-      (Some(read(spark, path, Some(to))
+    else if (from == 0L) {
+      val boot = read(spark, path, Some(to))
+      require(!boot.columns.contains("_change"),
+        "consumeChanges: the table already has a _change column (reserved)")
+      (Some(boot
         .withColumn("_change", org.apache.spark.sql.functions.lit("insert"))), to)
-    else (Some(readChanges(spark, path, from, to, key)), to)
+    } else (Some(readChanges(spark, path, from, to, key)), to)
   }
 
   /** Record consumer `id` as caught up through `version` (atomic
@@ -316,6 +402,47 @@ object SnapshotStore {
         .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
         .unionByName(df)
     commitLocked(survivors, path, untouched, None, Some(key))
+  }
+
+  /** Row-level DELETE as a snapshot commit (r15) — the retention /
+    * takedown (GDPR) operation every corpus store hits. Same stats
+    * pruning as [[mergeCommit]]: only files whose recorded [min, max]
+    * key range overlaps the delete-key range are read and rewritten
+    * (minus the deleted keys); every disjoint file is CARRIED by
+    * reference, so a point-key takedown at 100 TB rewrites one file.
+    * Files without stats degrade to "touched" (full rewrite), never to
+    * wrong results. Pinned readers keep their snapshot (the deleted
+    * rows' files are immutable until [[vacuum]] reclaims them); a
+    * keyed [[readChanges]] across the commit emits the deletions as
+    * `_change='delete'` rows and suppresses the carried survivors.
+    * Keys absent from the table are a no-op. Deleting EVERY row of
+    * the table is rejected (drop the table instead). Returns the new
+    * version (== the old one if no file was touched). */
+  def deleteCommit(spark: SparkSession, path: String, keys: DataFrame,
+                   key: String): Long = withLock(path) {
+    import org.apache.spark.sql.functions.col
+    val v = latestVersion(path)
+    require(v > 0, s"no committed snapshot under $path")
+    val files = manifest(path, v)
+    val st = stats(path, v)
+    val ks = keys.select(col(key)).distinct()
+    val bounds = ks.agg(
+      org.apache.spark.sql.functions.min(key).cast("long"),
+      org.apache.spark.sql.functions.max(key).cast("long")).head()
+    require(!bounds.isNullAt(0), s"deleteCommit: empty key set for $path")
+    val (bLo, bHi) = (bounds.getLong(0), bounds.getLong(1))
+    val (untouched, touched) = files.partition { f =>
+      st.get(f).exists { case (lo, hi) => hi < bLo || lo > bHi }
+    }
+    if (touched.isEmpty) v // every file disjoint from the key range
+    else {
+      val survivors = spark.read.parquet(touched: _*)
+        .join(ks, Seq(key), "left_anti")
+      // preserve the pruning layer under whatever key the table
+      // already tracks (deletes may use a different column)
+      commitLocked(survivors, path, untouched, None,
+        statsKeyOf(path, v).orElse(Some(key)))
+    }
   }
 
   // ——— streaming integration: exactly-once foreachBatch commits ———
@@ -370,11 +497,30 @@ object SnapshotStore {
     * recovery Structured Streaming re-delivers the last possibly-
     * uncommitted batch, and the recorded batch id makes the replay a
     * no-op — the table sees every micro-batch exactly once even
-    * though the delivery contract is at-least-once. */
-  def streamSink(path: String)(df: DataFrame, batchId: Long): Unit = {
-    recoverCommit(path) // a crashed publish must heal BEFORE the skip check
-    if (batchId > lastStreamBatch(path)) {
-      commit(df, path, SaveMode.Append, batchId = Some(batchId)): Unit
+    * though the delivery contract is at-least-once.
+    *
+    * Lock contention (r15): a compaction or merge holding the writer
+    * lock past `lockWaitMs` must DELAY the stream, not kill it — a
+    * lock-timeout here retries up to `lockRetries` more waits (total
+    * patience (1+lockRetries)·lockWaitMs) before surfacing the error
+    * and failing the streaming query. */
+  def streamSink(path: String, lockRetries: Int = 4)
+                (df: DataFrame, batchId: Long): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        recoverCommit(path) // a crashed publish must heal BEFORE the skip check
+        if (batchId > lastStreamBatch(path)) {
+          commit(df, path, SaveMode.Append, batchId = Some(batchId)): Unit
+        }
+        done = true
+      } catch {
+        case e: java.io.IOException
+            if attempt < lockRetries &&
+              e.getMessage != null && e.getMessage.contains("held for over") =>
+          attempt += 1 // long maintenance window: park another round
+      }
     }
   }
 
@@ -437,11 +583,19 @@ object SnapshotStore {
     // re-record stats for the rewritten files: compaction would
     // otherwise DROP the sidecar and silently degrade every later
     // mergeCommit to a full-table rewrite. Default to the sidecar key
-    // the table already tracks (sortCols.head under a sorted compact —
-    // sorting by the merge key is also what keeps the ranges
-    // selective).
+    // the table already tracks: sortCols.head under a sorted compact
+    // (sorting by the merge key is also what keeps the ranges
+    // selective), else the previous sidecar's recorded #key= column —
+    // a coalesce compact then keeps stats PRESENT and CORRECT (each
+    // file may span the key range: unpruned, never wrong).
     val key = statsKey.orElse(
-      if (stats(path, v).nonEmpty) sortCols.headOption else None)
+      if (stats(path, v).nonEmpty)
+        sortCols.headOption.orElse(statsKeyOf(path, v))
+      else None)
+    require(stats(path, v).isEmpty || key.nonEmpty,
+      s"compact: $path tracks pruning stats but no stats key is " +
+        "resolvable — pass statsKey (or sortCols) so compaction does " +
+        "not silently drop the pruning layer")
     commitLocked(out, path, Nil, None, key)
   }
 

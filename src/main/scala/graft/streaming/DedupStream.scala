@@ -41,8 +41,7 @@ object DedupStream {
   def dedupBatch(prefix: String, threshold: Double = 0.5)
                 (out: (DataFrame, Long) => Unit): (Dataset[Row], Long) => Unit =
     (batch, batchId) => CacheRegistry.withKey(s"dedup-stream-$prefix") {
-      val sc = batch.sparkSession.sparkContext
-      val rddsBefore = sc.getPersistentRDDs.keySet
+      var accepted: DataFrame = null
       try {
         val docs = batch.select(col("doc_id"), col("text"))
         val dups = DedupIndex.probe(docs.sparkSession, docs, prefix, threshold)
@@ -55,18 +54,19 @@ object DedupStream {
         // materializes the rows and CUTS the lineage, freezing accepted
         // against the index mutation (and keeping the append job from
         // reading the very table it writes). Eager by default.
-        val accepted = docs.join(dups, Seq("doc_id"), "left_anti")
+        accepted = docs.join(dups, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         DedupIndex.appendIndex(accepted, prefix)
         out(accepted, batchId)
       } finally {
         CacheRegistry.drain(s"dedup-stream-$prefix")
         // checkpoint blocks live at the RDD layer, invisible to the
-        // registry — free the ones this batch created (foreachBatch
-        // runs batches serially, so the delta is ours)
-        sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!rddsBefore(id)) rdd.unpersist(blocking = false)
-        }
+        // registry — free exactly the one this batch created. (A
+        // global persistent-RDD set diff would also sweep caches other
+        // queries on the shared context created DURING the batch — the
+        // ADVICE r14 cross-job hazard.)
+        if (accepted != null)
+          graft.operators.Components.freeCheckpoint(accepted)
       }
     }
 }

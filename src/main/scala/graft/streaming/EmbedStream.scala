@@ -28,8 +28,7 @@ object EmbedStream {
   def dedupBatch(prefix: String, thresholdPpm: Long = 300000L)
                 (out: (DataFrame, Long) => Unit): (Dataset[Row], Long) => Unit =
     (batch, batchId) => CacheRegistry.withKey(s"embed-stream-$prefix") {
-      val sc = batch.sparkSession.sparkContext
-      val rddsBefore = sc.getPersistentRDDs.keySet
+      var accepted: DataFrame = null
       try {
         val vecs = batch.select(col("vec_id"), col("embedding"))
         val dups = EmbedIndex
@@ -37,15 +36,19 @@ object EmbedStream {
           .select(col("new_vec").as("vec_id")).distinct()
         // localCheckpoint freezes accepted against the index append —
         // the same recacheByPath hazard DedupStream documents
-        val accepted = vecs.join(dups, Seq("vec_id"), "left_anti")
+        accepted = vecs.join(dups, Seq("vec_id"), "left_anti")
           .localCheckpoint()
         EmbedIndex.appendIndex(accepted, prefix)
         out(accepted, batchId)
       } finally {
+        // release ONLY this batch's artifacts: the CacheRegistry-keyed
+        // frames and the accepted checkpoint's blocks. A global
+        // persistent-RDD set diff would also sweep caches other
+        // queries on the shared context created DURING the batch — a
+        // cross-job performance hazard (ADVICE r14).
         CacheRegistry.drain(s"embed-stream-$prefix")
-        sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!rddsBefore(id)) rdd.unpersist(blocking = false)
-        }
+        if (accepted != null)
+          graft.operators.Components.freeCheckpoint(accepted)
       }
     }
 }

@@ -354,4 +354,143 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.commit(spark.range(5, 8).toDF("id"), path, SaveMode.Append)
     assert(SnapshotStore.read(spark, path).count() == 8)
   }
+
+  test("keyed CDC under schema evolution: column added between versions, common-payload hashing") {
+    val path = freshTable()
+    SnapshotStore.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), path)
+    // v2 gains a column: key 2 updated in the COMMON payload, key 3
+    // dropped, key 4 inserted, key 1 identical in common columns (its
+    // fresh `extra` value alone must NOT surface as an update — the
+    // old rows never carried the column, there is nothing to diff)
+    SnapshotStore.commit(
+      Seq((1L, "a", "x1"), (2L, "B", "x2"), (4L, "d", "x4"))
+        .toDF("id", "s", "extra"), path)
+    val ch = SnapshotStore.readChanges(spark, path, 1, 2, key = Some("id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("_change"), r.getAs[String]("s"), r.getAs[String]("extra")))
+      .toMap
+    assert(ch.keySet == Set(2L, 3L, 4L)) // key 1 suppressed
+    assert(ch(2L) == (("update", "B", "x2")))
+    assert(ch(4L) == (("insert", "d", "x4")))
+    // delete carries the OLD payload with the added column null-filled
+    assert(ch(3L) == (("delete", "c", null)))
+  }
+
+  test("deleteCommit: stats-pruned row deletes, pinned reader survives, CDC emits the deletes") {
+    val path = freshTable()
+    // range-partitioned commit with stats: 4 files with disjoint id ranges
+    val df = spark.range(0, 400).select(col("id"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    SnapshotStore.commit(df, path, statsKey = Some("id"))
+    val pinned = SnapshotStore.read(spark, path)
+    val filesBefore = pinned.inputFiles.toSet
+    assert(filesBefore.size == 4)
+
+    // takedown: delete three point keys inside one file's range
+    val v2 = SnapshotStore.deleteCommit(spark, path,
+      Seq(10L, 11L, 12L).toDF("id"), "id")
+    assert(v2 == 2)
+    val after = SnapshotStore.read(spark, path)
+    assert(after.count() == 397)
+    assert(after.filter(col("id").isin(10L, 11L, 12L)).count() == 0)
+    // stats pruning: only the ONE overlapping file was rewritten —
+    // three of the four v1 files are carried by reference
+    assert(after.inputFiles.toSet.intersect(filesBefore).size == 3)
+    // the pinned reader still sees the deleted rows (immutable files)
+    assert(pinned.count() == 400)
+    // keyed CDC across the delete: exactly the three deletes, carried
+    // survivors suppressed
+    val ch = SnapshotStore.readChanges(spark, path, 1, 2, key = Some("id"))
+      .collect().map(r => (r.getLong(0), r.getAs[String]("_change")))
+    assert(ch.sortBy(_._1).toSeq ==
+      Seq((10L, "delete"), (11L, "delete"), (12L, "delete")))
+    // deleting keys disjoint from every file is a no-op commit
+    assert(SnapshotStore.deleteCommit(spark, path,
+      Seq(9999L).toDF("id"), "id") == 2)
+    // vacuum reclaims the rewritten file once v1 leaves retention
+    assert(SnapshotStore.vacuum(path, keepVersions = 1) >= 1)
+    assert(SnapshotStore.read(spark, path).count() == 397)
+    // post-delete merge still prunes: the sidecar survived the delete
+    val v3 = SnapshotStore.mergeCommit(spark, path,
+      Seq((200L, 999L)).toDF("id", "v"), "id")
+    val merged = SnapshotStore.read(spark, path, Some(v3))
+    assert(merged.filter(col("id") === 200).select("v").as[Long].head() == 999L)
+    assert(merged.count() == 397)
+  }
+
+  test("optimistic multi-writer: append rebases, non-append aborts, crashed publish heals") {
+    val path = freshTable()
+    SnapshotStore.commit(Seq((1L, "base")).toDF("id", "s"), path)
+    val seen = SnapshotStore.latestVersion(path) // both writers read v1
+
+    // writer A wins the race
+    val vA = SnapshotStore.commitIf(Seq((2L, "a")).toDF("id", "s"), path, seen)
+    assert(vA == 2)
+    // writer B prepared against v1, but appends are file-disjoint by
+    // construction: the rebase carries A's manifest and both rows land
+    val vB = SnapshotStore.commitIf(Seq((3L, "b")).toDF("id", "s"), path, seen)
+    assert(vB == 3)
+    assert(SnapshotStore.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // a non-append prepared against a stale snapshot must ABORT — an
+    // auto-merge would silently drop the winner's rows
+    intercept[SnapshotStore.VersionConflictException] {
+      SnapshotStore.commitIf(Seq((9L, "z")).toDF("id", "s"), path, seen,
+        SaveMode.Overwrite)
+    }
+    assert(SnapshotStore.latestVersion(path) == 3)
+    // ...and at the CURRENT version it publishes normally
+    val v4 = SnapshotStore.commitIf(Seq((9L, "z")).toDF("id", "s"), path, 3,
+      SaveMode.Overwrite)
+    assert(v4 == 4 && SnapshotStore.read(spark, path).count() == 1)
+
+    // crash between manifest write and pointer publish: the next
+    // commitIf heals (no batch sidecar → roll back) and proceeds
+    val snapDir = new java.io.File(path, "_snapshots")
+    val orphan = new java.io.File(snapDir, f"v${5L}%08d.manifest")
+    java.nio.file.Files.write(orphan.toPath,
+      "/nonexistent/file.parquet\n".getBytes("UTF-8"))
+    val v5 = SnapshotStore.commitIf(Seq((10L, "y")).toDF("id", "s"), path, 4)
+    assert(v5 == 5)
+    assert(SnapshotStore.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(9L, 10L))
+  }
+
+  test("compact without sortCols keeps the stats sidecar via its recorded #key header") {
+    val path = freshTable()
+    val df = spark.range(0, 100).select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    SnapshotStore.commit(df, path, statsKey = Some("id"))
+    // plain coalesce compaction: no sortCols, no statsKey — the r15
+    // header keeps the pruning layer instead of silently dropping it
+    val v2 = SnapshotStore.compact(spark, path, targetBytes = 1L << 30)
+    val sidecar = new java.io.File(new java.io.File(path, "_snapshots"),
+      f"v$v2%08d.stats")
+    assert(sidecar.exists())
+    val text = new String(java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+    assert(text.startsWith("#key=id"))
+    // and a post-compact merge still works against the kept stats
+    val v3 = SnapshotStore.mergeCommit(spark, path,
+      Seq((5L, 111L)).toDF("id", "v"), "id")
+    assert(SnapshotStore.read(spark, path, Some(v3))
+      .filter(col("id") === 5).select("v").as[Long].head() == 111L)
+  }
+
+  test("streamSink retries through a long-held writer lock instead of failing the stream") {
+    val path = freshTable()
+    SnapshotStore.commit(Seq((1L, "x")).toDF("id", "s"), path)
+    val lock = new java.io.File(path.stripSuffix("/") + ".snapshot-lock")
+    val prevWait = SnapshotStore.lockWaitMs
+    SnapshotStore.lockWaitMs = 300
+    try {
+      assert(lock.createNewFile()) // a "compaction" holds the lock...
+      // ...for ~2.5 lock waits — longer than one timeout, shorter than
+      // the sink's total patience
+      new Thread(() => { Thread.sleep(750); lock.delete(): Unit }).start()
+      SnapshotStore.streamSink(path)(Seq((2L, "y")).toDF("id", "s"), 0L)
+      assert(SnapshotStore.read(spark, path).count() == 2)
+    } finally { SnapshotStore.lockWaitMs = prevWait; lock.delete(): Unit }
+  }
 }
