@@ -62,12 +62,19 @@ object SnapshotStore {
   /** Read a snapshot: the latest committed version by default, or an
     * explicit `version` for time travel. The returned frame is pinned
     * to that version's files — later commits and compactions never
-    * touch them, so the scan is consistent however long it runs. */
+    * touch them, so the scan is consistent however long it runs.
+    * `mergeSchema`: appends may evolve the schema between commits, and
+    * parquet's default schema inference samples ONE footer — a table
+    * whose later files gained a column would read back with whichever
+    * schema the sample had. Merging unions the file schemas (older
+    * files null-fill the added columns, the Delta/Iceberg read
+    * semantics); the footer-merge cost is per-FILE, driver-side, and
+    * irrelevant next to the scan. */
   def read(spark: SparkSession, path: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(path))
     require(v > 0, s"no committed snapshot under $path")
-    spark.read.parquet(manifest(path, v): _*)
+    spark.read.option("mergeSchema", "true").parquet(manifest(path, v): _*)
   }
 
   /** Write `df` as the table's next version. `mode=Overwrite` replaces

@@ -45,22 +45,18 @@ object TarShards {
     (name.substring(0, i), name.substring(i + 1))
   }
 
-  /** One ustar entry: header block + content + zero padding. Names over
-    * 100 bytes route through the ustar prefix field ([[prefixSplit]]);
-    * non-ASCII names fail fast (US-ASCII encoding would silently
-    * substitute '?' and collide distinct names). */
-  private def entry(name: String, content: Array[Byte]): Array[Byte] = {
+  /** One raw ustar member: header block + content + zero padding.
+    * `name`/`prefix` must already fit their fields (ASCII, ≤100/≤155
+    * bytes — [[entry]] arranges that). */
+  private def rawEntry(name: String, prefix: String, content: Array[Byte],
+                       typeflag: Byte): Array[Byte] = {
     val h = new Array[Byte](BLOCK)
     def put(off: Int, bytes: Array[Byte]): Unit =
       System.arraycopy(bytes, 0, h, off, bytes.length)
-    require(name.forall(_ < 0x80), s"non-ASCII tar entry name: $name")
-    val (prefix, base) = prefixSplit(name)
-    val nameBytes = base.getBytes("US-ASCII")
-    require(nameBytes.length <= 100,
-      s"tar entry name over 100 bytes after prefix split: $name")
+    val nameBytes = name.getBytes("US-ASCII")
+    require(nameBytes.length <= 100, s"tar name field overflow: $name")
     val prefixBytes = prefix.getBytes("US-ASCII")
-    require(prefixBytes.length <= 155,
-      s"tar prefix field over 155 bytes: $name")
+    require(prefixBytes.length <= 155, s"tar prefix field overflow: $prefix")
     put(0, nameBytes)
     put(345, prefixBytes)
     put(100, octal(420, 8))            // mode 0644
@@ -69,7 +65,7 @@ object TarShards {
     put(124, octal(content.length.toLong, 12))
     put(136, octal(0, 12))             // mtime: epoch, deterministic
     java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum field = spaces
-    h(156) = '0'                       // typeflag: regular file
+    h(156) = typeflag
     put(257, "ustar\u0000".getBytes("US-ASCII"))
     put(263, "00".getBytes("US-ASCII"))
     val sum = h.map(_ & 0xff).sum
@@ -79,6 +75,45 @@ object TarShards {
     System.arraycopy(h, 0, out, 0, BLOCK)
     System.arraycopy(content, 0, out, BLOCK, content.length)
     out
+  }
+
+  /** `<len> path=<name>\n` — the PAX extended-header record carrying
+    * the exact UTF-8 path; the length prefix counts ITSELF (decimal
+    * digits included), hence the fixpoint over its own digit count. */
+  private def paxPathRecord(name: String): Array[Byte] = {
+    val payload = s" path=$name\n".getBytes("UTF-8")
+    var len = payload.length + 1
+    while (len.toString.length + payload.length != len)
+      len = len.toString.length + payload.length
+    len.toString.getBytes("US-ASCII") ++ payload
+  }
+
+  /** One tar entry: a plain ustar member when the name is ASCII and
+    * fits name(+prefix); otherwise a PAX 'x' extended header carrying
+    * the exact UTF-8 path, followed by the member under an ASCII
+    * placeholder name — what gnu/bsd tar emit, and what [[untar]]'s
+    * PAX handling reads back. (Reference-domain note: Finnish entry
+    * names carry ö/ä — crowdsorsa-etl-2023.R:88-94 repairs exactly
+    * those bytes — so non-ASCII names are a day-one case, not an
+    * edge; a US-ASCII encode would silently fold them to '?' and
+    * collide distinct names.) */
+  private def entry(name: String, content: Array[Byte]): Array[Byte] = {
+    val ascii = name.forall(_ < 0x80)
+    val splittable = name.length <= 100 ||
+      name.indices.exists(i => name(i) == '/' &&
+        name.length - i - 1 <= 100 && i <= 155)
+    if (ascii && splittable) {
+      val (prefix, base) = prefixSplit(name)
+      rawEntry(base, prefix, content, '0')
+    } else {
+      // placeholder: ASCII-sanitized, field-bounded — readers without
+      // PAX support still extract SOMETHING; PAX readers (ours, the
+      // system tar) see the exact path from the 'x' header
+      val placeholder = name.map(c => if (c < 0x80) c else '_')
+        .takeRight(100)
+      rawEntry("PaxHeaders/0", "", paxPathRecord(name), 'x') ++
+        rawEntry(placeholder, "", content, '0')
+    }
   }
 
   private val shardSchema = StructType(Seq(
@@ -148,19 +183,23 @@ object TarShards {
 
   /** PAX extended-header payload: `<len> <key>=<value>\n` records.
     * Returns the `path` override if present (the key that renames the
-    * FOLLOWING entry — the only PAX key a sample loader needs). */
+    * FOLLOWING entry — the only PAX key a sample loader needs).
+    * Record lengths count BYTES (the value is UTF-8), so the walk is
+    * over the raw bytes — a char-indexed parse would overshoot on
+    * every multibyte character and silently drop the record. */
   private def paxPath(content: Array[Byte]): Option[String] = {
-    val s = new String(content, "UTF-8")
     var off = 0
     var found: Option[String] = None
-    while (off < s.length) {
-      val sp = s.indexOf(' ', off)
-      if (sp < 0) return found
+    while (off < content.length) {
+      var sp = off
+      while (sp < content.length && content(sp) != ' ') sp += 1
+      if (sp >= content.length) return found
       val len =
-        try s.substring(off, sp).trim.toInt
+        try new String(content, off, sp - off, "US-ASCII").trim.toInt
         catch { case _: NumberFormatException => return found }
-      if (len <= 0 || off + len > s.length) return found
-      val rec = s.substring(sp + 1, off + len).stripSuffix("\n")
+      if (len <= 0 || off + len > content.length) return found
+      val rec = new String(content, sp + 1, off + len - sp - 1, "UTF-8")
+        .stripSuffix("\n")
       val eq = rec.indexOf('=')
       if (eq > 0 && rec.substring(0, eq) == "path")
         found = Some(rec.substring(eq + 1))

@@ -16,18 +16,8 @@ object BitextProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = graft.sources.Tables(spark, dir)
-    val langs = t.documents.groupBy(col("lang")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val dense = langs.getOrElse("en", 0L) * langs.getOrElse("de", 0L)
-    val ivf = graft.operators.Similarity.bitextMineIvf(t)
-      .select("src_id", "tgt_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val cand = graft.operators.Similarity.bitextMineIvfCandidates(t)
-    val dn = graft.operators.Similarity.bitextMine(t)
-      .select("src_id", "tgt_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = if (dn.isEmpty) 1.0 else ivf.intersect(dn).size.toDouble / dn.size
-    println(f"""{"metric":"bitext_probe","sf_dir":"$dir","dense_pairs":$dense,"ivf_candidates":$cand,"ivf_mined":${ivf.size},"dense_mined":${dn.size},"recall_vs_dense":$recall%.3f}""")
+    val sweepOnly = args.length > 2 && args(2) == "sweep"
+    if (!sweepOnly) recallProbe(t, dir)
 
     // nlist sweep: probe-ASSIGNMENT cost, flat vs two-level, at a 10×
     // cell-count step — the r15 evidence that the two-level quantizer
@@ -60,5 +50,20 @@ object BitextProbe {
       graft.CacheRegistry.drain()
     }
     spark.stop()
+  }
+
+  private def recallProbe(t: graft.sources.Tables, dir: String): Unit = {
+    val langs = t.documents.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dense = langs.getOrElse("en", 0L) * langs.getOrElse("de", 0L)
+    val ivf = graft.operators.Similarity.bitextMineIvf(t)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = graft.operators.Similarity.bitextMineIvfCandidates(t)
+    val dn = graft.operators.Similarity.bitextMine(t)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (dn.isEmpty) 1.0 else ivf.intersect(dn).size.toDouble / dn.size
+    println(f"""{"metric":"bitext_probe","sf_dir":"$dir","dense_pairs":$dense,"ivf_candidates":$cand,"ivf_mined":${ivf.size},"dense_mined":${dn.size},"recall_vs_dense":$recall%.3f}""")
   }
 }

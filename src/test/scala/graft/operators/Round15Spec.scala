@@ -67,4 +67,22 @@ class Round15Spec extends SparkSpec {
     info(s"two-level bitext recall vs dense: $recall (${ivf.size} mined, ${dense.size} dense)")
     assert(recall >= 0.3, s"recall collapsed: $recall")
   }
+
+  test("bitextMineIvf forced onto the two-level branch (nlist > 256) still mines a sane matching") {
+    val dense = Similarity.bitextMine(tables)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nlist=300 exceeds the flat-coarse threshold, so this exercises
+    // the twoLevelAssign/twoLevelProbe candidate path end-to-end
+    val rows = Similarity.bitextMineIvf(tables, nlist = 300)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length) // partial matching
+    assert(rows.map(_._2).distinct.length == rows.length)
+    val recall =
+      if (dense.isEmpty) 1.0 else rows.toSet.intersect(dense).size.toDouble / dense.size
+    info(s"two-level-branch bitext recall vs dense: $recall")
+    assert(recall >= 0.2, s"two-level branch recall collapsed: $recall")
+  }
 }

@@ -478,6 +478,24 @@ class SnapshotStoreSpec extends SparkSpec {
       .filter(col("id") === 5).select("v").as[Long].head() == 111L)
   }
 
+  test("schema-evolving appends read back with the UNION schema, old rows null-filled") {
+    val path = freshTable()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "s"), path)
+    SnapshotStore.commit(Seq((2L, "b", 42L)).toDF("id", "s", "extra"), path,
+      SaveMode.Append)
+    val live = SnapshotStore.read(spark, path)
+    // without mergeSchema the inferred schema samples one footer and
+    // could silently DROP `extra`; the union schema must surface it
+    assert(live.columns.sorted.toSeq == Seq("extra", "id", "s"))
+    val rows = live.select("id", "extra").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(42L)))
+    // and the keyed CDC across the evolving boundary still classifies
+    val ch = SnapshotStore.readChanges(spark, path, 1, 2, Some("id"))
+      .collect().map(r => (r.getLong(0), r.getAs[String]("_change")))
+    assert(ch.toSeq == Seq((2L, "insert")))
+  }
+
   test("streamSink retries through a long-held writer lock instead of failing the stream") {
     val path = freshTable()
     SnapshotStore.commit(Seq((1L, "x")).toDF("id", "s"), path)

@@ -97,14 +97,35 @@ class TarShardsSpec extends SparkSpec {
       .redirectErrorStream(true).start()
     val names = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
     assert(p.waitFor() == 0 && names == List(longName), s"tar -tf: $names")
-    // non-ASCII names fail fast instead of colliding via '?' substitution
-    val bad = Seq((0L, "nimi-ä.txt", Array[Byte](1)))
+  }
+
+  test("non-ASCII entry names round-trip via an emitted PAX header (the Finnish ö/ä case)") {
+    // the reference's own domain: Finnish names carry ö/ä
+    // (crowdsorsa-etl-2023.R:88-94 repairs exactly those bytes) — a
+    // US-ASCII encode would fold them to '?' and collide names
+    val names = Seq("nimi-ä.txt", "järvi/ötökkä.txt")
+    val entries = names.zipWithIndex
+      .map { case (n, i) => (0L, n, s"payload-$i".getBytes("UTF-8")) }
       .toDF("shard_id", "name", "content")
-    val e = intercept[org.apache.spark.SparkException] {
-      TarShards.tarEntryShards(bad).collect()
-    }
-    assert(e.getMessage.contains("non-ASCII") ||
-      Option(e.getCause).exists(_.getMessage.contains("non-ASCII")))
+    val shards = TarShards.tarEntryShards(entries)
+    // our loader reads the PAX path back exactly
+    val back = TarShards.untar(shards)
+      .select("name", "content").as[(String, Array[Byte])].collect()
+      .map { case (n, c) => n -> new String(c, "UTF-8") }.toMap
+    assert(back == Map("nimi-ä.txt" -> "payload-0",
+      "järvi/ötökkä.txt" -> "payload-1"))
+    // and the system tar agrees on the exact UTF-8 paths
+    val dir = java.nio.file.Files.createTempDirectory("graft-pax-w")
+    val f = dir.resolve("shard.tar")
+    java.nio.file.Files.write(f, shards.select("tar").head.getAs[Array[Byte]](0))
+    val pb = new ProcessBuilder("tar", "-tf", f.toString)
+      .redirectErrorStream(true)
+    pb.environment().put("LC_ALL", "C.UTF-8") // C locale octal-escapes non-ASCII in listings
+    val p = pb.start()
+    val listed = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+      .getLines().toList
+    assert(p.waitFor() == 0, s"tar -tf: $listed")
+    assert(listed.sorted == names.sorted, s"tar -tf: $listed")
   }
 
   test("shard bytes are REAL tar: the system tar lists and extracts them") {
