@@ -221,6 +221,9 @@ object SparkEntry {
     // row-level DELETE commits (r15): stats-pruned takedown through
     // the real table layer + the keyed CDC delete delta, oracled
     "q_snapshot_delete" -> q(Relational.snapshotDelete),
+    // stats-sidecar scan planning (r15): file-level range pruning on
+    // the READ path (readWhere), oracled vs a plain WHERE over orders
+    "q_snapshot_prune" -> q(Relational.snapshotPrune),
     "q6_forecast"      -> q(Relational.q6Forecast),
     "q4_priority"      -> q(Relational.q4Priority),
     "q12_shipmode"     -> q(Relational.q12Shipmode),
@@ -1991,6 +1994,15 @@ object SparkEntry {
         |  COALESCE(n_live, 0) AS n_live, first_live, last_live,
         |  COALESCE(n_deleted, 0) AS n_deleted
         |FROM l FULL OUTER JOIN d ON l.o_orderstatus = d.o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_snapshot_prune" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 100 AND 4000
+        |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
     "q_snapshot_diff" ->

@@ -437,6 +437,38 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Stats-sidecar scan PLANNING driven through the REAL table layer
+    * (r15, oracled): orders are committed range-partitioned WITH the
+    * stats sidecar, and a key-range slice is read back via
+    * [[graft.sinks.SnapshotStore.readWhere]] — file-level pruning from
+    * the driver-resident sidecar (only files whose recorded (min, max)
+    * overlaps the interval enter the plan; SnapshotStoreSpec pins the
+    * inputFiles subset) with the residual row filter pushed into the
+    * surviving parquet scans. The oracle replays the same range as a
+    * plain WHERE over orders, so manifest + sidecar + prune + read is
+    * gated on result equality. At 100 TB this is the read path that
+    * turns a point/range lookup from "open every footer" into "open
+    * the two files the sidecar admits". */
+  def snapshotPrune(t: Tables): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prune").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    graft.sinks.SnapshotStore.commit(
+      o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      dir, statsKey = Some("o_orderkey"))
+    graft.sinks.SnapshotStore
+      .readWhere(t.spark, dir, "o_orderkey", 100L, 4000L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Keep-first dedup by business key (the pipeline "latest record
     * wins" pattern, inverted to earliest): one row per (lang, source)
     * — a single window shuffle, no self-join. */

@@ -77,6 +77,40 @@ object SnapshotStore {
     spark.read.option("mergeSchema", "true").parquet(manifest(path, v): _*)
   }
 
+  /** Scan PLANNING with the stats sidecar (the Iceberg/Delta
+    * manifest-prune read): rows of the snapshot whose tracked stats
+    * column falls in [lo, hi], reading ONLY the files whose recorded
+    * (min, max) range overlaps the interval — the same sidecar
+    * [[mergeCommit]]/[[deleteCommit]] prune their rewrites with, now
+    * applied to the read path. File pruning happens at PLAN time from
+    * the driver-resident sidecar (file-count lines, trivial at 100 TB
+    * where parquet row-group pushdown alone still opens every file's
+    * footer); the residual row filter stays in the scan, pushed to the
+    * surviving files. Files without a stats row — e.g. written by a
+    * commit that predates stats tracking — are conservatively kept. A
+    * version with NO sidecar degrades to a full read + filter, never a
+    * wrong answer. */
+  def readWhere(spark: SparkSession, path: String, key: String,
+                lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.getOrElse(latestVersion(path))
+    require(v > 0, s"no committed snapshot under $path")
+    val files = manifest(path, v)
+    // prune only when the sidecar tracks THIS column; a sidecar over a
+    // different column (or none) prunes nothing but still filters
+    val ranges =
+      if (statsKeyOf(path, v).contains(key)) stats(path, v)
+      else Map.empty[String, (Long, Long)]
+    val kept = files.filter(f =>
+      ranges.get(f).forall { case (flo, fhi) => fhi >= lo && flo <= hi })
+    val pruned =
+      if (kept.nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(kept: _*)
+      else
+        spark.read.parquet(files.head).limit(0)
+    pruned.filter(col(key) >= lo && col(key) <= hi)
+  }
+
   /** Write `df` as the table's next version. `mode=Overwrite` replaces
     * the table contents; `mode=Append` carries the previous manifest's
     * files forward and adds the new ones (an append commits in O(new
@@ -258,6 +292,41 @@ object SnapshotStore {
     * pure compaction produces an EMPTY changelog. Output: the table's
     * columns (new-side payload for insert/update, old-side for
     * delete) plus `_change`. */
+  /** Rewrite `c` (of type `dt`) into a form whose to_json serialization
+    * is canonical: every MapType at ANY nesting depth becomes its entry
+    * array sorted by key (sort_array over array<struct<key,value>>
+    * orders by the first field), so two equal maps built in different
+    * insertion orders hash identically. Null maps/structs stay null — a
+    * null map must not collide with an empty one. Types that carry no
+    * map anywhere return `c` unchanged: the common scalar/struct/array
+    * table pays zero plan cost. */
+  private def canonicalize(c: org.apache.spark.sql.Column,
+                           dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def hasMap(t: DataType): Boolean = t match {
+      case _: MapType => true
+      case ArrayType(et, _) => hasMap(et)
+      case StructType(fs) => fs.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    def go(c0: org.apache.spark.sql.Column, t: DataType)
+        : org.apache.spark.sql.Column = t match {
+      case MapType(kt, vt, _) =>
+        sort_array(transform(map_entries(c0), e =>
+          struct(go(e.getField("key"), kt).as("key"),
+            go(e.getField("value"), vt).as("value"))))
+      case ArrayType(et, _) if hasMap(et) =>
+        transform(c0, x => go(x, et))
+      case st: StructType if hasMap(st) =>
+        when(c0.isNull, lit(null)).otherwise(struct(st.fields.map(f =>
+          go(c0.getField(f.name), f.dataType).as(f.name)).toSeq: _*))
+      case _ => c0
+    }
+    if (hasMap(dt)) go(c, dt) else c
+  }
+
   def readChanges(spark: SparkSession, path: String, fromV: Long, toV: Long,
                   key: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -292,10 +361,13 @@ object SnapshotStore {
         // that differs ONLY in a fresh column's values is therefore
         // suppressed — by design: the old rows never carried the
         // column, there is nothing to diff against.
-        // Determinism caveat: payload equality is sha2(to_json(...)),
-        // which requires deterministic serialization — parquet scalar/
-        // struct/array columns qualify; MAP columns do NOT (key order
-        // is not canonical) and can surface spurious 'update' rows.
+        // Payload equality is sha2(to_json(...)) over a CANONICALIZED
+        // struct: map columns serialize in insertion order (two equal
+        // maps built in different orders produce different JSON), so
+        // [[canonicalize]] rewrites every MapType — at any nesting
+        // depth — to its entry array sorted by key before hashing.
+        // Scalars/structs/arrays pass through (parquet order is the
+        // row's order, already deterministic).
         val insCols = ins.columns.toSeq
         val delCols = del.columns.toSeq
         val cols = insCols ++ delCols.filterNot(insCols.contains)
@@ -305,11 +377,13 @@ object SnapshotStore {
         val common = insCols.filter(delCols.contains).filterNot(_ == k)
         def side(df: DataFrame, tag: String) = {
           val have = df.columns.toSet
+          val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
           df.select(
             col(k).as("_k"),
             struct(cols.map(c =>
               (if (have(c)) col(c) else lit(null)).as(c)): _*).as(s"_row_$tag"),
-            sha2(to_json(struct(common.map(col): _*)), 256).as(s"_h_$tag"))
+            sha2(to_json(struct(common.map(c =>
+              canonicalize(col(c), byName(c)).as(c)): _*)), 256).as(s"_h_$tag"))
         }
         side(del, "o").join(side(ins, "n"), Seq("_k"), "full")
           .withColumn("_change",

@@ -168,6 +168,47 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, path).filter(col("v") === 7).count() == 2)
   }
 
+  test("readWhere: sidecar file pruning plans a subset scan, answers match full read") {
+    val path = freshTable()
+    SnapshotStore.commit(
+      spark.range(100).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(4, col("id")),
+      path, statsKey = Some("id"))
+    val all = SnapshotStore.read(spark, path)
+    assert(all.inputFiles.length == 4)
+
+    // narrow range: only overlapping files enter the plan
+    val narrow = SnapshotStore.readWhere(spark, path, "id", 10, 15)
+    assert(narrow.inputFiles.length < 4 && narrow.inputFiles.nonEmpty)
+    assert(narrow.select("id", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      (10L to 15L).map(i => (i, i * 3)))
+
+    // empty range below the table: zero files, empty frame, right schema
+    val none = SnapshotStore.readWhere(spark, path, "id", -10, -1)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+
+    // a version with no sidecar degrades to full read + filter
+    val path2 = freshTable()
+    SnapshotStore.commit(
+      spark.range(50).select(col("id"), col("id").as("v")), path2)
+    val deg = SnapshotStore.readWhere(spark, path2, "id", 5, 7)
+    assert(deg.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 6L, 7L))
+
+    // files with NO stats row are conservatively kept: path2's v1 files
+    // predate stats tracking; a stats-tracked append leaves them out of
+    // the sidecar, yet a range over their keys still finds the rows
+    SnapshotStore.commit(
+      spark.range(200, 203).select(col("id"), col("id").as("v")),
+      path2, SaveMode.Append, statsKey = Some("id"))
+    val sp = SnapshotStore.readWhere(spark, path2, "id", 5, 7)
+    assert(sp.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(5L, 6L, 7L))
+    // while a range over ONLY the tracked append prunes the known files
+    val tracked = SnapshotStore.readWhere(spark, path2, "id", 200, 300)
+    assert(tracked.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(200L, 201L, 202L))
+  }
+
   test("mergeCommit without stats degrades to full rewrite, stays correct") {
     val path = freshTable()
     SnapshotStore.commit(
@@ -375,6 +416,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ch(4L) == (("insert", "d", "x4")))
     // delete carries the OLD payload with the added column null-filled
     assert(ch(3L) == (("delete", "c", null)))
+  }
+
+  test("keyed CDC canonical map hashing: insertion order never surfaces as an update") {
+    val path = freshTable()
+    // v1: maps built a→b order; a nested map inside a struct too
+    SnapshotStore.commit(
+      spark.range(1, 4).select(col("id"),
+        map(lit("a"), col("id"), lit("b"), col("id") * 2).as("tags"),
+        struct(map(lit("x"), lit(1), lit("y"), lit(2)).as("inner"))
+          .as("meta")), path)
+    // v2: SAME logical rows for keys 1,2 but maps built in REVERSE
+    // insertion order (different to_json without canonicalization);
+    // key 3 genuinely changes one map VALUE
+    SnapshotStore.commit(
+      spark.range(1, 4).select(col("id"),
+        map(lit("b"), col("id") * 2, lit("a"), col("id")).as("tags"),
+        struct(map(lit("y"), lit(2), lit("x"), lit(1)).as("inner"))
+          .as("meta"))
+        .withColumn("tags", when(col("id") === 3,
+          map(lit("b"), lit(99L), lit("a"), col("id")))
+          .otherwise(col("tags"))), path)
+    val ch = SnapshotStore.readChanges(spark, path, 1, 2, key = Some("id"))
+      .select("id", "_change").as[(Long, String)].collect().toMap
+    assert(ch == Map(3L -> "update")) // 1 and 2 suppressed — equal maps
   }
 
   test("deleteCommit: stats-pruned row deletes, pinned reader survives, CDC emits the deletes") {
