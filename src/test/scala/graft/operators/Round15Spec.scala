@@ -85,4 +85,27 @@ class Round15Spec extends SparkSpec {
     info(s"two-level-branch bitext recall vs dense: $recall")
     assert(recall >= 0.2, s"two-level branch recall collapsed: $recall")
   }
+
+  test("logregTrain: integer GD beats the majority class; score report consistent with confusion") {
+    val r = QualityModel.logregTrain(tables).collect()
+    assert(r.length == 1)
+    val Seq(nDocs, tp, fp, tn, fn) = (0 to 4).map(r.head.getLong)
+    assert(tp + fp + tn + fn == nDocs && nDocs > 0)
+    val pos = tp + fn; val neg = fp + tn
+    val majority = math.max(pos, neg).toDouble / nDocs
+    val acc = (tp + tn).toDouble / nDocs
+    info(f"train agreement $acc%.3f vs majority baseline $majority%.3f")
+    assert(acc > majority, s"GD did not beat predict-majority: $acc <= $majority")
+
+    // per-lang score report ties out against the global confusion
+    val score = QualityModel.logregScore(tables).collect()
+    assert(score.map(_.getString(0)).toSeq == score.map(_.getString(0)).sorted.toSeq)
+    assert(score.map(_.getLong(1)).sum == nDocs)
+    assert(score.map(_.getLong(2)).sum == tp + fp) // model keeps
+    assert(score.map(_.getLong(3)).sum == tp + fn) // rule keeps
+
+    // the fit is exactly deterministic: weights replay bit-for-bit
+    val r2 = QualityModel.logregTrain(tables).collect().head
+    (5 to 9).foreach(j => assert(r2.getLong(j) == r.head.getLong(j)))
+  }
 }
