@@ -612,13 +612,21 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** The throughput IVFADC twin — float arithmetic, xxhash64 residual
-    * seed, no micro-snap: the kernel a 100 TB run ships (the md5/micro
-    * machinery above exists for oracle parity, not speed). Same plan
-    * shape: broadcast codebooks + LUT, three map-side-combined
-    * per-vector aggregates, probe pruning in the (b, s, c) join.
+  /** The throughput IVFADC twin — float arithmetic, ARRAY-NATIVE
+    * (r15): the kernel a 100 TB run ships (the md5/micro machinery
+    * above exists for oracle parity, not speed). Vectors stay ONE ROW
+    * each; every distance is an in-row codegen'd [[l2v]] against a
+    * broadcast codebook, so the corpus never explodes to per-dim rows
+    * except in the two Lloyd M-steps ([[meanVec]], one pass each).
+    * vs the per-dim layout this cuts the coarse stages 64× in rows,
+    * removes two corpus-sized groupBy distance shuffles outright, and
+    * halves the PQ stages (one row per CODE, dims/dimsPerSub per
+    * vector): isolated q_knn_ivfpq_fp 6.5 → 3.2 s at sf0.1 with
+    * recall UNCHANGED to the digit (IvfPqProbe sf0.1: partition
+    * 0.74/0.52, forgy 1.00/0.56 ceiling/ADC — identical to the r12
+    * cells). Probe pruning stays in the (b, s, c) equi-join.
     * Semantics pinned by the oracled exact twin; recall vs exact
-    * cosine truth audited in Round12Spec (the q_ann_recall pattern). */
+    * truth audited in Round12Spec + tools.IvfPqProbe. */
   /** Coarse codebook for the float IVFADC twin. "forgy": seed each of
     * the nlist centroids from an actual vector + ONE Lloyd round with
     * empty-cluster carry — the same upgrade the RESIDUAL codebook got
@@ -628,26 +636,46 @@ object Similarity {
     * the global mean and probe pruning admits near-arbitrary buckets.
     * Cost of forgy: one extra corpus pass (distance to the seed
     * codebook), map-side combined like every other pass here. */
+  /** Squared L2 between two equal-length double arrays — a single
+    * codegen'd higher-order expression per ROW (zip_with + aggregate),
+    * the array-native kernel that replaces the former
+    * explode-to-64-rows + groupBy layout: one corpus×codebook distance
+    * pass is |corpus|·nlist rows of map-side arithmetic instead of
+    * |corpus|·dims·nlist rows THROUGH a shuffle. */
+  private def l2v(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), _ + _)
+
+  /** Per-dim mean of a group of vectors, repacked to an array: the ONE
+    * place the array layout still explodes (Lloyd's M-step needs
+    * per-dimension sums) — a single pass, map-side combined to
+    * (group, dim) partials, then an ordered repack. */
+  private def meanVec(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim")).agg(avg(col("x")).as("cm"))
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cm")))),
+        _.getField("cm")).as(vecCol))
+
   private def fpCoarse(v: DataFrame, nlist: Int,
                        coarseInit: String): DataFrame = coarseInit match {
     case "partition" =>
-      v.withColumn("b", col("vec_id") % nlist)
-        .groupBy(col("b"), col("dim")).agg(avg(col("m")).as("cm"))
+      meanVec(v.withColumn("b", col("vec_id") % nlist), "b", "e")
+        .withColumnRenamed("e", "ce")
     case "forgy" =>
       val c0 = v.filter(col("vec_id") < nlist)
-        .select(col("vec_id").as("b"), col("dim"), col("m").as("cm"))
-      val d0 = v.join(broadcast(c0), Seq("dim"))
-        .groupBy(col("vec_id"), col("b"))
-        .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+        .select(col("vec_id").as("b"), col("e").as("ce"))
       val w0 = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
-      val a0 = d0.withColumn("rn", row_number().over(w0))
+      val a0 = v.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("b"), l2v(col("e"), col("ce")).as("d2"))
+        .withColumn("rn", row_number().over(w0))
         .filter(col("rn") === 1).select(col("vec_id"), col("b"))
-      val mm = v.join(a0, Seq("vec_id"))
-        .groupBy(col("b"), col("dim")).agg(avg(col("m")).as("cmm"))
-      c0.withColumnRenamed("cm", "cm0")
-        .join(mm, Seq("b", "dim"), "left")
-        .select(col("b"), col("dim"),
-          coalesce(col("cmm"), col("cm0")).as("cm"))
+      val mm = meanVec(v.join(a0, Seq("vec_id")), "b", "e")
+        .withColumnRenamed("e", "cm")
+      // empty-cluster carry: a cluster with members has EVERY dim
+      // present, so whole-array coalesce ≡ the former per-dim coalesce
+      c0.join(mm, Seq("b"), "left")
+        .select(col("b"), coalesce(col("cm"), col("ce")).as("ce"))
     case other => throw new IllegalArgumentException(
       s"coarseInit must be forgy|partition, got $other")
   }
@@ -658,21 +686,23 @@ object Similarity {
     * under this coarse codebook. Recall of THIS against global exact
     * truth isolates how much the coarse init choice costs (the rest of
     * the gap, ceiling→ADC, is quantization error). */
-  /** Shared float coarse layer: micro-exploded values, the coarse
-    * codebook under `coarseInit`, per-(vector, bucket) distances, the
-    * argmin assignment, and each query's nprobe probed buckets. */
+  /** Shared float coarse layer, ARRAY-NATIVE (r15): vectors stay one
+    * row each (`e` array<double>), the coarse codebook under
+    * `coarseInit`, per-(vector, bucket) distances as |corpus|·nlist
+    * rows of in-row [[l2v]] kernels (formerly |corpus|·dims·nlist rows
+    * through a groupBy shuffle — a 64× row cut AND one less corpus
+    * shuffle at dims=64), the argmin assignment, and each query's
+    * nprobe probed buckets. */
   private def fpIvfParts(t: Tables, nlist: Int, nprobe: Int, nQueries: Int,
                          coarseInit: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val v = spread(t.embeddings)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        col("x").cast("double").as("m"))
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
       .persistTracked()
     val cent = fpCoarse(v, nlist, coarseInit).persistTracked()
-    val dist = v.join(broadcast(cent), Seq("dim"))
-      .groupBy(col("vec_id"), col("b"))
-      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+    val dist = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("b"), l2v(col("e"), col("ce")).as("d2"))
       .persistTracked()
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
     val assign = dist.withColumn("rn", row_number().over(aw))
@@ -692,12 +722,14 @@ object Similarity {
       .join(probes, Seq("b")) // bucket equi-join IS the pruning
       .filter(col("neighbor_id") =!= col("query_id"))
     val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("dim"), col("m").as("qm"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    // one in-row kernel per admitted (query, candidate) pair — no
+    // per-dim join, no distance shuffle at all
     val exact = admitted
       .join(v.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
-      .join(q, Seq("query_id", "dim"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum((col("qm") - col("m")) * (col("qm") - col("m"))).as("d2"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        l2v(col("qe"), col("e")).as("d2"))
     val kw = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("neighbor_id"))
     exact.withColumn("rank", row_number().over(kw).cast("long"))
@@ -706,49 +738,70 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Subspace rows (s, `sub`-sliced array) from a residual-vector
+    * frame: dims/dimsPerSub rows per vector — the PQ-natural layout
+    * (one row per CODE, not per dimension). */
+  private def subRows(df: DataFrame, vecCol: String,
+                      dimsPerSub: Int): DataFrame =
+    df.withColumn("_sub", explode(expr(
+        s"transform(sequence(0, size($vecCol) DIV $dimsPerSub - 1), " +
+          s"s -> struct(CAST(s AS BIGINT) AS s, " +
+          s"slice($vecCol, s * $dimsPerSub + 1, $dimsPerSub) AS rv))")))
+      .drop(vecCol)
+      .select(col("*"), col("_sub.s").as("s"), col("_sub.rv").as("rv"))
+      .drop("_sub")
+
   def ivfPqKnn(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
                dimsPerSub: Int = 2, nCent: Int = 16,
                nQueries: Int = 10, coarseInit: String = "forgy"): DataFrame = {
     val (v, cent, assign, probes) =
       fpIvfParts(t, nlist, nprobe, nQueries, coarseInit)
-    val subCols = Seq(
-      expr(s"CAST(dim DIV $dimsPerSub AS BIGINT)").as("s"),
-      expr(s"CAST(dim % $dimsPerSub AS BIGINT)").as("sd"))
-    val resid = v.join(assign, Seq("vec_id"))
-      .join(broadcast(cent), Seq("b", "dim"))
-      .select(Seq(col("vec_id"), col("b")) ++ subCols :+
-        (col("m") - col("cm")).as("r"): _*)
+    // residual vectors (one row each), then subspace rows: the corpus
+    // carries dims/dimsPerSub rows per vector through the PQ stages
+    // (formerly dims rows), and every distance below is an in-row
+    // [[l2v]] against a broadcast codebook — the two groupBy-shuffled
+    // distance aggregates of the per-dim layout are gone entirely.
+    val resid = subRows(
+      v.join(assign, Seq("vec_id")).join(broadcast(cent), Seq("b"))
+        .select(col("vec_id"), col("b"),
+          zip_with(col("e"), col("ce"), (x, y) => x - y).as("r")),
+      "r", dimsPerSub)
       .persistTracked()
     val rcent0 = resid.filter(col("vec_id") < nCent)
-      .select(col("s"), col("vec_id").cast("long").as("c"), col("sd"),
-        col("r").as("rc"))
+      .select(col("s"), col("vec_id").cast("long").as("c"),
+        col("rv").as("rc"))
     val cw = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("rd2"), col("c"))
-    val a1 = resid.join(broadcast(rcent0), Seq("s", "sd"))
-      .groupBy(col("vec_id"), col("s"), col("c"))
-      .agg(sum((col("r") - col("rc")) * (col("r") - col("rc"))).as("rd2"))
+    val a1 = resid.join(broadcast(rcent0), Seq("s"))
+      .select(col("vec_id"), col("s"), col("c"),
+        l2v(col("rv"), col("rc")).as("rd2"))
       .withColumn("rn", row_number().over(cw)).filter(col("rn") === 1)
       .select(col("vec_id"), col("s"), col("c"))
+    // Lloyd M-step: the one remaining per-dim pass (see [[meanVec]])
     val m1 = resid.join(a1, Seq("vec_id", "s"))
-      .groupBy(col("s"), col("c"), col("sd")).agg(avg(col("r")).as("rcm"))
-    val rcent = rcent0.withColumnRenamed("rc", "rc0")
-      .join(m1, Seq("s", "c", "sd"), "left")
-      .select(col("s"), col("c"), col("sd"),
-        coalesce(col("rcm"), col("rc0")).as("rc"))
-    val codes = resid.join(broadcast(rcent), Seq("s", "sd"))
-      .groupBy(col("vec_id"), col("s"), col("c"))
-      .agg(sum((col("r") - col("rc")) * (col("r") - col("rc"))).as("rd2"))
+      .select(concat_ws(":", col("s"), col("c")).as("sc"), col("rv"))
+    val m1v = meanVec(m1, "sc", "rv")
+      .select(split(col("sc"), ":").getItem(0).cast("long").as("s"),
+        split(col("sc"), ":").getItem(1).cast("long").as("c"),
+        col("rv").as("rcm"))
+    val rcent = rcent0.join(m1v, Seq("s", "c"), "left")
+      .select(col("s"), col("c"), coalesce(col("rcm"), col("rc")).as("rc"))
+    val codes = resid.join(broadcast(rcent), Seq("s"))
+      .select(col("vec_id"), col("s"), col("c"),
+        l2v(col("rv"), col("rc")).as("rd2"))
       .withColumn("rn", row_number().over(cw)).filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("s"), col("c"))
-    val qresid = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("dim"), col("m").as("qm"))
-      .join(probes, Seq("query_id"))
-      .join(broadcast(cent), Seq("b", "dim"))
-      .select(Seq(col("query_id"), col("b")) ++ subCols :+
-        (col("qm") - col("cm")).as("qr"): _*)
-    val lut = qresid.join(broadcast(rcent), Seq("s", "sd"))
-      .groupBy(col("query_id"), col("b"), col("s"), col("c"))
-      .agg(sum((col("qr") - col("rc")) * (col("qr") - col("rc"))).as("ld"))
+    val qresid = subRows(
+      v.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("e"))
+        .join(probes, Seq("query_id")) // queries×nprobe rows
+        .join(broadcast(cent), Seq("b"))
+        .select(col("query_id"), col("b"),
+          zip_with(col("e"), col("ce"), (x, y) => x - y).as("r")),
+      "r", dimsPerSub)
+    val lut = qresid.join(broadcast(rcent), Seq("s"))
+      .select(col("query_id"), col("b"), col("s"), col("c"),
+        l2v(col("rv"), col("rc")).as("ld"))
     val adc = codes
       .join(assign.select(col("vec_id").as("neighbor_id"), col("b")),
         Seq("neighbor_id"))
