@@ -57,6 +57,54 @@ object SnapshotStore {
     require(f.exists(), s"snapshot v$v does not exist under $path")
     new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .filterNot(_.startsWith("#")) // `#ts=` commit-time header
+  }
+
+  /** Commit wall-clock of version `v` (the manifest's `#ts=` header),
+    * falling back to the manifest file's mtime for manifests written
+    * before the header existed. */
+  def commitTime(path: String, v: Long): Long = {
+    val f = manifestFile(path, v)
+    require(f.exists(), s"snapshot v$v does not exist under $path")
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").find(_.startsWith("#ts="))
+      .map(_.stripPrefix("#ts=").trim.toLong)
+      .getOrElse(f.lastModified())
+  }
+
+  /** Retained versions, oldest first (vacuumed versions are gone). */
+  def versions(path: String): Seq[Long] =
+    Option(snapDir(path).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("v\\d{8}\\.manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .filter(_ <= latestVersion(path)) // an unpublished manifest is not history
+      .sorted
+
+  /** Table history as data: one row per retained version —
+    * (version, commit_ts millis, n_files, batch_id or null). Driver
+    * metadata only (manifest-count rows), the DESCRIBE HISTORY shape. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    versions(path).map { v =>
+      val b = batchFile(path, v)
+      (v, commitTime(path, v), manifest(path, v).size,
+        if (b.exists())
+          Some(new String(Files.readAllBytes(b.toPath),
+            StandardCharsets.UTF_8).trim.toLong)
+        else None)
+    }.toDF("version", "commit_ts", "n_files", "batch_id")
+  }
+
+  /** TIMESTAMP time travel: the latest version committed at or before
+    * `tsMillis` (Delta's `timestampAsOf`). Commit times are strictly
+    * orderable here (single-host writer lock serializes publishes);
+    * across hosts they inherit wall-clock skew — version pins are the
+    * exact form, timestamp pins the convenient one. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame = {
+    val vs = versions(path).filter(commitTime(path, _) <= tsMillis)
+    require(vs.nonEmpty,
+      s"no snapshot of $path existed at or before $tsMillis")
+    read(spark, path, Some(vs.max))
   }
 
   /** Read a snapshot: the latest committed version by default, or an
@@ -619,11 +667,16 @@ object SnapshotStore {
     atomicWrite(latestFile(path), v.toString)
 
   /** Manifest (+ batch sidecar) + atomic pointer swap — the pointer
-    * rename is the single publication instant. */
+    * rename is the single publication instant. The manifest's `#ts=`
+    * header records the commit wall-clock (epoch millis) INSIDE the
+    * atomically-written manifest itself — the timestamp time travel
+    * ([[readAsOf]]) and [[history]] anchor; a sidecar would add a
+    * second crash window, a comment line cannot. */
   private def publish(path: String, v: Long, files: Seq[String],
                       batchId: Option[Long]): Unit = {
     snapDir(path).mkdirs()
-    atomicWrite(manifestFile(path, v), files.mkString("\n") + "\n")
+    atomicWrite(manifestFile(path, v),
+      s"#ts=${System.currentTimeMillis()}\n" + files.mkString("\n") + "\n")
     batchId.foreach(b => atomicWrite(batchFile(path, v), b.toString))
     publishPointer(path, v)
   }

@@ -209,6 +209,40 @@ class SnapshotStoreSpec extends SparkSpec {
       Seq(200L, 201L, 202L))
   }
 
+  test("timestamp time travel + history: #ts manifest header anchors readAsOf") {
+    val path = freshTable()
+    SnapshotStore.commit(spark.range(3).toDF("id"), path)           // v1
+    val t1 = SnapshotStore.commitTime(path, 1)
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    SnapshotStore.commit(spark.range(3, 5).toDF("id"), path,
+      SaveMode.Append, batchId = Some(9L))                           // v2
+    val t2 = SnapshotStore.commitTime(path, 2)
+    assert(t1 <= mid && mid < t2)
+
+    assert(SnapshotStore.readAsOf(spark, path, mid).count() == 3)   // pins v1
+    assert(SnapshotStore.readAsOf(spark, path,
+      System.currentTimeMillis()).count() == 5)                      // live
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, path, t1 - 1000)                 // pre-table
+    }
+
+    val h = SnapshotStore.history(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(h.map(_._1).toSeq == Seq(1L, 2L))
+    assert(h(0)._2 == t1 && h(1)._2 == t2)
+    assert(h(1)._3 > h(0)._3) // append carries v1's files + its own
+    assert(h(0)._4 == -1L && h(1)._4 == 9L)
+
+    // vacuumed versions leave history
+    SnapshotStore.commit(spark.range(9).toDF("id"), path)            // v3
+    SnapshotStore.vacuum(path, keepVersions = 2)
+    assert(SnapshotStore.history(spark, path).select("version")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("mergeCommit without stats degrades to full rewrite, stays correct") {
     val path = freshTable()
     SnapshotStore.commit(
