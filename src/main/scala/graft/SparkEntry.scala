@@ -294,6 +294,10 @@ object SparkEntry {
     // DuckDB replays the entire fit
     "q_logreg_train"   -> q(QualityModel.logregTrain),
     "q_logreg_score"   -> q(QualityModel.logregScore),
+    // compression-ratio quality signal (r15): the REAL zlib deflate
+    // kernel per doc (rows-only — no SQL engine replays zlib; the
+    // repetitive≪prose≪high-entropy ordering is spec-pinned)
+    "q_comp_ratio"     -> q(TextAnalysis.compressionRatio),
     // Cavnar-Trenkle rank-profile LID: char-trigram profiles,
     // out-of-place distance, same train/score harness
     "q_ct_langid"      -> q(TextAnalysis.ctLangId(_)),

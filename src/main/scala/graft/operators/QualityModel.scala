@@ -44,7 +44,7 @@ object QualityModel {
 
   private val Stops = "('the','and','of','to','a')"
   private val Epochs = 6
-  private val LrNum = "64L" // lr = 64/2 = 32
+  private val LrNum = 64L // lr = 64/2 = 32
 
   /** FLOOR division of signed bigints, identical semantics in Spark
     * (`DIV`, truncating) and DuckDB (`//`, flooring): subtract the
@@ -55,6 +55,17 @@ object QualityModel {
   private def zSel(prefix: String = ""): String =
     (0 to 4).map(j => s"${prefix}w$j*x$j").mkString(" + ")
 
+  /** z with the round's weights baked in as LITERALS — the q_kmeans
+    * rule: per-epoch state is 5 longs (BOUNDED, broadcast-dim class),
+    * collected and folded into the next epoch's expression, so each
+    * epoch is ONE job over the cached feature frame instead of a
+    * lineage that re-evaluates every prior epoch (the un-materialized
+    * chain was O(epochs²) plan evaluations — measured 9.2 s at sf0.1,
+    * now ~1 s). The DuckDB oracle keeps the chained-CTE form: same
+    * integers, materialization is an engine concern. */
+  private def zLit(w: Array[Long]): String =
+    (0 to 4).map(j => s"(${w(j)}L)*x$j").mkString(" + ")
+
   /** Hard sigmoid in micro units. `lit` suffixes bigint literals for
     * the Spark dialect ("L") and leaves them bare for DuckDB. */
   private def pSel(div: String): String = {
@@ -63,10 +74,11 @@ object QualityModel {
   }
 
   /** The standardized feature frame f(doc_id, lang, y, x0..x4) and the
-    * trained weight row w(w0..w4). Everything downstream of the raw
-    * text pass is skinny: mu/md are 1-row aggregate frames, w is a
-    * 1-row frame per epoch — each crossJoin broadcast-bounded. */
-  private def parts(t: Tables): (DataFrame, DataFrame) = {
+    * trained weights. Everything downstream of the raw text pass is
+    * skinny: mu/md are 1-row broadcast aggregate frames; per-epoch
+    * weight state is 5 longs collected to the driver and folded back
+    * as literals ([[zLit]]). */
+  private def parts(t: Tables): (DataFrame, Array[Long]) = {
     val d = "DIV"
     val raw = t.documents.filter(length(col("text")) >= 1).selectExpr(
       "doc_id", "lang",
@@ -91,43 +103,40 @@ object QualityModel {
         (1 to 4).map(j =>
           s"LEAST(1000000L, GREATEST(-1000000L, ${fdiv(s"(r$j-m$j)*1000000L", s"4L*d$j", d)})) AS x$j"): _*)
       .persistTracked()
-    var w: DataFrame = f.sparkSession.range(1)
-      .selectExpr((0 to 4).map(j => s"0L AS w$j"): _*)
+    var w = Array.fill(5)(0L)
     for (_ <- 1 to Epochs) {
-      val scored = f.crossJoin(broadcast(w))
-        .withColumn("z", expr(zSel()))
+      val scored = f.withColumn("z", expr(zLit(w)))
         .withColumn("p", expr(pSel(d)))
-      val g = scored.agg(
+      val a = scored.agg(
         expr(fdiv("SUM(x0*(p - y*1000000L))", "COUNT(*)", d)).as("a0"),
         (1 to 4).map(j =>
           expr(fdiv(s"SUM(x$j*(p - y*1000000L))", "COUNT(*)", d)).as(s"a$j")): _*)
-      w = g.crossJoin(broadcast(w)).selectExpr(
-        (0 to 4).map(j => s"w$j - ${fdiv(s"$LrNum*a$j", "2000000L", d)} AS w$j"): _*)
+        .collect().head // 5 longs — bounded driver state per epoch
+      // lr step in exact FLOOR division (Math.floorDiv ≡ the SQL fdiv)
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - Math.floorDiv(LrNum * a.getLong(j), 2000000L) }
     }
     (f, w)
   }
 
-  private def finalScored(t: Tables): DataFrame = {
+  private def finalScored(t: Tables): (DataFrame, Array[Long]) = {
     val (f, w) = parts(t)
-    f.crossJoin(broadcast(w))
-      .withColumn("z", expr(zSel()))
-      .withColumn("p", expr(pSel("DIV")))
+    (f.withColumn("z", expr(zLit(w))).withColumn("p", expr(pSel("DIV"))), w)
   }
 
   /** One-row training report: corpus size, the confusion matrix of the
     * trained classifier against its own distillation labels, and the
     * final weights — the artifact a scoring job broadcasts. */
   def logregTrain(t: Tables): DataFrame = {
-    val pf = finalScored(t)
-    val agg = pf.agg(
+    val (pf, w) = finalScored(t)
+    pf.agg(
       expr("COUNT(*)").as("n_docs"),
       expr("SUM(CASE WHEN p >= 500000L AND y = 1L THEN 1L ELSE 0L END)").as("tp"),
       expr("SUM(CASE WHEN p >= 500000L AND y = 0L THEN 1L ELSE 0L END)").as("fp"),
       expr("SUM(CASE WHEN p <  500000L AND y = 0L THEN 1L ELSE 0L END)").as("tn"),
       expr("SUM(CASE WHEN p <  500000L AND y = 1L THEN 1L ELSE 0L END)").as("fn"))
-    agg.crossJoin(pf.select((0 to 4).map(j => col(s"w$j")): _*).limit(1))
       .selectExpr(Seq("n_docs", "tp", "fp", "tn", "fn") ++
-        (0 to 4).map(j => s"w$j"): _*)
+        (0 to 4).map(j => s"(${w(j)}L) AS w$j"): _*)
   }
 
   /** Per-language scoring report of the trained classifier: how many
@@ -135,7 +144,7 @@ object QualityModel {
     * per-slice audit that catches a filter model quietly dropping one
     * language (the CCNet per-language failure mode). */
   def logregScore(t: Tables): DataFrame =
-    finalScored(t)
+    finalScored(t)._1
       .selectExpr("lang", "y",
         "CASE WHEN p >= 500000L THEN 1L ELSE 0L END AS pred")
       .groupBy(col("lang"))
@@ -184,7 +193,7 @@ object QualityModel {
          |g$e AS MATERIALIZED (SELECT ${(0 to 4).map(j =>
               fd(s"SUM(x$j*(p - y*1000000))", "COUNT(*)") + s" AS a$j").mkString(", ")} FROM p$e),
          |w${e}_ AS MATERIALIZED (SELECT ${(0 to 4).map(j =>
-              s"$prev.w$j - ${fd(s"${LrNum.stripSuffix("L")}*a$j", "2000000")} AS w$j").mkString(", ")} FROM g$e, $prev)""".stripMargin
+              s"$prev.w$j - ${fd(s"${LrNum}*a$j", "2000000")} AS w$j").mkString(", ")} FROM g$e, $prev)""".stripMargin
     }.mkString(",\n")
     val last = s"w${Epochs}_"
     s"""$feats,

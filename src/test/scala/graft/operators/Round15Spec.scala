@@ -108,4 +108,37 @@ class Round15Spec extends SparkSpec {
     val r2 = QualityModel.logregTrain(tables).collect().head
     (5 to 9).foreach(j => assert(r2.getLong(j) == r.head.getLong(j)))
   }
+
+  test("compressionRatio: boilerplate << prose << high-entropy, bands assigned, deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "spam ham " * 400),                         // boilerplate
+      (2L, "en", "the quick brown fox jumps over a lazy dog while " +
+        "seventeen sleepy badgers argue about parquet row groups " +
+        "and a distant churn of compaction threads hums beneath the " +
+        "warehouse floor because every corpus eventually learns that " +
+        "deduplication is a lifestyle rather than a feature flag and " +
+        "the curious reader may wonder why anyone would compress text " +
+        "merely to measure how much it resists being compressed"),
+      (3L, "en", (0 until 200).map(i =>                      // high entropy
+        java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"seed$i".getBytes))).mkString(" ")),
+      (4L, "en", ""),                                        // empty guard
+      (5L, "en", "x")
+    ).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.compressionRatioOf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4),
+        x.getString(5))).toMap
+    val (boiler, prose, entropy) = (r(1L)._2, r(2L)._2, r(3L)._2)
+    info(s"ratios ppm: boilerplate=$boiler prose=$prose entropy=$entropy")
+    assert(boiler < prose && prose < entropy)
+    assert(r(1L)._3 == "boilerplate" && r(2L)._3 == "ok" &&
+      r(3L)._3 == "high_entropy")
+    assert(r(4L)._1 >= 0 && r(5L)._1 > 0) // degenerate docs don't crash
+    // zlib determinism: identical output across independent plans
+    val again = TextAnalysis.compressionRatioOf(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r.keySet.forall(k => again(k) == r(k)._1))
+  }
 }
