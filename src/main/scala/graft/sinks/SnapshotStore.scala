@@ -753,10 +753,12 @@ object SnapshotStore {
     val live: Set[String] =
       (keepFrom to v).flatMap(ver => manifest(path, ver)).toSet
     var dropped = 0L
-    // delete expired manifests
+    // delete expired manifests + their stats sidecars
     (1L until keepFrom).foreach { ver =>
       val f = manifestFile(path, ver)
       if (f.exists()) { f.delete(); () }
+      val st = statsFile(path, ver)
+      if (st.exists()) { st.delete(); () }
       // keep .batch sidecars even when expired: replay detection must
       // survive retention, or a vacuumed table re-ingests an old batch
     }

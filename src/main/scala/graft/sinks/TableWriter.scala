@@ -38,6 +38,23 @@ object TableWriter {
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Parquet BLOOM FILTERS on point-lookup columns (r15): min/max
+    * footer stats prune range scans but are useless for a point lookup
+    * on a high-cardinality unsorted column (every file's [min, max]
+    * straddles the probe). A split-block bloom filter per row group
+    * turns that lookup into "read the filters, open only matching row
+    * groups" — the 100 TB needle-in-haystack read (id lookups,
+    * takedown audits). `ndv` sizes the filter (parquet's
+    * expected-distinct-values knob; ~1 byte/value at the default FPP).
+    * The write is plain parquet + two options per column — sortedness
+    * not required, which is exactly when blooms beat stats. */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     ndv: Long = 100000L): Unit =
+    bloomCols.foldLeft(df.write.mode(SaveMode.Overwrite)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+
   /** Z-ordered rewrite: cluster rows by the Morton code of `dims` so
     * every output file covers a compact hyper-rectangle of the dim
     * space — min/max footer stats then prune files for range filters

@@ -59,10 +59,17 @@ class SnapshotStoreSpec extends SparkSpec {
 
   test("vacuum drops only out-of-retention files; live version intact") {
     val path = freshTable()
-    SnapshotStore.commit(spark.range(50).toDF("id"), path)           // v1
+    SnapshotStore.commit(spark.range(50).toDF("id"), path,
+      statsKey = Some("id"))                                         // v1
     SnapshotStore.compact(spark, path, targetBytes = 1L << 30)       // v2
     SnapshotStore.commit(spark.range(50, 60).toDF("id"), path,
       SaveMode.Append)                                               // v3
+    // a crashed commit's orphan: data dir written, never published
+    val orphan = new java.io.File(new java.io.File(path, "data"),
+      "v00000099-deadbeef")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "part-0.parquet").toPath, "junk".getBytes)
     val dropped = SnapshotStore.vacuum(path, keepVersions = 2)
     assert(dropped > 0) // v1's files are referenced by no retained manifest
     // live version still complete
@@ -72,6 +79,10 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotStore.read(spark, path, Some(1))
     }
+    // orphan data dir collected; expired stats sidecar gone too
+    assert(!orphan.exists())
+    assert(!new java.io.File(new java.io.File(path, "_snapshots"),
+      "v00000001.stats").exists())
   }
 
   test("streaming foreachBatch sink: exactly-once across batch replay") {

@@ -60,6 +60,43 @@ class TableWriterSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/zorder").count() == 128L * 128L)
   }
 
+  test("bloom-filter writes: filters land in the footer for the opted columns only") {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // unsorted high-cardinality ids — the case where min/max stats
+    // cannot prune a point lookup but a bloom filter can
+    val df = spark.range(20000)
+      .select((col("id") * 2654435761L % 1000003L).as("k"),
+        col("id").as("v"))
+    TableWriter.writeWithBloom(df, out, Seq("k"), ndv = 20000L)
+
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getPath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val rg = reader.getRowGroups.get(0)
+      val cols = rg.getColumns.asScala
+      val kCol = cols.find(_.getPath.toDotString == "k").get
+      val vCol = cols.find(_.getPath.toDotString == "v").get
+      val br = reader.getBloomFilterDataReader(rg)
+      assert(br.readBloomFilter(kCol) != null, "bloom filter missing on k")
+      assert(br.readBloomFilter(vCol) == null, "unexpected bloom on v")
+      // the filter answers membership: a present key hits
+      val bloom = br.readBloomFilter(kCol)
+      val someK = df.select("k").head().getLong(0)
+      assert(bloom.findHash(bloom.hash(someK)))
+    } finally reader.close()
+
+    // and the data reads back intact with a correct point lookup
+    val back = spark.read.parquet(out)
+    val probe = df.filter(col("v") === 123).select("k").head().getLong(0)
+    assert(back.filter(col("k") === probe).count() ==
+      df.filter(col("k") === probe).count())
+  }
+
   test("compact: many small files rewritten to few, data and sort preserved") {
     val out = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     // simulate a micro-batch-fragmented table: 64 tiny files
