@@ -294,6 +294,9 @@ object SparkEntry {
     // DuckDB replays the entire fit
     "q_logreg_train"   -> q(QualityModel.logregTrain),
     "q_logreg_score"   -> q(QualityModel.logregScore),
+    // the deployment composition: model-score gate -> exact dedup ->
+    // per-source yield, oracled end-to-end through the trained fit
+    "q_logreg_filter"  -> q(QualityModel.logregFilter),
     // compression-ratio quality signal (r15): the REAL zlib deflate
     // kernel per doc (rows-only — no SQL engine replays zlib; the
     // repetitive≪prose≪high-entropy ordering is spec-pinned)
@@ -2840,6 +2843,7 @@ object SparkEntry {
     // fragments the Spark plan uses (QualityModel.oracle*Sql)
     "q_logreg_train" -> QualityModel.oracleTrainSql,
     "q_logreg_score" -> QualityModel.oracleScoreSql,
+    "q_logreg_filter" -> QualityModel.oracleFilterSql,
 
     "q_nb_classify" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -156,6 +156,28 @@ object QualityModel {
           .as("agree_ppm"))
       .orderBy(col("lang"))
 
+  /** The DEPLOYMENT composition: train, then FILTER the corpus by
+    * model score and dedup the survivors exactly — the
+    * classifier-gated curation pass a production pipeline ships
+    * (model quality gate → md5 exact dedup → per-source yield). One
+    * corpus pass for features, the epochs' gradient aggregates, then
+    * one filter+dedup pass: the model application itself is pure
+    * map-side (5 multiplies per row against literal weights). */
+  def logregFilter(t: Tables): DataFrame = {
+    val (pf, _) = finalScored(t)
+    val kept = pf.filter(expr("p >= 500000L"))
+      .join(t.documents.select(col("doc_id"), col("text"), col("source")),
+        Seq("doc_id"))
+    kept.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("source")).as("source"),
+        count(lit(1)).as("n_copies"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"),
+        expr("SUM(n_copies)").as("n_kept"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
   // ——— DuckDB oracle (generated from the same fragments) ———
 
   private def oracleCtes: String = {
@@ -222,4 +244,17 @@ object QualityModel {
        |  CAST(SUM(y) AS BIGINT) AS n_keep_rule,
        |  CAST(SUM(CASE WHEN (CASE WHEN p >= 500000 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END)*1000000 // COUNT(*) AS BIGINT) AS agree_ppm
        |FROM pf GROUP BY lang ORDER BY lang""".stripMargin
+
+  def oracleFilterSql: String =
+    s"""WITH $oracleCtes,
+       |kept AS (SELECT pf.doc_id, d.text, d.source
+       |         FROM pf JOIN documents d ON pf.doc_id = d.doc_id
+       |         WHERE p >= 500000),
+       |ex AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id,
+       |         MIN(source) AS source, COUNT(*) AS n_copies
+       |       FROM kept GROUP BY md5(text))
+       |SELECT source, COUNT(*) AS n_unique,
+       |  CAST(SUM(n_copies) AS BIGINT) AS n_kept,
+       |  MIN(doc_id) AS first_doc
+       |FROM ex GROUP BY source ORDER BY source""".stripMargin
 }
