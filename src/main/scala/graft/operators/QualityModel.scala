@@ -92,6 +92,7 @@ object QualityModel {
       "stop_ppm AS r2",
       "ttr_ppm AS r3",
       "(LEAST(GREATEST(ml, 4000000L), 8000000L)-4000000L) DIV 4L AS r4")
+      .persistTracked() // mu, md AND f read it — one text pass, not three
     val mu = f0.agg(expr("COUNT(*)").as("n"),
       (1 to 4).map(j => expr(fdiv(s"SUM(r$j)", "COUNT(*)", d)).as(s"m$j")): _*)
     val md = f0.crossJoin(broadcast(mu)).agg(
