@@ -289,37 +289,63 @@ object Similarity {
     * arithmetic (integer squared distances, FLOOR-division M-step) so
     * DuckDB replays the build verbatim. Round-13 A/B vs the previous
     * random-partition M-step: probe ceiling 0.74→1.0 at sf0.1. */
+  /** Exact integer squared L2 between two long arrays — one codegen'd
+    * in-row kernel. Bigint sums are associative and commutative
+    * EXACTLY, so this equals the former per-dim groupBy sum for every
+    * input — the array-native layout is free on the ORACLED paths,
+    * unlike floats where only the rows-only twin could move. */
+  private def l2vL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Micro-snap an embedding to a long array (the shared oracle
+    * quantization, element-wise). */
+  private def snapMicro(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))
+      .cast("long"))
+
+  /** Per-dim FLOOR-mean of grouped long vectors, repacked to arrays —
+    * the exact M-step ([[centroidUpdate]]'s quantization) in the
+    * array layout: ONE explode pass, map-side combined (group, dim)
+    * partials with the shared FLOOR(double-division) text, ordered
+    * repack (sort by dim inside a bounded dims-length list). */
+  private def meanVecFloorImpl(df: DataFrame, groupCols: Seq[String],
+                               vecCol: String): DataFrame =
+    df.select(groupCols.map(col) :+
+        posexplode(col(vecCol)).as(Seq("dim", "x")): _*)
+      .groupBy((groupCols :+ "dim").map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("sm"))
+      .select(groupCols.map(col) :+ col("dim") :+
+        expr("CAST(FLOOR(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
+          .as("cm"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cm")))),
+        _.getField("cm")).as(vecCol))
+
   private def exactCoarse(v: DataFrame, nlist: Int): DataFrame = {
     val c0 = v.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("b"), col("dim"), col("m").as("cm"))
+      .select(col("vec_id").as("b"), col("e").as("ce"))
     val d0w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
-    val a0 = v.join(broadcast(c0), Seq("dim"))
-      .groupBy(col("vec_id"), col("b"))
-      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+    val a0 = v.crossJoin(broadcast(c0))
+      .select(col("vec_id"), col("b"), l2vL(col("e"), col("ce")).as("d2"))
       .withColumn("rn", row_number().over(d0w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("b"))
-    val mm = v.join(a0, Seq("vec_id"))
-      .groupBy(col("b"), col("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("sm"))
-      .select(col("b"), col("dim"),
-        expr("CAST(FLOOR(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
-          .as("cmm"))
-    c0.withColumnRenamed("cm", "cm0")
-      .join(mm, Seq("b", "dim"), "left")
-      .select(col("b"), col("dim"), coalesce(col("cmm"), col("cm0")).as("cm"))
+    val mm = meanVecFloorImpl(v.join(a0, Seq("vec_id")), Seq("b"), "e")
+      .withColumnRenamed("e", "cm")
+    // a bucket with members has every dim: whole-array coalesce ≡ the
+    // former per-dim coalesce
+    c0.join(mm, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cm"), col("ce")).as("ce"))
   }
+
 
   def ivfKnnExact(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
                   nQueries: Int = 10): DataFrame = {
-    val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
     val v = spread(t.embeddings)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"), m.as("m"))
+      .select(col("vec_id"), snapMicro(col("embedding")).as("e"))
       .persistTracked() // feeds centroids, both distance passes (see tfIdf)
     val cent = exactCoarse(v, nlist)
-    val dist = v.join(broadcast(cent), Seq("dim"))
-      .groupBy(col("vec_id"), col("b"))
-      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+    val dist = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("b"), l2vL(col("e"), col("ce")).as("d2"))
       .persistTracked() // feeds assignment + query probes
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
     val assign = dist.withColumn("rn", row_number().over(aw))
@@ -333,13 +359,15 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
     val qv = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("dim"), col("m").as("qm"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    // one in-row integer kernel per admitted pair — identical bigints
+    // to the former per-dim join + groupBy sum
     val pd = cand
       .join(broadcast(qv), Seq("query_id"))
-      .join(v.select(col("vec_id").as("neighbor_id"), col("dim"), col("m").as("nm")),
-        Seq("neighbor_id", "dim"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum((col("qm") - col("nm")) * (col("qm") - col("nm"))).as("d2"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        l2vL(col("qe"), col("e")).as("d2"))
     val kw = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("neighbor_id"))
     pd.withColumn("rank", row_number().over(kw).cast("long"))
@@ -527,30 +555,30 @@ object Similarity {
   def ivfPqKnnExact(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
                     dimsPerSub: Int = 2, nCent: Int = 16,
                     nQueries: Int = 10): DataFrame = {
-    val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
     val v = spread(t.embeddings)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"), m.as("m"))
+      .select(col("vec_id"), snapMicro(col("embedding")).as("e"))
       .persistTracked() // feeds coarse codebook, residuals, query residuals
     // Coarse codebook: the shared Forgy + one-Lloyd exact build
     // ([[exactCoarse]] — same init as the residual codebook AND the
-    // float twin; oracle replays it verbatim).
+    // float twin; oracle replays it verbatim). ARRAY-NATIVE (r15):
+    // every distance below is one in-row [[l2vL]] kernel — bigint
+    // sums are order-independent, so the layout change is invisible
+    // to the oracle (hash-identical results, re-verified).
     val cent = exactCoarse(v, nlist)
       .persistTracked() // joined by the distance pass and BOTH residual passes
-    val dist = v.join(broadcast(cent), Seq("dim"))
-      .groupBy(col("vec_id"), col("b"))
-      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+    val dist = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("b"), l2vL(col("e"), col("ce")).as("d2"))
       .persistTracked() // assignment + query probes
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
     val assign = dist.withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1).select(col("vec_id"), col("b"))
-    val subCols = Seq(
-      expr(s"CAST(dim DIV $dimsPerSub AS BIGINT)").as("s"),
-      expr(s"CAST(dim % $dimsPerSub AS BIGINT)").as("sd"))
-    val resid = v.join(assign, Seq("vec_id"))
-      .join(broadcast(cent), Seq("b", "dim"))
-      .select(Seq(col("vec_id"), col("b")) ++ subCols :+
-        (col("m") - col("cm")).as("r"): _*)
+    // residual SUBSPACE rows: dims/dimsPerSub per vector (one row per
+    // CODE), sliced from the in-row residual array
+    val resid = subRows(
+      v.join(assign, Seq("vec_id")).join(broadcast(cent), Seq("b"))
+        .select(col("vec_id"), col("b"),
+          zip_with(col("e"), col("ce"), (x, y) => x - y).as("r")),
+      "r", dimsPerSub)
       .persistTracked() // residual codebook + code assignment
     // Residual codebook: Forgy init (centroid c = vector c's residual
     // subvector — genuinely spread seeds, unlike a random-partition
@@ -561,42 +589,39 @@ object Similarity {
     // what probing admits) + ONE exact Lloyd round with empty-cluster
     // carry (the q_kmeans pattern).
     val rcent0 = resid.filter(col("vec_id") < nCent)
-      .select(col("s"), col("vec_id").cast("long").as("c"), col("sd"),
-        col("r").as("rc"))
+      .select(col("s"), col("vec_id").cast("long").as("c"),
+        col("rv").as("rc"))
     val cw = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("rd2"), col("c"))
-    val a1 = resid.join(broadcast(rcent0), Seq("s", "sd"))
-      .groupBy(col("vec_id"), col("s"), col("c"))
-      .agg(sum((col("r") - col("rc")) * (col("r") - col("rc"))).as("rd2"))
+    val a1 = resid.join(broadcast(rcent0), Seq("s"))
+      .select(col("vec_id"), col("s"), col("c"),
+        l2vL(col("rv"), col("rc")).as("rd2"))
       .withColumn("rn", row_number().over(cw)).filter(col("rn") === 1)
       .select(col("vec_id"), col("s"), col("c"))
-    val m1 = resid.join(a1, Seq("vec_id", "s"))
-      .groupBy(col("s"), col("c"), col("sd"))
-      .agg(count(lit(1)).as("n"), sum(col("r")).cast("long").as("sr"))
-      .select(col("s"), col("c"), col("sd"),
-        expr("CAST(FLOOR(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
-          .as("rc"))
-    val rcent = rcent0.withColumnRenamed("rc", "rc0")
-      .join(m1, Seq("s", "c", "sd"), "left")
-      .select(col("s"), col("c"), col("sd"),
-        coalesce(col("rc"), col("rc0")).as("rc"))
-    val codes = resid.join(broadcast(rcent), Seq("s", "sd"))
-      .groupBy(col("vec_id"), col("s"), col("c"))
-      .agg(sum((col("r") - col("rc")) * (col("r") - col("rc"))).as("rd2"))
+    val m1 = meanVecFloorImpl(
+      resid.join(a1, Seq("vec_id", "s")), Seq("s", "c"), "rv")
+      .withColumnRenamed("rv", "rcm")
+    val rcent = rcent0.join(m1, Seq("s", "c"), "left")
+      .select(col("s"), col("c"), coalesce(col("rcm"), col("rc")).as("rc"))
+    val codes = resid.join(broadcast(rcent), Seq("s"))
+      .select(col("vec_id"), col("s"), col("c"),
+        l2vL(col("rv"), col("rc")).as("rd2"))
       .withColumn("rn", row_number().over(cw)).filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("s"), col("c"))
     val probes = dist.filter(col("vec_id") < nQueries)
       .withColumn("rn", row_number().over(aw)).filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("b"))
-    val qresid = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("dim"), col("m").as("qm"))
-      .join(probes, Seq("query_id")) // queries×nprobe rows — AQE broadcasts
-      .join(broadcast(cent), Seq("b", "dim"))
-      .select(Seq(col("query_id"), col("b")) ++ subCols :+
-        (col("qm") - col("cm")).as("qr"): _*)
-    val lut = qresid.join(broadcast(rcent), Seq("s", "sd"))
-      .groupBy(col("query_id"), col("b"), col("s"), col("c"))
-      .agg(sum((col("qr") - col("rc")) * (col("qr") - col("rc"))).as("ld"))
+    val qresid = subRows(
+      v.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("e"))
+        .join(probes, Seq("query_id")) // queries×nprobe rows
+        .join(broadcast(cent), Seq("b"))
+        .select(col("query_id"), col("b"),
+          zip_with(col("e"), col("ce"), (x, y) => x - y).as("r")),
+      "r", dimsPerSub)
+    val lut = qresid.join(broadcast(rcent), Seq("s"))
+      .select(col("query_id"), col("b"), col("s"), col("c"),
+        l2vL(col("rv"), col("rc")).as("ld"))
     val adc = codes
       .join(assign.select(col("vec_id").as("neighbor_id"), col("b")),
         Seq("neighbor_id"))
