@@ -434,29 +434,26 @@ object Similarity {
     * code (nearest centroid by exact integer distance). */
   private def pqParts(t: Tables, dimsPerSub: Int, nCent: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val m = floor(col("x").cast("double") * 1000000d + 0.5d).cast("long")
-    val vals = t.embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"),
-        expr(s"CAST(dim DIV $dimsPerSub AS BIGINT)").as("s"),
-        expr(s"CAST(dim % $dimsPerSub AS BIGINT)").as("sd"),
-        m.as("m"))
+    // ARRAY-NATIVE (r15): one subspace row per CODE (dims/dimsPerSub
+    // per vector), distances as in-row [[l2vL]] kernels — bigint sums
+    // are order-independent, so results are hash-identical to the
+    // former per-dim explode + groupBy layout (oracle re-verified).
+    val vals = subRows(
+      t.embeddings.select(col("vec_id"),
+        snapMicro(col("embedding")).as("e")),
+      "e", dimsPerSub)
     val seed = conv(substring(md5(concat(col("vec_id").cast("string"),
       lit(":"), col("s").cast("string"))), 1, 8), 16, 10)
       .cast("long") % nCent
-    val cent = vals
-      .withColumn("c", seed)
-      .groupBy(col("s"), col("c"), col("sd"))
-      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("sm"))
-      .select(col("s"), col("c"), col("sd"),
-        expr("CAST(FLOOR(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")
-          .as("cm"))
+    val cent = meanVecFloorImpl(
+      vals.withColumn("c", seed), Seq("s", "c"), "rv")
+      .withColumnRenamed("rv", "cm")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("s"))
       .orderBy(col("d2"), col("c"))
-    val codes = vals.join(broadcast(cent), Seq("s", "sd"))
-      .groupBy(col("vec_id"), col("s"), col("c"))
-      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("d2"))
+    val codes = vals.join(broadcast(cent), Seq("s"))
+      .select(col("vec_id"), col("s"), col("c"),
+        l2vL(col("rv"), col("cm")).as("d2"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("s"), col("c"), col("d2"))
     (vals, cent, codes)
@@ -509,9 +506,9 @@ object Similarity {
     val (vals, cent, codes) = pqParts(t, dimsPerSub, nCent)
     val lut = vals.filter(col("vec_id") < nQueries)
       .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(cent), Seq("s", "sd"))
-      .groupBy(col("query_id"), col("s"), col("c"))
-      .agg(sum((col("m") - col("cm")) * (col("m") - col("cm"))).as("ld"))
+      .join(broadcast(cent), Seq("s"))
+      .select(col("query_id"), col("s"), col("c"),
+        l2vL(col("rv"), col("cm")).as("ld"))
     val adc = codes.join(broadcast(lut), Seq("s", "c"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
