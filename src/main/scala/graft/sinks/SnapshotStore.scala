@@ -733,6 +733,37 @@ object SnapshotStore {
     commitLocked(out, path, Nil, None, key)
   }
 
+  /** Z-ORDER compaction (Delta's OPTIMIZE ZORDER BY as a snapshot
+    * commit): rewrite the live version clustered by the Morton code of
+    * `dims`, so every output file covers a compact hyper-rectangle and
+    * min/max footer stats prune range filters on ANY of the dims —
+    * where [[compact]]'s single-key range sort prunes only its leading
+    * key. Same commit discipline: readers pinned at the old version
+    * are untouched, the rewrite is just the next version, the stats
+    * sidecar is re-recorded on `statsKey` (default: the first dim) so
+    * mergeCommit keeps pruning. One skinny quantile pass (ZOrder's
+    * per-dim buckets) + one range shuffle on `_z`. */
+  def compactZOrdered(spark: SparkSession, path: String,
+                      dims: Seq[String],
+                      targetBytes: Long = 128L << 20,
+                      statsKey: Option[String] = None): Long =
+    withLock(path) {
+      import org.apache.spark.sql.functions.col
+      require(dims.nonEmpty, "compactZOrdered: need at least one dim")
+      val v = latestVersion(path)
+      require(v > 0, s"no committed snapshot under $path")
+      val files = manifest(path, v)
+      val bytes = files.map(f => new File(f).length()).sum
+      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val df = spark.read.parquet(files: _*)
+      val out = graft.functions.ZOrder.withZ(df, dims)
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+      val key = statsKey.orElse(dims.headOption)
+      commitLocked(out, path, Nil, None, key)
+    }
+
   /** Drop data files referenced by NO manifest in the retained window
     * (the newest `keepVersions` manifests). Old manifests outside the
     * window are deleted too: time travel is bounded by retention,

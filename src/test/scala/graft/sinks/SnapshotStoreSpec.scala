@@ -220,6 +220,33 @@ class SnapshotStoreSpec extends SparkSpec {
       Seq(200L, 201L, 202L))
   }
 
+  test("compactZOrdered: multi-dim pruning survives as a snapshot commit") {
+    val path = freshTable()
+    val grid = spark.range(128L * 128L)
+      .select((col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    // many small files, linear by x — y filters prune nothing
+    SnapshotStore.commit(grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions("x"), path, statsKey = Some("x"))
+    val v2 = SnapshotStore.compactZOrdered(spark, path, Seq("x", "y"),
+      targetBytes = 2L << 10)
+    assert(v2 == 2)
+    def touched(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(input_file_name().as("f"))
+        .agg(min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+        .filter(col("ymax") >= 16 && col("ymin") <= 23).count()
+    val zFiles = SnapshotStore.read(spark, path).inputFiles.length
+    // a SECOND-dim band touches a minority of the z-ordered files,
+    // while the linear v1 layout spans y fully in every file
+    assert(touched(SnapshotStore.read(spark, path)) <= zFiles / 2,
+      s"z-order did not localize y: ${touched(SnapshotStore.read(spark, path))}/$zFiles")
+    assert(touched(SnapshotStore.read(spark, path, Some(1))) >= 15L)
+    // rows preserved; pinned v1 reader unaffected; stats sidecar kept
+    assert(SnapshotStore.read(spark, path).count() == 128L * 128L)
+    assert(SnapshotStore.read(spark, path, Some(1)).count() == 128L * 128L)
+    assert(SnapshotStore.readWhere(spark, path, "x", 0, 10)
+      .inputFiles.length < zFiles) // x-stats re-recorded and selective
+  }
+
   test("timestamp time travel + history: #ts manifest header anchors readAsOf") {
     val path = freshTable()
     SnapshotStore.commit(spark.range(3).toDF("id"), path)           // v1
