@@ -84,9 +84,11 @@ class TableWriterSpec extends SparkSpec {
       val br = reader.getBloomFilterDataReader(rg)
       assert(br.readBloomFilter(kCol) != null, "bloom filter missing on k")
       assert(br.readBloomFilter(vCol) == null, "unexpected bloom on v")
-      // the filter answers membership: a present key hits
+      // the filter answers membership: a key from THIS file hits
+      // (a key from another output file may legitimately miss)
       val bloom = br.readBloomFilter(kCol)
-      val someK = df.select("k").head().getLong(0)
+      val someK = spark.read.parquet(file.getPath)
+        .select("k").head().getLong(0)
       assert(bloom.findHash(bloom.hash(someK)))
     } finally reader.close()
 
