@@ -275,6 +275,9 @@ object SparkEntry {
     // oracled against the SAME SQL as their literal-map twins
     "q_unigram_encode_join" -> q(TextAnalysis.unigramEncodeJoined(_)),
     "q_wordpiece_encode_join" -> q(TextAnalysis.wordpieceEncodeJoined(_)),
+    // deploy-time vocab mismatch: clean-corpus vocab vs OOV-corrupted
+    // docs — BERT's [UNK] arm exercised and oracled (r15)
+    "q_wordpiece_unk" -> q(TextAnalysis.wordpieceEncodeUnk(_)),
     // one Viterbi-EM training round under the same seed vocab: path-
     // carrying DP → usage counts → re-estimated costs + prune set
     "q_unigram_train"  -> q(TextAnalysis.unigramTrain(_)),
@@ -2678,6 +2681,72 @@ object SparkEntry {
         |enc AS (SELECT tok, np, cost FROM wp WHERE pos = length(tok) + 1)
         |SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_words,
         |       CAST(SUM(dt.c * enc.np) AS BIGINT) AS n_pieces,
+        |       CAST(SUM(dt.c * enc.cost) AS BIGINT) AS cost_units
+        |FROM dt JOIN enc USING (tok)
+        |GROUP BY dt.doc_id
+        |ORDER BY dt.doc_id""".stripMargin,
+
+    // deploy-time vocabulary mismatch: vocab from the CLEAN corpus,
+    // tokens from the vowel→digit corrupted third — the [UNK] arm
+    // (LEFT-joined v1, fixed cost 63, per-doc nu counter)
+    "q_wordpiece_unk" ->
+      """WITH RECURSIVE
+        |dt AS MATERIALIZED (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(
+        |          CASE WHEN doc_id % 3 = 0 THEN translate(text, 'aei', '015')
+        |               ELSE text END, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) >= 1 GROUP BY doc_id, tok),
+        |toks AS MATERIALIZED (SELECT tok, CAST(SUM(c) AS BIGINT) AS c FROM dt GROUP BY tok),
+        |ct AS MATERIALIZED (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) >= 1 GROUP BY tok),
+        |q0 AS (SELECT tok, c, unnest(generate_series(1, length(tok))) AS i FROM ct),
+        |q1 AS (SELECT tok, c, i, unnest([1,2,3,4]) AS l FROM q0),
+        |inv AS MATERIALIZED (
+        |  SELECT substr(tok, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        |         CAST(SUM(c) AS BIGINT) AS cnt
+        |  FROM q1 WHERE i + l - 1 <= length(tok) GROUP BY 1),
+        |vocab AS MATERIALIZED (
+        |  SELECT piece, CAST(40 - length(bin(cnt)) AS BIGINT) AS cost
+        |  FROM inv WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, CAST(40 - length(bin(cnt)) AS BIGINT) AS cost FROM
+        |    (SELECT piece, cnt FROM inv WHERE length(piece) >= 2
+        |     ORDER BY cnt DESC, piece LIMIT 64)),
+        |wp AS (
+        |  SELECT tok, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np,
+        |         CAST(0 AS BIGINT) AS nu, CAST(0 AS BIGINT) AS cost
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT tok, pos + k, np + 1, nu + u, cost + c FROM (
+        |    SELECT wp.tok, wp.pos, wp.np, wp.nu, wp.cost,
+        |      CASE WHEN v4.cost IS NOT NULL THEN 4
+        |           WHEN v3.cost IS NOT NULL THEN 3
+        |           WHEN v2.cost IS NOT NULL THEN 2 ELSE 1 END AS k,
+        |      CASE WHEN v4.cost IS NOT NULL THEN v4.cost
+        |           WHEN v3.cost IS NOT NULL THEN v3.cost
+        |           WHEN v2.cost IS NOT NULL THEN v2.cost
+        |           WHEN v1.cost IS NOT NULL THEN v1.cost
+        |           ELSE 63 END AS c,
+        |      CASE WHEN v4.cost IS NULL AND v3.cost IS NULL
+        |            AND v2.cost IS NULL AND v1.cost IS NULL
+        |           THEN 1 ELSE 0 END AS u
+        |    FROM wp
+        |    LEFT JOIN vocab v4 ON wp.pos + 3 <= length(wp.tok)
+        |      AND v4.piece = substr(wp.tok, CAST(wp.pos AS INT), 4)
+        |    LEFT JOIN vocab v3 ON wp.pos + 2 <= length(wp.tok)
+        |      AND v3.piece = substr(wp.tok, CAST(wp.pos AS INT), 3)
+        |    LEFT JOIN vocab v2 ON wp.pos + 1 <= length(wp.tok)
+        |      AND v2.piece = substr(wp.tok, CAST(wp.pos AS INT), 2)
+        |    LEFT JOIN vocab v1 ON v1.piece = substr(wp.tok, CAST(wp.pos AS INT), 1)
+        |    WHERE wp.pos <= length(wp.tok)) s),
+        |enc AS (SELECT tok, np, nu, cost FROM wp WHERE pos = length(tok) + 1)
+        |SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_words,
+        |       CAST(SUM(dt.c * enc.np) AS BIGINT) AS n_pieces,
+        |       CAST(SUM(dt.c * enc.nu) AS BIGINT) AS n_unk,
         |       CAST(SUM(dt.c * enc.cost) AS BIGINT) AS cost_units
         |FROM dt JOIN enc USING (tok)
         |GROUP BY dt.doc_id

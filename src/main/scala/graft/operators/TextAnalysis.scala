@@ -1371,6 +1371,72 @@ object TextAnalysis {
 
   /** The WordPiece greedy consume fold under a piece→cost map column
     * (literal or per-row — see [[unigramDp]] for the distinction). */
+  /** [[wordpieceFold]] with BERT's [UNK] arm: when not even a
+    * single-character piece is in the vocabulary, consume ONE char as
+    * an unknown (fixed `unkCost`, `nu` counter) and move on — the
+    * deploy-time rule the seed-alphabet assumption hides. */
+  private def wordpieceFoldUnk(costMap: Column, maxPieceLen: Int,
+                               unkCost: Long): Column = {
+    val zero = struct(lit(1L).as("pos"), lit(0L).as("np"),
+      lit(0L).as("nu"), lit(0L).as("cost"))
+    aggregate(sequence(lit(1), length(col("tok"))), zero,
+      (acc, i) => {
+        val pos = acc.getField("pos")
+        def candCost(k: Int) =
+          try_element_at(costMap, col("tok").substr(i, lit(k)))
+        def consume(k: Int) = struct(
+          (pos + lit(k.toLong)).as("pos"),
+          (acc.getField("np") + lit(1L)).as("np"),
+          acc.getField("nu").as("nu"),
+          (acc.getField("cost") + candCost(k)).as("cost"))
+        val unk = struct(
+          (pos + lit(1L)).as("pos"),
+          (acc.getField("np") + lit(1L)).as("np"),
+          (acc.getField("nu") + lit(1L)).as("nu"),
+          (acc.getField("cost") + lit(unkCost)).as("cost"))
+        val base = when(candCost(1).isNotNull, consume(1)).otherwise(unk)
+        val matched = (maxPieceLen to 2 by -1).foldRight(base) {
+          (k, shorter) =>
+            when(i + lit(k - 1) <= length(col("tok")) &&
+              candCost(k).isNotNull, consume(k))
+              .otherwise(shorter)
+        }
+        when(i < pos, acc).otherwise(matched)
+      })
+  }
+
+  /** WordPiece under DEPLOY-TIME vocabulary mismatch (the [UNK] rule
+    * the in-corpus encoders never exercise): the vocabulary is
+    * trained on the CLEAN corpus, but a deterministic third of the
+    * documents arrive with out-of-alphabet characters (vowels →
+    * digits; the corpus alphabet contains no digits), so even the
+    * single-char fallback misses and the encoder must emit [UNK]
+    * pieces — fixed cost 63, counted per document. This is what
+    * encoding tomorrow's crawl with today's shipped tokenizer looks
+    * like; the per-doc n_unk column is the drift alarm.
+    *
+    * Scale: identical to [[wordpieceEncode]] — per word TYPE, one
+    * aggregate HOF against the bounded cost-map literal; the corpus
+    * pays the (doc, tok) partial count plus the rollup equi-join. */
+  def wordpieceEncodeUnk(t: Tables, maxPieceLen: Int = 4, topV: Int = 64,
+                         unkCost: Long = 63L): DataFrame = {
+    val (_, _, vocab) = subwordSeed(t.documents, maxPieceLen, topV)
+    val deploy = t.documents.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        translate(col("text"), "aei", "015"))
+        .otherwise(col("text")).as("text"))
+    val (docsToks, toks, _) = subwordSeed(deploy, maxPieceLen, topV)
+    val enc = wordpieceFoldUnk(subwordCostMap(vocab), maxPieceLen, unkCost)
+    val encoded = toks.select(col("tok"), enc.as("e"))
+    docsToks.join(encoded, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_words"),
+        sum(col("c") * col("e.np")).cast("long").as("n_pieces"),
+        sum(col("c") * col("e.nu")).cast("long").as("n_unk"),
+        sum(col("c") * col("e.cost")).cast("long").as("cost_units"))
+      .orderBy(col("doc_id"))
+  }
+
   private def wordpieceFold(costMap: Column, maxPieceLen: Int): Column = {
     val zero = struct(lit(1L).as("pos"), lit(0L).as("np"), lit(0L).as("cost"))
     aggregate(sequence(lit(1), length(col("tok"))), zero,
