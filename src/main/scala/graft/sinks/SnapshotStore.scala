@@ -144,11 +144,12 @@ object SnapshotStore {
     val v = version.getOrElse(latestVersion(path))
     require(v > 0, s"no committed snapshot under $path")
     val files = manifest(path, v)
-    // prune only when the sidecar tracks THIS column; a sidecar over a
-    // different column (or none) prunes nothing but still filters
-    val ranges =
-      if (statsKeyOf(path, v).contains(key)) stats(path, v)
-      else Map.empty[String, (Long, Long)]
+    // prune when the sidecar tracks THIS column — primary or any
+    // extra (the compactZOrdered multi-dim case); a sidecar over only
+    // other columns prunes nothing but still filters
+    val ranges: Map[String, (Long, Long)] = statsAll(path, v).collect {
+      case ((c, f), r) if c == key => f -> r
+    }
     val kept = files.filter(f =>
       ranges.get(f).forall { case (flo, fhi) => fhi >= lo && flo <= hi })
     val pruned =
@@ -250,7 +251,8 @@ object SnapshotStore {
     * stats layer [[mergeCommit]] prunes with. */
   private def commitLocked(df: DataFrame, path: String,
                            carried: Seq[String], batchId: Option[Long],
-                           statsKey: Option[String]): Long = {
+                           statsKey: Option[String],
+                           extraStatsCols: Seq[String] = Nil): Long = {
     val prev = latestVersion(path)
     val v = prev + 1
     val dataDir = new File(new File(path, "data"),
@@ -264,28 +266,50 @@ object SnapshotStore {
     require(fresh.nonEmpty || carried.nonEmpty,
       s"snapshot commit: empty write for $path")
     statsKey.foreach { key =>
+      val cols = (key +: extraStatsCols).distinct
       val spark = df.sparkSession
-      val freshStats =
-        if (fresh.isEmpty) Map.empty[String, (Long, Long)]
-        else spark.read.parquet(fresh: _*)
-          .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
-          .agg(org.apache.spark.sql.functions.min(key).cast("long").as("lo"),
-            org.apache.spark.sql.functions.max(key).cast("long").as("hi"))
-          .collect()
-          .map(r => normalizePath(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
-          .toMap
-      val carriedStats =
-        if (prev > 0) stats(path, prev) else Map.empty[String, (Long, Long)]
-      val all = (carried ++ fresh).flatMap { f =>
-        freshStats.get(f).orElse(carriedStats.get(f)).map(f -> _)
-      }
-      // the sidecar records WHICH column it tracks, so maintenance
-      // commits (compact without sortCols) can keep recording it
-      // instead of silently dropping the pruning layer
+      // one skinny agg over the fresh files for ALL tracked columns
+      val freshStats: Map[(String, String), (Long, Long)] =
+        if (fresh.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.functions.{input_file_name, min, max}
+          spark.read.parquet(fresh: _*)
+            .groupBy(input_file_name().as("f"))
+            .agg(min(cols.head).cast("long").as(s"lo_0"),
+              (max(cols.head).cast("long").as(s"hi_0") +:
+                cols.tail.zipWithIndex.flatMap { case (c, i) =>
+                  Seq(min(c).cast("long").as(s"lo_${i + 1}"),
+                    max(c).cast("long").as(s"hi_${i + 1}"))
+                }): _*)
+            .collect()
+            .flatMap { r =>
+              val f = normalizePath(r.getString(0))
+              cols.zipWithIndex.map { case (c, i) =>
+                (c, f) -> (r.getAs[Long](s"lo_$i"), r.getAs[Long](s"hi_$i"))
+              }
+            }.toMap
+        }
+      val carriedStats: Map[(String, String), (Long, Long)] =
+        if (prev > 0) statsAll(path, prev) else Map.empty
+      val all = for {
+        c <- cols
+        f <- carried ++ fresh
+        r <- freshStats.get((c, f)).orElse(carriedStats.get((c, f)))
+      } yield (c, f, r)
+      // the sidecar records WHICH columns it tracks (#key= primary for
+      // back-compat, #cols= the full list when more than one), so
+      // maintenance commits can keep recording instead of silently
+      // dropping the pruning layer. Single-column sidecars keep the
+      // legacy 3-field line format; multi-column ones tag each line.
+      val body =
+        if (cols.size == 1)
+          all.map { case (_, f, (lo, hi)) => s"$f\t$lo\t$hi" }
+        else
+          all.map { case (c, f, (lo, hi)) => s"$f\t$c\t$lo\t$hi" }
       atomicWrite(statsFile(path, v),
         s"#key=$key\n" +
-          all.map { case (f, (lo, hi)) => s"$f\t$lo\t$hi" }
-            .mkString("\n") + "\n")
+          (if (cols.size > 1) s"#cols=${cols.mkString(",")}\n" else "") +
+          body.mkString("\n") + "\n")
     }
     publish(path, v, carried ++ fresh, batchId)
     v
@@ -298,17 +322,35 @@ object SnapshotStore {
   private def normalizePath(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
-  /** Per-file (min, max) key ranges recorded at commit time, empty if
+  /** Per-file (min, max) ranges of the PRIMARY stats column, empty if
     * the version has no stats sidecar (then nothing can be pruned). */
-  private def stats(path: String, v: Long): Map[String, (Long, Long)] = {
+  private def stats(path: String, v: Long): Map[String, (Long, Long)] =
+    statsKeyOf(path, v) match {
+      case None => Map.empty
+      case Some(k) => statsAll(path, v).collect {
+        case ((c, f), r) if c == k => f -> r
+      }
+    }
+
+  /** ALL recorded per-file ranges, keyed (column, file). Single-column
+    * (legacy 3-field) sidecars attribute their lines to the `#key=`
+    * column; multi-column sidecars tag each line. */
+  private def statsAll(path: String, v: Long)
+      : Map[(String, String), (Long, Long)] = {
     val f = statsFile(path, v)
     if (!f.exists()) Map.empty
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      .filterNot(_.startsWith("#"))
-      .map { l =>
-        val a = l.split("\t"); (a(0), (a(1).toLong, a(2).toLong))
+    else {
+      val lines = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).split("\n").toSeq.map(_.trim)
+        .filter(_.nonEmpty)
+      val primary = lines.find(_.startsWith("#key="))
+        .map(_.stripPrefix("#key=").trim).getOrElse("")
+      lines.filterNot(_.startsWith("#")).map { l =>
+        val a = l.split("\t")
+        if (a.length == 3) (primary, a(0)) -> (a(1).toLong, a(2).toLong)
+        else (a(1), a(0)) -> (a(2).toLong, a(3).toLong)
       }.toMap
+    }
   }
 
   /** The column a version's stats sidecar tracks (its `#key=` header),
@@ -760,8 +802,12 @@ object SnapshotStore {
         .repartitionByRange(nFiles, col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
+      // record per-file ranges for EVERY dim: z-ordered files cover
+      // compact hyper-rectangles, so the multi-column sidecar makes
+      // readWhere file-prune on ANY dim, not just the primary
       val key = statsKey.orElse(dims.headOption)
-      commitLocked(out, path, Nil, None, key)
+      commitLocked(out, path, Nil, None, key,
+        extraStatsCols = dims.filterNot(key.contains))
     }
 
   /** Drop data files referenced by NO manifest in the retained window

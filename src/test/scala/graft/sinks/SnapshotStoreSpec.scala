@@ -245,6 +245,13 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, path, Some(1)).count() == 128L * 128L)
     assert(SnapshotStore.readWhere(spark, path, "x", 0, 10)
       .inputFiles.length < zFiles) // x-stats re-recorded and selective
+    // multi-column sidecar (r15): readWhere file-prunes on the SECOND
+    // dim too — z-files cover compact hyper-rectangles and every dim's
+    // per-file range is recorded
+    val yNarrow = SnapshotStore.readWhere(spark, path, "y", 16, 23)
+    assert(yNarrow.inputFiles.length < zFiles,
+      s"y-range readWhere did not prune: ${yNarrow.inputFiles.length}/$zFiles")
+    assert(yNarrow.count() == 8L * 128L)
   }
 
   test("timestamp time travel + history: #ts manifest header anchors readAsOf") {
