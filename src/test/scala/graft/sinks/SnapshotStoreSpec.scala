@@ -252,6 +252,19 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(yNarrow.inputFiles.length < zFiles,
       s"y-range readWhere did not prune: ${yNarrow.inputFiles.length}/$zFiles")
     assert(yNarrow.count() == 8L * 128L)
+
+    // a later SINGLE-key append keeps the primary's carried stats but
+    // drops the extra column (documented: re-run compactZOrdered to
+    // refresh multi-dim pruning) — y reads DEGRADE to full + filter,
+    // never to a wrong answer
+    SnapshotStore.commit(
+      spark.range(200).select(lit(200L).as("x"), col("id").as("y")),
+      path, SaveMode.Append, statsKey = Some("x"))
+    val afterFiles = SnapshotStore.read(spark, path).inputFiles.length
+    assert(SnapshotStore.readWhere(spark, path, "x", 0, 10)
+      .inputFiles.length < afterFiles) // primary still prunes
+    val yAfter = SnapshotStore.readWhere(spark, path, "y", 16, 23)
+    assert(yAfter.count() == 8L * 128L + 8L) // correct through degrade
   }
 
   test("timestamp time travel + history: #ts manifest header anchors readAsOf") {
