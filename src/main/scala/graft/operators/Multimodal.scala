@@ -615,20 +615,35 @@ object Multimodal {
     * gzip → disk → binaryFile → inflate → regroup loop is gated in
     * DuckDB. */
   def webdatasetGzFromDisk(t: Tables, docsPerShard: Int = 64,
-                           nSamples: Int = 512): DataFrame = {
+                           nSamples: Int = 512,
+                           stagingUri: Option[String] = None): DataFrame = {
     val spark = t.documents.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft-wds-gz").toString
+    // Shard PUTs go through the Hadoop FileSystem API against ONE
+    // URI (`stagingUri`, e.g. s3a://bucket/stage or hdfs:///stage),
+    // so the executor-side writes and the driver-side binaryFile glob
+    // resolve to the same store on a real cluster — a bare
+    // java.nio path would land on each executor's local disk and the
+    // glob would miss every shard. The default (a driver temp dir) is
+    // the local-mode/shared-FS convenience only.
+    val dir = stagingUri.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-wds-gz").toUri.toString)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     graft.sources.TarShards.gzipShards(webdatasetShards(t, docsPerShard, nSamples))
       .select(col("shard_id"), col("tar"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(confB.value.value)
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, f"shard-${r.getLong(0)}%05d.tar.gz"),
-            r.getAs[Array[Byte]](1))
+          val p = new org.apache.hadoop.fs.Path(
+            base, f"shard-${r.getLong(0)}%05d.tar.gz")
+          val out = fs.create(p, true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
         }
       }
     val files = graft.sources.BinaryIngest
-      .binaryFiles(spark, dir + "/shard-*.tar.gz")
+      .binaryFiles(spark, dir.stripSuffix("/") + "/shard-*.tar.gz")
       .select(
         regexp_extract(col("path"), "shard-(\\d+)\\.tar\\.gz$", 1)
           .cast("long").as("shard_id"),

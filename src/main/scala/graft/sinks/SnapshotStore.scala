@@ -152,11 +152,15 @@ object SnapshotStore {
     }
     val kept = files.filter(f =>
       ranges.get(f).forall { case (flo, fhi) => fhi >= lo && flo <= hi })
+    // the everything-pruned branch derives its (empty) frame from the
+    // SAME merged schema as the kept branch — a single-file sample
+    // could miss an evolved column (inconsistent schema for the same
+    // logical query) or even fail to resolve col(key).
     val pruned =
       if (kept.nonEmpty)
         spark.read.option("mergeSchema", "true").parquet(kept: _*)
       else
-        spark.read.parquet(files.head).limit(0)
+        spark.read.option("mergeSchema", "true").parquet(files: _*).limit(0)
     pruned.filter(col(key) >= lo && col(key) <= hi)
   }
 
@@ -426,10 +430,15 @@ object SnapshotStore {
     val after = manifest(path, toV)
     val added = after.filterNot(before.toSet).sorted
     val removed = before.filterNot(after.toSet).sorted
+    // mergeSchema on BOTH sides: a CDC range spanning several commits
+    // reads schema-heterogeneous file sets, and one-footer inference
+    // would nondeterministically drop an evolved column from the delta
+    // (and from `common`, flipping update/suppressed classification).
     def readFiles(fs: Seq[String]): DataFrame =
-      if (fs.nonEmpty) spark.read.parquet(fs: _*)
-      else spark.read.parquet(after.headOption.getOrElse(before.head))
-        .limit(0)
+      if (fs.nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(fs: _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(after.headOption.getOrElse(before.head)).limit(0)
     val ins = readFiles(added)
     val del = readFiles(removed)
     require(!ins.columns.contains("_change") && !del.columns.contains("_change"),
@@ -558,7 +567,16 @@ object SnapshotStore {
     val v = latestVersion(path)
     require(v > 0, s"no committed snapshot under $path")
     val files = manifest(path, v)
-    val st = stats(path, v)
+    // per-KEY ranges, like readWhere: the sidecar's primary column may
+    // differ from the merge key (e.g. a table stats-tracked on `ts`
+    // merged by `id`) — pruning with the wrong column's ranges would
+    // classify files as untouched whose matching-key rows then survive
+    // the rewrite (a silent lost update). A file with no range for
+    // THIS key — including a sidecar tracking only other columns —
+    // degrades to "touched", never to a wrong answer.
+    val st: Map[String, (Long, Long)] = statsAll(path, v).collect {
+      case ((c, f), r) if c == key => f -> r
+    }
     val bounds = df.agg(
       org.apache.spark.sql.functions.min(key).cast("long"),
       org.apache.spark.sql.functions.max(key).cast("long")).head()
@@ -567,12 +585,19 @@ object SnapshotStore {
     val (untouched, touched) = files.partition { f =>
       st.get(f).exists { case (lo, hi) => hi < bLo || lo > bHi }
     }
+    // mergeSchema: touched files may span commits with different
+    // schemas (appends add columns); plain parquet inference samples
+    // ONE footer and could drop an evolved column from the rewrite.
     val survivors =
       if (touched.isEmpty) df
-      else spark.read.parquet(touched: _*)
+      else spark.read.option("mergeSchema", "true").parquet(touched: _*)
         .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
-        .unionByName(df)
-    commitLocked(survivors, path, untouched, None, Some(key))
+        .unionByName(df, allowMissingColumns = true)
+    // preserve the pruning layer under whatever column the table
+    // already tracks (the merge key may be a different column — same
+    // discipline as deleteCommit); a fresh table starts tracking `key`
+    commitLocked(survivors, path, untouched, None,
+      statsKeyOf(path, v).orElse(Some(key)))
   }
 
   /** Row-level DELETE as a snapshot commit (r15) — the retention /
@@ -595,7 +620,13 @@ object SnapshotStore {
     val v = latestVersion(path)
     require(v > 0, s"no committed snapshot under $path")
     val files = manifest(path, v)
-    val st = stats(path, v)
+    // per-KEY ranges (not the sidecar's primary column) — a takedown
+    // by `id` on a table stats-tracked on `ts` must not skip files
+    // whose ts-range happens to be disjoint from the id-bounds; files
+    // with no range for THIS key degrade to "touched".
+    val st: Map[String, (Long, Long)] = statsAll(path, v).collect {
+      case ((c, f), r) if c == key => f -> r
+    }
     val ks = keys.select(col(key)).distinct()
     val bounds = ks.agg(
       org.apache.spark.sql.functions.min(key).cast("long"),
@@ -607,7 +638,10 @@ object SnapshotStore {
     }
     if (touched.isEmpty) v // every file disjoint from the key range
     else {
-      val survivors = spark.read.parquet(touched: _*)
+      // mergeSchema for the same reason as mergeCommit: touched files
+      // may carry an evolved column a one-footer sample would drop.
+      val survivors = spark.read.option("mergeSchema", "true")
+        .parquet(touched: _*)
         .join(ks, Seq(key), "left_anti")
       // preserve the pruning layer under whatever key the table
       // already tracks (deletes may use a different column)
@@ -745,7 +779,11 @@ object SnapshotStore {
     val files = manifest(path, v)
     val bytes = files.map(f => new File(f).length()).sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(files: _*)
+    // mergeSchema is load-bearing here: compaction REPLACES the table
+    // (carried=Nil), so a one-footer schema sample of an evolved table
+    // would rewrite it without the later-added column and vacuum would
+    // then destroy the only files that still had it.
+    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
     // RANGE partition under sortCols: the rewritten files get DISJOINT
     // key ranges, which is what makes the re-recorded stats sidecar
     // selective (round-robin + local sort would leave every file
@@ -797,7 +835,8 @@ object SnapshotStore {
       val files = manifest(path, v)
       val bytes = files.map(f => new File(f).length()).sum
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      val df = spark.read.parquet(files: _*)
+      // mergeSchema: same full-replacement hazard as [[compact]].
+      val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
       val out = graft.functions.ZOrder.withZ(df, dims)
         .repartitionByRange(nFiles, col("_z"))
         .sortWithinPartitions("_z")

@@ -653,6 +653,100 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ch.toSeq == Seq((2L, "insert")))
   }
 
+  test("delete/merge by a column the sidecar does NOT track degrades to touched, never loses rows") {
+    val path = freshTable()
+    // sidecar tracks `ts`; ids and timestamps are anti-correlated so
+    // the file holding id=10 has a ts-range disjoint from id-bounds —
+    // pruning by the WRONG column's ranges would classify it untouched
+    // and the takedown would silently miss its rows
+    val df = spark.range(0, 400)
+      .select(col("id"), (lit(10000L) - col("id")).as("ts"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    SnapshotStore.commit(df, path, statsKey = Some("ts"))
+    val v2 = SnapshotStore.deleteCommit(spark, path,
+      Seq(10L, 11L, 12L).toDF("id"), "id")
+    assert(v2 == 2)
+    val after = SnapshotStore.read(spark, path)
+    assert(after.count() == 397)
+    assert(after.filter(col("id").isin(10L, 11L, 12L)).count() == 0)
+    // same hazard on merge: upsert by id on the ts-tracked table must
+    // REPLACE the old row, not append a duplicate next to a skipped file
+    SnapshotStore.mergeCommit(spark, path, Seq((20L, 7777L, 0L))
+      .toDF("id", "ts", "v"), "id")
+    val merged = SnapshotStore.read(spark, path)
+    assert(merged.filter(col("id") === 20).count() == 1)
+    assert(merged.filter(col("id") === 20).select("v").as[Long].head() == 0L)
+    // both maintenance commits preserved the table's TRACKED column
+    // (ts) instead of silently switching the sidecar to their own key
+    val ranged = SnapshotStore.read(spark, path)
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    SnapshotStore.commit(ranged, path, SaveMode.Overwrite,
+      statsKey = Some("ts"))
+    val before = SnapshotStore.read(spark, path).inputFiles.toSet
+    SnapshotStore.deleteCommit(spark, path, Seq(9800L).toDF("ts"), "ts")
+    val kept = SnapshotStore.read(spark, path).inputFiles.toSet
+    assert(kept.intersect(before).size == 3) // disjoint files carried by reference
+  }
+
+  test("compaction of a schema-evolved table preserves the later-added column") {
+    val path = freshTable()
+    SnapshotStore.commit(
+      spark.range(0, 50).select(col("id"), (col("id") * 2).as("s")), path,
+      statsKey = Some("id"))
+    SnapshotStore.commit(
+      spark.range(50, 100).select(col("id"), (col("id") * 2).as("s"),
+        lit("new").as("extra")), path, SaveMode.Append,
+      statsKey = Some("id"))
+    // compact fully REPLACES the table: a one-footer schema sample
+    // here would permanently lose `extra` (and vacuum the evidence)
+    val v3 = SnapshotStore.compact(spark, path, sortCols = Seq("id"))
+    val c = SnapshotStore.read(spark, path, Some(v3))
+    assert(c.columns.sorted.toSeq == Seq("extra", "id", "s"))
+    assert(c.filter(col("extra") === "new").count() == 50)
+    assert(c.filter(col("extra").isNull).count() == 50)
+    // z-order compaction shares the rewrite path and the hazard
+    val v4 = SnapshotStore.compactZOrdered(spark, path, Seq("id", "s"))
+    val z = SnapshotStore.read(spark, path, Some(v4))
+    assert(z.columns.sorted.toSeq == Seq("extra", "id", "s"))
+    assert(z.filter(col("extra") === "new").count() == 50)
+    // delete touching evolved+unevolved files keeps the union schema
+    SnapshotStore.commit(
+      spark.range(100, 110).select(col("id"), (col("id") * 2).as("s")),
+      path, SaveMode.Append, statsKey = Some("id"))
+    SnapshotStore.deleteCommit(spark, path, Seq(60L, 105L).toDF("id"), "id")
+    val d = SnapshotStore.read(spark, path)
+    assert(d.columns.sorted.toSeq == Seq("extra", "id", "s"))
+    assert(d.count() == 108 && d.filter(col("extra") === "new").count() == 49)
+  }
+
+  test("keyed CDC across NON-adjacent versions with schema evolution") {
+    val path = freshTable()
+    SnapshotStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    SnapshotStore.commit(Seq((3L, "c", "x3")).toDF("id", "s", "extra"),
+      path, SaveMode.Append)
+    SnapshotStore.commit(Seq((4L, "d", "x4")).toDF("id", "s", "extra"),
+      path, SaveMode.Append)
+    // fromV..toV spans two commits: the added-file set mixes schemas
+    // only via evolution — `extra` must survive in the delta
+    val ch = SnapshotStore.readChanges(spark, path, 1, 3, key = Some("id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("_change"), r.getAs[String]("extra"))).toMap
+    assert(ch.keySet == Set(3L, 4L))
+    assert(ch(3L) == (("insert", "x3")) && ch(4L) == (("insert", "x4")))
+    // keyless variant over the same span keeps the union schema too
+    val kl = SnapshotStore.readChanges(spark, path, 1, 3)
+    assert(kl.columns.contains("extra") && kl.count() == 2)
+    // readWhere's everything-pruned branch presents the SAME union
+    // schema as the kept branch (and col(key) resolves)
+    SnapshotStore.commit(SnapshotStore.read(spark, path)
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      path, SaveMode.Overwrite, statsKey = Some("id"))
+    val hit = SnapshotStore.readWhere(spark, path, "id", 1, 2)
+    val miss = SnapshotStore.readWhere(spark, path, "id", 900, 999)
+    assert(miss.columns.toSeq == hit.columns.toSeq)
+    assert(miss.count() == 0 && hit.count() == 2)
+  }
+
   test("streamSink retries through a long-held writer lock instead of failing the stream") {
     val path = freshTable()
     SnapshotStore.commit(Seq((1L, "x")).toDF("id", "s"), path)
