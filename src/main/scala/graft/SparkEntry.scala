@@ -98,6 +98,10 @@ object SparkEntry {
     // two-level coarse quantizer twin (r15): no stage computes
     // |queries|·nlist dots — the corpus-scaled-nlist production shape
     "q_knn_ivf_2l"     -> q(Similarity.knnIvf2l(_)),
+    // engine-exact two-level build (r16): the 2-level quantizer
+    // graduated to the DuckDB gate — Forgy-seeded supers + per-super
+    // Forgy children, one exact Lloyd round per tier
+    "q_knn_ivf_2lx"    -> q(Similarity.ivfKnn2lExact(_)),
     // IVF+PQ composed (FAISS IVFADC): oracled exact twin + the float
     // production kernel benched under its own key
     // JL random projection: md5-parity Rademacher matrix, milli-snap
@@ -4084,6 +4088,102 @@ object SparkEntry {
         |            FROM dist WHERE vec_id < 10)
         |           WHERE rn <= 6),
         |cand AS (SELECT query_id, neighbor_id FROM probes JOIN assign USING (b)
+        |         WHERE neighbor_id <> query_id),
+        |pd AS (SELECT c.query_id, c.neighbor_id,
+        |              CAST(SUM((vq.m - vn.m) * (vq.m - vn.m)) AS BIGINT) AS d2
+        |       FROM cand c
+        |       JOIN v vq ON vq.vec_id = c.query_id
+        |       JOIN v vn ON vn.vec_id = c.neighbor_id AND vn.dim = vq.dim
+        |       GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
+        |FROM (SELECT query_id, neighbor_id, d2,
+        |             ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                ORDER BY d2, neighbor_id) AS rank
+        |      FROM pd)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // two-level exact build: level-1 replays q_knn_ivf's Forgy+Lloyd
+    // at nsup=4, level-2 Forgy-seeds each super's first-4 members and
+    // runs one FLOOR-mean Lloyd round scoped to the super; probes pick
+    // 3 supers then 6 child cells, exact bigint distances throughout
+    "q_knn_ivf_2lx" ->
+      """WITH p AS (SELECT vec_id, embedding AS e,
+        |                  unnest(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |             CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+        |      FROM p),
+        |c0 AS (SELECT vec_id AS b, dim, m AS cm FROM v WHERE vec_id < 4),
+        |a0 AS (SELECT vec_id, b FROM
+        |       (SELECT d0.vec_id, d0.b,
+        |               ROW_NUMBER() OVER (PARTITION BY d0.vec_id
+        |                                  ORDER BY d0.d2, d0.b) AS rn
+        |        FROM (SELECT v.vec_id, c0.b,
+        |                     CAST(SUM((v.m - c0.cm) * (v.m - c0.cm)) AS BIGINT) AS d2
+        |              FROM v JOIN c0 USING (dim) GROUP BY 1, 2) d0)
+        |       WHERE rn = 1),
+        |mm0 AS (SELECT a0.b, v.dim,
+        |               CAST(FLOOR(CAST(SUM(v.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |                    AS BIGINT) AS cmm
+        |        FROM v JOIN a0 USING (vec_id) GROUP BY 1, 2),
+        |scent AS (SELECT c0.b AS sup, c0.dim, COALESCE(mm0.cmm, c0.cm) AS cm
+        |          FROM c0 LEFT JOIN mm0 ON mm0.b = c0.b AND mm0.dim = c0.dim),
+        |sdist AS (SELECT vec_id, sup, CAST(SUM((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |          FROM v JOIN scent USING (dim) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, sup FROM
+        |       (SELECT vec_id, sup,
+        |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, sup) AS rn
+        |        FROM sdist) WHERE rn = 1),
+        |seeds AS (SELECT sup, CAST(rn - 1 AS INT) AS child, vec_id AS seed_vid FROM
+        |          (SELECT sup, vec_id,
+        |                  ROW_NUMBER() OVER (PARTITION BY sup ORDER BY vec_id) AS rn
+        |           FROM a1) WHERE rn <= 4),
+        |seedvec AS (SELECT s.sup, s.child, v.dim, v.m AS cm
+        |            FROM seeds s JOIN v ON v.vec_id = s.seed_vid),
+        |a2 AS (SELECT vec_id, child FROM
+        |       (SELECT dd.vec_id, dd.child,
+        |               ROW_NUMBER() OVER (PARTITION BY dd.vec_id
+        |                                  ORDER BY dd.d2, dd.child) AS rn
+        |        FROM (SELECT a1.vec_id, sv.child,
+        |                     CAST(SUM((v.m - sv.cm) * (v.m - sv.cm)) AS BIGINT) AS d2
+        |              FROM a1 JOIN v USING (vec_id)
+        |              JOIN seedvec sv ON sv.sup = a1.sup AND sv.dim = v.dim
+        |              GROUP BY 1, 2) dd) WHERE rn = 1),
+        |mm2 AS (SELECT a1.sup, a2.child, v.dim,
+        |               CAST(FLOOR(CAST(SUM(v.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |                    AS BIGINT) AS cmm
+        |        FROM v JOIN a2 USING (vec_id) JOIN a1 USING (vec_id)
+        |        GROUP BY 1, 2, 3),
+        |cells AS (SELECT sv.sup, sv.child, sv.dim, COALESCE(mm2.cmm, sv.cm) AS cm
+        |          FROM seedvec sv LEFT JOIN mm2
+        |            ON mm2.sup = sv.sup AND mm2.child = sv.child AND mm2.dim = sv.dim),
+        |cdist AS (SELECT a1.vec_id, a1.sup, c.child,
+        |                 CAST(SUM((v.m - c.cm) * (v.m - c.cm)) AS BIGINT) AS d2
+        |          FROM a1 JOIN v USING (vec_id)
+        |          JOIN cells c ON c.sup = a1.sup AND c.dim = v.dim
+        |          GROUP BY 1, 2, 3),
+        |assign AS (SELECT vec_id AS neighbor_id, sup, child FROM
+        |           (SELECT vec_id, sup, child,
+        |                   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                                      ORDER BY d2, child) AS rn
+        |            FROM cdist) WHERE rn = 1),
+        |sprobes AS (SELECT vec_id AS query_id, sup FROM
+        |            (SELECT vec_id, sup,
+        |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, sup) AS rn
+        |             FROM sdist WHERE vec_id < 10) WHERE rn <= 3),
+        |cprobes AS (SELECT query_id, sup, child FROM
+        |            (SELECT pq.query_id, pq.sup, pq.child,
+        |                    ROW_NUMBER() OVER (PARTITION BY pq.query_id
+        |                                       ORDER BY pq.d2, pq.sup, pq.child) AS rn
+        |             FROM (SELECT sp.query_id, sp.sup, c.child,
+        |                          CAST(SUM((vq.m - c.cm) * (vq.m - c.cm)) AS BIGINT) AS d2
+        |                   FROM sprobes sp
+        |                   JOIN v vq ON vq.vec_id = sp.query_id
+        |                   JOIN cells c ON c.sup = sp.sup AND c.dim = vq.dim
+        |                   GROUP BY 1, 2, 3) pq) WHERE rn <= 6),
+        |cand AS (SELECT query_id, neighbor_id
+        |         FROM cprobes JOIN assign USING (sup, child)
         |         WHERE neighbor_id <> query_id),
         |pd AS (SELECT c.query_id, c.neighbor_id,
         |              CAST(SUM((vq.m - vn.m) * (vq.m - vn.m)) AS BIGINT) AS d2

@@ -376,6 +376,103 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Engine-exact TWO-LEVEL IVF top-k (the oracled q_knn_ivf_2lx) —
+    * graduates the two-level coarse quantizer ([[twoLevelAssign]] /
+    * [[twoLevelProbe]], rows-only q_knn_ivf_2l) to the DuckDB gate the
+    * way [[ivfKnnExact]] gates the flat build. Every step is integer-
+    * deterministic so SQL replays the whole index:
+    *
+    *   1. LEVEL 1 — `nsup` super-cells: Forgy seed (centroid b =
+    *      vector b, b < nsup) + ONE exact Lloyd round
+    *      ([[exactCoarse]], FLOOR-division M-step); each vector joins
+    *      its nearest super by integer squared L2 (sup-id tie).
+    *   2. LEVEL 2 — `nchild` child cells PER super: Forgy seed scoped
+    *      to the super (its first nchild members by vec_id —
+    *      deterministic, id-derived), one exact Lloyd round where a
+    *      vector scores ONLY its super's children (the two-level
+    *      equi-join that removes the |corpus|·nlist assignment cost),
+    *      FLOOR-mean M-step with empty-child carry.
+    *   3. PROBE — `sprobe` nearest supers per query (sup tie), then
+    *      `nprobe` nearest child cells among those supers' children
+    *      ((sup, child) tie), exact integer distances within the
+    *      probed cells, top-k by (d2, neighbor_id).
+    *
+    * Scale: super/child centroid state is (nlist × dims) — broadcast
+    * always; no stage computes |corpus|·nlist dots (assignment and
+    * probe both join on `sup`), and candidate scoring joins value
+    * rows by id — corpus×query never materializes. Distances stay in
+    * bigint (dims·(2·6·10⁶)² ≈ 10¹⁶ per pair, well under 2⁶³). */
+  def ivfKnn2lExact(t: Tables, k: Int = 5, nlist: Int = 16, sprobe: Int = 3,
+                    nprobe: Int = 6, nQueries: Int = 10): DataFrame = {
+    val nsup = math.max(4, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val nchild = math.max(1, (nlist + nsup - 1) / nsup)
+    val v = spread(t.embeddings)
+      .select(col("vec_id"), snapMicro(col("embedding")).as("e"))
+      .persistTracked() // super build + child build + both probe passes
+    val sc = exactCoarse(v, nsup) // (b, ce): trained super centroids
+    val sdist = v.crossJoin(broadcast(sc))
+      .select(col("vec_id"), col("b").as("sup"),
+        l2vL(col("e"), col("ce")).as("d2"))
+      .persistTracked() // corpus super-assignment + query super-probes
+    val sw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("sup"))
+    val a1 = sdist.withColumn("rn", row_number().over(sw))
+      .filter(col("rn") === 1).select(col("vec_id"), col("sup"))
+    val member = v.join(a1, Seq("vec_id")).persistTracked() // (vec_id, e, sup)
+    // Forgy seed scoped to the super: its first nchild members by id
+    val seedW = Window.partitionBy(col("sup")).orderBy(col("vec_id"))
+    val seeds = member.withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= nchild)
+      .select(col("sup"), (col("rn") - 1).cast("int").as("child"),
+        col("e").as("ce"))
+      .persistTracked() // E-step join + empty-child carry
+    // one exact Lloyd round, assignment joined on `sup` only
+    val caw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("child"))
+    val a2 = member.join(seeds, Seq("sup"))
+      .select(col("vec_id"), col("child"), l2vL(col("e"), col("ce")).as("d2"))
+      .withColumn("rn", row_number().over(caw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("child"))
+    val mm = meanVecFloorImpl(member.join(a2, Seq("vec_id")),
+        Seq("sup", "child"), "e")
+      .withColumnRenamed("e", "cm")
+    val cells = seeds.join(mm, Seq("sup", "child"), "left")
+      .select(col("sup"), col("child"),
+        coalesce(col("cm"), col("ce")).as("ce"))
+      .persistTracked() // final corpus assignment + query child-probes
+    val cdist = member.join(cells, Seq("sup"))
+      .select(col("vec_id"), col("sup"), col("child"),
+        l2vL(col("e"), col("ce")).as("d2"))
+    val assign = cdist.withColumn("rn", row_number().over(caw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sup"), col("child"))
+    val qv = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val sprobes = sdist.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(sw)).filter(col("rn") <= sprobe)
+      .select(col("vec_id").as("query_id"), col("sup"))
+    val cpw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("sup"), col("child"))
+    val probes = sprobes.join(broadcast(qv), Seq("query_id"))
+      .join(cells, Seq("sup"))
+      .select(col("query_id"), col("sup"), col("child"),
+        l2vL(col("qe"), col("ce")).as("d2"))
+      .withColumn("rn", row_number().over(cpw)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("sup"), col("child"))
+    val cand = probes.join(assign, Seq("sup", "child"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val pd = cand.join(broadcast(qv), Seq("query_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        l2vL(col("qe"), col("e")).as("d2"))
+    val kw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    pd.withColumn("rank", row_number().over(kw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the storage
     * shrink (4×) every large vector corpus applies before indexing.
     * Per-vector absmax scaling: scale = 127/max|x|, q_i = floor(x_i ·
