@@ -31,12 +31,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * manifest N".
   *
   * Scale: the manifest holds file PATHS (thousands of lines at 100 TB,
-  * driver-trivial); data moves only through distributed parquet
-  * read/write. Same-host writers serialize on the same O_EXCL lock as
+  * driver-trivial); per-file PRUNING STATS live in a parquet
+  * checkpoint per version (r16 — written distributed at commit, read
+  * as a DataFrame by every pruning path, the Delta-checkpoint shape:
+  * at 10⁵–10⁷ files the stats themselves are data, never a driver
+  * map); row data moves only through distributed parquet read/write.
+  * Same-host writers serialize on the same O_EXCL lock as
   * TableWriter.compact; committers that prepared against a stale
   * snapshot go through [[commitIf]]'s optimistic conditional publish
-  * (append rebases, everything else aborts with
-  * [[VersionConflictException]] — the Delta/Iceberg commit rule). */
+  * (append always rebases; merge/delete rebase via
+  * [[mergeCommitIf]]/[[deleteCommitIf]] when the stats checkpoint
+  * PROVES key-disjointness from every intervening commit, r16;
+  * everything else aborts with [[VersionConflictException]] — the
+  * Delta/Iceberg commit rule). */
 object SnapshotStore {
 
   private def snapDir(path: String) = new File(path, "_snapshots")
@@ -122,7 +129,11 @@ object SnapshotStore {
            version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(path))
     require(v > 0, s"no committed snapshot under $path")
-    spark.read.option("mergeSchema", "true").parquet(manifest(path, v): _*)
+    // each version presents ITS OWN column mapping: time travel to a
+    // pre-rename version shows the old name (physical files are shared)
+    presentDf(
+      spark.read.option("mergeSchema", "true").parquet(manifest(path, v): _*),
+      columnMapping(path, v))
   }
 
   /** Scan PLANNING with the stats sidecar (the Iceberg/Delta
@@ -130,11 +141,14 @@ object SnapshotStore {
     * column falls in [lo, hi], reading ONLY the files whose recorded
     * (min, max) range overlaps the interval — the same sidecar
     * [[mergeCommit]]/[[deleteCommit]] prune their rewrites with, now
-    * applied to the read path. File pruning happens at PLAN time from
-    * the driver-resident sidecar (file-count lines, trivial at 100 TB
-    * where parquet row-group pushdown alone still opens every file's
-    * footer); the residual row filter stays in the scan, pushed to the
-    * surviving files. Files without a stats row — e.g. written by a
+    * applied to the read path. File pruning happens at PLAN time as a
+    * SPARK JOB over the parquet stats checkpoint (r16) — the manifest
+    * scan joins the checkpoint's rows for this column and only the
+    * surviving paths reach the driver, so pruning stays distributed at
+    * 10⁵–10⁷ files (where parquet row-group pushdown alone would still
+    * open every file's footer); the residual row filter stays in the
+    * scan, pushed to the surviving files. Files without a stats row —
+    * e.g. written by a
     * commit that predates stats tracking — are conservatively kept. A
     * version with NO sidecar degrades to a full read + filter, never a
     * wrong answer. */
@@ -143,15 +157,15 @@ object SnapshotStore {
     import org.apache.spark.sql.functions.col
     val v = version.getOrElse(latestVersion(path))
     require(v > 0, s"no committed snapshot under $path")
-    val files = manifest(path, v)
-    // prune when the sidecar tracks THIS column — primary or any
-    // extra (the compactZOrdered multi-dim case); a sidecar over only
-    // other columns prunes nothing but still filters
-    val ranges: Map[String, (Long, Long)] = statsAll(path, v).collect {
-      case ((c, f), r) if c == key => f -> r
-    }
-    val kept = files.filter(f =>
-      ranges.get(f).forall { case (flo, fhi) => fhi >= lo && flo <= hi })
+    // DISTRIBUTED prune (r16): one Spark job joins the manifest scan
+    // to the stats checkpoint's rows for THIS column — primary or any
+    // extra (the compactZOrdered multi-dim case) — and collects only
+    // the surviving paths; the per-file stats never reach the driver.
+    // A sidecar over only other columns prunes nothing but still
+    // filters.
+    // logical → physical (stats ranges + data files use physical names)
+    val pk = physicalOf(path, v, key)
+    val kept = prunedFiles(spark, path, v, pk, lo, hi)
     // the everything-pruned branch derives its (empty) frame from the
     // SAME merged schema as the kept branch — a single-file sample
     // could miss an evolved column (inconsistent schema for the same
@@ -160,26 +174,36 @@ object SnapshotStore {
       if (kept.nonEmpty)
         spark.read.option("mergeSchema", "true").parquet(kept: _*)
       else
-        spark.read.option("mergeSchema", "true").parquet(files: _*).limit(0)
-    pruned.filter(col(key) >= lo && col(key) <= hi)
+        spark.read.option("mergeSchema", "true")
+          .parquet(manifest(path, v): _*).limit(0)
+    presentDf(pruned.filter(col(pk) >= lo && col(pk) <= hi),
+      columnMapping(path, v))
   }
 
   /** Write `df` as the table's next version. `mode=Overwrite` replaces
     * the table contents; `mode=Append` carries the previous manifest's
     * files forward and adds the new ones (an append commits in O(new
-    * data) — old files are never rewritten). Returns the published
-    * version number. */
+    * data) — old files are never rewritten). On a column-mapped table
+    * (post-[[renameColumn]]/[[dropColumn]]) an append takes LOGICAL
+    * column names and lands them under the stable physical names, new
+    * columns extending the mapping; an Overwrite replaces the table
+    * contents AND resets the mapping (a fresh table). Returns the
+    * published version number. */
   def commit(df: DataFrame, path: String,
              mode: SaveMode = SaveMode.Overwrite,
              batchId: Option[Long] = None,
              statsKey: Option[String] = None): Long =
     withLock(path) {
       val prev = latestVersion(path)
-      val carried = mode match {
-        case SaveMode.Append if prev > 0 => manifest(path, prev)
-        case _ => Nil
+      mode match {
+        case SaveMode.Append if prev > 0 =>
+          val pdf = toPhysicalDf(path, prev, df)
+          commitLocked(pdf, path, manifest(path, prev), batchId,
+            statsKey.map(physicalOf(path, prev, _)),
+            colmap = extendedMapping(columnMapping(path, prev), pdf))
+        case _ =>
+          commitLocked(df, path, Nil, batchId, statsKey)
       }
-      commitLocked(df, path, carried, batchId, statsKey)
     }
 
   /** A concurrent commit advanced the table past the version this
@@ -218,11 +242,15 @@ object SnapshotStore {
         throw new VersionConflictException(
           s"snapshot commit: $path advanced to v$cur (prepared against " +
             s"v$expectedVersion) — re-read and retry")
-      val carried = mode match {
-        case SaveMode.Append if cur > 0 => manifest(path, cur) // rebase
-        case _ => Nil
+      mode match {
+        case SaveMode.Append if cur > 0 => // rebase onto the winner
+          val pdf = toPhysicalDf(path, cur, df)
+          commitLocked(pdf, path, manifest(path, cur), batchId,
+            statsKey.map(physicalOf(path, cur, _)),
+            colmap = extendedMapping(columnMapping(path, cur), pdf))
+        case _ =>
+          commitLocked(df, path, Nil, batchId, statsKey)
       }
-      commitLocked(df, path, carried, batchId, statsKey)
     }
 
   /** How long a writer WAITS for the lock before giving up. Waiting
@@ -256,7 +284,9 @@ object SnapshotStore {
   private def commitLocked(df: DataFrame, path: String,
                            carried: Seq[String], batchId: Option[Long],
                            statsKey: Option[String],
-                           extraStatsCols: Seq[String] = Nil): Long = {
+                           extraStatsCols: Seq[String] = Nil,
+                           colmap: Option[Seq[(String, String)]] = None)
+      : Long = {
     val prev = latestVersion(path)
     val v = prev + 1
     val dataDir = new File(new File(path, "data"),
@@ -269,52 +299,72 @@ object SnapshotStore {
     // "every touched row deleted" case; a fully-empty table is not
     require(fresh.nonEmpty || carried.nonEmpty,
       s"snapshot commit: empty write for $path")
-    statsKey.foreach { key =>
-      val cols = (key +: extraStatsCols).distinct
-      val spark = df.sparkSession
-      // one skinny agg over the fresh files for ALL tracked columns
-      val freshStats: Map[(String, String), (Long, Long)] =
-        if (fresh.isEmpty) Map.empty
-        else {
-          import org.apache.spark.sql.functions.{input_file_name, min, max}
-          spark.read.parquet(fresh: _*)
+    statsKey match {
+      case Some(key) =>
+        val cols = (key +: extraStatsCols).distinct
+        val spark = df.sparkSession
+        import org.apache.spark.sql.functions.{input_file_name, min, max,
+          regexp_replace, explode, array, struct, lit, col}
+        import spark.implicits._
+        // DISTRIBUTED stats checkpoint (r16): per-file ranges land as a
+        // parquet frame (file, column, lo, hi) under the version, never
+        // as a driver-resident map — a 10⁷-file table's stats are a
+        // DataFrame, and every pruning read is a scan of it (the
+        // Delta-checkpoint shape). Fresh ranges: one skinny agg over
+        // the fresh files for ALL tracked columns, exploded to rows.
+        val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).cast("long").as(s"lo_$i"),
+            max(col(c)).cast("long").as(s"hi_$i")) }
+        val freshDF: Option[DataFrame] =
+          if (fresh.isEmpty) None
+          else Some(spark.read.parquet(fresh: _*)
             .groupBy(input_file_name().as("f"))
-            .agg(min(cols.head).cast("long").as(s"lo_0"),
-              (max(cols.head).cast("long").as(s"hi_0") +:
-                cols.tail.zipWithIndex.flatMap { case (c, i) =>
-                  Seq(min(c).cast("long").as(s"lo_${i + 1}"),
-                    max(c).cast("long").as(s"hi_${i + 1}"))
-                }): _*)
-            .collect()
-            .flatMap { r =>
-              val f = normalizePath(r.getString(0))
-              cols.zipWithIndex.map { case (c, i) =>
-                (c, f) -> (r.getAs[Long](s"lo_$i"), r.getAs[Long](s"hi_$i"))
-              }
-            }.toMap
+            .agg(aggs.head, aggs.tail: _*)
+            .select(
+              // input_file_name yields a file: URI; manifests hold
+              // plain paths
+              regexp_replace(col("f"), "^file:(//)?", "").as("file"),
+              explode(array(cols.zipWithIndex.map { case (c, i) =>
+                struct(lit(c).as("column"), col(s"lo_$i").as("lo"),
+                  col(s"hi_$i").as("hi")) }: _*)).as("st"))
+            .select(col("file"), col("st.column").as("column"),
+              col("st.lo").as("lo"), col("st.hi").as("hi"))
+            // an all-null file/column has no range — no row, file
+            // degrades to unpruned exactly like the no-stats case
+            .filter(col("lo").isNotNull && col("hi").isNotNull))
+        // carried ranges: the PREVIOUS checkpoint minus the files this
+        // commit drops (merge/delete's touched set — small by
+        // construction; empty for appends), restricted to the columns
+        // still tracked. Never collected: frame-to-frame anti-join.
+        val carriedDF: Option[DataFrame] =
+          if (carried.isEmpty || prev == 0) None
+          else statsDF(spark, path, prev).map { prevSt =>
+            val base = prevSt.filter(col("column").isin(cols: _*))
+            val dropped = manifest(path, prev).filterNot(carried.toSet)
+            if (dropped.isEmpty) base
+            else base.join(dropped.toDF("file"), Seq("file"), "left_anti")
+          }
+        (carriedDF.toSeq ++ freshDF.toSeq).reduceOption(_ unionByName _) match {
+          case Some(st) => st.write.mode(SaveMode.Overwrite)
+            .parquet(statsCheckDir(path, v).getPath)
+          // nothing to record (carried-only commit over a stats-less
+          // table): make sure no stale checkpoint from a crashed
+          // attempt at this version number survives to prune wrongly
+          case None => dropStatsCheckpoint(path, v)
         }
-      val carriedStats: Map[(String, String), (Long, Long)] =
-        if (prev > 0) statsAll(path, prev) else Map.empty
-      val all = for {
-        c <- cols
-        f <- carried ++ fresh
-        r <- freshStats.get((c, f)).orElse(carriedStats.get((c, f)))
-      } yield (c, f, r)
-      // the sidecar records WHICH columns it tracks (#key= primary for
-      // back-compat, #cols= the full list when more than one), so
-      // maintenance commits can keep recording instead of silently
-      // dropping the pruning layer. Single-column sidecars keep the
-      // legacy 3-field line format; multi-column ones tag each line.
-      val body =
-        if (cols.size == 1)
-          all.map { case (_, f, (lo, hi)) => s"$f\t$lo\t$hi" }
-        else
-          all.map { case (c, f, (lo, hi)) => s"$f\t$c\t$lo\t$hi" }
-      atomicWrite(statsFile(path, v),
-        s"#key=$key\n" +
-          (if (cols.size > 1) s"#cols=${cols.mkString(",")}\n" else "") +
-          body.mkString("\n") + "\n")
+        // constant-size header sidecar: WHICH columns the version
+        // tracks (#key= primary, #cols= full list) — the metadata that
+        // lets maintenance commits keep recording the pruning layer
+        atomicWrite(statsFile(path, v),
+          s"#key=$key\n" +
+            (if (cols.size > 1) s"#cols=${cols.mkString(",")}\n" else ""))
+      case None =>
+        // a crashed, rolled-back commit at this version may have left
+        // stats artifacts behind; without a statsKey they would be
+        // mis-attributed to THIS commit and prune with stale ranges
+        dropStatsArtifacts(path, v)
     }
+    writeColmap(path, v, colmap) // None also clears a stale crashed one
     publish(path, v, carried ++ fresh, batchId)
     v
   }
@@ -322,24 +372,97 @@ object SnapshotStore {
   private def statsFile(path: String, v: Long) =
     new File(snapDir(path), f"v$v%08d.stats")
 
+  /** The version's parquet stats CHECKPOINT (r16): per-file (column,
+    * lo, hi) range rows, written distributed at commit time and read
+    * as a DataFrame by every pruning path — the driver never holds
+    * per-file stats (the Delta checkpoint discipline; at 10⁵–10⁷
+    * files the pruning scan itself must be a Spark job). */
+  private def statsCheckDir(path: String, v: Long) =
+    new File(snapDir(path), f"v$v%08d.statspq")
+
+  /** The version's stats as a FRAME (file, column, lo, hi): the
+    * parquet checkpoint when present, else the legacy text sidecar
+    * parallelized (bounded: legacy sidecars predate the checkpoint
+    * and are sandbox-scale). None when the version tracks no stats. */
+  private def statsDF(spark: SparkSession, path: String, v: Long)
+      : Option[DataFrame] = {
+    val ck = statsCheckDir(path, v)
+    if (ck.exists()) Some(spark.read.parquet(ck.getPath))
+    else {
+      val legacy = statsAllText(path, v)
+      if (legacy.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(legacy.toSeq
+          .map { case ((c, f), (lo, hi)) => (f, c, lo, hi) }
+          .toDF("file", "column", "lo", "hi"))
+      }
+    }
+  }
+
+  /** The version's manifest as a one-column frame (`file`) — pruning
+    * joins run against this scan, not a driver list. */
+  private def manifestDF(spark: SparkSession, path: String, v: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.text(manifestFile(path, v).getPath)
+      .select(col("value").as("file"))
+      .filter(!col("file").startsWith("#") && col("file") =!= "")
+  }
+
+  /** Whether version `v` records pruning stats in either format. */
+  private def hasStats(path: String, v: Long): Boolean =
+    statsCheckDir(path, v).exists() || statsAllText(path, v).nonEmpty
+
+  /** FILE paths of the snapshot that may hold rows with `key` ∈
+    * [lo, hi] — the shared distributed prune: manifest scan
+    * left-joined to the checkpoint's rows for THIS column, keeping
+    * files whose range overlaps plus files with no recorded range
+    * (conservative). Only the SURVIVORS are collected (the minimum any
+    * engine needs to plan a scan); the full stats never reach the
+    * driver. With no stats at all, every file survives. */
+  private def prunedFiles(spark: SparkSession, path: String, v: Long,
+                          key: String, lo: Long, hi: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    statsDF(spark, path, v) match {
+      case None => manifest(path, v)
+      case Some(st) =>
+        manifestDF(spark, path, v)
+          .join(st.filter(col("column") === key), Seq("file"), "left")
+          .filter(col("lo").isNull ||
+            (col("hi") >= lo && col("lo") <= hi))
+          .select("file").distinct().as[String].collect().toSeq.sorted
+    }
+  }
+
+  private def dropStatsArtifacts(path: String, v: Long): Unit = {
+    val f = statsFile(path, v)
+    if (f.exists()) { f.delete(): Unit }
+    val cm = colmapFile(path, v)
+    if (cm.exists()) { cm.delete(): Unit }
+    dropStatsCheckpoint(path, v)
+  }
+
+  private def dropStatsCheckpoint(path: String, v: Long): Unit = {
+    val d = statsCheckDir(path, v)
+    if (d.exists()) {
+      Option(d.listFiles()).toSeq.flatten.foreach(_.delete())
+      d.delete(): Unit
+    }
+  }
+
   /** input_file_name() yields a file: URI; manifests hold plain paths. */
   private def normalizePath(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
-  /** Per-file (min, max) ranges of the PRIMARY stats column, empty if
-    * the version has no stats sidecar (then nothing can be pruned). */
-  private def stats(path: String, v: Long): Map[String, (Long, Long)] =
-    statsKeyOf(path, v) match {
-      case None => Map.empty
-      case Some(k) => statsAll(path, v).collect {
-        case ((c, f), r) if c == k => f -> r
-      }
-    }
-
-  /** ALL recorded per-file ranges, keyed (column, file). Single-column
-    * (legacy 3-field) sidecars attribute their lines to the `#key=`
+  /** LEGACY text-sidecar body reader: per-file ranges keyed (column,
+    * file). Versions written since r16 keep only the #key=/#cols=
+    * header here (ranges live in the parquet checkpoint); this parses
+    * pre-checkpoint sidecars so old tables stay readable. Single-
+    * column (3-field) sidecars attribute their lines to the `#key=`
     * column; multi-column sidecars tag each line. */
-  private def statsAll(path: String, v: Long)
+  private def statsAllText(path: String, v: Long)
       : Map[(String, String), (Long, Long)] = {
     val f = statsFile(path, v)
     if (!f.exists()) Map.empty
@@ -366,6 +489,153 @@ object SnapshotStore {
       .split("\n").find(_.startsWith("#key="))
       .map(_.stripPrefix("#key=").trim).filter(_.nonEmpty)
   }
+
+  // ——— column mapping (r16): rename/drop without rewriting data ———
+
+  private def colmapFile(path: String, v: Long) =
+    new File(snapDir(path), f"v$v%08d.colmap")
+
+  /** The version's COLUMN MAPPING — ordered (logical, physical) pairs
+    * (Delta/Iceberg column mapping): data files store columns under
+    * STABLE physical names; [[renameColumn]]/[[dropColumn]] are
+    * metadata-only commits that re-point or remove the logical name.
+    * None = no mapping layer (identity — every table starts here and
+    * pays zero cost until the first rename/drop). */
+  def columnMapping(path: String, v: Long): Option[Seq[(String, String)]] = {
+    val f = colmapFile(path, v)
+    if (!f.exists()) None
+    else Some(new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l => val a = l.split("\t"); (a(0), a(1)) })
+  }
+
+  /** Logical → physical column name at version `v`. Identity on an
+    * unmapped table; on a mapped one the name must be a VISIBLE
+    * logical column (a dropped column's physical name is not
+    * addressable through the public API). */
+  private def physicalOf(path: String, v: Long, name: String): String =
+    columnMapping(path, v) match {
+      case None => name
+      case Some(m) => m.collectFirst { case (l, p) if l == name => p }
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path v$v: no column '$name' (visible: ${m.map(_._1).mkString(",")})"))
+    }
+
+  /** Rename a frame's columns logical → physical (positional, order
+    * preserved); columns with no mapping entry — brand-new in this
+    * batch — keep their names (they become their own physical name). */
+  private def toPhysicalDf(path: String, v: Long, df: DataFrame): DataFrame =
+    columnMapping(path, v) match {
+      case None => df
+      case Some(m) =>
+        val mm = m.toMap
+        df.toDF(df.columns.toSeq.map(c => mm.getOrElse(c, c)): _*)
+    }
+
+  /** PRESENT a physical frame under the mapping's logical names, in
+    * mapping order; physical columns with no logical name (dropped)
+    * disappear. `extra` columns (e.g. `_change`) pass through last. */
+  private def presentDf(df: DataFrame,
+                        mapping: Option[Seq[(String, String)]],
+                        extra: Seq[String] = Nil): DataFrame =
+    mapping match {
+      case None => df
+      case Some(m) =>
+        import org.apache.spark.sql.functions.col
+        val have = df.columns.toSet
+        df.select(m.collect { case (l, p) if have(p) => col(p).as(l) } ++
+          extra.filter(have).map(col): _*)
+    }
+
+  /** The mapping a commit of (already-physical) `df` should publish:
+    * the previous mapping extended with identity entries for columns
+    * this batch introduces. None stays None (unmapped tables never
+    * grow a colmap implicitly). */
+  private def extendedMapping(prev: Option[Seq[(String, String)]],
+                              df: DataFrame): Option[Seq[(String, String)]] =
+    prev.map { m =>
+      val known = m.map(_._2).toSet
+      m ++ df.columns.toSeq.filterNot(known).map(c => (c, c))
+    }
+
+  /** RENAME a column — a METADATA-ONLY commit (Delta's column
+    * mapping): the new version carries the live manifest and stats
+    * byte-for-byte (physical names in files never change — zero data
+    * rewritten at any scale) and re-points the logical name. Keyed
+    * [[readChanges]] across the rename classifies via the stable
+    * physical ids, so a pure rename yields an EMPTY changelog; reads
+    * of PRE-rename versions still present the old name (each version
+    * owns its mapping). */
+  def renameColumn(spark: SparkSession, path: String,
+                   from: String, to: String): Long = withLock(path) {
+    val v = latestVersion(path)
+    require(v > 0, s"no committed snapshot under $path")
+    val m = mappingOrIdentity(spark, path, v)
+    require(m.exists(_._1 == from), s"renameColumn: no column '$from'")
+    require(!m.exists(_._1 == to), s"renameColumn: '$to' already exists")
+    metadataCommit(path, v,
+      m.map { case (l, p) => (if (l == from) to else l, p) })
+  }
+
+  /** DROP a column — metadata-only, like [[renameColumn]]: the
+    * physical data stays in the files (time travel to earlier
+    * versions still shows it; vacuum's retention applies as usual),
+    * but the live version no longer presents it, appends no longer
+    * need it, and keyed CDC no longer diffs it. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long =
+    withLock(path) {
+      val v = latestVersion(path)
+      require(v > 0, s"no committed snapshot under $path")
+      val m = mappingOrIdentity(spark, path, v)
+      require(m.exists(_._1 == name), s"dropColumn: no column '$name'")
+      require(m.size > 1, s"dropColumn: cannot drop the last column")
+      metadataCommit(path, v, m.filterNot(_._1 == name))
+    }
+
+  /** The live mapping, or the identity mapping synthesized from the
+    * version's (merged) physical schema on first rename/drop. */
+  private def mappingOrIdentity(spark: SparkSession, path: String,
+                                v: Long): Seq[(String, String)] =
+    columnMapping(path, v).getOrElse(
+      spark.read.option("mergeSchema", "true")
+        .parquet(manifest(path, v): _*).columns.toSeq.map(c => (c, c)))
+
+  /** Publish version v+1 with the SAME files and stats as v and a new
+    * column mapping. Stats artifacts are copied (driver-side file
+    * copy — version-scale metadata, physical column names unchanged);
+    * a crash before the pointer swap rolls back exactly like a data
+    * commit (heal drops the manifest + sidecar artifacts). */
+  private def metadataCommit(path: String, v: Long,
+                             mapping: Seq[(String, String)]): Long = {
+    val nv = v + 1
+    val st = statsFile(path, v)
+    if (st.exists())
+      Files.copy(st.toPath, statsFile(path, nv).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    val ck = statsCheckDir(path, v)
+    if (ck.exists()) {
+      val dst = statsCheckDir(path, nv)
+      dst.mkdirs()
+      Option(ck.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
+        Files.copy(f.toPath, new File(dst, f.getName).toPath,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    writeColmap(path, nv, Some(mapping))
+    publish(path, nv, manifest(path, v), None)
+    nv
+  }
+
+  private def writeColmap(path: String, v: Long,
+                          mapping: Option[Seq[(String, String)]]): Unit =
+    mapping match {
+      case Some(m) => atomicWrite(colmapFile(path, v),
+        m.map { case (l, p) => s"$l\t$p" }.mkString("\n") + "\n")
+      case None =>
+        val f = colmapFile(path, v)
+        if (f.exists()) { f.delete(): Unit }
+    }
 
   /** Changelog (CDC) read: the row-level DELTA between two committed
     * versions, read in O(changed files) — never O(table). Data files
@@ -443,7 +713,12 @@ object SnapshotStore {
     val del = readFiles(removed)
     require(!ins.columns.contains("_change") && !del.columns.contains("_change"),
       "readChanges: the table already has a _change column (reserved)")
-    key match {
+    // column mapping (r16): classification runs on the STABLE physical
+    // names (a rename between fromV and toV is a metadata-only commit —
+    // identical manifests, empty delta; rows that DID change join on
+    // the same physical id on both sides), and the output presents
+    // toV's logical names. The caller's key is logical as of toV.
+    val delta = key.map(physicalOf(path, toV, _)) match {
       case None =>
         // allowMissingColumns: versions may differ in schema (columns
         // added between commits) — the missing side null-fills, the
@@ -497,6 +772,7 @@ object SnapshotStore {
               .otherwise(col(s"_row_o.$c")).as(c)) :+
             col("_change"): _*)
     }
+    presentDf(delta, columnMapping(path, toV), extra = Seq("_change"))
   }
 
   // ——— incremental consumers: checkpointed changelog reads ———
@@ -562,29 +838,68 @@ object SnapshotStore {
     * Files without stats (or a table without sidecars) degrade to
     * "touched", never to wrong results. Returns the new version. */
   def mergeCommit(spark: SparkSession, path: String, df: DataFrame,
-                  key: String): Long = withLock(path) {
+                  key: String): Long =
+    withLock(path) {
+      val v = latestVersion(path)
+      mergeLocked(spark, path, toPhysicalDf(path, v, df),
+        physicalOf(path, v, key))
+    }
+
+  /** Optimistic MERGE (r16) — [[mergeCommit]] for a writer that
+    * prepared its batch against `expectedVersion` WITHOUT holding the
+    * lock (the long-prepare pattern: read a snapshot, spend minutes
+    * computing the upsert batch, come back to commit). Under the lock
+    * the live version is re-read:
+    *
+    *   - unchanged → commits normally;
+    *   - advanced → the commit REBASES iff every intervening commit is
+    *     PROVABLY key-disjoint from this batch: each file an
+    *     intervening version added or removed must carry a recorded
+    *     stats range for `key` (checkpoint frame) disjoint from the
+    *     batch's [min, max]. Then no intervening commit read or wrote
+    *     any key this batch touches, replaying the merge against the
+    *     live version is serially equivalent, and BOTH writers'
+    *     changes land.
+    *   - any overlap — or any changed file with no provable range for
+    *     `key` (stats-less commit, compaction's full rewrite) →
+    *     [[VersionConflictException]]: the prepared rows may depend on
+    *     rows the winner changed; auto-merge would be a lost update.
+    *
+    * The proof is the same distributed stats-checkpoint join the
+    * pruning paths use — per intervening version, one small job over
+    * its changed-file set; never a driver stats map. */
+  def mergeCommitIf(spark: SparkSession, path: String, df: DataFrame,
+                    key: String, expectedVersion: Long): Long =
+    withLock(path) {
+      val cur = latestVersion(path)
+      val pdf = toPhysicalDf(path, cur, df)
+      val pk = physicalOf(path, cur, key)
+      if (cur != expectedVersion)
+        requireDisjointSince(spark, path, expectedVersion, cur, pk,
+          batchBounds(pdf, pk, s"mergeCommitIf: empty batch for $path"))
+      mergeLocked(spark, path, pdf, pk)
+    }
+
+  private def mergeLocked(spark: SparkSession, path: String, df: DataFrame,
+                          key: String): Long = {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(path)
     require(v > 0, s"no committed snapshot under $path")
     val files = manifest(path, v)
-    // per-KEY ranges, like readWhere: the sidecar's primary column may
-    // differ from the merge key (e.g. a table stats-tracked on `ts`
-    // merged by `id`) — pruning with the wrong column's ranges would
-    // classify files as untouched whose matching-key rows then survive
-    // the rewrite (a silent lost update). A file with no range for
-    // THIS key — including a sidecar tracking only other columns —
-    // degrades to "touched", never to a wrong answer.
-    val st: Map[String, (Long, Long)] = statsAll(path, v).collect {
-      case ((c, f), r) if c == key => f -> r
-    }
     val bounds = df.agg(
       org.apache.spark.sql.functions.min(key).cast("long"),
       org.apache.spark.sql.functions.max(key).cast("long")).head()
     require(!bounds.isNullAt(0), s"mergeCommit: empty batch for $path")
     val (bLo, bHi) = (bounds.getLong(0), bounds.getLong(1))
-    val (untouched, touched) = files.partition { f =>
-      st.get(f).exists { case (lo, hi) => hi < bLo || lo > bHi }
-    }
+    // distributed per-KEY prune (shared with readWhere): the sidecar's
+    // primary column may differ from the merge key — pruning with the
+    // wrong column's ranges would classify files as untouched whose
+    // matching-key rows then survive the rewrite (a silent lost
+    // update). Files with no range for THIS key degrade to "touched";
+    // only the touched paths (small by construction for a point-key
+    // batch) are collected.
+    val touched = prunedFiles(spark, path, v, key, bLo, bHi)
+    val untouched = files.filterNot(touched.toSet)
     // mergeSchema: touched files may span commits with different
     // schemas (appends add columns); plain parquet inference samples
     // ONE footer and could drop an evolved column from the rewrite.
@@ -597,7 +912,8 @@ object SnapshotStore {
     // already tracks (the merge key may be a different column — same
     // discipline as deleteCommit); a fresh table starts tracking `key`
     commitLocked(survivors, path, untouched, None,
-      statsKeyOf(path, v).orElse(Some(key)))
+      statsKeyOf(path, v).orElse(Some(key)),
+      colmap = extendedMapping(columnMapping(path, v), survivors))
   }
 
   /** Row-level DELETE as a snapshot commit (r15) — the retention /
@@ -615,27 +931,103 @@ object SnapshotStore {
     * the table is rejected (drop the table instead). Returns the new
     * version (== the old one if no file was touched). */
   def deleteCommit(spark: SparkSession, path: String, keys: DataFrame,
-                   key: String): Long = withLock(path) {
+                   key: String): Long =
+    withLock(path) {
+      val v = latestVersion(path)
+      deleteLocked(spark, path, toPhysicalDf(path, v, keys),
+        physicalOf(path, v, key))
+    }
+
+  /** Optimistic DELETE (r16): [[deleteCommit]] with the same
+    * prepared-against-`expectedVersion` rebase rule as
+    * [[mergeCommitIf]] — a concurrent commit provably key-disjoint
+    * from the delete-key range (stats-checkpoint proof) rebases and
+    * both land; overlap or an unprovable file aborts with
+    * [[VersionConflictException]]. */
+  def deleteCommitIf(spark: SparkSession, path: String, keys: DataFrame,
+                     key: String, expectedVersion: Long): Long =
+    withLock(path) {
+      val cur = latestVersion(path)
+      val pks = toPhysicalDf(path, cur, keys)
+      val pk = physicalOf(path, cur, key)
+      if (cur != expectedVersion)
+        requireDisjointSince(spark, path, expectedVersion, cur, pk,
+          batchBounds(pks, pk, s"deleteCommitIf: empty key set for $path"))
+      deleteLocked(spark, path, pks, pk)
+    }
+
+  /** The batch's [min, max] over `key`, as longs. */
+  private def batchBounds(df: DataFrame, key: String,
+                          emptyMsg: String): (Long, Long) = {
+    val b = df.agg(
+      org.apache.spark.sql.functions.min(key).cast("long"),
+      org.apache.spark.sql.functions.max(key).cast("long")).head()
+    require(!b.isNullAt(0), emptyMsg)
+    (b.getLong(0), b.getLong(1))
+  }
+
+  /** Disjointness PROOF for the optimistic rebase: every file that any
+    * version in (fromV, toV] added or removed (vs its predecessor)
+    * must have a recorded stats range for `key` disjoint from
+    * [bLo, bHi]. Per version, the changed-file set is the small
+    * manifest diff (paths only on the driver — commits add/rewrite few
+    * files by construction); their ranges are looked up by JOINING the
+    * version's stats checkpoint, same discipline as the pruning paths.
+    * Any overlapping or range-less changed file throws
+    * [[VersionConflictException]] — unprovable means abort, never a
+    * silent lost update. */
+  private def requireDisjointSince(spark: SparkSession, path: String,
+                                   fromV: Long, toV: Long, key: String,
+                                   bounds: (Long, Long)): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    require(fromV >= 1 && fromV < toV,
+      s"snapshot commit: $path at v$toV, prepared against v$fromV")
+    val (bLo, bHi) = bounds
+    def conflicts(files: Seq[String], statsV: Long): Long =
+      if (files.isEmpty) 0L
+      else statsDF(spark, path, statsV) match {
+        case None => files.size.toLong // no stats → unprovable
+        case Some(st) =>
+          files.toDF("file")
+            .join(st.filter(col("column") === key), Seq("file"), "left")
+            .filter(col("lo").isNull ||
+              (col("hi") >= bLo && col("lo") <= bHi))
+            .count()
+      }
+    ((fromV + 1) to toV).foreach { w =>
+      val prevM = manifest(path, w - 1).toSet
+      val curM = manifest(path, w).toSet
+      val added = (curM -- prevM).toSeq
+      val removed = (prevM -- curM).toSeq
+      val bad = conflicts(added, w) + conflicts(removed, w - 1)
+      if (bad > 0)
+        throw new VersionConflictException(
+          s"snapshot commit: $path advanced to v$toV (prepared against " +
+            s"v$fromV) and v$w touched $bad file(s) overlapping — or " +
+            s"without a provable stats range for — $key∈[$bLo,$bHi]; " +
+            "re-read and retry")
+    }
+  }
+
+  private def deleteLocked(spark: SparkSession, path: String,
+                           keys: DataFrame, key: String): Long = {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(path)
     require(v > 0, s"no committed snapshot under $path")
     val files = manifest(path, v)
-    // per-KEY ranges (not the sidecar's primary column) — a takedown
-    // by `id` on a table stats-tracked on `ts` must not skip files
-    // whose ts-range happens to be disjoint from the id-bounds; files
-    // with no range for THIS key degrade to "touched".
-    val st: Map[String, (Long, Long)] = statsAll(path, v).collect {
-      case ((c, f), r) if c == key => f -> r
-    }
     val ks = keys.select(col(key)).distinct()
     val bounds = ks.agg(
       org.apache.spark.sql.functions.min(key).cast("long"),
       org.apache.spark.sql.functions.max(key).cast("long")).head()
     require(!bounds.isNullAt(0), s"deleteCommit: empty key set for $path")
     val (bLo, bHi) = (bounds.getLong(0), bounds.getLong(1))
-    val (untouched, touched) = files.partition { f =>
-      st.get(f).exists { case (lo, hi) => hi < bLo || lo > bHi }
-    }
+    // distributed per-KEY prune (not the sidecar's primary column) — a
+    // takedown by `id` on a table stats-tracked on `ts` must not skip
+    // files whose ts-range happens to be disjoint from the id-bounds;
+    // files with no range for THIS key degrade to "touched".
+    val touched = prunedFiles(spark, path, v, key, bLo, bHi)
+    val untouched = files.filterNot(touched.toSet)
     if (touched.isEmpty) v // every file disjoint from the key range
     else {
       // mergeSchema for the same reason as mergeCommit: touched files
@@ -646,7 +1038,8 @@ object SnapshotStore {
       // preserve the pruning layer under whatever key the table
       // already tracks (deletes may use a different column)
       commitLocked(survivors, path, untouched, None,
-        statsKeyOf(path, v).orElse(Some(key)))
+        statsKeyOf(path, v).orElse(Some(key)),
+        colmap = columnMapping(path, v))
     }
   }
 
@@ -679,7 +1072,13 @@ object SnapshotStore {
     val mf = manifestFile(path, v)
     if (mf.exists()) {
       if (batchFile(path, v).exists()) publishPointer(path, v) // roll forward
-      else { mf.delete(): Unit }                               // roll back
+      else {
+        // roll back: the stats artifacts written before the manifest
+        // must go too, or the NEXT commit at this version number would
+        // inherit stale pruning ranges
+        mf.delete()
+        dropStatsArtifacts(path, v)
+      }
     }
   }
 
@@ -784,15 +1183,18 @@ object SnapshotStore {
     // would rewrite it without the later-added column and vacuum would
     // then destroy the only files that still had it.
     val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    // caller-facing names are LOGICAL; the physical frame + stats use
+    // the mapped names (identity on an unmapped table)
+    val pSort = sortCols.map(physicalOf(path, v, _))
     // RANGE partition under sortCols: the rewritten files get DISJOINT
     // key ranges, which is what makes the re-recorded stats sidecar
     // selective (round-robin + local sort would leave every file
     // spanning the whole key range — stats present but useless)
-    val out = if (sortCols.nonEmpty)
+    val out = if (pSort.nonEmpty)
       df.repartitionByRange(nFiles,
-          sortCols.map(org.apache.spark.sql.functions.col): _*)
+          pSort.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(
-          sortCols.map(org.apache.spark.sql.functions.col): _*)
+          pSort.map(org.apache.spark.sql.functions.col): _*)
     else df.coalesce(nFiles)
     // re-record stats for the rewritten files: compaction would
     // otherwise DROP the sidecar and silently degrade every later
@@ -802,15 +1204,16 @@ object SnapshotStore {
     // selective), else the previous sidecar's recorded #key= column —
     // a coalesce compact then keeps stats PRESENT and CORRECT (each
     // file may span the key range: unpruned, never wrong).
-    val key = statsKey.orElse(
-      if (stats(path, v).nonEmpty)
-        sortCols.headOption.orElse(statsKeyOf(path, v))
+    val key = statsKey.map(physicalOf(path, v, _)).orElse(
+      if (hasStats(path, v))
+        pSort.headOption.orElse(statsKeyOf(path, v))
       else None)
-    require(stats(path, v).isEmpty || key.nonEmpty,
+    require(!hasStats(path, v) || key.nonEmpty,
       s"compact: $path tracks pruning stats but no stats key is " +
         "resolvable — pass statsKey (or sortCols) so compaction does " +
         "not silently drop the pruning layer")
-    commitLocked(out, path, Nil, None, key)
+    commitLocked(out, path, Nil, None, key,
+      colmap = columnMapping(path, v))
   }
 
   /** Z-ORDER compaction (Delta's OPTIMIZE ZORDER BY as a snapshot
@@ -837,16 +1240,18 @@ object SnapshotStore {
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       // mergeSchema: same full-replacement hazard as [[compact]].
       val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
-      val out = graft.functions.ZOrder.withZ(df, dims)
+      val pDims = dims.map(physicalOf(path, v, _)) // logical → physical
+      val out = graft.functions.ZOrder.withZ(df, pDims)
         .repartitionByRange(nFiles, col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
       // record per-file ranges for EVERY dim: z-ordered files cover
       // compact hyper-rectangles, so the multi-column sidecar makes
       // readWhere file-prune on ANY dim, not just the primary
-      val key = statsKey.orElse(dims.headOption)
+      val key = statsKey.map(physicalOf(path, v, _)).orElse(pDims.headOption)
       commitLocked(out, path, Nil, None, key,
-        extraStatsCols = dims.filterNot(key.contains))
+        extraStatsCols = pDims.filterNot(key.contains),
+        colmap = columnMapping(path, v))
     }
 
   /** Drop data files referenced by NO manifest in the retained window
@@ -873,8 +1278,7 @@ object SnapshotStore {
     (1L until keepFrom).foreach { ver =>
       val f = manifestFile(path, ver)
       if (f.exists()) { f.delete(); () }
-      val st = statsFile(path, ver)
-      if (st.exists()) { st.delete(); () }
+      dropStatsArtifacts(path, ver) // header + parquet checkpoint
       // keep .batch sidecars even when expired: replay detection must
       // survive retention, or a vacuumed table re-ingests an old batch
     }

@@ -747,6 +747,146 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(miss.count() == 0 && hit.count() == 2)
   }
 
+  test("stats checkpoint: pruning plans from a parquet frame, the driver never holds per-file stats") {
+    val path = freshTable()
+    // a many-file table: 1024 range-disjoint files (the tools probe
+    // runs the same shape at 10⁴ files — see StatsCheckpointProbe)
+    SnapshotStore.commit(
+      spark.range(0, 65536).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(1024, col("id")).sortWithinPartitions("id"),
+      path, statsKey = Some("id"))
+    val snap = new java.io.File(path, "_snapshots")
+    // per-file ranges live in the parquet CHECKPOINT, not on the driver:
+    // the text sidecar carries only the constant-size #key header
+    val ck = new java.io.File(snap, "v00000001.statspq")
+    assert(ck.exists() && ck.isDirectory)
+    val headerOnly = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(snap, "v00000001.stats").toPath), "UTF-8")
+    assert(headerOnly.trim == "#key=id") // no per-file body lines
+    // the checkpoint holds one range row per file
+    assert(spark.read.parquet(ck.getPath).count() == 1024)
+    // readWhere: distributed prune → a point-range scan opens ~1 of
+    // 1024 files and answers exactly
+    val w = SnapshotStore.readWhere(spark, path, "id", 5000, 5003)
+    assert(w.inputFiles.length <= 2)
+    assert(w.select("v").as[Long].collect().sorted.toSeq ==
+      Seq(15000L, 15003L, 15006L, 15009L))
+    // append carries the previous checkpoint forward frame-to-frame
+    SnapshotStore.commit(
+      spark.range(65536, 65600).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      path, SaveMode.Append, statsKey = Some("id"))
+    assert(spark.read.parquet(
+      new java.io.File(snap, "v00000002.statspq").getPath).count() == 1026)
+    // mergeCommit prunes from the checkpoint: a point merge touches
+    // ONE of the 1026 files, every other file carried by reference
+    val before = SnapshotStore.read(spark, path).inputFiles.toSet
+    SnapshotStore.mergeCommit(spark, path,
+      Seq((300L, -1L)).toDF("id", "v"), "id")
+    val after = SnapshotStore.read(spark, path)
+    assert(after.inputFiles.toSet.intersect(before).size == before.size - 1)
+    assert(after.filter(col("id") === 300).select("v").as[Long].head() == -1L)
+    assert(after.count() == 65600)
+  }
+
+  test("optimistic merge/delete: provably disjoint concurrent commits both land, overlap aborts") {
+    val path = freshTable()
+    // range-partitioned, stats-tracked: 8 files with disjoint id ranges
+    SnapshotStore.commit(
+      spark.range(0, 8000).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      path, statsKey = Some("id"))
+    val seen = SnapshotStore.latestVersion(path) // both writers read v1
+
+    // writer A (delete of ids near 7000) lands FIRST — table advances
+    val vA = SnapshotStore.deleteCommitIf(spark, path,
+      Seq(7000L, 7001L).toDF("id"), "id", seen)
+    assert(vA == 2)
+
+    // writer B prepared a point merge at id=100 against v1: the stats
+    // checkpoint proves A's touched files are disjoint → REBASE, lands
+    val vB = SnapshotStore.mergeCommitIf(spark, path,
+      Seq((100L, -1L)).toDF("id", "v"), "id", seen)
+    assert(vB == 3)
+    val after = SnapshotStore.read(spark, path)
+    assert(after.count() == 8000 - 2) // A's 2 deletes, B's in-place update
+    assert(after.filter(col("id") === 100).select("v").as[Long].head() == -1L)
+    assert(after.filter(col("id") === 7000).count() == 0)
+
+    // writer C prepared a delete OVERLAPPING B's merged key range
+    // against v2 — unprovable serial equivalence → abort
+    intercept[SnapshotStore.VersionConflictException] {
+      SnapshotStore.deleteCommitIf(spark, path,
+        Seq(100L).toDF("id"), "id", vA)
+    }
+    // ... and a provably disjoint delete prepared against the SAME
+    // stale v2 still rebases through B's commit
+    val vD = SnapshotStore.deleteCommitIf(spark, path,
+      Seq(4000L).toDF("id"), "id", vA)
+    assert(vD == 4)
+    assert(SnapshotStore.read(spark, path).count() == 7997)
+
+    // a stats-less intervening commit (no provable ranges) aborts even
+    // when actually disjoint — unprovable must never silently rebase
+    val p2 = freshTable()
+    SnapshotStore.commit(Seq((1L, 1L), (2L, 2L)).toDF("id", "v"), p2)
+    val s2 = SnapshotStore.latestVersion(p2)
+    SnapshotStore.commit(Seq((10L, 10L)).toDF("id", "v"), p2, SaveMode.Append)
+    intercept[SnapshotStore.VersionConflictException] {
+      SnapshotStore.mergeCommitIf(spark, p2,
+        Seq((2L, -2L)).toDF("id", "v"), "id", s2)
+    }
+  }
+
+  test("column mapping: rename/drop are metadata-only commits, CDC classifies via physical ids") {
+    val path = freshTable()
+    SnapshotStore.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "score"),
+      path, statsKey = Some("id"))
+    // v2: rename score -> quality — ZERO data rewritten
+    val v2 = SnapshotStore.renameColumn(spark, path, "score", "quality")
+    assert(v2 == 2)
+    assert(SnapshotStore.read(spark, path).columns.toSeq ==
+      Seq("id", "s", "quality"))
+    assert(SnapshotStore.read(spark, path).inputFiles.toSet ==
+      SnapshotStore.read(spark, path, Some(1)).inputFiles.toSet)
+    // a pure rename yields an EMPTY keyed changelog (stable physical ids)
+    assert(SnapshotStore.readChanges(spark, path, 1, 2, Some("id")).count() == 0)
+    // time travel to v1 still presents the OLD name
+    assert(SnapshotStore.read(spark, path, Some(1)).columns.toSeq ==
+      Seq("id", "s", "score"))
+    // appends speak the NEW logical name, landing under the stable
+    // physical name; stats keep pruning
+    SnapshotStore.commit(Seq((3L, "c", 30L)).toDF("id", "s", "quality"),
+      path, SaveMode.Append, statsKey = Some("id"))
+    // merge updates through the mapping
+    SnapshotStore.mergeCommit(spark, path,
+      Seq((1L, "a", 11L)).toDF("id", "s", "quality"), "id")
+    // CDC spanning append + merge presents the logical name and
+    // classifies via physical ids: id=3 insert, id=1 update
+    val cdc = SnapshotStore.readChanges(spark, path, 2, 4, Some("id"))
+    assert(cdc.columns.contains("quality") && !cdc.columns.contains("score"))
+    assert(cdc.filter(col("_change") === "insert")
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(cdc.filter(col("_change") === "update")
+      .select("quality").as[Long].head() == 11L)
+    // readWhere takes the logical key, prunes via the physical stats
+    assert(SnapshotStore.readWhere(spark, path, "id", 3, 3)
+      .select("quality").as[Long].head() == 30L)
+    // drop: metadata-only — gone from live reads, past versions keep it
+    SnapshotStore.dropColumn(spark, path, "s")
+    assert(SnapshotStore.read(spark, path).columns.toSeq ==
+      Seq("id", "quality"))
+    assert(SnapshotStore.read(spark, path, Some(4)).columns.contains("s"))
+    // appends no longer need the dropped column
+    SnapshotStore.commit(Seq((4L, 40L)).toDF("id", "quality"),
+      path, SaveMode.Append)
+    val live = SnapshotStore.read(spark, path)
+    assert(live.count() == 4)
+    assert(live.filter(col("id") === 1).select("quality")
+      .as[Long].head() == 11L)
+  }
+
   test("streamSink retries through a long-held writer lock instead of failing the stream") {
     val path = freshTable()
     SnapshotStore.commit(Seq((1L, "x")).toDF("id", "s"), path)
