@@ -98,6 +98,11 @@ object SparkEntry {
     // two-level coarse quantizer twin (r15): no stage computes
     // |queries|·nlist dots — the corpus-scaled-nlist production shape
     "q_knn_ivf_2l"     -> q(Similarity.knnIvf2l(_)),
+    // graph ANN (r16): NN-descent build + beam search — the oracled
+    // integer variant replays the WHOLE graph build in DuckDB; the
+    // float twin is the serving kernel (recall bound in GraphAnnSpec)
+    "q_knn_graph"      -> q(GraphAnn.knnGraphExact(_)),
+    "q_knn_graph_fp"   -> q(GraphAnn.knnGraphFp(_)),
     // engine-exact two-level build (r16): the 2-level quantizer
     // graduated to the DuckDB gate — Forgy-seeded supers + per-super
     // Forgy children, one exact Lloyd round per tier
@@ -611,6 +616,85 @@ object SparkEntry {
        |FROM dt JOIN wl USING (tok)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** q_knn_graph's full DuckDB replay — NN-descent build (multi-seed
+    * expander init, `rounds` candidate/re-rank rounds at `degree`) +
+    * beam search (`hops` hops at `beam` from `seeds` entry points) —
+    * GENERATED so the SQL stays in lockstep with
+    * [[graft.operators.GraphAnn.knnGraphExact]]'s loop parameters:
+    * every round and hop is one more CTE pair, exact bigint L2
+    * throughout, every tie broken by id. */
+  private def graphAnnOracle(degree: Int = 10, rounds: Int = 3,
+                             initSeeds: Int = 3, seeds: Int = 8,
+                             beam: Int = 8, hops: Int = 3, k: Int = 5,
+                             nQueries: Int = 10): String = {
+    // exact bigint L2 over the per-dim table v for a 2-column relation
+    def score(rel: String, a: String, b: String): String =
+      s"""SELECT $rel.$a, $rel.$b,
+         |       CAST(SUM((x.m - y.m) * (x.m - y.m)) AS BIGINT) AS d
+         |FROM $rel JOIN v x ON x.vec_id = $rel.$a
+         |          JOIN v y ON y.vec_id = $rel.$b AND y.dim = x.dim
+         |GROUP BY 1, 2""".stripMargin
+    def top(src: String, key: String, other: String, lim: Int): String =
+      s"""SELECT $key, $other FROM
+         |  (SELECT $key, $other,
+         |          ROW_NUMBER() OVER (PARTITION BY $key ORDER BY d, $other) AS rn
+         |   FROM $src) WHERE rn <= $lim""".stripMargin
+    val bks = (0 until initSeeds).map { j =>
+      s"""bk$j AS MATERIALIZED (SELECT vec_id,
+         |  (('0x' || substr(md5('g$j:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |   & 2147483647) % (SELECT nb FROM nbk) AS b FROM embeddings)""".stripMargin
+    }.mkString(",\n")
+    // UNION (not ALL) = the engine's union().distinct()
+    val ipUnion = (0 until initSeeds).map { j =>
+      s"""SELECT a.vec_id AS src, c.vec_id AS dst
+         |FROM bk$j a JOIN bk$j c USING (b) WHERE a.vec_id <> c.vec_id""".stripMargin
+    }.mkString("\nUNION\n")
+    val descent = (1 to rounds).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e${r - 1}
+         |  UNION ALL SELECT dst AS src, src AS dst FROM e${r - 1}
+         |  UNION ALL SELECT a.src, b.dst FROM e${r - 1} a JOIN e${r - 1} b ON a.dst = b.src)
+         |  WHERE src <> dst),
+         |d$r AS MATERIALIZED (${score(s"c$r", "src", "dst")}),
+         |e$r AS MATERIALIZED (${top(s"d$r", "src", "dst", degree)})""".stripMargin
+    }.mkString(",\n")
+    val search = (1 to hops).map { h =>
+      s"""f$h AS MATERIALIZED (${top(s"vis${h - 1}", "qid", "dst", beam)}),
+         |n$h AS MATERIALIZED (SELECT DISTINCT f$h.qid, g.dst
+         |        FROM f$h JOIN e$rounds g ON g.src = f$h.dst
+         |        WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} vv
+         |                          WHERE vv.qid = f$h.qid AND vv.dst = g.dst)),
+         |nv$h AS MATERIALIZED (${score(s"n$h", "qid", "dst")}),
+         |vis$h AS MATERIALIZED (SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM nv$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT vec_id, embedding AS emb,
+       |                  unnest(generate_series(1, len(embedding))) AS i
+       |           FROM embeddings),
+       |v AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |             CAST(FLOOR(CAST(emb[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+       |      FROM p),
+       |nbk AS (SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / 8.0) AS BIGINT)) AS nb
+       |        FROM embeddings),
+       |$bks,
+       |ip AS MATERIALIZED ($ipUnion),
+       |d0 AS MATERIALIZED (${score("ip", "src", "dst")}),
+       |e0 AS MATERIALIZED (${top("d0", "src", "dst", degree)}),
+       |$descent,
+       |s0 AS (SELECT q.vec_id AS qid, s.vec_id AS dst
+       |       FROM embeddings q, embeddings s
+       |       WHERE q.vec_id < $nQueries AND s.vec_id < $seeds),
+       |vis0 AS MATERIALIZED (${score("s0", "qid", "dst")}),
+       |$search
+       |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+       |       dst AS neighbor_id, d AS d2
+       |FROM (SELECT qid, dst, d,
+       |             ROW_NUMBER() OVER (PARTITION BY qid
+       |                                ORDER BY d, dst) AS rank
+       |      FROM vis$hops WHERE dst <> qid)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_lookup_enrich" ->
@@ -4102,6 +4186,10 @@ object SparkEntry {
         |      FROM pd)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // graph ANN, the WHOLE structure replayed — generated in lockstep
+    // with GraphAnn.knnGraphExact's loop parameters (see graphAnnOracle)
+    "q_knn_graph" -> graphAnnOracle(),
 
     // two-level exact build: level-1 replays q_knn_ivf's Forgy+Lloyd
     // at nsup=4, level-2 Forgy-seeds each super's first-4 members and

