@@ -81,12 +81,15 @@ object GraphAnn {
 
   /** One NN-descent candidate generation: current edges ∪ reversed ∪
     * 2-hop, self-pairs dropped. Keeping the current edges in the set
-    * makes the per-node neighborhood monotonically improving. */
-  private def descendCandidates(e: DataFrame): DataFrame = {
+    * makes the per-node neighborhood monotonically improving. `hint`
+    * marks the build side of the 2-hop self-join (the edge frame is
+    * n·degree rows — broadcastable far beyond sandbox scale). */
+  private def descendCandidates(e: DataFrame,
+                                hint: DataFrame => DataFrame): DataFrame = {
     val fwd = e.select(col("src"), col("dst"))
     val rev = e.select(col("dst").as("src"), col("src").as("dst"))
     val hop2 = e.select(col("src"), col("dst").as("mid"))
-      .join(e.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .join(hint(e.select(col("src").as("mid"), col("dst"))), Seq("mid"))
       .select(col("src"), col("dst"))
     fwd.union(rev).union(hop2).filter(col("src") =!= col("dst")).distinct()
   }
@@ -96,11 +99,14 @@ object GraphAnn {
     * two vectors to a score column ordered ASCENDING (L2: distance;
     * cosine: negated similarity). */
   private def bestPerSrc(cand: DataFrame, v: DataFrame, degree: Int,
-                         better: (Column, Column) => Column): DataFrame = {
+                         better: (Column, Column) => Column,
+                         hint: DataFrame => DataFrame): DataFrame = {
     val w = Window.partitionBy(col("src")).orderBy(col("d"), col("dst"))
     cand
-      .join(v.select(col("vec_id").as("src"), col("e").as("se")), Seq("src"))
-      .join(v.select(col("vec_id").as("dst"), col("e").as("de")), Seq("dst"))
+      .join(hint(v.select(col("vec_id").as("src"), col("e").as("se"))),
+        Seq("src"))
+      .join(hint(v.select(col("vec_id").as("dst"), col("e").as("de"))),
+        Seq("dst"))
       .select(col("src"), col("dst"), better(col("se"), col("de")).as("d"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= degree)
       .select(col("src"), col("dst"), col("d"))
@@ -115,11 +121,9 @@ object GraphAnn {
     * directed bounded-degree edge frame (src, dst, d), checkpointed —
     * the caller materializes it at most once more. */
   private def buildGraph(v: DataFrame, degree: Int, rounds: Int,
-                         initSeeds: Int,
-                         better: (Column, Column) => Column): DataFrame = {
-    // n only sizes the bucket count — one scalar agg, the sanctioned
-    // 1-row driver total (same as Similarity's centroid counts)
-    val n = v.count()
+                         initSeeds: Int, n: Long,
+                         better: (Column, Column) => Column,
+                         hint: DataFrame => DataFrame): DataFrame = {
     val nb = math.max(1L, n / 8L)
     val initPairs = (0 until initSeeds).map { j =>
       val bucketed = v.select(col("vec_id"),
@@ -130,9 +134,10 @@ object GraphAnn {
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
     }.reduce(_ union _).distinct()
-    var e = bestPerSrc(initPairs, v, degree, better).localCheckpoint()
+    var e = bestPerSrc(initPairs, v, degree, better, hint).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val next = bestPerSrc(descendCandidates(e), v, degree, better)
+      val next = bestPerSrc(descendCandidates(e, hint), v, degree, better,
+          hint)
         .localCheckpoint()
       Components.freeCheckpoint(e)
       e = next
@@ -148,13 +153,15 @@ object GraphAnn {
     * full visited frame (qid, dst, d) for the caller's final top-k. */
   private def searchGraph(edges: DataFrame, v: DataFrame, queries: DataFrame,
                           entry: DataFrame, beam: Int, hops: Int,
-                          better: (Column, Column) => Column): DataFrame = {
+                          better: (Column, Column) => Column,
+                          hint: DataFrame => DataFrame): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
       .persistTracked()
     def score(cand: DataFrame): DataFrame =
-      cand.join(v.select(col("vec_id").as("dst"), col("e").as("de")),
+      cand.join(hint(v.select(col("vec_id").as("dst"), col("e").as("de"))),
           Seq("dst"))
-        .join(q, Seq("qid"))
+        // the query side is nQueries rows — always broadcast
+        .join(broadcast(q), Seq("qid"))
         .select(col("qid"), col("dst"), better(col("qe"), col("de")).as("d"))
     var visited = score(
       q.select(col("qid")).crossJoin(entry.select(col("vec_id").as("dst"))))
@@ -164,7 +171,8 @@ object GraphAnn {
       val frontier = visited.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beam).select(col("qid"), col("dst"))
       val cand = frontier.withColumnRenamed("dst", "cur")
-        .join(edges.select(col("src").as("cur"), col("dst")), Seq("cur"))
+        .join(hint(edges.select(col("src").as("cur"), col("dst"))),
+          Seq("cur"))
         .select(col("qid"), col("dst")).distinct()
         .join(visited.select(col("qid"), col("dst")), Seq("qid", "dst"),
           "left_anti")
@@ -194,6 +202,47 @@ object GraphAnn {
     * recall@5 ≈ 0.78 vs brute at a ~137-node mean visited set — above
     * the IVF baseline (0.6 at nprobe/nlist = 6/16 ≈ 187 nodes
     * scanned). */
+  /** Shared driver: quantize/normalize, build, search, top-k — with
+    * the Components small-graph fast path: below `smallN` vectors
+    * (~50 MB of 64-dim rows, comfortably broadcastable) every
+    * loop-side join is broadcast-hinted and AQE is switched off, so a
+    * descent round / search hop is one classically-scheduled job
+    * instead of one job per query stage — at sandbox scale the loops
+    * are SCHEDULING-bound, not arithmetic-bound (the Components/Lloyd
+    * lesson). Big corpora keep shuffle joins + AQE (runtime skew
+    * splitting matters more than latency there). */
+  private def run(v: DataFrame, k: Int, degree: Int, rounds: Int,
+                  initSeeds: Int, seeds: Int, beam: Int, hops: Int,
+                  nQueries: Int, scoreName: String,
+                  scoreOf: Column => Column,
+                  better: (Column, Column) => Column): DataFrame = {
+    val spark = v.sparkSession
+    // one scalar agg — the sanctioned 1-row driver total (also sizes
+    // the init bucket count)
+    val n = v.count()
+    val small = n < 100000L
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (small) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the only shuffles left under broadcast hints are the per-round
+      // top-degree windows over n·degree² candidate rows — 32 ~1 ms
+      // tasks per stage × ~10 checkpointed stages is pure scheduling
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    }
+    try {
+      val edges = buildGraph(v, degree, rounds, initSeeds, n, better, hint)
+        .select(col("src"), col("dst"))
+      val visited = searchGraph(edges, v, v.filter(col("vec_id") < nQueries),
+        v.filter(col("vec_id") < seeds), beam, hops, better, hint)
+      topK(visited, k, scoreName, scoreOf(col("d")))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   def knnGraphExact(t: Tables, k: Int = 5, degree: Int = 10,
                     rounds: Int = 3, initSeeds: Int = 3, seeds: Int = 8,
                     beam: Int = 8, hops: Int = 3,
@@ -201,12 +250,8 @@ object GraphAnn {
     val v = spread(t.embeddings)
       .select(col("vec_id"), snapMicro(col("embedding")).as("e"))
       .persistTracked()
-    val better = (a: Column, b: Column) => l2vL(a, b)
-    val edges = buildGraph(v, degree, rounds, initSeeds, better)
-      .select(col("src"), col("dst"))
-    val visited = searchGraph(edges, v, v.filter(col("vec_id") < nQueries),
-      v.filter(col("vec_id") < seeds), beam, hops, better)
-    topK(visited, k, "d2", col("d"))
+    run(v, k, degree, rounds, initSeeds, seeds, beam, hops, nQueries,
+      "d2", identity, (a, b) => l2vL(a, b))
   }
 
   /** The float deployment twin (rows-only q_knn_graph_fp): cosine on
@@ -225,13 +270,8 @@ object GraphAnn {
       .persistTracked()
     // unit vectors: min L2 ≡ max cosine; negated dot keeps the shared
     // ascending-order convention (ties by id)
-    val better = (a: Column, b: Column) =>
-      -aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), _ + _)
-    val edges = buildGraph(unit, degree, rounds, initSeeds, better)
-      .select(col("src"), col("dst"))
-    val visited = searchGraph(edges, unit,
-      unit.filter(col("vec_id") < nQueries),
-      unit.filter(col("vec_id") < seeds), beam, hops, better)
-    topK(visited, k, "cosine", -col("d"))
+    run(unit, k, degree, rounds, initSeeds, seeds, beam, hops, nQueries,
+      "cosine", d => -d,
+      (a, b) => -aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), _ + _))
   }
 }

@@ -345,8 +345,18 @@ object SnapshotStore {
             else base.join(dropped.toDF("file"), Seq("file"), "left_anti")
           }
         (carriedDF.toSeq ++ freshDF.toSeq).reduceOption(_ unionByName _) match {
-          case Some(st) => st.write.mode(SaveMode.Overwrite)
-            .parquet(statsCheckDir(path, v).getPath)
+          case Some(st) =>
+            // the checkpoint's row count is METADATA-known: (#files ×
+            // #cols). Size the write from it — ~10⁵ rows per output
+            // file — instead of inheriting the shuffle-partition count,
+            // which would write ~32 near-empty files per commit that
+            // every subsequent pruning read must list and open. (At
+            // 10⁷ files × 4 cols this still fans out to ~400 files —
+            // the write and the pruning scan stay distributed.)
+            val rows = (fresh.size + carried.size).toLong * cols.size
+            val parts = math.max(1L, rows / 100000L).toInt
+            st.repartition(parts).write.mode(SaveMode.Overwrite)
+              .parquet(statsCheckDir(path, v).getPath)
           // nothing to record (carried-only commit over a stats-less
           // table): make sure no stale checkpoint from a crashed
           // attempt at this version number survives to prune wrongly
