@@ -107,11 +107,16 @@ object SnapshotStore {
     * orderable here (single-host writer lock serializes publishes);
     * across hosts they inherit wall-clock skew — version pins are the
     * exact form, timestamp pins the convenient one. */
-  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAsOf(path, tsMillis)))
+
+  /** The version [[readAsOf]] resolves `tsMillis` to — public so the
+    * registered data source's `timestampAsOf` option shares the rule. */
+  def versionAsOf(path: String, tsMillis: Long): Long = {
     val vs = versions(path).filter(commitTime(path, _) <= tsMillis)
     require(vs.nonEmpty,
       s"no snapshot of $path existed at or before $tsMillis")
-    read(spark, path, Some(vs.max))
+    vs.max
   }
 
   /** Read a snapshot: the latest committed version by default, or an

@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.sinks.SnapshotStore
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The SnapshotStore table layer as a REGISTERED Spark data source —
+  * the idiomatic read/write surface, so a user never has to call the
+  * library API to consume a graft table:
+  *
+  * {{{
+  *   df.write.format("graft").option("statsKey", "id").save(path)
+  *   spark.read.format("graft").load(path)                  // head
+  *   spark.read.format("graft").option("versionAsOf", 3).load(path)
+  *   spark.read.format("graft").option("timestampAsOf", ms).load(path)
+  *   // SQL: CREATE TEMPORARY VIEW t USING graft OPTIONS (path '...')
+  * }}}
+  *
+  * Built on the STABLE V1 source API (RelationProvider +
+  * PrunedFilteredScan), delegating to the SnapshotStore read paths —
+  * the same trade Spark's own JDBC source makes: the relation plans a
+  * DataFrame internally and hands its RDD back, so every downstream
+  * feature (column pruning, codegen, AQE) applies unchanged.
+  *
+  * Filter pushdown: Catalyst hands the scan its equality/range
+  * predicates; integral bounds on a single column become a
+  * [[SnapshotStore.readWhere]] call, whose distributed
+  * stats-checkpoint join SKIPS every parquet file whose recorded
+  * (min,max) range for that column misses the bounds — partition-
+  * pruning semantics without physical partition directories. All
+  * filters are reported unhandled, so Spark re-applies them above the
+  * scan: pruning is a strict file-skipping optimization and can never
+  * change results (a column without stats degrades to a full scan,
+  * the readWhere rule).
+  *
+  * Time travel: `versionAsOf` pins an exact version;
+  * `timestampAsOf` (epoch millis) resolves to the latest version
+  * committed at or before the instant — Delta's option names, so the
+  * habit transfers. */
+class GraftSnapshotSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft source requires a path: .load(path) / OPTIONS (path '...')"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = pathOf(parameters)
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        SnapshotStore.versionAsOf(path, ts.toLong)))
+    GraftSnapshotRelation(sqlContext, path, version)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    SnapshotStore.commit(data, path, mode,
+      statsKey = parameters.get("statsKey")): Unit
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** One pinned snapshot version as a relation. The pin happens at
+  * relation CREATION (read head resolved once), so a query plan built
+  * against the relation stays consistent however long it runs or how
+  * often it is re-executed — the SnapshotStore read semantics. */
+case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
+                                 pinned: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val version: Long =
+    pinned.getOrElse(SnapshotStore.latestVersion(path))
+
+  override val schema: StructType =
+    SnapshotStore.read(sqlContext.sparkSession, path, Some(version)).schema
+
+  /** Integral bound extraction: fold the pushed filters into per-column
+    * [lo, hi] windows; the TIGHTEST single-column window drives the
+    * stats prune (readWhere takes one key — other columns' filters
+    * still execute above the scan, they just don't skip files). */
+  private def boundsOf(filters: Array[Filter]): Option[(String, Long, Long)] = {
+    def num(v: Any): Option[Long] = v match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long    => Some(l.longValue)
+      case s: java.lang.Short   => Some(s.longValue)
+      case b: java.lang.Byte    => Some(b.longValue)
+      case _                    => None
+    }
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def tighten(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = acc.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      acc(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    filters.foreach {
+      case EqualTo(c, v)            => num(v).foreach(x => tighten(c, x, x))
+      case GreaterThan(c, v)        => num(v).filter(_ < Long.MaxValue)
+        .foreach(x => tighten(c, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) => num(v).foreach(tighten(c, _, Long.MaxValue))
+      case LessThan(c, v)           => num(v).filter(_ > Long.MinValue)
+        .foreach(x => tighten(c, Long.MinValue, x - 1))
+      case LessThanOrEqual(c, v)    => num(v).foreach(tighten(c, Long.MinValue, _))
+      case In(c, vs) if vs.nonEmpty && vs.forall(num(_).isDefined) =>
+        val xs = vs.flatMap(num); tighten(c, xs.min, xs.max)
+      case _ => ()
+    }
+    // prefer the narrowest window — it skips the most files
+    acc.toSeq.sortBy { case (_, (lo, hi)) => hi - lo }.headOption
+      .map { case (c, (lo, hi)) => (c, lo, hi) }
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val spark = sqlContext.sparkSession
+    val base = boundsOf(filters) match {
+      case Some((key, lo, hi)) if schema.fieldNames.contains(key) =>
+        SnapshotStore.readWhere(spark, path, key, lo, hi, Some(version))
+      case _ => SnapshotStore.read(spark, path, Some(version))
+    }
+    // empty projection = bare count(*): Spark wants 0-field rows
+    if (requiredColumns.isEmpty) base.select().rdd
+    else base.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
+  }
+  // unhandledFilters stays the default (all of them): the scan only
+  // SKIPS files, Spark re-applies every predicate above it
+}
