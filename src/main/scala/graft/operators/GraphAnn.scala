@@ -84,7 +84,7 @@ object GraphAnn {
     * makes the per-node neighborhood monotonically improving. `hint`
     * marks the build side of the 2-hop self-join (the edge frame is
     * n·degree rows — broadcastable far beyond sandbox scale). */
-  private def descendCandidates(e: DataFrame,
+  private[operators] def descendCandidates(e: DataFrame,
                                 hint: DataFrame => DataFrame): DataFrame = {
     val fwd = e.select(col("src"), col("dst"))
     val rev = e.select(col("dst").as("src"), col("src").as("dst"))
@@ -98,7 +98,7 @@ object GraphAnn {
     * (vec_id, e) and keep the best `degree` per src. `better` maps the
     * two vectors to a score column ordered ASCENDING (L2: distance;
     * cosine: negated similarity). */
-  private def bestPerSrc(cand: DataFrame, v: DataFrame, degree: Int,
+  private[operators] def bestPerSrc(cand: DataFrame, v: DataFrame, degree: Int,
                          better: (Column, Column) => Column,
                          hint: DataFrame => DataFrame): DataFrame = {
     val w = Window.partitionBy(col("src")).orderBy(col("d"), col("dst"))
@@ -120,7 +120,7 @@ object GraphAnn {
     * state checkpointed and the previous round freed. Returns the
     * directed bounded-degree edge frame (src, dst, d), checkpointed —
     * the caller materializes it at most once more. */
-  private def buildGraph(v: DataFrame, degree: Int, rounds: Int,
+  private[operators] def buildGraph(v: DataFrame, degree: Int, rounds: Int,
                          initSeeds: Int, n: Long,
                          better: (Column, Column) => Column,
                          hint: DataFrame => DataFrame): DataFrame = {
@@ -151,7 +151,7 @@ object GraphAnn {
     * frame is checkpointed per hop (its size is bounded by the probe
     * budget, seeds + hops·beam·degree rows per query). Returns the
     * full visited frame (qid, dst, d) for the caller's final top-k. */
-  private def searchGraph(edges: DataFrame, v: DataFrame, queries: DataFrame,
+  private[operators] def searchGraph(edges: DataFrame, v: DataFrame, queries: DataFrame,
                           entry: DataFrame, beam: Int, hops: Int,
                           better: (Column, Column) => Column,
                           hint: DataFrame => DataFrame): DataFrame = {
@@ -183,7 +183,7 @@ object GraphAnn {
     visited
   }
 
-  private def topK(visited: DataFrame, k: Int, scoreName: String,
+  private[operators] def topK(visited: DataFrame, k: Int, scoreName: String,
                    scoreCol: Column): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("dst"))
     visited.filter(col("dst") =!= col("qid"))
