@@ -41,7 +41,8 @@ import org.apache.spark.sql.types.StructType
   * committed at or before the instant — Delta's option names, so the
   * habit transfers. */
 class GraftSnapshotSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -56,7 +57,8 @@ class GraftSnapshotSource extends RelationProvider
     val version = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map(ts =>
         SnapshotStore.versionAsOf(path, ts.toLong)))
-    GraftSnapshotRelation(sqlContext, path, version)
+    GraftSnapshotRelation(sqlContext, path, version,
+      parameters.get("statsKey"))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -67,6 +69,35 @@ class GraftSnapshotSource extends RelationProvider
       statsKey = parameters.get("statsKey")): Unit
     createRelation(sqlContext, parameters)
   }
+
+  /** `writeStream.format("graft")` — every micro-batch becomes one
+    * APPEND snapshot commit through [[SnapshotStore.streamSink]],
+    * whose batch-id rule skips replayed batches: exactly-once into
+    * the table, the streamSink contract behind the standard sink
+    * surface. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = pathOf(parameters)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+                            data: org.apache.spark.sql.Dataset[Row]): Unit = {
+        // the incoming frame is a STREAMING plan — `write` is illegal
+        // on it, so rebase it onto its executed RDD as a batch frame
+        // (distributed; rows are copied out of the unsafe buffers the
+        // executed plan reuses)
+        val schema = data.schema
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(schema)
+        val rowRdd = data.queryExecution.toRdd
+          .map(ir => conv(ir.copy()).asInstanceOf[Row])
+        val batchDf = data.sparkSession.createDataFrame(rowRdd, schema)
+        SnapshotStore.streamSink(path)(batchDf, batchId)
+      }
+    }
+  }
 }
 
 /** One pinned snapshot version as a relation. The pin happens at
@@ -74,8 +105,17 @@ class GraftSnapshotSource extends RelationProvider
   * against the relation stays consistent however long it runs or how
   * often it is re-executed — the SnapshotStore read semantics. */
 case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
-                                 pinned: Option[Long])
-    extends BaseRelation with PrunedFilteredScan {
+                                 pinned: Option[Long],
+                                 statsKey: Option[String] = None)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a USING-graft view:
+    * one snapshot commit, stats-tracked when the view was declared
+    * with a statsKey option. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    SnapshotStore.commit(data, path,
+      if (overwrite) SaveMode.Overwrite else SaveMode.Append,
+      statsKey = statsKey): Unit
 
   private val version: Long =
     pinned.getOrElse(SnapshotStore.latestVersion(path))
