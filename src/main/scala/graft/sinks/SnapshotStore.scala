@@ -325,18 +325,32 @@ object SnapshotStore {
           else Some(spark.read.parquet(fresh: _*)
             .groupBy(input_file_name().as("f"))
             .agg(aggs.head, aggs.tail: _*)
-            .select(
-              // input_file_name yields a file: URI; manifests hold
-              // plain paths
-              regexp_replace(col("f"), "^file:(//)?", "").as("file"),
+            .select(col("f"),
               explode(array(cols.zipWithIndex.map { case (c, i) =>
                 struct(lit(c).as("column"), col(s"lo_$i").as("lo"),
                   col(s"hi_$i").as("hi")) }: _*)).as("st"))
-            .select(col("file"), col("st.column").as("column"),
+            .select(col("f"), col("st.column").as("column"),
               col("st.lo").as("lo"), col("st.hi").as("hi"))
             // an all-null file/column has no range — no row, file
             // degrades to unpruned exactly like the no-stats case
-            .filter(col("lo").isNotNull && col("hi").isNotNull))
+            .filter(col("lo").isNotNull && col("hi").isNotNull)
+            // input_file_name yields a PERCENT-ENCODED file: URI;
+            // manifests hold decoded plain paths (File.getPath). A
+            // scheme-strip regexp alone would leave %20 etc. in place
+            // and the pruning joins would never match on tables whose
+            // path needs encoding — decode through URI.getPath (the
+            // normalizePath rule), with a raw-strip fallback for any
+            // string URI.create rejects. One typed map over the
+            // skinny metadata frame.
+            .as[(String, String, Long, Long)]
+            .map { case (f, c, lo, hi) =>
+              val p =
+                try normalizePath(f)
+                catch { case _: Exception =>
+                  f.replaceFirst("^file:(//)?", "") }
+              (p, c, lo, hi)
+            }
+            .toDF("file", "column", "lo", "hi"))
         // carried ranges: the PREVIOUS checkpoint minus the files this
         // commit drops (merge/delete's touched set — small by
         // construction; empty for appends), restricted to the columns
@@ -545,6 +559,17 @@ object SnapshotStore {
       case None => df
       case Some(m) =>
         val mm = m.toMap
+        // a NEW logical column may not reuse a physical name the
+        // mapping already assigns to ANOTHER logical column: it would
+        // land under that physical name and be PRESENTED as the other
+        // column — silent misattribution. (Delta avoids this with
+        // synthetic physical ids; here the append is rejected.)
+        val clash = df.columns.filter(c =>
+          !mm.contains(c) && m.exists(_._2 == c))
+        require(clash.isEmpty,
+          s"append column(s) ${clash.mkString(", ")} collide with the " +
+            "physical name of a renamed/dropped column - rename the new " +
+            "column (physical names are reserved for the table's life)")
         df.toDF(df.columns.toSeq.map(c => mm.getOrElse(c, c)): _*)
     }
 
@@ -625,9 +650,28 @@ object SnapshotStore {
                              mapping: Seq[(String, String)]): Long = {
     val nv = v + 1
     val st = statsFile(path, v)
-    if (st.exists())
-      Files.copy(st.toPath, statsFile(path, nv).toPath,
-        StandardCopyOption.REPLACE_EXISTING)
+    if (st.exists()) {
+      // the stats header names PHYSICAL columns; a dropColumn must not
+      // carry a dropped column forward as the tracked key — the next
+      // mergeCommit/deleteCommit would aggregate min/max over a column
+      // absent from its fresh files and fail. Keep only columns the
+      // new mapping still presents; promote the first survivor to
+      // #key= if the key itself was dropped; no survivors → no header.
+      val live = mapping.map(_._2).toSet
+      val lines = new String(Files.readAllBytes(st.toPath),
+        StandardCharsets.UTF_8).split("\n")
+      val key = lines.find(_.startsWith("#key="))
+        .map(_.stripPrefix("#key=").trim).filter(_.nonEmpty)
+      val cols = lines.find(_.startsWith("#cols="))
+        .map(_.stripPrefix("#cols=").trim.split(",").toSeq)
+        .getOrElse(key.toSeq)
+      val kept = (key.toSeq ++ cols).distinct.filter(live)
+      kept.headOption.foreach { nk =>
+        atomicWrite(statsFile(path, nv),
+          s"#key=$nk\n" +
+            (if (kept.size > 1) s"#cols=${kept.mkString(",")}\n" else ""))
+      }
+    }
     val ck = statsCheckDir(path, v)
     if (ck.exists()) {
       val dst = statsCheckDir(path, nv)
@@ -821,17 +865,32 @@ object SnapshotStore {
     * lag — a consumer behind the retention window fails fast on the
     * missing manifest (Delta semantics) and must re-bootstrap. */
   def consumeChanges(spark: SparkSession, path: String, id: String,
-                     key: Option[String] = None)
+                     key: Option[String] = None,
+                     maxStep: Long = Long.MaxValue)
       : (Option[DataFrame], Long) = {
     val from = consumerVersion(path, id)
-    val to = latestVersion(path)
+    // maxStep bounds how far one delivery advances. maxStep = 1 is the
+    // EXACTLY-ONCE stepping for an ack-after-process consumer whose
+    // sink dedupes on the delivered version (CdcTail): a crash between
+    // sink and ack re-delivers the IDENTICAL single-version delta with
+    // the identical id, so the sink's batch-id rule skips it — whereas
+    // a head-coalesced redelivery would be a WIDER range under a LARGER
+    // id and its already-landed prefix would duplicate. The default
+    // keeps the batch consumers' one-coalesced-delta semantics.
+    val head = latestVersion(path)
+    val to = if (head - from > maxStep) from + maxStep else head
     if (to <= from) (None, from)
     else if (from == 0L) {
-      val boot = read(spark, path, Some(to))
+      // the bootstrap must anchor at a RETAINED version: a stepped
+      // bootstrap (maxStep = 1 → v1) of a vacuumed table jumps forward
+      // to the oldest manifest still on disk
+      val bootV = math.max(versions(path).min, to)
+      val boot = read(spark, path, Some(bootV))
       require(!boot.columns.contains("_change"),
         "consumeChanges: the table already has a _change column (reserved)")
       (Some(boot
-        .withColumn("_change", org.apache.spark.sql.functions.lit("insert"))), to)
+        .withColumn("_change", org.apache.spark.sql.functions.lit("insert"))),
+        bootV)
     } else (Some(readChanges(spark, path, from, to, key)), to)
   }
 
@@ -1011,8 +1070,17 @@ object SnapshotStore {
             .count()
       }
     ((fromV + 1) to toV).foreach { w =>
-      val prevM = manifest(path, w - 1).toSet
-      val curM = manifest(path, w).toSet
+      // a vacuumed intervening version makes disjointness UNPROVABLE,
+      // not an internal error: surface it as the retryable conflict
+      // (the caller's contract) instead of manifest()'s require
+      val (prevM, curM) =
+        try (manifest(path, w - 1).toSet, manifest(path, w).toSet)
+        catch { case _: IllegalArgumentException =>
+          throw new VersionConflictException(
+            s"snapshot commit: $path advanced to v$toV (prepared against " +
+              s"v$fromV) and an intervening manifest was vacuumed - " +
+              "disjointness unprovable; re-read and retry")
+        }
       val added = (curM -- prevM).toSeq
       val removed = (prevM -- curM).toSeq
       val bad = conflicts(added, w) + conflicts(removed, w - 1)

@@ -81,6 +81,12 @@ class GraftSnapshotSource extends RelationProvider
                           outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
     val path = pathOf(parameters)
+    // Append is the only mode whose micro-batches are disjoint row
+    // sets; Update/Complete re-emit rows and would pile stale copies
+    // into an append-only table (Spark's FileStreamSink rejects them
+    // for the same reason)
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append,
+      s"graft sink supports Append output mode only, got $outputMode")
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long,
                             data: org.apache.spark.sql.Dataset[Row]): Unit = {
@@ -100,10 +106,10 @@ class GraftSnapshotSource extends RelationProvider
   }
 }
 
-/** One pinned snapshot version as a relation. The pin happens at
-  * relation CREATION (read head resolved once), so a query plan built
-  * against the relation stays consistent however long it runs or how
-  * often it is re-executed — the SnapshotStore read semantics. */
+/** A snapshot table as a relation: explicitly pinned by
+  * versionAsOf/timestampAsOf, otherwise resolving the HEAD at each
+  * scan (see [[GraftSnapshotRelation.currentVersion]]); every single
+  * scan is internally pinned to one version for its whole execution. */
 case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
                                  pinned: Option[Long],
                                  statsKey: Option[String] = None)
@@ -117,11 +123,19 @@ case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
       if (overwrite) SaveMode.Overwrite else SaveMode.Append,
       statsKey = statsKey): Unit
 
-  private val version: Long =
+  /** versionAsOf/timestampAsOf pin; an UNPINNED relation resolves the
+    * head at each SCAN — a long-lived USING-graft view (or the
+    * relation returned right after an INSERT through it) must observe
+    * later commits, not the head that happened to be live at view
+    * creation. Each individual scan is still pinned to one version
+    * for its whole execution (SnapshotStore.read's immutable-manifest
+    * rule). */
+  private def currentVersion: Long =
     pinned.getOrElse(SnapshotStore.latestVersion(path))
 
   override val schema: StructType =
-    SnapshotStore.read(sqlContext.sparkSession, path, Some(version)).schema
+    SnapshotStore.read(sqlContext.sparkSession, path,
+      Some(currentVersion)).schema
 
   /** Integral bound extraction: fold the pushed filters into per-column
     * [lo, hi] windows; the TIGHTEST single-column window drives the
@@ -152,14 +166,17 @@ case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
         val xs = vs.flatMap(num); tighten(c, xs.min, xs.max)
       case _ => ()
     }
-    // prefer the narrowest window — it skips the most files
-    acc.toSeq.sortBy { case (_, (lo, hi)) => hi - lo }.headOption
-      .map { case (c, (lo, hi)) => (c, lo, hi) }
+    // prefer the narrowest window — it skips the most files (BigInt:
+    // hi - lo overflows Long for near-full-range windows and would
+    // rank a useless window ahead of a point filter)
+    acc.toSeq.sortBy { case (_, (lo, hi)) => BigInt(hi) - BigInt(lo) }
+      .headOption.map { case (c, (lo, hi)) => (c, lo, hi) }
   }
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val spark = sqlContext.sparkSession
+    val version = currentVersion
     val base = boundsOf(filters) match {
       case Some((key, lo, hi)) if schema.fieldNames.contains(key) =>
         SnapshotStore.readWhere(spark, path, key, lo, hi, Some(version))

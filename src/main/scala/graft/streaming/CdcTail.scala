@@ -50,7 +50,14 @@ object CdcTail {
       .foreachBatch { (_: DataFrame, _: Long) =>
         var draining = true
         while (draining)
-          SnapshotStore.consumeChanges(spark, path, consumerId, key) match {
+          // maxStep = 1: one delivery per VERSION, so a crash between
+          // process and ack re-delivers the identical delta under the
+          // identical toVersion — an idempotent downstream keyed on it
+          // (streamSink's batch-id rule) stays exactly-once. A
+          // head-coalesced redelivery would be a wider range under a
+          // larger id, duplicating its already-landed prefix.
+          SnapshotStore.consumeChanges(spark, path, consumerId, key,
+            maxStep = 1L) match {
             case (Some(delta), to) =>
               // a suppressed changelog (pure compaction / identical
               // rewrite) advances the cursor WITHOUT a delivery — the
