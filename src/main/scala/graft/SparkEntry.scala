@@ -94,6 +94,9 @@ object SparkEntry {
     // oracled engine-exact IVF (integer index build replayed by DuckDB)
     // + the float-Lloyd production kernel benched under its own key
     "q_knn_ivf"        -> q(Similarity.ivfKnnExact(_)),
+    // metadata-filtered ANN (r16): label pre-filter pushed into the
+    // posting-list scan — category-scoped vector search, fully oracled
+    "q_knn_filtered"   -> q(Similarity.ivfKnnFiltered(_)),
     "q_knn_ivf_fp"     -> q(Similarity.knnIvf(_)),
     // two-level coarse quantizer twin (r15): no stage computes
     // |queries|·nlist dots — the corpus-scaled-nlist production shape
@@ -313,6 +316,17 @@ object SparkEntry {
     // kernel per doc (rows-only — no SQL engine replays zlib; the
     // repetitive≪prose≪high-entropy ordering is spec-pinned)
     "q_comp_ratio"     -> q(TextAnalysis.compressionRatio),
+    // character-entropy quality signal (r16): the oracle-able half of
+    // the gibberish detector — integer bit-length entropy proxy,
+    // in-row HOF histogram, zero shuffles
+    "q_char_entropy"   -> q(TextAnalysis.charEntropy),
+    // isotonic (PAV) calibration of the quality score (r16): closed-form
+    // max-min over a 16-bin aggregate; the corpus pass is one map-side
+    // scan, everything monotone-fit happens on a constant-size frame
+    "q_calibrate"      -> q(QualityModel.calibrate),
+    // SymSpell deletion-neighborhood spell linkage (r16): fuzzy join as
+    // an EQUI-join on deletion variants, levenshtein only on candidates
+    "q_symspell"       -> q(TextAnalysis.symspell),
     // Cavnar-Trenkle rank-profile LID: char-trigram profiles,
     // out-of-place distance, same train/score harness
     "q_ct_langid"      -> q(TextAnalysis.ctLangId(_)),
@@ -354,6 +368,10 @@ object SparkEntry {
     "q_pipeline_e2e"   -> q(Curation.pipelineE2E(_)),
     "q_epoch_shuffle"  -> q(Curation.epochShuffle(_)),
     "q_shard_checksum" -> q(Curation.shardChecksum(_)),
+    // Hilbert vs z-order locality audit (r16): both curve kernels are
+    // pure integer bit math replayed exactly in DuckDB; spans over
+    // offset tiles are the file-skipping quality metric
+    "q_hilbert"        -> q(Curation.hilbertLocality),
     "q_centroid_update" -> q(Similarity.centroidUpdate),
     // per-label farthest-from-centroid sweep (encoder-glitch QC)
     "q_embed_outliers" -> q(Similarity.embedOutliers(_)),
@@ -995,6 +1013,26 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // integer bit-length entropy proxy: cost = Σ c·(bitlen(n)−bitlen(c))
+    // over the per-char histogram — every term exact BIGINT, replayed
+    // with list HOFs (list_distinct order is irrelevant: the sum is
+    // order-free)
+    "q_char_entropy" ->
+      """WITH c AS (SELECT doc_id, string_split(text, '') AS chs
+        |           FROM documents WHERE length(text) > 0),
+        |k AS (SELECT doc_id, chs, len(chs) AS n, list_distinct(chs) AS uq FROM c),
+        |e AS (SELECT doc_id, n, len(uq) AS distinct_chars,
+        |        list_sum(list_transform(
+        |          list_transform(uq, ch -> len(list_filter(chs, x -> x = ch))),
+        |          cc -> cc * (length(bin(n)) - length(bin(cc))))) AS cost_units
+        |      FROM k)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_chars_h,
+        |  CAST(distinct_chars AS BIGINT) AS distinct_chars,
+        |  CAST(cost_units AS BIGINT) AS cost_units,
+        |  CAST(cost_units * 1000000 // n AS BIGINT) AS entropy_ppm
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,
@@ -2999,6 +3037,32 @@ object SparkEntry {
     // the full integer-GD training replay, generated from the same
     // fragments the Spark plan uses (QualityModel.oracle*Sql)
     "q_logreg_train" -> QualityModel.oracleTrainSql,
+    "q_calibrate" -> QualityModel.oracleCalibrateSql,
+
+    // symmetric-delete spell linkage: DuckDB replays the deletion
+    // neighborhood, the variant equi-join, and the levenshtein verify
+    "q_symspell" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |             UNION ALL
+        |             SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+        |v AS (SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM tok WHERE length(w) >= 3 GROUP BY 1),
+        |vars AS (SELECT DISTINCT token, cnt,
+        |        unnest(list_distinct(list_prepend(token,
+        |          list_transform(range(1, length(token) + 1),
+        |            i -> substr(token, 1, i - 1)
+        |                 || substr(token, i + 1, length(token)))))) AS var
+        |      FROM v),
+        |cand AS (SELECT DISTINCT a.token AS token, a.cnt AS cnt,
+        |        b.token AS nb, b.cnt AS nb_cnt
+        |      FROM vars a JOIN vars b ON a.var = b.var AND a.token <> b.token),
+        |ok AS (SELECT * FROM cand
+        |       WHERE levenshtein(token, nb) <= 1 AND nb_cnt > cnt),
+        |best AS (SELECT token, cnt, nb, nb_cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY token
+        |          ORDER BY nb_cnt DESC, nb ASC) AS rn FROM ok)
+        |SELECT token, cnt, nb AS correction, nb_cnt AS corr_cnt
+        |FROM best WHERE rn = 1 ORDER BY token""".stripMargin,
     "q_logreg_score" -> QualityModel.oracleScoreSql,
     "q_logreg_filter" -> QualityModel.oracleFilterSql,
 
@@ -3733,6 +3797,24 @@ object SparkEntry {
         |GROUP BY shard
         |ORDER BY shard""".stripMargin,
 
+    // Hilbert + Morton curve kernels replayed round-for-round: the
+    // xy2d reflect/swap loop as chained CTEs, interleave as bit ops
+    "q_hilbert" -> {
+      val rounds = graft.functions.ZOrder.hilbertOracleCtes(8, Seq("x0", "y0"))
+      val zExpr = graft.functions.ZOrder.mortonOracleExpr("x0", "y0", 8)
+      s"""WITH h0 AS (SELECT l_orderkey % 256 AS x0, l_partkey % 256 AS y0,
+         |        l_orderkey % 256 AS x, l_partkey % 256 AS y, 0 AS d FROM lineitem),
+         |$rounds,
+         |fin AS (SELECT x0, y0, d, $zExpr AS z FROM h8),
+         |t AS (SELECT (x0 + 16) // 32 AS tile_x, (y0 + 16) // 32 AS tile_y,
+         |        d // 1000 AS hf, z // 1000 AS zf FROM fin)
+         |SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT hf) AS BIGINT) AS h_files,
+         |  CAST(COUNT(DISTINCT zf) AS BIGINT) AS z_files
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     // the scalable range-partitioned row-number vs a true global
     // ROW_NUMBER over the same hash order — md5 coin shared verbatim
     "q_epoch_shuffle" ->
@@ -4181,6 +4263,62 @@ object SparkEntry {
         |       GROUP BY 1, 2)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
         |FROM (SELECT query_id, neighbor_id, d2,
+        |             ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                ORDER BY d2, neighbor_id) AS rank
+        |      FROM pd)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the flat-IVF oracle with the label PRE-FILTER on the candidate
+    // join: each query's top-k restricted to its own label class
+    "q_knn_filtered" ->
+      """WITH p AS (SELECT vec_id, embedding AS e,
+        |                  unnest(generate_series(1, len(embedding))) AS i
+        |           FROM embeddings),
+        |v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |             CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+        |      FROM p),
+        |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+        |c0 AS (SELECT vec_id AS b, dim, m AS cm FROM v WHERE vec_id < 16),
+        |a0 AS (SELECT vec_id, b FROM
+        |       (SELECT d0.vec_id, d0.b,
+        |               ROW_NUMBER() OVER (PARTITION BY d0.vec_id
+        |                                  ORDER BY d0.d2, d0.b) AS rn
+        |        FROM (SELECT v.vec_id, c0.b,
+        |                     CAST(SUM((v.m - c0.cm) * (v.m - c0.cm)) AS BIGINT) AS d2
+        |              FROM v JOIN c0 USING (dim) GROUP BY 1, 2) d0)
+        |       WHERE rn = 1),
+        |mm AS (SELECT a0.b, v.dim,
+        |              CAST(FLOOR(CAST(SUM(v.m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |                   AS BIGINT) AS cmm
+        |       FROM v JOIN a0 USING (vec_id) GROUP BY 1, 2),
+        |cent AS (SELECT c0.b, c0.dim, COALESCE(mm.cmm, c0.cm) AS cm
+        |         FROM c0 LEFT JOIN mm ON mm.b = c0.b AND mm.dim = c0.dim),
+        |dist AS (SELECT vec_id, b, CAST(SUM((m - cm) * (m - cm)) AS BIGINT) AS d2
+        |         FROM v JOIN cent USING (dim) GROUP BY 1, 2),
+        |assign AS (SELECT vec_id AS neighbor_id, b FROM
+        |           (SELECT vec_id, b,
+        |                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, b) AS rn
+        |            FROM dist)
+        |           WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, b FROM
+        |           (SELECT vec_id, b,
+        |                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, b) AS rn
+        |            FROM dist WHERE vec_id < 10)
+        |           WHERE rn <= 6),
+        |cand AS (SELECT query_id, neighbor_id, lq.lbl AS lbl
+        |         FROM probes JOIN assign USING (b)
+        |         JOIN lbl lq ON lq.vec_id = query_id
+        |         JOIN lbl ln ON ln.vec_id = neighbor_id
+        |         WHERE neighbor_id <> query_id AND lq.lbl = ln.lbl),
+        |pd AS (SELECT c.query_id, c.lbl, c.neighbor_id,
+        |              CAST(SUM((vq.m - vn.m) * (vq.m - vn.m)) AS BIGINT) AS d2
+        |       FROM cand c
+        |       JOIN v vq ON vq.vec_id = c.query_id
+        |       JOIN v vn ON vn.vec_id = c.neighbor_id AND vn.dim = vq.dim
+        |       GROUP BY 1, 2, 3)
+        |SELECT query_id, lbl, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
+        |FROM (SELECT query_id, lbl, neighbor_id, d2,
         |             ROW_NUMBER() OVER (PARTITION BY query_id
         |                                ORDER BY d2, neighbor_id) AS rank
         |      FROM pd)

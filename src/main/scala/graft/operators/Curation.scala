@@ -825,4 +825,43 @@ object Curation {
           .as("content_hash"))
       .orderBy(col("doc_id"))
   }
+
+  /** Space-filling-curve LOCALITY AUDIT: Hilbert vs z-order (Morton)
+    * positions for the same 2-D bucket grid, compared on the metric
+    * that decides skipping quality — how many FILES a rectangular
+    * query tile must open, modeling files as fixed-size contiguous
+    * curve ranges (what sorting by the curve key and cutting by size
+    * produces). The range size (1000 cells) is deliberately NOT a
+    * power of two and tiles are OFFSET by half a tile: power-of-two
+    * aligned tiles cut at subtree boundaries are contiguous subtrees
+    * of BOTH curves (the comparison would be vacuous — measured
+    * equal); unaligned ranges and tiles are what real file cuts and
+    * predicates look like, and where Morton's quadrant seams cost.
+    * Note max−min SPAN is the wrong metric — one far Morton jump can
+    * score better than many small Hilbert detours; files-touched is
+    * what a scan pays. The spec asserts Hilbert's total wins; the
+    * compactHilbert spec shows the write-side dual (tighter per-file
+    * bounding boxes on equal-row range cuts).
+    *
+    * Both kernels replay exactly in DuckDB (pure integer bit
+    * arithmetic). Scale: per-row straight-line bit math inside
+    * WholeStageCodegen, zero windows/ranks (file id = d DIV 1000 is
+    * map-side); the audit agg is one map-side-combined groupBy over
+    * ≤81 tiles. */
+  def hilbertLocality(t: Tables): DataFrame = {
+    import graft.functions.ZOrder
+    val bits = 8
+    val base = t.lineitem.select(
+      (col("l_orderkey") % 256).cast("long").as("x"),
+      (col("l_partkey") % 256).cast("long").as("y"))
+    ZOrder.withHilbert(base, "x", "y", bits, "h")
+      .withColumn("z", ZOrder.interleave(Seq(col("x"), col("y")), bits))
+      .withColumn("tile_x", expr("CAST((x + 16) DIV 32 AS BIGINT)"))
+      .withColumn("tile_y", expr("CAST((y + 16) DIV 32 AS BIGINT)"))
+      .groupBy(col("tile_x"), col("tile_y"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        countDistinct(expr("h DIV 1000")).cast("long").as("h_files"),
+        countDistinct(expr("z DIV 1000")).cast("long").as("z_files"))
+      .orderBy(col("tile_x"), col("tile_y"))
+  }
 }

@@ -246,6 +246,110 @@ object QualityModel {
        |  CAST(SUM(CASE WHEN (CASE WHEN p >= 500000 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END)*1000000 // COUNT(*) AS BIGINT) AS agree_ppm
        |FROM pf GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Isotonic (pool-adjacent-violators) probability CALIBRATION — the
+    * step between a quality score and a keep/drop threshold: raw
+    * scores are not probabilities, so production pipelines calibrate
+    * them against a trusted label before thresholding (Zadrozny &
+    * Elkan KDD'02). Here the stopword-ppm score is calibrated against
+    * the lang='en' label over B=16 FIXED-WIDTH score bins, and the
+    * monotone fit uses the closed form of isotonic regression:
+    * iso(k) = max_{i≤k} min_{j≥k} mean(y, bins i..j) — evaluated as
+    * two nested aggregations over the B³/2 (i,k,j) triples of a
+    * 16-row frame.
+    *
+    * Determinism: bin populations and positives are exact BIGINTs;
+    * each candidate mean is ONE IEEE division of exact integers, and
+    * min/max over identical double sets are bit-identical across
+    * engines — no rounding needed (calib_ppm = floor(calib·10⁶) is
+    * derived from those identical doubles).
+    *
+    * Scale: the corpus pass is one map-side scan into a ≤B-row
+    * aggregate (fixed-width binning needs NO global sort, unlike
+    * ntile); everything after is arithmetic on a 16-row frame —
+    * broadcast joins, zero wide shuffles. The fitted step function
+    * deploys as a broadcast piecewise-constant map join. */
+  def calibrate(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 16
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val base = t.documents
+      .select(col("doc_id"), col("lang"),
+        size(filter(toks, w => w.isInCollection(
+          Seq("the", "and", "of", "to", "a")))).cast("long").as("n_stop"),
+        size(toks).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("score", expr("CAST((n_stop * 1000000) DIV n_tok AS BIGINT)"))
+      // fixed-width bins over the score's MEANINGFUL range (stopword
+      // ratios live well under 25%); the top bin absorbs the tail
+      .withColumn("bin", expr(s"CAST(LEAST((score * $B) DIV 250001, ${B - 1}) AS BIGINT)"))
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(0L))
+    val g = base.groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("w"), sum(col("y")).cast("long").as("s"),
+        min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
+    // ≤16 rows from here — the single-partition window is a constant-size frame
+    val win = Window.orderBy(col("bin"))
+    val r = g.withColumn("r", row_number().over(win))
+      .withColumn("ps", sum(col("s")).over(win))
+      .withColumn("pw", sum(col("w")).over(win))
+    val lo = r.select(col("r").as("ri"),
+      (col("ps") - col("s")).as("psi"), (col("pw") - col("w")).as("pwi"))
+    val hi = r.select(col("r").as("rj"), col("ps").as("psj"), col("pw").as("pwj"))
+    val pairs = lo.join(hi, col("ri") <= col("rj"))
+      .select(col("ri"), col("rj"),
+        ((col("psj") - col("psi")).cast("double") /
+          (col("pwj") - col("pwi")).cast("double")).as("a"))
+    val k = r.select(col("r").as("rk"), col("bin"), col("w"), col("s"),
+      col("score_lo"), col("score_hi"))
+    pairs.join(k, col("ri") <= col("rk") && col("rk") <= col("rj"))
+      .groupBy(col("rk"), col("bin"), col("w"), col("s"),
+        col("score_lo"), col("score_hi"), col("ri"))
+      .agg(min(col("a")).as("m"))
+      .groupBy(col("rk"), col("bin"), col("w"), col("s"),
+        col("score_lo"), col("score_hi"))
+      .agg(max(col("m")).as("calib"))
+      .select(col("bin"), col("w").as("n"), col("s").as("pos"),
+        col("score_lo"), col("score_hi"),
+        (col("s").cast("double") / col("w").cast("double")).as("raw_rate"),
+        col("calib"),
+        floor(col("calib") * lit(1000000d)).cast("long").as("calib_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  def oracleCalibrateSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','and','of','to','a'))) AS n_stop,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |sc AS (SELECT *, CAST(n_stop * 1000000 // n_tok AS BIGINT) AS score,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |       FROM base WHERE n_tok > 0),
+      |b AS (SELECT CAST(LEAST(score * 16 // 250001, 15) AS BIGINT) AS bin,
+      |        COUNT(*) AS w, SUM(y) AS s,
+      |        MIN(score) AS score_lo, MAX(score) AS score_hi
+      |      FROM sc GROUP BY 1),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bin) AS r,
+      |        SUM(s) OVER (ORDER BY bin) AS ps,
+      |        SUM(w) OVER (ORDER BY bin) AS pw FROM b),
+      |pairs AS (SELECT i.r AS ri, j.r AS rj,
+      |        CAST(j.ps - (i.ps - i.s) AS DOUBLE)
+      |          / CAST(j.pw - (i.pw - i.w) AS DOUBLE) AS a
+      |      FROM r i JOIN r j ON i.r <= j.r),
+      |mki AS (SELECT k.r AS rk, k.bin, k.w, k.s, k.score_lo, k.score_hi,
+      |          p.ri, MIN(p.a) AS m
+      |        FROM pairs p JOIN r k ON p.ri <= k.r AND k.r <= p.rj
+      |        GROUP BY 1,2,3,4,5,6,7),
+      |iso AS (SELECT rk, bin, w, s, score_lo, score_hi, MAX(m) AS calib
+      |        FROM mki GROUP BY 1,2,3,4,5,6)
+      |SELECT bin, CAST(w AS BIGINT) AS n, CAST(s AS BIGINT) AS pos,
+      |  CAST(score_lo AS BIGINT) AS score_lo,
+      |  CAST(score_hi AS BIGINT) AS score_hi,
+      |  CAST(s AS DOUBLE) / CAST(w AS DOUBLE) AS raw_rate,
+      |  calib,
+      |  CAST(floor(calib * 1000000) AS BIGINT) AS calib_ppm
+      |FROM iso ORDER BY bin""".stripMargin
+
   def oracleFilterSql: String =
     s"""WITH $oracleCtes,
        |kept AS (SELECT pf.doc_id, d.text, d.source

@@ -376,6 +376,61 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** FILTERED ANN (q_knn_filtered): [[ivfKnnExact]]'s integer-exact
+    * build with a metadata PRE-FILTER pushed into the posting-list
+    * scan — each query retrieves top-k only among neighbors of its
+    * OWN label class (the category-scoped vector search every vector
+    * store ships). Pre-filter beats post-filter at the same probe
+    * budget: admissibility is checked where the candidate equi-join
+    * already touches the row, so none of the k slots are wasted on
+    * candidates a post-pass would discard — and no second probe round
+    * is needed when a class is rare (the filtered-recall failure mode
+    * of post-filtering). The label join rides the existing candidate
+    * join; the corpus is never re-shuffled. Same exact-bigint kernel
+    * as the flat IVF, so DuckDB replays build + filter + ranking. */
+  def ivfKnnFiltered(t: Tables, k: Int = 5, nlist: Int = 16, nprobe: Int = 6,
+                     nQueries: Int = 10): DataFrame = {
+    val v = spread(t.embeddings)
+      .select(col("vec_id"), snapMicro(col("embedding")).as("e"))
+      .persistTracked()
+    val lbl = spread(t.embeddings)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val cent = exactCoarse(v, nlist)
+    val dist = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("b"), l2vL(col("e"), col("ce")).as("d2"))
+      .persistTracked()
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
+    val assign = dist.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("b"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("lbl").as("nlbl")),
+        Seq("neighbor_id"))
+    val probes = dist.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("b"))
+      .join(lbl.select(col("vec_id").as("query_id"), col("lbl").as("qlbl")),
+        Seq("query_id"))
+    val cand = probes.join(assign, Seq("b"))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("nlbl") === col("qlbl"))
+      .select(col("query_id"), col("neighbor_id"), col("qlbl").as("lbl"))
+    val qv = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val pd = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("lbl"), col("neighbor_id"),
+        l2vL(col("qe"), col("e")).as("d2"))
+    val kw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    pd.withColumn("rank", row_number().over(kw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("lbl"), col("rank"), col("neighbor_id"), col("d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Engine-exact TWO-LEVEL IVF top-k (the oracled q_knn_ivf_2lx) —
     * graduates the two-level coarse quantizer ([[twoLevelAssign]] /
     * [[twoLevelProbe]], rows-only q_knn_ivf_2l) to the DuckDB gate the

@@ -1793,4 +1793,93 @@ object TextAnalysis {
           "WHEN ratio_ppm > 650000 THEN 'high_entropy' ELSE 'ok' END"))
       .orderBy(col("doc_id"))
   }
+
+  /** Character-entropy quality signal (gibberish / key-mash detector —
+    * the other half of the compression-ratio signal, but fully
+    * oracle-able). For a doc with per-char counts c_i, n = Σc_i, the
+    * Shannon entropy −Σ(c_i/n)·log2(c_i/n) = log2(n) − (1/n)·Σc_i·log2(c_i)
+    * is irrational, so the engine emits the INTEGER bit-length proxy the
+    * repo's perplexity family uses (length(bin(x)) as ⌈log2⌉):
+    * cost_units = Σ c_i · (bitlen(n) − bitlen(c_i)) and
+    * entropy_ppm = cost_units·10⁶ ÷ n — every term an exact BIGINT, so
+    * DuckDB replays the whole signal bit-for-bit. Low ppm ⇒ few
+    * dominant characters (aaaa…, boilerplate); high ppm ⇒ uniform
+    * character use (prose, or random noise when paired with
+    * `compressionRatio`).
+    *
+    * Scale: the histogram is computed IN-ROW with higher-order
+    * functions (array_distinct + filter + aggregate) — one scan-speed
+    * map-side pass inside WholeStageCodegen, ZERO shuffles before the
+    * final orderBy. The explode→groupBy(doc,ch) alternative would
+    * shuffle docs×alphabet rows; per-row HOFs cost O(len·alphabet)
+    * CPU with no wire at all, the right trade for a quality gate that
+    * feeds a filter. */
+  def charEntropy(t: Tables): DataFrame = {
+    val chars = split(col("text"), "")
+    val n = size(chars).cast("long")
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val counts = transform(array_distinct(chars),
+      ch => size(filter(chars, x => x === ch)).cast("long"))
+    t.documents
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        n.as("n_chars_h"),
+        size(array_distinct(chars)).cast("long").as("distinct_chars"),
+        aggregate(counts, lit(0L),
+          (acc, c) => acc + c * (bitlen(n) - bitlen(c))).as("cost_units"))
+      .withColumn("entropy_ppm",
+        expr("CAST((cost_units * 1000000) DIV n_chars_h AS BIGINT)"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SymSpell-style spell linkage (Garbe's symmetric-delete algorithm,
+    * the production spell-correction join): every vocabulary token is
+    * expanded to its single-character DELETION neighborhood, candidate
+    * pairs come from an EQUI-join on shared variants (two strings
+    * within edit distance 1 always share a deletion variant; sharing
+    * one bounds distance by 2), and only candidates pay the
+    * levenshtein verification. Each token is then linked to its most
+    * frequent strictly-more-frequent distance-≤1 neighbor — the
+    * "did you mean" correction (tie-break: lexicographically smallest
+    * neighbor).
+    *
+    * Scale: the fuzzy join never goes all-pairs — vocab ≪ corpus
+    * (heavy-hitter aggregate, map-side combined), variants blow up
+    * only ×(len+1) on the VOCAB, and the candidate join is a plain
+    * equi-join on the variant key (bucketable, AQE-skew-safe); the
+    * length≥3 floor keeps degenerate short variants from forming hot
+    * buckets. This is [[Dedup.fuzzyMatches]]'s missing-recall
+    * complement: first-word blocking can miss true pairs, the
+    * deletion neighborhood is COMPLETE for distance ≤ 1. */
+  def symspell(t: Tables): DataFrame = {
+    val tok = col("token")
+    // multi-source vocabulary: document text ∪ part-name attributes —
+    // the entity/attribute-normalization shape (corrections can cross
+    // sources, e.g. a part token correcting to a frequent corpus word)
+    val vocab = t.documents
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .unionByName(t.part
+        .select(explode(graft.functions.TextFunctions.tokens(col("p_name"))).as("token")))
+      .filter(length(tok) >= 3)
+      .groupBy(tok).agg(count(lit(1)).cast("long").as("cnt"))
+    val vars = vocab.select(tok, col("cnt"),
+        explode(array_distinct(concat(
+          array(tok),
+          transform(sequence(lit(1), length(tok)),
+            i => concat(tok.substr(lit(1), i - 1),
+                        tok.substr(i + 1, length(tok))))))).as("v"))
+    val nb = vars.select(col("v"), tok.as("nb"), col("cnt").as("nb_cnt"))
+    vars.join(nb, Seq("v"))
+      .filter(tok =!= col("nb"))
+      .select(tok, col("cnt"), col("nb"), col("nb_cnt")).distinct()
+      .filter(levenshtein(tok, col("nb")) <= 1 && col("nb_cnt") > col("cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(tok)
+          .orderBy(col("nb_cnt").desc, col("nb").asc)))
+      .filter(col("rn") === 1)
+      .select(tok, col("cnt"), col("nb").as("correction"),
+        col("nb_cnt").as("corr_cnt"))
+      .orderBy(tok)
+  }
 }

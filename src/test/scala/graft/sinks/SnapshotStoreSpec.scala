@@ -220,6 +220,41 @@ class SnapshotStoreSpec extends SparkSpec {
       Seq(200L, 201L, 202L))
   }
 
+  test("compactHilbert: 2-D clustering commit — both dims prune, boxes at least as tight as z-order") {
+    val pathH = freshTable(); val pathZ = freshTable()
+    val grid = spark.range(128L * 128L)
+      .select((col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    Seq(pathH, pathZ).foreach { p =>
+      SnapshotStore.commit(grid.repartitionByRange(16, col("x"))
+        .sortWithinPartitions("x"), p, statsKey = Some("x"))
+    }
+    assert(SnapshotStore.compactHilbert(spark, pathH, "x", "y",
+      targetBytes = 2L << 10) == 2)
+    assert(SnapshotStore.compactZOrdered(spark, pathZ, Seq("x", "y"),
+      targetBytes = 2L << 10) == 2)
+    // rows preserved; pinned v1 reader unaffected
+    assert(SnapshotStore.read(spark, pathH).count() == 128L * 128L)
+    assert(SnapshotStore.read(spark, pathH, Some(1)).count() == 128L * 128L)
+    // multi-column sidecar: BOTH dims file-prune after the hilbert commit
+    val hFiles = SnapshotStore.read(spark, pathH).inputFiles.length
+    assert(SnapshotStore.readWhere(spark, pathH, "x", 0, 10)
+      .inputFiles.length < hFiles)
+    val yN = SnapshotStore.readWhere(spark, pathH, "y", 16, 23)
+    assert(yN.inputFiles.length < hFiles,
+      s"y-range readWhere did not prune: ${yN.inputFiles.length}/$hFiles")
+    assert(yN.count() == 8L * 128L)
+    // the differentiator: per-file 2-D bounding-box AREA (what min/max
+    // skipping sees) — hilbert's unit-step curve is at least as tight
+    def area(p: String): Long = SnapshotStore.read(spark, p)
+      .groupBy(input_file_name())
+      .agg(((max(col("x")) - min(col("x")) + 1) *
+        (max(col("y")) - min(col("y")) + 1)).as("a"))
+      .agg(sum(col("a"))).as[Long].head()
+    val (ah, az) = (area(pathH), area(pathZ))
+    info(s"total per-file bounding-box area: hilbert $ah vs z-order $az")
+    assert(ah <= az, s"hilbert boxes ($ah) looser than z-order ($az)")
+  }
+
   test("compactZOrdered: multi-dim pruning survives as a snapshot commit") {
     val path = freshTable()
     val grid = spark.range(128L * 128L)
