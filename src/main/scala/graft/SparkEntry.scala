@@ -55,6 +55,10 @@ object SparkEntry {
     "q_fingerprint"    -> q(TextAnalysis.fingerprint),
     "q_dedup_exact"    -> q(Dedup.exact),
     "q_ngram_jaccard"  -> q(Dedup.ngramJaccard),
+    // PPJoin prefix-filtered EXACT set-similarity join (r16): the
+    // deterministic complement to MinHash — no false negatives, never
+    // all-pairs (rare-token prefix equi-join + length filter)
+    "q_setjoin_prefix" -> q(Dedup.setJoinPrefix),
     "q_knn_cosine"     -> q(Similarity.knnCosine(_)),
     // fully oracled LSH: md5-derived hashes reproduce every
     // intermediate integer in DuckDB (see Dedup.md5Hash31 /
@@ -230,6 +234,15 @@ object SparkEntry {
     // SnapshotStore commit v1/v2 -> readChanges CDC -> agg (oracled
     // against the plain full-outer diff, minus the suppressed S row)
     "q_snapshot_cdc"   -> q(Relational.snapshotCdc),
+    // incremental view maintenance (r16): an aggregate view merged
+    // forward from unkeyed CDC deltas only — never re-aggregating the
+    // base; the oracle is the FULL recompute, so the gate proves
+    // incremental == recompute
+    "q_ivm"            -> q(Relational.ivm),
+    // Deequ-style data-quality audit (r16): scan-level constraints in
+    // ONE aggregate pass + uniqueness + broadcast ref-integrity +
+    // cross-table consistency, all exact BIGINT counts
+    "q_dq_audit"       -> q(DataQuality.dqAudit),
     // row-level DELETE commits (r15): stats-pruned takedown through
     // the real table layer + the keyed CDC delete delta, oracled
     "q_snapshot_delete" -> q(Relational.snapshotDelete),
@@ -1058,6 +1071,36 @@ object SparkEntry {
         |         / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
         |FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
         |WHERE a.doc_id % 10 = 0
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // PPJoin replayed stage-for-stage: df-ordered prefix, candidate
+    // equi-join with the integer length filter, exact-intersection
+    // verify with the integer Jaccard test (t = 4/5)
+    "q_setjoin_prefix" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos0 AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM w),
+        |tok AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS w FROM pos0),
+        |df AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY 1),
+        |sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
+        |pos AS (SELECT t.doc_id, t.w, sz.s,
+        |          ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |            ORDER BY df.df, t.w) AS p
+        |        FROM tok t JOIN df ON t.w = df.w JOIN sz ON t.doc_id = sz.doc_id),
+        |pref AS (SELECT * FROM pos WHERE p <= s - (4 * s + 4) // 5 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+        |           AND 5 * b.s >= 4 * a.s AND 5 * a.s >= 4 * b.s),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |          FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        |          JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT inter.doc_a, inter.doc_b, CAST(i AS BIGINT) AS inter,
+        |  CAST(sa.s AS BIGINT) AS sa, CAST(sb.s AS BIGINT) AS sb,
+        |  CAST(i * 1000000 // (sa.s + sb.s - i) AS BIGINT) AS jac_ppm
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = inter.doc_a
+        |JOIN sz sb ON sb.doc_id = inter.doc_b
+        |WHERE 5 * i >= 4 * (sa.s + sb.s - i)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Full MinHash+LSH pipeline, reproduced integer-for-integer: the
@@ -2119,6 +2162,52 @@ object SparkEntry {
         |WHERE change != 'S'
         |GROUP BY change
         |ORDER BY change""".stripMargin,
+
+    // constraint suite replayed verbatim: NOT IN's three-valued logic
+    // matches Spark's negated isin (NULL rows count as 0 in both)
+    "q_dq_audit" ->
+      """WITH rep AS (
+        |  SELECT 'completeness:o_orderstatus' AS check_name,
+        |    COUNT(*) AS n_checked,
+        |    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'accepted_values:o_orderstatus', COUNT(*),
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'non_negative:o_totalprice', COUNT(*),
+        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'uniqueness:o_orderkey', SUM(c),
+        |    SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'ref_integrity:orders.o_custkey',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'consistency:l_shipdate>=o_orderdate', COUNT(*),
+        |    SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS verdict
+        |FROM rep ORDER BY check_name""".stripMargin,
+
+    // IVM gate: the oracle is the FULL recompute of the final state
+    // (v2 slice minus the deleted keys) — the Spark side never touches
+    // the base after v1, only CDC deltas
+    "q_ivm" ->
+      """WITH f AS (SELECT o_orderstatus AS st,
+        |    CAST(FLOOR((CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |                     ELSE o_totalprice END) * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0)
+        |SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // stats-pruned row deletes + keyed CDC delete delta: live side is
     // the surviving slice, delete counts carry the OLD payload

@@ -469,6 +469,68 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE driven through the REAL table layer
+    * (r16, oracled): a per-status (count, exact-cents sum) aggregate
+    * view of an orders table is maintained across THREE commits —
+    * overwrite-with-updates, then a stats-pruned row DELETE — using
+    * ONLY the CDC deltas ([[graft.sinks.SnapshotStore.readChanges]],
+    * unkeyed): view ⊕= agg(inserts) ⊖ agg(deletes). Unkeyed CDC is the
+    * right IVM feed for distributive aggregates: an update is
+    * delete(old)+insert(new) and an identical rewrite cancels exactly
+    * in the merge, so no keyed diff is needed. The base table is NEVER
+    * re-aggregated after v1; the oracle replays the FULL recompute of
+    * the final state, so the gate proves incremental ≡ recompute —
+    * the IVM correctness contract.
+    *
+    * Scale: this is the nightly-refresh pattern at 100 TB — each
+    * refresh costs O(changed files), not O(table): readChanges prunes
+    * to the manifest set-difference, the delta aggregate is
+    * map-side-combined and group-sized, and the view merge is a
+    * broadcast-sized full-outer join on the group key. */
+  def ivm(t: Tables): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivm").toString + "/t"
+    val cents = expr(
+      "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents")
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val v1 = o.filter(col("o_orderkey") % 10 =!= 0)
+    val v2 = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    graft.sinks.SnapshotStore.commit(
+      v1.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), dir,
+      statsKey = Some("o_orderkey"))
+    graft.sinks.SnapshotStore.commit(v2, dir)
+    graft.sinks.SnapshotStore.deleteCommit(t.spark, dir,
+      o.filter(col("o_orderkey") % 13 === 0).select(col("o_orderkey")),
+      "o_orderkey")
+    def aggOf(df: DataFrame, sign: Column): DataFrame =
+      df.select(col("o_orderstatus"), cents, sign.as("s"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("s")).as("dn"), sum(col("cents") * col("s")).as("dc"))
+    // the view is INITIALIZED from v1 and then only ever merged with
+    // CDC deltas — the base table is not touched again
+    val view0 = aggOf(graft.sinks.SnapshotStore.read(t.spark, dir, Some(1)),
+      lit(1L))
+    def delta(fromV: Long, toV: Long): DataFrame =
+      aggOf(graft.sinks.SnapshotStore.readChanges(t.spark, dir, fromV, toV),
+        when(col("_change") === "insert", 1L).otherwise(-1L))
+    Seq(delta(1, 2), delta(2, 3)).foldLeft(view0) { (v, d) =>
+      v.withColumnRenamed("dn", "vn").withColumnRenamed("dc", "vc")
+        .join(d, Seq("o_orderstatus"), "full")
+        .select(col("o_orderstatus"),
+          (coalesce(col("vn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("dn"),
+          (coalesce(col("vc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("dc"))
+    }
+      .filter(col("dn") > 0)
+      .select(col("o_orderstatus"), col("dn").cast("long").as("n"),
+        col("dc").cast("long").as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Keep-first dedup by business key (the pipeline "latest record
     * wins" pattern, inverted to earliest): one row per (lang, source)
     * — a single window shuffle, no self-join. */
