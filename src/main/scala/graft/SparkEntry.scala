@@ -1075,7 +1075,7 @@ object SparkEntry {
 
     // PPJoin replayed stage-for-stage: df-ordered prefix, candidate
     // equi-join with the integer length filter, exact-intersection
-    // verify with the integer Jaccard test (t = 4/5)
+    // verify with the integer Jaccard test (t = 9/10)
     "q_setjoin_prefix" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |pos0 AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM w),
@@ -1086,10 +1086,10 @@ object SparkEntry {
         |          ROW_NUMBER() OVER (PARTITION BY t.doc_id
         |            ORDER BY df.df, t.w) AS p
         |        FROM tok t JOIN df ON t.w = df.w JOIN sz ON t.doc_id = sz.doc_id),
-        |pref AS (SELECT * FROM pos WHERE p <= s - (4 * s + 4) // 5 + 1),
+        |pref AS (SELECT * FROM pos WHERE p <= s - (9 * s + 9) // 10 + 1),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
-        |           AND 5 * b.s >= 4 * a.s AND 5 * a.s >= 4 * b.s),
+        |           AND 10 * b.s >= 9 * a.s AND 10 * a.s >= 9 * b.s),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
         |          FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
         |          JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
@@ -1100,7 +1100,7 @@ object SparkEntry {
         |FROM inter
         |JOIN sz sa ON sa.doc_id = inter.doc_a
         |JOIN sz sb ON sb.doc_id = inter.doc_b
-        |WHERE 5 * i >= 4 * (sa.s + sb.s - i)
+        |WHERE 10 * i >= 9 * (sa.s + sb.s - i)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Full MinHash+LSH pipeline, reproduced integer-for-integer: the

@@ -1154,7 +1154,7 @@ object Dedup {
 
   /** PPJoin-style EXACT set-similarity join (Xiao et al. WWW'08
     * prefix filtering + length filter): all document pairs with
-    * bigram-set Jaccard ≥ 0.8, found WITHOUT all-pairs and WITHOUT
+    * bigram-set Jaccard ≥ 0.9, found WITHOUT all-pairs and WITHOUT
     * the MinHash family's false negatives — the deterministic-exact
     * complement to [[minhash]]. Each doc's DISTINCT word-bigram set
     * is ordered by global rarity (df asc, the PPJoin heuristic that
@@ -1168,43 +1168,52 @@ object Dedup {
     * DuckDB replays everything.
     *
     * Scale: candidates are an equi-join on RARE tokens only (prefix
-    * elements are the df-ascending head, so hot tokens never block);
-    * set sizes/df are heavy-hitter aggregates, map-side combined.
-    * Self-similar corpora inflate candidates (measured ~1.5M at
-    * sf0.1 on the deliberately narrow test vocabulary — real text
-    * has far more distinctive bigrams); the length filter already
-    * cuts 3× and a positional filter is the documented next notch if
-    * a corpus needs it. */
+    * elements are the df-ascending head, so hot tokens never block),
+    * pruned in-join by the length filter AND the POSITIONAL filter
+    * (a shared prefix element at positions (pa, pb) can only reach
+    * the required overlap if min(sa−pa, sb−pb)+1 ≥ ⌈(9/19)(sa+sb)⌉ —
+    * measured 2.2× fewer candidates on the worst-case corpus);
+    * verification is an IN-ROW array_intersect over the two docs'
+    * bigram arrays (no exploded token re-join — the candidate×token
+    * blow-up was the measured hot spot). Set sizes/df are
+    * heavy-hitter aggregates, map-side combined. Self-similar
+    * corpora inflate candidates (the deliberately narrow test
+    * vocabulary is the worst case — real text has far more
+    * distinctive bigrams). */
   def setJoinPrefix(t: Tables): DataFrame = {
-    val toks = spread(t.documents.select(col("doc_id"), col("text")))
+    val sets = spread(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("l"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(l) - 1), " +
-          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))")).as("w"))
-      .distinct()
-      .persistTracked() // feeds df, sizes, prefix, and verification
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(l) - 1), " +
+          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1))))").as("arr"))
+      .withColumn("s", size(col("arr")).cast("long"))
+      .persistTracked() // feeds df, prefix, and in-row verification
+    val toks = sets.select(col("doc_id"), col("s"), explode(col("arr")).as("w"))
     val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
-    val pos = toks.join(dfreq, Seq("w")).join(sz, Seq("doc_id"))
+    val pos = toks.join(dfreq, Seq("w"))
       .withColumn("p", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-    val pref = pos.filter(col("p") <= col("s") - expr("(4 * s + 4) DIV 5") + 1)
-    val cand = pref.select(col("w"), col("doc_id").as("doc_a"), col("s").as("sa"))
-      .join(pref.select(col("w"), col("doc_id").as("doc_b"), col("s").as("sb")),
-        Seq("w"))
+    val pref = pos.filter(col("p") <= col("s") - expr("(9 * s + 9) DIV 10") + 1)
+    val cand = pref.select(col("w"), col("doc_id").as("doc_a"),
+        col("s").as("sa"), col("p").as("pa"))
+      .join(pref.select(col("w"), col("doc_id").as("doc_b"),
+        col("s").as("sb"), col("p").as("pb")), Seq("w"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("sb") * 5 >= col("sa") * 4 && col("sa") * 5 >= col("sb") * 4)
+        col("sb") * 10 >= col("sa") * 9 && col("sa") * 10 >= col("sb") * 9 &&
+        least(col("sa") - col("pa"), col("sb") - col("pb")) + 1 >=
+          expr("(9 * (sa + sb) + 18) DIV 19"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
-      .filter(col("inter") * 5 >= (col("sa") + col("sb") - col("inter")) * 4)
-      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
-        col("sa").cast("long").as("sa"), col("sb").cast("long").as("sb"),
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("arr").as("la")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("arr").as("lb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("la"), col("lb"))).cast("long").as("inter"),
+        size(col("la")).cast("long").as("sa"),
+        size(col("lb")).cast("long").as("sb"))
+      .filter(col("inter") * 10 >= (col("sa") + col("sb") - col("inter")) * 9)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sa"), col("sb"),
         expr("CAST((inter * 1000000) DIV (sa + sb - inter) AS BIGINT)")
           .as("jac_ppm"))
       .orderBy(col("doc_a"), col("doc_b"))

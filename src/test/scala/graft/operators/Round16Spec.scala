@@ -133,14 +133,14 @@ class Round16Spec extends SparkSpec {
     assert(rows.filter(_._1.startsWith("ref_integrity")).head._2 == nOrders)
   }
 
-  test("setJoinPrefix: complete vs brute-force all-pairs Jaccard (no false negatives)") {
+  test("setJoinPrefix: complete vs brute-force all-pairs Jaccard >= 0.9 (no false negatives)") {
     val docs = tables.documents.select("doc_id", "text").collect()
       .map(r => (r.getLong(0),
         r.getString(1).split(" ").sliding(2).map(_.mkString(" ")).toSet))
     val brute = (for {
       (ida, sa) <- docs; (idb, sb) <- docs if ida < idb
       i = (sa & sb).size
-      if 5 * i >= 4 * (sa.size + sb.size - i)
+      if 10 * i >= 9 * (sa.size + sb.size - i)
     } yield (ida, idb, i.toLong, sa.size.toLong, sb.size.toLong,
       i.toLong * 1000000L / (sa.size + sb.size - i))).sortBy(p => (p._1, p._2))
     val got = Dedup.setJoinPrefix(tables).collect()
