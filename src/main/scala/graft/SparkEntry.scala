@@ -173,6 +173,10 @@ object SparkEntry {
     // file writes -> binaryFile re-read -> magic-sniff inflate ->
     // regroup; text modality byte-exact under the DuckDB gate
     "q_webdataset_gz"  -> q(Multimodal.webdatasetGzFromDisk(_)),
+    // perceptual-hash image dedup (r16): REAL PNG encode->decode->dHash,
+    // Hamming-LSH band join (complete for <=2 bits), component closure;
+    // the md5-derived pixel formula makes the whole chain oracled
+    "q_image_phash"    -> q(Multimodal.imagePhash),
     // —— relational completeness ——
     "q_semi_anti"      -> q(Relational.semiAnti),
     "q_setops"         -> q(Relational.setOps),
@@ -2130,6 +2134,52 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // dHash replayed pixel-for-pixel from the md5 gray formula (PNG is
+    // lossless, so the engine's DECODED pixels equal the formula), then
+    // the band join, Hamming verify, and recursive-CTE closure
+    "q_image_phash" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 97 AS fam FROM documents),
+        |px AS (SELECT doc_id, fam, xs.x AS x, ys.y AS y
+        |       FROM d, generate_series(0, 7) xs(x), generate_series(0, 7) ys(y)),
+        |g AS (SELECT doc_id, x, y,
+        |        CASE WHEN doc_id % 5 = 0 AND x = doc_id % 8
+        |                  AND y = (doc_id // 8) % 8
+        |             THEN (('0x' || substr(md5(fam || '_' || x || '_' || y), 1, 2))::INT + 128) % 256
+        |             ELSE ('0x' || substr(md5(fam || '_' || x || '_' || y), 1, 2))::INT
+        |        END AS gray
+        |      FROM px),
+        |bits AS (SELECT a.doc_id, a.y, a.x,
+        |           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |         FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y
+        |           AND b.x = a.x + 1
+        |         WHERE a.x < 7),
+        |h AS (SELECT doc_id,
+        |        CAST(SUM(bit * (1::BIGINT << (y * 7 + x))) AS BIGINT) AS dhash
+        |      FROM bits GROUP BY 1),
+        |bands AS (SELECT doc_id, dhash, bs.b AS b,
+        |            (dhash >> (bs.b * 14)) & 16383 AS v
+        |          FROM h, generate_series(0, 3) bs(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb,
+        |            a.dhash AS ha, b.dhash AS hb
+        |         FROM bands a JOIN bands b
+        |           ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT pa AS a, pb AS b FROM cand
+        |          WHERE bit_count(xor(ha, hb)) <= 2),
+        |sym AS (SELECT a AS src, b AS dst FROM pairs
+        |        UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT src AS node, src AS lbl FROM sym
+        |  UNION
+        |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |cs AS (SELECT node, cluster_id,
+        |         COUNT(*) OVER (PARTITION BY cluster_id) AS csz FROM cc)
+        |SELECT h.doc_id, h.dhash,
+        |  CAST(COALESCE(cs.cluster_id, h.doc_id) AS BIGINT) AS cluster_id,
+        |  CAST(COALESCE(cs.csz, 1) AS BIGINT) AS cluster_size
+        |FROM h LEFT JOIN cs ON h.doc_id = cs.node
+        |ORDER BY h.doc_id""".stripMargin,
+
     // gzip -> disk -> binaryFile -> inflate -> regroup identity: the
     // shard id survives via the FILE NAME, all three modalities
     // survive the container, the text entry is byte-exact
@@ -2176,7 +2226,7 @@ object SparkEntry {
         |    SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
         |  FROM orders
         |  UNION ALL
-        |  SELECT 'non_negative:o_totalprice', COUNT(*),
+        |  SELECT 'positive:o_totalprice', COUNT(*),
         |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
         |  FROM orders
         |  UNION ALL

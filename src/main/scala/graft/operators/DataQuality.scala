@@ -41,7 +41,7 @@ object DataQuality {
           col("n").as("n_checked"), col("v_null").as("n_violations")),
         struct(lit("accepted_values:o_orderstatus").as("check_name"),
           col("n").as("n_checked"), col("v_vals").as("n_violations")),
-        struct(lit("non_negative:o_totalprice").as("check_name"),
+        struct(lit("positive:o_totalprice").as("check_name"),
           col("n").as("n_checked"), col("v_price").as("n_violations"))))
         .as("c"))
       .select(col("c.*"))

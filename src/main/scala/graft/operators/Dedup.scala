@@ -1172,7 +1172,8 @@ object Dedup {
     * pruned in-join by the length filter AND the POSITIONAL filter
     * (a shared prefix element at positions (pa, pb) can only reach
     * the required overlap if min(sa−pa, sb−pb)+1 ≥ ⌈(9/19)(sa+sb)⌉ —
-    * measured 2.2× fewer candidates on the worst-case corpus);
+    * measured 667k → 181k candidates at sf0.1 together with the 0.9
+    * threshold, on the worst-case corpus);
     * verification is an IN-ROW array_intersect over the two docs'
     * bigram arrays (no exploded token re-join — the candidate×token
     * blow-up was the measured hot spot). Set sizes/df are
@@ -1183,6 +1184,10 @@ object Dedup {
   def setJoinPrefix(t: Tables): DataFrame = {
     val sets = spread(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("l"))
+      // size >= 2 guard: sequence(1, 0) DESCENDS and element_at(l, 0)
+      // throws — a 1-token doc has no bigrams and can never pair, so
+      // dropping it here matches the oracle's empty generate_series
+      .filter(size(col("l")) >= 2)
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, size(l) - 1), " +
           "i -> concat(element_at(l, i), ' ', element_at(l, i + 1))))").as("arr"))

@@ -393,7 +393,9 @@ object Similarity {
     val v = spread(t.embeddings)
       .select(col("vec_id"), snapMicro(col("embedding")).as("e"))
       .persistTracked()
-    val lbl = spread(t.embeddings)
+    // skinny projection, no second spread scan — it only rides the
+    // (already-distributed) assign/probe joins
+    val lbl = t.embeddings
       .select(col("vec_id"), col("label").cast("long").as("lbl"))
     val cent = exactCoarse(v, nlist)
     val dist = v.crossJoin(broadcast(cent))

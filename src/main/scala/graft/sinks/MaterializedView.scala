@@ -1,0 +1,96 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MATERIALIZED aggregate views over snapshot tables with INCREMENTAL
+  * refresh — the reusable component behind the q_ivm gate (which
+  * proves the maintenance algebra incremental ≡ recompute under
+  * DuckDB). A view is `SELECT key, COUNT(*) n, SUM(sumCol) s GROUP BY
+  * key` over a base snapshot table, stored as a snapshot table
+  * itself; `refresh` advances it using ONLY the base's CDC deltas:
+  *
+  *   - the base read is [[SnapshotStore.consumeChanges]] under a
+  *     per-view consumer cursor — O(changed files) via the manifest
+  *     set-difference, never a base re-scan; ack-after-commit gives
+  *     at-least-once delivery and the merge is idempotent against
+  *     redelivery of an unacked delta ONLY if the view commit and ack
+  *     land together, so refresh re-reads the cursor under the view
+  *     lock and skips already-applied versions (the delivered `toV`
+  *     is recorded in the view table's batch id — the streamSink
+  *     exactly-once rule reused for refresh).
+  *   - unkeyed CDC is the correct feed for distributive aggregates:
+  *     an update is delete(old)+insert(new); identical rewrites
+  *     cancel exactly in the ±1 signed aggregate.
+  *   - the merge full-outer-joins the (groups-sized, ≪ base) view
+  *     with the (delta-sized) aggregate and rewrites the view —
+  *     O(groups), not O(base); groups whose count reaches 0 drop out.
+  *
+  * Scale: a 100 TB base with daily appends refreshes at the cost of
+  * one aggregate over the appended files plus a groups-sized commit.
+  */
+object MaterializedView {
+
+  private def viewId(viewPath: String): String =
+    "mv-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(viewPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+
+  /** Signed per-key aggregate of a CDC frame: inserts count +1,
+    * deletes −1; sums carry the same sign. */
+  private def deltaAgg(changes: DataFrame, key: String,
+                       sumCol: String): DataFrame = {
+    val sign = when(col("_change") === "insert", 1L).otherwise(-1L)
+    changes.select(col(key), col(sumCol).cast("long").as("_x"), sign.as("_sg"))
+      .groupBy(col(key))
+      .agg(sum(col("_sg")).cast("long").as("n"),
+        sum(col("_x") * col("_sg")).cast("long").as("s"))
+  }
+
+  /** Define + fully compute the view from the base's live version,
+    * anchoring the CDC cursor there. Returns the view's version. */
+  def create(spark: SparkSession, basePath: String, viewPath: String,
+             key: String, sumCol: String): Long = {
+    val id = viewId(viewPath)
+    val (df, toV) = SnapshotStore.consumeChanges(spark, basePath, id)
+    require(df.nonEmpty, s"base table $basePath is empty")
+    val v = SnapshotStore.commit(deltaAgg(df.get, key, sumCol)
+        .filter(col("n") > 0),
+      viewPath, batchId = Some(toV))
+    SnapshotStore.ackChanges(basePath, id, toV)
+    v
+  }
+
+  /** Incremental refresh: apply everything the base committed since
+    * the last acknowledged version. Returns the new view version, or
+    * None when the view is already current. Crash-safe: the delivered
+    * base version rides the view commit as its batch id, so a crash
+    * between commit and ack redelivers a delta the batch-id rule
+    * skips (the streamSink exactly-once contract). */
+  def refresh(spark: SparkSession, basePath: String, viewPath: String,
+              key: String, sumCol: String): Option[Long] = {
+    val id = viewId(viewPath)
+    SnapshotStore.consumeChanges(spark, basePath, id) match {
+      case (None, _) => None
+      case (Some(changes), toV) =>
+        val applied = SnapshotStore.lastStreamBatch(viewPath)
+        val v =
+          if (toV <= applied) None // crash window: delta already merged
+          else {
+            val delta = deltaAgg(changes, key, sumCol)
+              .withColumnRenamed("n", "dn").withColumnRenamed("s", "ds")
+            val merged = SnapshotStore.read(spark, viewPath)
+              .join(delta, Seq(key), "full")
+              .select(col(key),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                  .as("n"),
+                (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+                  .as("s"))
+              .filter(col("n") > 0)
+            Some(SnapshotStore.commit(merged, viewPath, batchId = Some(toV)))
+          }
+        SnapshotStore.ackChanges(basePath, id, toV)
+        v
+    }
+  }
+}

@@ -199,6 +199,7 @@ object SnapshotStore {
              batchId: Option[Long] = None,
              statsKey: Option[String] = None): Long =
     withLock(path) {
+      enforceConstraints(df, path)
       val prev = latestVersion(path)
       mode match {
         case SaveMode.Append if prev > 0 =>
@@ -210,6 +211,88 @@ object SnapshotStore {
           commitLocked(df, path, Nil, batchId, statsKey)
       }
     }
+
+  /** A commit batch violated a table CHECK constraint; the table is
+    * untouched (validation runs before any file is written). */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  private def constraintsFile(path: String) = new File(path, "_constraints")
+
+  /** The table's CHECK constraints, oldest first: (name, boolean SQL
+    * expression over LOGICAL column names). */
+  def tableConstraints(path: String): Seq[(String, String)] = {
+    val f = constraintsFile(path)
+    if (!f.exists()) Nil
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+      .map { l => val Array(n, e) = l.split("\t", 2); (n, e) }
+  }
+
+  /** Delta-style `ALTER TABLE ADD CONSTRAINT`: a named boolean SQL
+    * expression every SUBSEQUENT commit batch must satisfy, enforced
+    * with SQL CHECK null semantics (a row passes when the expression
+    * is TRUE or NULL, violates only on FALSE). Like Delta, adding a
+    * constraint first validates the EXISTING live table — one
+    * aggregate scan — so a table can never hold data its declared
+    * constraints reject. Enforcement on commit is ONE extra map-side
+    * aggregate pass over the incoming batch (all constraints fused,
+    * n constraints ≠ n scans — the DataQuality analyzer discipline);
+    * rewrite-only maintenance (compaction, delete survivors) is not
+    * re-validated, matching Delta's OPTIMIZE. */
+  def addConstraint(spark: SparkSession, path: String,
+                    name: String, sqlExpr: String): Unit = withLock(path) {
+    require(name.matches("[A-Za-z0-9_-]+"), s"constraint name '$name'")
+    require(!sqlExpr.contains("\t") && !sqlExpr.contains("\n"),
+      "constraint expression must not contain tabs/newlines")
+    require(!tableConstraints(path).exists(_._1 == name),
+      s"constraint '$name' already exists on $path")
+    if (latestVersion(path) > 0) violationCounts(
+      read(spark, path), Seq(name -> sqlExpr)).foreach { case (n, c) =>
+      if (c > 0) throw new ConstraintViolationException(
+        s"cannot add '$n' to $path: $c existing rows violate it")
+    }
+    val line = s"$name\t$sqlExpr\n"
+    Files.write(constraintsFile(path).toPath,
+      line.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
+  }
+
+  /** Remove a named constraint (no-op if absent). */
+  def dropConstraint(path: String, name: String): Unit = withLock(path) {
+    val kept = tableConstraints(path).filterNot(_._1 == name)
+    if (kept.isEmpty) { constraintsFile(path).delete(): Unit }
+    else Files.writeString(constraintsFile(path).toPath,
+      kept.map { case (n, e) => s"$n\t$e\n" }.mkString): Unit
+  }
+
+  /** One fused aggregate pass: per-constraint violation counts over
+    * `df` (CHECK semantics: NULL passes). */
+  private def violationCounts(df: DataFrame,
+                              cs: Seq[(String, String)]): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val row = df.agg(
+      lit(1).as("_one"),
+      cs.map { case (n, e) =>
+        sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)).as(s"_v_$n")
+      }: _*).collect().head
+    cs.zipWithIndex.map { case ((n, _), i) =>
+      n -> Option(row.get(i + 1)).fold(0L)(_.asInstanceOf[Long]) }
+  }
+
+  /** Gate a commit batch on the table's constraints (logical names —
+    * called with the caller-facing frame, before any physical
+    * translation or file write). */
+  private def enforceConstraints(df: DataFrame, path: String): Unit = {
+    val cs = tableConstraints(path)
+    if (cs.nonEmpty) {
+      val bad = violationCounts(df, cs).filter(_._2 > 0)
+      if (bad.nonEmpty) throw new ConstraintViolationException(
+        s"commit to $path rejected: " + bad.map { case (n, c) =>
+          s"$c rows violate '$n'" }.mkString("; "))
+    }
+  }
 
   /** A concurrent commit advanced the table past the version this
     * writer prepared against, and the commit cannot be auto-rebased
@@ -914,6 +997,7 @@ object SnapshotStore {
   def mergeCommit(spark: SparkSession, path: String, df: DataFrame,
                   key: String): Long =
     withLock(path) {
+      enforceConstraints(df, path) // upsert rows enter the table
       val v = latestVersion(path)
       mergeLocked(spark, path, toPhysicalDf(path, v, df),
         physicalOf(path, v, key))
@@ -1313,24 +1397,39 @@ object SnapshotStore {
                       dims: Seq[String],
                       targetBytes: Long = 128L << 20,
                       statsKey: Option[String] = None): Long =
+    compactClustered(spark, path, dims, targetBytes, statsKey) { (df, pDims) =>
+      graft.functions.ZOrder.withZ(df, pDims)
+        .withColumnRenamed("_z", "_ck")
+    }
+
+  /** Shared scaffold for curve-clustered compactions: lock, size the
+    * output file count, mergeSchema-read the live manifest (same
+    * full-replacement hazard as [[compact]] — a one-footer read would
+    * silently drop evolved columns from the rewrite), map logical →
+    * physical dims, range-partition + sort by the `_ck` cluster key
+    * the callback attaches, and commit with per-file ranges recorded
+    * for EVERY dim (clustered files cover compact hyper-rectangles,
+    * so the multi-column sidecar makes readWhere file-prune on ANY
+    * dim, not just the primary). Keeping this in ONE place means a
+    * sizing-rule or schema-hazard fix can never miss one curve. */
+  private def compactClustered(spark: SparkSession, path: String,
+                               dims: Seq[String], targetBytes: Long,
+                               statsKey: Option[String])
+                              (withKey: (DataFrame, Seq[String]) => DataFrame): Long =
     withLock(path) {
       import org.apache.spark.sql.functions.col
-      require(dims.nonEmpty, "compactZOrdered: need at least one dim")
+      require(dims.nonEmpty, "compactClustered: need at least one dim")
       val v = latestVersion(path)
       require(v > 0, s"no committed snapshot under $path")
       val files = manifest(path, v)
       val bytes = files.map(f => new File(f).length()).sum
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      // mergeSchema: same full-replacement hazard as [[compact]].
       val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
       val pDims = dims.map(physicalOf(path, v, _)) // logical → physical
-      val out = graft.functions.ZOrder.withZ(df, pDims)
-        .repartitionByRange(nFiles, col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-      // record per-file ranges for EVERY dim: z-ordered files cover
-      // compact hyper-rectangles, so the multi-column sidecar makes
-      // readWhere file-prune on ANY dim, not just the primary
+      val out = withKey(df, pDims)
+        .repartitionByRange(nFiles, col("_ck"))
+        .sortWithinPartitions("_ck")
+        .drop("_ck")
       val key = statsKey.map(physicalOf(path, v, _)).orElse(pDims.headOption)
       commitLocked(out, path, Nil, None, key,
         extraStatsCols = pDims.filterNot(key.contains),
@@ -1350,34 +1449,21 @@ object SnapshotStore {
                      dimX: String, dimY: String,
                      targetBytes: Long = 128L << 20,
                      statsKey: Option[String] = None): Long =
-    withLock(path) {
-      import org.apache.spark.sql.functions._
-      val v = latestVersion(path)
-      require(v > 0, s"no committed snapshot under $path")
-      val files = manifest(path, v)
-      val bytes = files.map(f => new File(f).length()).sum
-      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      // mergeSchema: same full-replacement hazard as [[compact]].
-      val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
-      val px = physicalOf(path, v, dimX)
-      val py = physicalOf(path, v, dimY)
-      val bits = 16
-      val stats = df.agg(
-        min(col(px)).as("_mnx"), max(col(px)).as("_mxx"),
-        min(col(py)).as("_mny"), max(col(py)).as("_mxy"))
-      val prepped = df.crossJoin(broadcast(stats))
-        .withColumn("_bx",
-          graft.functions.ZOrder.bucketize(col(px), col("_mnx"), col("_mxx"), bits))
-        .withColumn("_by",
-          graft.functions.ZOrder.bucketize(col(py), col("_mny"), col("_mxy"), bits))
-      val out = graft.functions.ZOrder.withHilbert(prepped, "_bx", "_by", bits, "_h")
-        .repartitionByRange(nFiles, col("_h"))
-        .sortWithinPartitions("_h")
-        .drop("_h", "_bx", "_by", "_mnx", "_mxx", "_mny", "_mxy")
-      val key = statsKey.map(physicalOf(path, v, _)).orElse(Some(px))
-      commitLocked(out, path, Nil, None, key,
-        extraStatsCols = Seq(px, py).filterNot(key.contains),
-        colmap = columnMapping(path, v))
+    compactClustered(spark, path, Seq(dimX, dimY), targetBytes, statsKey) {
+      (df, pDims) =>
+        import org.apache.spark.sql.functions._
+        val Seq(px, py) = pDims
+        val bits = 16
+        val stats = df.agg(
+          min(col(px)).as("_mnx"), max(col(px)).as("_mxx"),
+          min(col(py)).as("_mny"), max(col(py)).as("_mxy"))
+        val prepped = df.crossJoin(broadcast(stats))
+          .withColumn("_bx",
+            graft.functions.ZOrder.bucketize(col(px), col("_mnx"), col("_mxx"), bits))
+          .withColumn("_by",
+            graft.functions.ZOrder.bucketize(col(py), col("_mny"), col("_mxy"), bits))
+        graft.functions.ZOrder.withHilbert(prepped, "_bx", "_by", bits, "_ck")
+          .drop("_bx", "_by", "_mnx", "_mxx", "_mny", "_mxy")
     }
 
   /** Drop data files referenced by NO manifest in the retained window

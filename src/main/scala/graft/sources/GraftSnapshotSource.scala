@@ -54,11 +54,24 @@ class GraftSnapshotSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters)
-    val version = parameters.get("versionAsOf").map(_.toLong)
-      .orElse(parameters.get("timestampAsOf").map(ts =>
-        SnapshotStore.versionAsOf(path, ts.toLong)))
-    GraftSnapshotRelation(sqlContext, path, version,
-      parameters.get("statsKey"))
+    // Delta CDF parity: option("readChangeFeed", "true") turns the
+    // scan into the version-range CHANGELOG (insert/delete/update rows
+    // with the _change column) instead of a snapshot — the standard
+    // surface over SnapshotStore.readChanges. startingVersion defaults
+    // to 1, endingVersion to the live head; option("key", c) selects
+    // the keyed I/U/D classification.
+    if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
+      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
+      val to = parameters.get("endingVersion").map(_.toLong)
+        .getOrElse(SnapshotStore.latestVersion(path))
+      GraftChangesRelation(sqlContext, path, from, to, parameters.get("key"))
+    } else {
+      val version = parameters.get("versionAsOf").map(_.toLong)
+        .orElse(parameters.get("timestampAsOf").map(ts =>
+          SnapshotStore.versionAsOf(path, ts.toLong)))
+      GraftSnapshotRelation(sqlContext, path, version,
+        parameters.get("statsKey"))
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -188,4 +201,24 @@ case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
   }
   // unhandledFilters stays the default (all of them): the scan only
   // SKIPS files, Spark re-applies every predicate above it
+}
+
+/** The table's CHANGELOG as a relation (Delta CDF's
+  * `readChangeFeed` surface): delegates to
+  * [[SnapshotStore.readChanges]] over a pinned version range, so the
+  * scan is the manifest SET-DIFFERENCE (only files added/removed in
+  * the range are read, never the whole table) and the output carries
+  * the `_change` column — unkeyed insert/delete, or keyed I/U/D with
+  * identical-rewrite suppression when `key` is given. */
+case class GraftChangesRelation(sqlContext: SQLContext, path: String,
+                                fromV: Long, toV: Long,
+                                key: Option[String])
+    extends BaseRelation with TableScan {
+
+  private def changes: DataFrame =
+    SnapshotStore.readChanges(sqlContext.sparkSession, path, fromV, toV, key)
+
+  override def schema: StructType = changes.schema
+
+  override def buildScan(): RDD[Row] = changes.rdd
 }

@@ -165,7 +165,7 @@ class Round16Spec extends SparkSpec {
       val cands = vocab.toSeq
         .filter { case (nb, nc) => nb != tok && nc > cnt && lev(tok, nb) <= 1 }
       if (cands.isEmpty) Nil
-      else Seq((tok, cnt) -> cands.maxBy { case (nb, nc) => (nc, nb.map(c => (255 - c).toChar).mkString) })
+      else Seq((tok, cnt) -> cands.minBy { case (nb, nc) => (-nc, nb) })
     }.map { case ((tok, cnt), (nb, nc)) => (tok, cnt, nb, nc) }.sortBy(_._1)
     val got = TextAnalysis.symspell(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))

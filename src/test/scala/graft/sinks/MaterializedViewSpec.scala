@@ -1,0 +1,77 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Materialized aggregate views: CDC-incremental refresh equals full
+  * recompute, is idempotent when current, and survives the
+  * crash-between-commit-and-ack window via the batch-id rule. */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-mv").toString + "/t"
+
+  private def recompute(base: String): Set[(String, Long, Long)] =
+    SnapshotStore.read(spark, base).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .as[(String, Long, Long)].collect().toSet
+
+  private def viewRows(view: String): Set[(String, Long, Long)] =
+    SnapshotStore.read(spark, view)
+      .as[(String, Long, Long)].collect().toSet
+
+  test("create + incremental refresh == full recompute; no-change refresh is a no-op") {
+    val base = fresh(); val view = fresh()
+    SnapshotStore.commit(Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("k", "x"),
+      base)
+    MaterializedView.create(spark, base, view, "k", "x")
+    assert(viewRows(view) == recompute(base))
+
+    // append + overwrite-with-update + delete, refreshed in one step
+    SnapshotStore.commit(Seq(("b", 5L), ("c", 7L)).toDF("k", "x"),
+      base, SaveMode.Append)
+    assert(MaterializedView.refresh(spark, base, view, "k", "x").nonEmpty)
+    assert(viewRows(view) == recompute(base))
+
+    // a full overwrite that drops group 'a' entirely
+    SnapshotStore.commit(Seq(("b", 4L), ("c", 9L), ("c", 1L)).toDF("k", "x"),
+      base, SaveMode.Overwrite)
+    assert(MaterializedView.refresh(spark, base, view, "k", "x").nonEmpty)
+    assert(viewRows(view) == recompute(base))
+    assert(!viewRows(view).exists(_._1 == "a"), "emptied group must drop out")
+
+    // current view: refresh returns None and commits nothing
+    val v = SnapshotStore.latestVersion(view)
+    assert(MaterializedView.refresh(spark, base, view, "k", "x").isEmpty)
+    assert(SnapshotStore.latestVersion(view) == v)
+  }
+
+  test("crash between view commit and cursor ack: redelivered delta is skipped, not double-applied") {
+    val base = fresh(); val view = fresh()
+    SnapshotStore.commit(Seq(("a", 1L)).toDF("k", "x"),
+      base)
+    MaterializedView.create(spark, base, view, "k", "x")
+    SnapshotStore.commit(Seq(("a", 2L)).toDF("k", "x"),
+      base, SaveMode.Append)
+    assert(MaterializedView.refresh(spark, base, view, "k", "x").nonEmpty)
+    val good = viewRows(view)
+
+    // simulate the crash: rewind the consumer cursor to before the
+    // refresh (as if the process died after the view commit landed
+    // but before ackChanges ran)
+    val id = "mv-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(view.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val cursor = new java.io.File(new java.io.File(base, "_consumers"), id)
+    java.nio.file.Files.writeString(cursor.toPath, "1")
+
+    val v = SnapshotStore.latestVersion(view)
+    assert(MaterializedView.refresh(spark, base, view, "k", "x").isEmpty,
+      "redelivered delta must be recognized as already applied")
+    assert(SnapshotStore.latestVersion(view) == v)
+    assert(viewRows(view) == good, "the delta must not double-apply")
+    // and the cursor healed forward
+    assert(SnapshotStore.consumerVersion(base, id) == 2)
+  }
+}

@@ -132,4 +132,65 @@ class GraftSnapshotSourceSpec extends SparkSpec {
     assert(df.count() == 1L) // empty projection path
     assert(df.as[(Long, String)].head() == ((9L, "z")))
   }
+
+  test("readChangeFeed option: the changelog through the standard read surface") {
+    val path = fresh()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graft").save(path)
+    Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "s")
+      .write.format("graft").mode(SaveMode.Overwrite).save(path)
+    // keyed I/U/D via option("key"): (2,B)=update, (3,c)=insert;
+    // identical rewrite (1,a) suppressed
+    val keyed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("key", "id").load(path)
+      .select("id", "_change").as[(Long, String)].collect().toSet
+    assert(keyed == Set((2L, "update"), (3L, "insert")))
+    // unkeyed: raw insert/delete file delta
+    val raw = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "2").load(path)
+      .select("id", "_change").as[(Long, String)].collect()
+    assert(raw.count(_._2 == "insert") == 3 && raw.count(_._2 == "delete") == 2)
+    // the CDF frame equals the library call
+    val lib = SnapshotStore.readChanges(spark, path, 1, 2, Some("id"))
+      .select("id", "_change").as[(Long, String)].collect().toSet
+    assert(keyed == lib)
+  }
+
+  test("CHECK constraints: violating commits abort untouched, NULL passes, add validates existing rows") {
+    val path = fresh()
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.format("graft").save(path)
+    SnapshotStore.addConstraint(spark, path, "v-positive", "v > 0")
+    // violating append (through the registered source) aborts...
+    val ex = intercept[Exception] {
+      Seq((3L, -5L), (4L, 7L)).toDF("id", "v")
+        .write.format("graft").mode(SaveMode.Append).save(path)
+    }
+    assert(ex.getMessage.contains("v-positive") ||
+      Option(ex.getCause).exists(_.getMessage.contains("v-positive")))
+    // ...and the table is untouched (no version landed, rows intact)
+    assert(SnapshotStore.latestVersion(path) == 1)
+    assert(spark.read.format("graft").load(path).count() == 2)
+    // NULL passes (SQL CHECK semantics)
+    Seq((5L, Option.empty[Long]), (6L, Some(8L))).toDF("id", "v")
+      .write.format("graft").mode(SaveMode.Append).save(path)
+    assert(SnapshotStore.latestVersion(path) == 2)
+    // mergeCommit enforces too
+    intercept[Exception] {
+      SnapshotStore.mergeCommit(spark, path,
+        Seq((6L, -1L)).toDF("id", "v"), "id")
+    }
+    assert(SnapshotStore.latestVersion(path) == 2)
+    // adding a constraint the EXISTING table violates is rejected
+    intercept[Exception] {
+      SnapshotStore.addConstraint(spark, path, "v-small", "v < 5")
+    }
+    assert(SnapshotStore.tableConstraints(path).map(_._1) == Seq("v-positive"))
+    // dropping re-admits the data
+    SnapshotStore.dropConstraint(path, "v-positive")
+    Seq((7L, -5L)).toDF("id", "v")
+      .write.format("graft").mode(SaveMode.Append).save(path)
+    assert(SnapshotStore.latestVersion(path) == 3)
+  }
 }
