@@ -93,6 +93,32 @@ object GraphAnnIndex {
     GraphAnn.topK(visited, k, "cosine", -col("d"))
   }
 
+  /** FILTERED search (the filtered-DiskANN / vector-store rule):
+    * traverse the FULL stored graph — restricting traversal to
+    * matching nodes would fragment it into islands the entry points
+    * can't reach — and apply the metadata predicate only at
+    * ADMISSION, so non-matching nodes still act as stepping stones.
+    * `meta` is any (vec_id, …) frame; `pred` a boolean Column over
+    * it. Post-filtering trades recall at a fixed budget when the
+    * matching class is rare — raise `beam`/`hops` to compensate (the
+    * spec measures the boosted budget recovering recall); the
+    * IVF-side pre-filter twin (q_knn_filtered) is the oracled
+    * complement. Admission is a semi-join against the filtered
+    * metadata — budget-sized, never corpus-sized. */
+  def searchWhere(spark: SparkSession, queries: DataFrame, prefix: String,
+                  meta: DataFrame, pred: Column,
+                  k: Int = 5, beam: Int = 12, hops: Int = 4): DataFrame = {
+    val edges = TableWriter.readTable(spark, s"${prefix}_gedges")
+    val v = TableWriter.readTable(spark, s"${prefix}_gvectors")
+    val entry = TableWriter.readTable(spark, s"${prefix}_gentry")
+    val q = unitize(queries)
+    val visited = GraphAnn.searchGraph(edges, v, q, entry, beam, hops,
+      better, identity)
+    val admissible = meta.filter(pred).select(col("vec_id").as("dst"))
+    GraphAnn.topK(visited.join(admissible, Seq("dst"), "left_semi"),
+      k, "cosine", -col("d"))
+  }
+
   /** Fold a batch of new vectors into the stored graph (the HNSW
     * insert): each new vector's stored-graph neighborhood (via
     * [[search]]'s machinery, budget-bounded) becomes its out-edges,

@@ -47,6 +47,34 @@ class GraphAnnIndexSpec extends SparkSpec {
     assert(recall >= 0.5, s"stored-graph recall collapsed: $recall")
   }
 
+  test("searchWhere: metadata post-filter — only admitted labels, boosted budget holds recall") {
+    val t = tables
+    val corpus = t.embeddings.filter(col("vec_id") >= 100)
+    GraphAnnIndex.writeIndex(corpus, "gidxf")
+    graft.CacheRegistry.drain()
+
+    val meta = t.embeddings.select(col("vec_id"), col("label"))
+    val queries = relabel(t.embeddings.filter(col("vec_id") < 10), 100000L)
+    val k = 5
+    val got = GraphAnnIndex.searchWhere(spark, queries, "gidxf",
+      meta, col("label") === 3, k, beam = 24, hops = 5).collect()
+    assert(got.nonEmpty)
+    // every admitted neighbor really has the label
+    val lbl3 = t.embeddings.filter(col("label") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => lbl3.contains(r.getLong(2))))
+    // recall vs the filtered brute-force truth at the boosted budget
+    val truth = Similarity.bruteKnn(
+        corpus.join(t.embeddings.filter(col("label") === 3)
+          .select("vec_id"), Seq("vec_id")),
+        relabel(t.embeddings.filter(col("vec_id") < 10), 100000L), k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pairs = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = pairs.intersect(truth).size.toDouble / truth.size
+    info(s"filtered graph search recall@$k: $recall")
+    assert(recall >= 0.4, s"filtered recall collapsed: $recall")
+  }
+
   test("insert: new vectors become reachable without rewriting the stored graph") {
     val t = tables
     // index was built on vec_id >= 100 by the previous test order —
