@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** CHECK-semantics violation indicator: TRUE only when `sqlExpr`
+    * evaluates FALSE — NULL passes (the SQL standard). The ONE
+    * definition shared by table-constraint enforcement
+    * ([[graft.sinks.SnapshotStore.addConstraint]]) and the streaming
+    * monitor ([[graft.streaming.DqStream]]), so their verdicts can
+    * never diverge. */
+  def violatesCheck(sqlExpr: String): Column =
+    not(coalesce(expr(sqlExpr), lit(true)))
+
   def dqAudit(t: Tables): DataFrame = {
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     // —— one-pass scan-level analyzers over orders ——

@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   * itself; `refresh` advances it using ONLY the base's CDC deltas:
   *
   *   - the base read is [[SnapshotStore.consumeChanges]] under a
-  *     per-view consumer cursor — O(changed files) via the manifest
-  *     set-difference, never a base re-scan; ack-after-commit gives
-  *     at-least-once delivery and the merge is idempotent against
-  *     redelivery of an unacked delta ONLY if the view commit and ack
-  *     land together, so refresh re-reads the cursor under the view
-  *     lock and skips already-applied versions (the delivered `toV`
-  *     is recorded in the view table's batch id — the streamSink
-  *     exactly-once rule reused for refresh).
+  *     per-view consumer cursor at `maxStep = 1` — O(changed files)
+  *     via the manifest set-difference, never a base re-scan.
+  *     Single-version stepping is the EXACTLY-ONCE discipline
+  *     consumeChanges documents (the CdcTail rule): a crash between
+  *     view commit and ack redelivers the IDENTICAL single-version
+  *     delta under the identical id, which the view's batch-id check
+  *     skips — whereas a head-coalesced redelivery would be a WIDER
+  *     range whose already-applied prefix would double-count.
+  *     Refresh assumes ONE refresher per view (the standard MV
+  *     scheduler contract); concurrent refreshers of the SAME view
+  *     need external coordination.
   *   - unkeyed CDC is the correct feed for distributive aggregates:
   *     an update is delete(old)+insert(new); identical rewrites
   *     cancel exactly in the ±1 signed aggregate.
@@ -62,21 +65,23 @@ object MaterializedView {
   }
 
   /** Incremental refresh: apply everything the base committed since
-    * the last acknowledged version. Returns the new view version, or
-    * None when the view is already current. Crash-safe: the delivered
-    * base version rides the view commit as its batch id, so a crash
-    * between commit and ack redelivers a delta the batch-id rule
-    * skips (the streamSink exactly-once contract). */
+    * the last acknowledged version, one base version per view commit
+    * (`maxStep = 1` — see the class doc for why coalescing would
+    * double-apply after a crash). Returns the last view version
+    * committed, or None when the view was already current. Crash-safe:
+    * each delivered base version rides its view commit as the batch
+    * id, so a redelivered single-version delta is skipped, then
+    * re-acked — the cursor heals forward. */
   def refresh(spark: SparkSession, basePath: String, viewPath: String,
               key: String, sumCol: String): Option[Long] = {
     val id = viewId(viewPath)
-    SnapshotStore.consumeChanges(spark, basePath, id) match {
-      case (None, _) => None
-      case (Some(changes), toV) =>
-        val applied = SnapshotStore.lastStreamBatch(viewPath)
-        val v =
-          if (toV <= applied) None // crash window: delta already merged
-          else {
+    var last: Option[Long] = None
+    var done = false
+    while (!done) {
+      SnapshotStore.consumeChanges(spark, basePath, id, maxStep = 1L) match {
+        case (None, _) => done = true
+        case (Some(changes), toV) =>
+          if (toV > SnapshotStore.lastStreamBatch(viewPath)) {
             val delta = deltaAgg(changes, key, sumCol)
               .withColumnRenamed("n", "dn").withColumnRenamed("s", "ds")
             val merged = SnapshotStore.read(spark, viewPath)
@@ -87,10 +92,12 @@ object MaterializedView {
                 (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L)))
                   .as("s"))
               .filter(col("n") > 0)
-            Some(SnapshotStore.commit(merged, viewPath, batchId = Some(toV)))
+            last = Some(SnapshotStore.commit(merged, viewPath,
+              batchId = Some(toV)))
           }
-        SnapshotStore.ackChanges(basePath, id, toV)
-        v
+          SnapshotStore.ackChanges(basePath, id, toV)
+      }
     }
+    last
   }
 }

@@ -247,35 +247,45 @@ object SnapshotStore {
       "constraint expression must not contain tabs/newlines")
     require(!tableConstraints(path).exists(_._1 == name),
       s"constraint '$name' already exists on $path")
-    if (latestVersion(path) > 0) violationCounts(
+    // the validation scan is also where the expression RESOLVES —
+    // accepting a constraint against no schema would defer an
+    // AnalysisException to every later commit (Delta requires the
+    // table too)
+    require(latestVersion(path) > 0,
+      s"addConstraint: $path has no committed schema to validate against")
+    violationCounts(
       read(spark, path), Seq(name -> sqlExpr)).foreach { case (n, c) =>
       if (c > 0) throw new ConstraintViolationException(
         s"cannot add '$n' to $path: $c existing rows violate it")
     }
-    val line = s"$name\t$sqlExpr\n"
-    Files.write(constraintsFile(path).toPath,
-      line.getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND): Unit
+    // full-content atomic rewrite (the store's write-to-tmp + rename
+    // invariant): a crashed append could leave a torn line that fails
+    // every later commit's tableConstraints parse
+    writeConstraints(path, tableConstraints(path) :+ (name -> sqlExpr))
   }
 
   /** Remove a named constraint (no-op if absent). */
   def dropConstraint(path: String, name: String): Unit = withLock(path) {
     val kept = tableConstraints(path).filterNot(_._1 == name)
     if (kept.isEmpty) { constraintsFile(path).delete(): Unit }
-    else Files.writeString(constraintsFile(path).toPath,
-      kept.map { case (n, e) => s"$n\t$e\n" }.mkString): Unit
+    else writeConstraints(path, kept)
   }
+
+  private def writeConstraints(path: String,
+                               cs: Seq[(String, String)]): Unit =
+    atomicWrite(constraintsFile(path),
+      cs.map { case (n, e) => s"$n\t$e\n" }.mkString)
 
   /** One fused aggregate pass: per-constraint violation counts over
     * `df` (CHECK semantics: NULL passes). */
   private def violationCounts(df: DataFrame,
                               cs: Seq[(String, String)]): Seq[(String, Long)] = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    import org.apache.spark.sql.functions.{lit, sum, when}
     val row = df.agg(
       lit(1).as("_one"),
       cs.map { case (n, e) =>
-        sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)).as(s"_v_$n")
+        sum(when(graft.operators.DataQuality.violatesCheck(e), 1L)
+          .otherwise(0L)).as(s"_v_$n")
       }: _*).collect().head
     cs.zipWithIndex.map { case ((n, _), i) =>
       n -> Option(row.get(i + 1)).fold(0L)(_.asInstanceOf[Long]) }
@@ -325,6 +335,7 @@ object SnapshotStore {
                batchId: Option[Long] = None,
                statsKey: Option[String] = None): Long =
     withLock(path) {
+      enforceConstraints(df, path) // optimistic writers add rows too
       val cur = latestVersion(path)
       if (cur != expectedVersion && mode != SaveMode.Append)
         throw new VersionConflictException(
@@ -697,8 +708,26 @@ object SnapshotStore {
     val m = mappingOrIdentity(spark, path, v)
     require(m.exists(_._1 == from), s"renameColumn: no column '$from'")
     require(!m.exists(_._1 == to), s"renameColumn: '$to' already exists")
+    requireUnconstrained(path, from, "renameColumn")
     metadataCommit(path, v,
       m.map { case (l, p) => (if (l == from) to else l, p) })
+  }
+
+  /** CHECK constraints are logical-name SQL expressions: renaming or
+    * dropping a referenced column would leave them unresolvable and
+    * fail every later commit (Delta rejects the same way). Word-level
+    * text match — conservative: a false positive costs one
+    * drop+re-add, a false negative would brick the table's commits. */
+  private def requireUnconstrained(path: String, colName: String,
+                                   op: String): Unit = {
+    val hit = tableConstraints(path).filter { case (_, e) =>
+      ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
+        .findFirstIn(e).nonEmpty
+    }
+    require(hit.isEmpty,
+      s"$op: column '$colName' is referenced by constraint(s) " +
+        s"${hit.map(_._1).mkString(", ")} — drop them first, re-add " +
+        "against the new name")
   }
 
   /** DROP a column — metadata-only, like [[renameColumn]]: the
@@ -713,6 +742,7 @@ object SnapshotStore {
       val m = mappingOrIdentity(spark, path, v)
       require(m.exists(_._1 == name), s"dropColumn: no column '$name'")
       require(m.size > 1, s"dropColumn: cannot drop the last column")
+      requireUnconstrained(path, name, "dropColumn")
       metadataCommit(path, v, m.filterNot(_._1 == name))
     }
 
@@ -1029,6 +1059,7 @@ object SnapshotStore {
   def mergeCommitIf(spark: SparkSession, path: String, df: DataFrame,
                     key: String, expectedVersion: Long): Long =
     withLock(path) {
+      enforceConstraints(df, path) // upsert rows enter the table
       val cur = latestVersion(path)
       val pdf = toPhysicalDf(path, cur, df)
       val pk = physicalOf(path, cur, key)

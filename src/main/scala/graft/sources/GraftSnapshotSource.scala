@@ -57,9 +57,12 @@ class GraftSnapshotSource extends RelationProvider
     // Delta CDF parity: option("readChangeFeed", "true") turns the
     // scan into the version-range CHANGELOG (insert/delete/update rows
     // with the _change column) instead of a snapshot — the standard
-    // surface over SnapshotStore.readChanges. startingVersion defaults
-    // to 1, endingVersion to the live head; option("key", c) selects
-    // the keyed I/U/D classification.
+    // surface over SnapshotStore.readChanges. startingVersion is
+    // INCLUSIVE like Delta's (that version's own commit is part of
+    // the feed; startingVersion = 1 therefore begins with the first
+    // commit's rows as inserts), defaulting to 1; endingVersion
+    // defaults to the live head; option("key", c) selects the keyed
+    // I/U/D classification.
     if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
       val from = parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
       val to = parameters.get("endingVersion").map(_.toLong)
@@ -209,14 +212,38 @@ case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
   * scan is the manifest SET-DIFFERENCE (only files added/removed in
   * the range are read, never the whole table) and the output carries
   * the `_change` column — unkeyed insert/delete, or keyed I/U/D with
-  * identical-rewrite suppression when `key` is given. */
+  * identical-rewrite suppression when `key` is given.
+  *
+  * `fromV` is INCLUSIVE (Delta's startingVersion): the diff baseline
+  * is `fromV − 1`, and a feed "from the beginning" (baseline 0, or a
+  * baseline already vacuumed) bootstraps with the oldest RETAINED
+  * version's rows as inserts — consumeChanges' anchoring rule —
+  * unioned with the changes from that anchor forward. */
 case class GraftChangesRelation(sqlContext: SQLContext, path: String,
                                 fromV: Long, toV: Long,
                                 key: Option[String])
     extends BaseRelation with TableScan {
 
-  private def changes: DataFrame =
-    SnapshotStore.readChanges(sqlContext.sparkSession, path, fromV, toV, key)
+  // the version range is pinned at relation construction, so the plan
+  // (manifest diff + mergeSchema footer reads) is built once, not per
+  // schema/buildScan call
+  private lazy val changes: DataFrame = {
+    val spark = sqlContext.sparkSession
+    val baseline = fromV - 1
+    val oldest = SnapshotStore.versions(path).min
+    if (baseline >= oldest)
+      SnapshotStore.readChanges(spark, path, baseline, toV, key)
+    else {
+      val anchor = math.min(math.max(oldest, 1L), toV)
+      val boot = SnapshotStore.read(spark, path, Some(anchor))
+        .withColumn(
+          "_change", org.apache.spark.sql.functions.lit("insert"))
+      if (toV <= anchor) boot
+      else boot.unionByName(
+        SnapshotStore.readChanges(spark, path, anchor, toV, key),
+        allowMissingColumns = true)
+    }
+  }
 
   override def schema: StructType = changes.schema
 

@@ -35,8 +35,8 @@ object DqStream {
     val report = df.agg(
         count(lit(1)).as("n_rows"),
         constraints.map { case (n, e) =>
-          sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L))
-            .as(s"_v_$n")
+          sum(when(graft.operators.DataQuality.violatesCheck(e), 1L)
+            .otherwise(0L)).as(s"_v_$n")
         }: _*)
       .select(explode(array(constraints.map { case (n, _) =>
         struct(lit(n).as("check_name"), col("n_rows"),

@@ -73,5 +73,17 @@ class MaterializedViewSpec extends SparkSpec {
     assert(viewRows(view) == good, "the delta must not double-apply")
     // and the cursor healed forward
     assert(SnapshotStore.consumerVersion(base, id) == 2)
+
+    // the HARD case (maxStep=1 is load-bearing): crash-rewind the
+    // cursor again, but let the base ADVANCE before the next refresh —
+    // a head-coalesced delta would double-apply its v2 prefix; the
+    // stepped refresh skips v2 and applies only v3
+    java.nio.file.Files.writeString(cursor.toPath, "1")
+    SnapshotStore.commit(Seq(("a", 3L)).toDF("k", "x"),
+      base, SaveMode.Append)
+    assert(MaterializedView.refresh(spark, base, view, "k", "x").nonEmpty)
+    assert(viewRows(view) == recompute(base),
+      "stepped refresh must skip the applied prefix and land only v3")
+    assert(SnapshotStore.consumerVersion(base, id) == 3)
   }
 }

@@ -139,22 +139,32 @@ class GraftSnapshotSourceSpec extends SparkSpec {
       .write.format("graft").save(path)
     Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "s")
       .write.format("graft").mode(SaveMode.Overwrite).save(path)
-    // keyed I/U/D via option("key"): (2,B)=update, (3,c)=insert;
-    // identical rewrite (1,a) suppressed
+    // startingVersion is INCLUSIVE (Delta parity): the default feed
+    // begins with v1's rows as inserts, then the keyed v1→v2 changes
+    // ((2,B)=update, (3,c)=insert; identical rewrite (1,a) suppressed)
     val keyed = spark.read.format("graft")
       .option("readChangeFeed", "true").option("key", "id").load(path)
+      .select("id", "_change").as[(Long, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(keyed == Map((1L, "insert") -> 1, (2L, "insert") -> 1,
+      (2L, "update") -> 1, (3L, "insert") -> 1))
+    // startingVersion = 2: just that commit's diff — equal to the
+    // library call over baseline 1
+    val v2only = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("key", "id")
+      .option("startingVersion", "2").load(path)
       .select("id", "_change").as[(Long, String)].collect().toSet
-    assert(keyed == Set((2L, "update"), (3L, "insert")))
-    // unkeyed: raw insert/delete file delta
+    assert(v2only == Set((2L, "update"), (3L, "insert")))
+    val lib = SnapshotStore.readChanges(spark, path, 1, 2, Some("id"))
+      .select("id", "_change").as[(Long, String)].collect().toSet
+    assert(v2only == lib)
+    // unkeyed from the beginning: v1 bootstrap inserts + the raw file
+    // delta of v2 (3 inserts, 2 deletes)
     val raw = spark.read.format("graft")
       .option("readChangeFeed", "true")
       .option("startingVersion", "1").option("endingVersion", "2").load(path)
       .select("id", "_change").as[(Long, String)].collect()
-    assert(raw.count(_._2 == "insert") == 3 && raw.count(_._2 == "delete") == 2)
-    // the CDF frame equals the library call
-    val lib = SnapshotStore.readChanges(spark, path, 1, 2, Some("id"))
-      .select("id", "_change").as[(Long, String)].collect().toSet
-    assert(keyed == lib)
+    assert(raw.count(_._2 == "insert") == 5 && raw.count(_._2 == "delete") == 2)
   }
 
   test("CHECK constraints: violating commits abort untouched, NULL passes, add validates existing rows") {
@@ -187,6 +197,26 @@ class GraftSnapshotSourceSpec extends SparkSpec {
       SnapshotStore.addConstraint(spark, path, "v-small", "v < 5")
     }
     assert(SnapshotStore.tableConstraints(path).map(_._1) == Seq("v-positive"))
+    // the OPTIMISTIC write paths enforce too
+    intercept[Exception] {
+      SnapshotStore.commitIf(Seq((8L, -2L)).toDF("id", "v"), path,
+        SnapshotStore.latestVersion(path))
+    }
+    intercept[Exception] {
+      SnapshotStore.mergeCommitIf(spark, path,
+        Seq((6L, -3L)).toDF("id", "v"), "id",
+        SnapshotStore.latestVersion(path))
+    }
+    assert(SnapshotStore.latestVersion(path) == 2)
+    // renaming a constrained column is rejected (the expression would
+    // stop resolving and brick every later commit)
+    intercept[Exception] {
+      SnapshotStore.renameColumn(spark, path, "v", "value")
+    }
+    // a constraint on an EMPTY table has no schema to resolve against
+    intercept[Exception] {
+      SnapshotStore.addConstraint(spark, fresh(), "x", "v > 0")
+    }
     // dropping re-admits the data
     SnapshotStore.dropConstraint(path, "v-positive")
     Seq((7L, -5L)).toDF("id", "v")
