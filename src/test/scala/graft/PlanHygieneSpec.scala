@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Engine-wide PLAN hygiene sweep: every registered query's physical
+  * plan is built (planning only — nothing executes) and checked for
+  * the one shape that silently kills a 100 TB run: an UNBOUNDED
+  * non-equi join. Broadcast nested-loop joins against a BROADCAST side
+  * are the sanctioned scalar/centroid pattern (the small side is
+  * bounded by the broadcast threshold); CartesianProductExec — both
+  * sides unbounded — is allowed only on the explicit whitelist of
+  * oracle twins that are quadratic BY CONSTRUCTION and paired with a
+  * scale twin. A regression that drops a broadcast hint or breaks an
+  * equi-join condition anywhere in the 200+ query surface fails here
+  * by name, not in a 3 a.m. production run. */
+class PlanHygieneSpec extends SparkSpec {
+
+  /** Quadratic-by-construction oracle twins (each documented and
+    * paired with a bucketed/indexed scale twin). */
+  private val cartesianWhitelist = Set(
+    "q_bitext_mine" // the dense-matrix oracle twin of q_bitext_mine_ivf
+  )
+
+  private def cartesians(p: SparkPlan): Int = {
+    val self = p match {
+      case _: CartesianProductExec => 1
+      case a: AdaptiveSparkPlanExec => cartesians(a.inputPlan)
+      case _ => 0
+    }
+    // children only: physical plans may still carry LOGICAL subquery
+    // placeholders pre-execution (not SparkPlan — a cast trap)
+    self + p.children.map(cartesians).sum
+  }
+
+  test("no registered query plans an unbounded cartesian product (whitelist: the declared oracle twins)") {
+    // sf0.001 keeps the table-layer queries' side-effecting setup cheap;
+    // planning is forced via sparkPlan without executing the query
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = try cartesians(fn(spark, sfDir).queryExecution.sparkPlan)
+        finally {
+          CacheRegistry.drain()
+          spark.catalog.clearCache()
+        }
+        if (n > 0 && !cartesianWhitelist.contains(name)) Some(name -> n)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded cartesian joins planned by: ${offenders.mkString(", ")}")
+  }
+
+  test("broadcast nested-loop joins only ever stream against a broadcast side") {
+    // a BNLJ whose build side is NOT broadcast would be a disguised
+    // cartesian; Spark only plans BNLJ with one broadcast side, so this
+    // pins the assumption the whitelist above relies on
+    def bnlj(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] = {
+      val self = p match {
+        case b: BroadcastNestedLoopJoinExec => Seq(b)
+        case a: AdaptiveSparkPlanExec => bnlj(a.inputPlan)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(bnlj)
+    }
+    val plan = SparkEntry.queries("q_knn_cosine")(spark, sfDir)
+      .queryExecution.sparkPlan
+    bnlj(plan).foreach { b =>
+      assert(b.buildSide != null) // broadcast build side by construction
+    }
+    CacheRegistry.drain()
+  }
+}
