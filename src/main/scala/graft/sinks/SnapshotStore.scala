@@ -411,9 +411,14 @@ object SnapshotStore {
         // DataFrame, and every pruning read is a scan of it (the
         // Delta-checkpoint shape). Fresh ranges: one skinny agg over
         // the fresh files for ALL tracked columns, exploded to rows.
+        // try_cast, not cast: range stats are integral-only (the whole
+        // pruning layer compares long windows) — a string/decimal stats
+        // column must DEGRADE to "no range recorded" (file unpruned,
+        // never wrong, same as the all-null rule below), not fail the
+        // commit with an ANSI cast error
         val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(min(col(c)).cast("long").as(s"lo_$i"),
-            max(col(c)).cast("long").as(s"hi_$i")) }
+          Seq(min(col(c)).try_cast("long").as(s"lo_$i"),
+            max(col(c)).try_cast("long").as(s"hi_$i")) }
         val freshDF: Option[DataFrame] =
           if (fresh.isEmpty) None
           else Some(spark.read.parquet(fresh: _*)

@@ -220,6 +220,22 @@ class SnapshotStoreSpec extends SparkSpec {
       Seq(200L, 201L, 202L))
   }
 
+  test("string statsKey degrades to no-range (unpruned), never a failed commit") {
+    val path = freshTable()
+    // the pruning layer is integral-only; a string key must not abort
+    // the write — its files simply record no range and stay unpruned
+    SnapshotStore.commit(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "x"), path, statsKey = Some("k"))
+    assert(SnapshotStore.latestVersion(path) == 1)
+    assert(SnapshotStore.read(spark, path).count() == 2)
+    // a later numeric-key read path still works end to end
+    SnapshotStore.commit(
+      Seq(("c", 3L)).toDF("k", "x"), path, SaveMode.Append,
+      statsKey = Some("x"))
+    assert(SnapshotStore.readWhere(spark, path, "x", 3, 9)
+      .count() == 1)
+  }
+
   test("compactHilbert: 2-D clustering commit — both dims prune, boxes at least as tight as z-order") {
     val pathH = freshTable(); val pathZ = freshTable()
     val grid = spark.range(128L * 128L)
