@@ -214,6 +214,9 @@ object SparkEntry {
     "q_weighted_sample" -> q(Curation.weightedSample(_)),
     // —— round 2: interval join, graph, text-pipeline, TPC-H widening ——
     "q_range_join"     -> q(RangeJoin.clicksBeforePurchase),
+    // interval x interval overlap join (r16): both sides are ranges —
+    // week-bucketed candidates, counted once in the overlap-start week
+    "q_interval_join"  -> q(RangeJoin.intervalJoin),
     "q_components"     -> q(Components.copurchaseClusters(_)),
     // synchronous LPA, deterministic ties, fixed rounds — trajectory
     // replayed round-by-round in the oracle (the CTE-unroll device)
@@ -1873,6 +1876,26 @@ object SparkEntry {
         |SELECT source, doc_id, n_chars, priority
         |FROM r WHERE rk <= 5
         |ORDER BY source, priority DESC, doc_id""".stripMargin,
+
+    // interval overlap join: the oracle replays the DEFINITION (all
+    // same-part pairs + the overlap predicate), gating the bucketed
+    // plan's week-explode + dedupe-at-overlap-start against the spec
+    "q_interval_join" ->
+      """WITH li AS (SELECT l_partkey AS pk,
+        |        l_orderkey * 8 + l_linenumber AS id,
+        |        (l_shipdate::DATE - DATE '1970-01-01') AS s,
+        |        (l_shipdate::DATE - DATE '1970-01-01')
+        |          + (l_orderkey + l_linenumber) % 21 + 7 AS r
+        |      FROM lineitem),
+        |pairs AS (SELECT a.pk,
+        |        least(a.r, b.r) - greatest(a.s, b.s) + 1 AS od
+        |      FROM li a JOIN li b ON a.pk = b.pk AND a.id < b.id
+        |      WHERE a.s <= b.r AND b.s <= a.r)
+        |SELECT CAST(pk AS BIGINT) AS p_partkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(od) AS BIGINT) AS overlap_days,
+        |  CAST(MAX(od) AS BIGINT) AS max_overlap
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_range_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts

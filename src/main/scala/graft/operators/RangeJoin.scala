@@ -62,4 +62,53 @@ object RangeJoin {
         coalesce(col("click_value"), lit(0.0)).as("click_value"))
       .orderBy(col("purchase_id"))
   }
+
+  /** INTERVAL × INTERVAL overlap join (the temporal-join shape
+    * [[clicksBefore]] doesn't cover — both sides are ranges, not a
+    * point probing a window): per part, all pairs of shipments whose
+    * in-transit intervals [ship, ship+transit] overlapped, aggregated
+    * to (pairs, total/max overlap days). Transit is an id-derived
+    * deterministic integer, so the whole join is exact epoch-day
+    * arithmetic both engines replay.
+    *
+    * Plan: intervals explode to their covered WEEK buckets (span ≤ 28
+    * days ⇒ ≤ 5 buckets — the bounded-span premise every bucketed
+    * interval join needs) and candidates come from the (part, week)
+    * equi-join; a pair sharing several weeks is COUNTED ONCE, in the
+    * week its overlap STARTS (max(s_a, s_b) lies in both intervals,
+    * so both sides are guaranteed present in that bucket — the
+    * standard dedupe that avoids a DISTINCT over the candidate set).
+    * Never all-pairs: a hot part is still bounded per (part, week)
+    * cell, and AQE splits residual skew. The oracle replays the
+    * DEFINITION (all same-part pairs + overlap predicate) rather than
+    * the bucketing, so the gate proves the bucketed plan equals the
+    * semantic spec. */
+  def intervalJoin(t: Tables): DataFrame = {
+    val base = t.lineitem.select(
+        col("l_partkey").cast("long").as("pk"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("id"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("s"),
+        ((col("l_orderkey") + col("l_linenumber")) % 21 + 7).cast("long").as("tr"))
+      .withColumn("r", col("s") + col("tr"))
+    val weeks = base.withColumn("w",
+      explode(sequence(expr("s DIV 7"), expr("r DIV 7"))))
+    val lhs = weeks.select(col("pk"), col("w"), col("id").as("id_a"),
+      col("s").as("s_a"), col("r").as("r_a"))
+    val rhs = weeks.select(col("pk"), col("w"), col("id").as("id_b"),
+      col("s").as("s_b"), col("r").as("r_b"))
+    lhs.join(rhs, Seq("pk", "w"))
+      .filter(col("id_a") < col("id_b") &&
+        col("s_a") <= col("r_b") && col("s_b") <= col("r_a") &&
+        expr("GREATEST(s_a, s_b) DIV 7") === col("w"))
+      .select(col("pk"),
+        (least(col("r_a"), col("r_b")) -
+          greatest(col("s_a"), col("s_b")) + 1).as("od"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("od")).cast("long").as("overlap_days"),
+        max(col("od")).cast("long").as("max_overlap"))
+      .select(col("pk").as("p_partkey"), col("n_pairs"),
+        col("overlap_days"), col("max_overlap"))
+      .orderBy(col("p_partkey"))
+  }
 }
