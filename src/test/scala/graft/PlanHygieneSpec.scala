@@ -43,6 +43,11 @@ class PlanHygieneSpec extends SparkSpec {
         finally {
           CacheRegistry.drain()
           spark.catalog.clearCache()
+          // some queries localCheckpoint EAGERLY during construction
+          // (components/graph closures) — clearCache never covers those
+          // blocks, and leaking them skews other suites' cache counts
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
         if (n > 0 && !cartesianWhitelist.contains(name)) Some(name -> n)
         else None

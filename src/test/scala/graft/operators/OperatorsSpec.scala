@@ -290,6 +290,11 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF Lloyd loop frees prior rounds' caches: storage is O(1) in iters") {
     spark.catalog.clearCache()
+    // clearCache misses localCheckpoint RDD blocks leaked by OTHER
+    // suites' eager query construction (the Bench cleanup rule) —
+    // without this the count below is cross-suite order-dependent
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     val (_, cents) = Similarity.ivfAssign(tables.embeddings, nlist = 16, iters = 4)
     cents.count()
     // hold only base + final assigned + final cents, regardless of iters
