@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *     range whose already-applied prefix would double-count.
   *     Refresh assumes ONE refresher per view (the standard MV
   *     scheduler contract); concurrent refreshers of the SAME view
-  *     need external coordination.
+  *     need external coordination. The stepping makes CATCH-UP cost
+  *     O(versions-behind) groups-sized view commits — the price of
+  *     exactly-once without a transactional cursor; schedule refresh
+  *     at commit-comparable cadence, or rebuild via [[create]] (one
+  *     full aggregate) after a long outage.
   *   - unkeyed CDC is the correct feed for distributive aggregates:
   *     an update is delete(old)+insert(new); identical rewrites
   *     cancel exactly in the ±1 signed aggregate.

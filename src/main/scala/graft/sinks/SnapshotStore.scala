@@ -335,12 +335,14 @@ object SnapshotStore {
                batchId: Option[Long] = None,
                statsKey: Option[String] = None): Long =
     withLock(path) {
-      enforceConstraints(df, path) // optimistic writers add rows too
       val cur = latestVersion(path)
+      // conflict check FIRST (a pointer read): a doomed commit must not
+      // pay the constraint aggregate while holding the table lock
       if (cur != expectedVersion && mode != SaveMode.Append)
         throw new VersionConflictException(
           s"snapshot commit: $path advanced to v$cur (prepared against " +
             s"v$expectedVersion) — re-read and retry")
+      enforceConstraints(df, path) // optimistic writers add rows too
       mode match {
         case SaveMode.Append if cur > 0 => // rebase onto the winner
           val pdf = toPhysicalDf(path, cur, df)
@@ -411,14 +413,19 @@ object SnapshotStore {
         // DataFrame, and every pruning read is a scan of it (the
         // Delta-checkpoint shape). Fresh ranges: one skinny agg over
         // the fresh files for ALL tracked columns, exploded to rows.
-        // try_cast, not cast: range stats are integral-only (the whole
-        // pruning layer compares long windows) — a string/decimal stats
-        // column must DEGRADE to "no range recorded" (file unpruned,
-        // never wrong, same as the all-null rule below), not fail the
-        // commit with an ANSI cast error
+        // try_cast BEFORE the aggregate, not after: range stats are
+        // integral-only (the whole pruning layer compares long
+        // windows), so a non-numeric stats column must DEGRADE to "no
+        // range recorded" (file unpruned, never wrong, same as the
+        // all-null rule below) rather than fail the commit with an
+        // ANSI cast error. Order matters: min/max on the RAW column
+        // then a cast would record LEXICOGRAPHIC extremes for
+        // numeric-looking strings ("30" < "5") — a wrong range that
+        // silently prunes matching files; casting first makes the
+        // extremes numeric or null, never wrong.
         val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(min(col(c)).try_cast("long").as(s"lo_$i"),
-            max(col(c)).try_cast("long").as(s"hi_$i")) }
+          Seq(min(col(c).try_cast("long")).as(s"lo_$i"),
+            max(col(c).try_cast("long")).as(s"hi_$i")) }
         val freshDF: Option[DataFrame] =
           if (fresh.isEmpty) None
           else Some(spark.read.parquet(fresh: _*)
@@ -1064,13 +1071,15 @@ object SnapshotStore {
   def mergeCommitIf(spark: SparkSession, path: String, df: DataFrame,
                     key: String, expectedVersion: Long): Long =
     withLock(path) {
-      enforceConstraints(df, path) // upsert rows enter the table
       val cur = latestVersion(path)
       val pdf = toPhysicalDf(path, cur, df)
       val pk = physicalOf(path, cur, key)
+      // rebase proof first: a non-rebasable commit must not pay the
+      // constraint aggregate while holding the table lock
       if (cur != expectedVersion)
         requireDisjointSince(spark, path, expectedVersion, cur, pk,
           batchBounds(pdf, pk, s"mergeCommitIf: empty batch for $path"))
+      enforceConstraints(df, path) // upsert rows enter the table
       mergeLocked(spark, path, pdf, pk)
     }
 

@@ -230,7 +230,13 @@ case class GraftChangesRelation(sqlContext: SQLContext, path: String,
   private lazy val changes: DataFrame = {
     val spark = sqlContext.sparkSession
     val baseline = fromV - 1
-    val oldest = SnapshotStore.versions(path).min
+    val retained = SnapshotStore.versions(path)
+    require(retained.nonEmpty && toV >= 1,
+      s"readChangeFeed: no committed snapshot under $path")
+    val oldest = retained.min
+    require(toV >= oldest,
+      s"readChangeFeed: endingVersion $toV predates retention " +
+        s"(oldest retained version is $oldest)")
     if (baseline >= oldest)
       SnapshotStore.readChanges(spark, path, baseline, toV, key)
     else {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.CartesianProductExec
 
 /** Engine-wide PLAN hygiene sweep: every registered query's physical
   * plan is built (planning only — nothing executes) and checked for
@@ -17,11 +17,13 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * by name, not in a 3 a.m. production run. */
 class PlanHygieneSpec extends SparkSpec {
 
-  /** Quadratic-by-construction oracle twins (each documented and
-    * paired with a bucketed/indexed scale twin). */
-  private val cartesianWhitelist = Set(
-    "q_bitext_mine" // the dense-matrix oracle twin of q_bitext_mine_ivf
-  )
+  /** Quadratic-by-construction oracle twins would be whitelisted here;
+    * currently EMPTY — even q_bitext_mine's declared dense matrix
+    * plans as a broadcast nested-loop (its small side fits the
+    * broadcast threshold, so the executor never materializes an
+    * unbounded two-sided product), leaving zero CartesianProductExec
+    * across the whole registered surface. */
+  private val cartesianWhitelist = Set.empty[String]
 
   private def cartesians(p: SparkPlan): Int = {
     val self = p match {
@@ -56,23 +58,19 @@ class PlanHygieneSpec extends SparkSpec {
       s"unbounded cartesian joins planned by: ${offenders.mkString(", ")}")
   }
 
-  test("broadcast nested-loop joins only ever stream against a broadcast side") {
-    // a BNLJ whose build side is NOT broadcast would be a disguised
-    // cartesian; Spark only plans BNLJ with one broadcast side, so this
-    // pins the assumption the whitelist above relies on
-    def bnlj(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] = {
-      val self = p match {
-        case b: BroadcastNestedLoopJoinExec => Seq(b)
-        case a: AdaptiveSparkPlanExec => bnlj(a.inputPlan)
-        case _ => Nil
+  test("the cartesian whitelist is not stale: every entry still plans one") {
+    // a whitelist entry whose query stopped planning a cartesian would
+    // silently widen the allowance for future regressions — each entry
+    // must still EARN its exemption (vacuously green while empty)
+    cartesianWhitelist.foreach { name =>
+      val n = try cartesians(
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan)
+      finally {
+        CacheRegistry.drain()
+        spark.catalog.clearCache()
       }
-      self ++ p.children.flatMap(bnlj)
+      assert(n > 0, s"whitelisted $name no longer plans a cartesian — " +
+        "remove it from the whitelist")
     }
-    val plan = SparkEntry.queries("q_knn_cosine")(spark, sfDir)
-      .queryExecution.sparkPlan
-    bnlj(plan).foreach { b =>
-      assert(b.buildSide != null) // broadcast build side by construction
-    }
-    CacheRegistry.drain()
   }
 }

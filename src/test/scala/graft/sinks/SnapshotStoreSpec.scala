@@ -234,6 +234,17 @@ class SnapshotStoreSpec extends SparkSpec {
       statsKey = Some("x"))
     assert(SnapshotStore.readWhere(spark, path, "x", 3, 9)
       .count() == 1)
+
+    // NUMERIC-looking strings are the trap: lexicographic extremes
+    // ("30" < "5") cast after the aggregate would record a wrong
+    // range [30, 5] and silently prune the matching file — the cast
+    // must happen BEFORE min/max so the range is numeric [5, 30]
+    val path2 = freshTable()
+    SnapshotStore.commit(
+      Seq(("5", 1L), ("30", 2L)).toDF("k", "x"), path2,
+      statsKey = Some("k"))
+    assert(SnapshotStore.readWhere(spark, path2, "k", 5, 5)
+      .count() == 1, "numeric-string range must not mis-prune")
   }
 
   test("compactHilbert: 2-D clustering commit — both dims prune, boxes at least as tight as z-order") {
