@@ -265,6 +265,9 @@ object SparkEntry {
     "q_cohort"         -> q(EventAnalytics.cohortRetention),
     "q_transitions"    -> q(EventAnalytics.transitions),
     "q_gap_fill"       -> q(EventAnalytics.gapFill),
+    // gaps-and-islands streaks (r16): consecutive active-day runs via
+    // the day - row_number constant, no self-join or recursive walk
+    "q_streaks"        -> q(EventAnalytics.streaks),
     "q_zscore"         -> q(EventAnalytics.zscore),
     "q_inverted_index" -> q(TextAnalysis.invertedIndex(_)),
     // —— training-pipeline corpus ops (round 3) ——
@@ -2372,6 +2375,23 @@ object SparkEntry {
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, next_type
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    // gaps-and-islands: day − row_number is constant exactly within a
+    // consecutive-day run; epoch-day integers both engines share
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |        (ts::DATE - DATE '1970-01-01') AS day FROM events),
+        |runs AS (SELECT user_id, day,
+        |        day - ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY day) AS grp
+        |      FROM days),
+        |isl AS (SELECT user_id, grp, COUNT(*) AS len
+        |        FROM runs GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(len) AS BIGINT) AS active_days
+        |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_gap_fill" ->
       """WITH daily AS (

@@ -148,4 +148,33 @@ object EventAnalytics {
             .orderBy(col("valid_from"), col("event_id"))))
       .withColumn("is_current", col("valid_to").isNull.cast("long"))
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+
+  /** GAPS-AND-ISLANDS streak detection (the canonical consecutive-runs
+    * idiom this surface didn't yet cover — retention/engagement's
+    * "longest daily streak"): per user, distinct ACTIVE DAYS collapse
+    * into maximal runs of consecutive dates via the row_number
+    * difference trick (day − rn is constant exactly within a run — no
+    * self-join, no recursive walk), then one aggregate per user:
+    * longest streak, number of islands, active days.
+    *
+    * Scale: one distinct (user, day) aggregate (map-side combined —
+    * events collapse to ≤ users×days rows), one per-user window over
+    * those SKINNY day rows (never raw events), one final aggregate.
+    * Epoch-day integers end to end — exact in both engines. */
+  def streaks(t: Tables): DataFrame = {
+    val days = t.events
+      .select(col("user_id"),
+        datediff(col("ts"), lit("1970-01-01")).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).cast("long").as("longest_streak"),
+        count(lit(1)).cast("long").as("n_islands"),
+        sum(col("len")).cast("long").as("active_days"))
+      .orderBy(col("user_id"))
+  }
 }
