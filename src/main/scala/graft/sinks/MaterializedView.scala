@@ -55,16 +55,28 @@ object MaterializedView {
   }
 
   /** Define + fully compute the view from the base's live version,
-    * anchoring the CDC cursor there. Returns the view's version. */
+    * anchoring the CDC cursor there. Returns the view's version.
+    *
+    * Reads the base HEAD directly — never through the per-view cursor:
+    * this is also the REBUILD path (the class doc recommends it after
+    * a long outage), and a rebuild's cursor already sits mid-stream,
+    * so a cursor-driven read would deliver only the tail delta and
+    * Overwrite-commit it as the whole view (silently wrong), or —
+    * cursor current — deliver nothing. A full-snapshot read as
+    * inserts is the correct aggregate regardless of cursor state; the
+    * ack then jumps the cursor to the head (monotone — it can only be
+    * at or below the head). */
   def create(spark: SparkSession, basePath: String, viewPath: String,
              key: String, sumCol: String): Long = {
     val id = viewId(viewPath)
-    val (df, toV) = SnapshotStore.consumeChanges(spark, basePath, id)
-    require(df.nonEmpty, s"base table $basePath is empty")
-    val v = SnapshotStore.commit(deltaAgg(df.get, key, sumCol)
+    val headV = SnapshotStore.latestVersion(basePath)
+    require(headV > 0, s"base table $basePath is empty")
+    val base = SnapshotStore.read(spark, basePath, Some(headV))
+      .withColumn("_change", lit("insert"))
+    val v = SnapshotStore.commit(deltaAgg(base, key, sumCol)
         .filter(col("n") > 0),
-      viewPath, batchId = Some(toV))
-    SnapshotStore.ackChanges(basePath, id, toV)
+      viewPath, batchId = Some(headV))
+    SnapshotStore.ackChanges(basePath, id, headV)
     v
   }
 

@@ -239,7 +239,16 @@ object SnapshotStore {
     * aggregate pass over the incoming batch (all constraints fused,
     * n constraints ≠ n scans — the DataQuality analyzer discipline);
     * rewrite-only maintenance (compaction, delete survivors) is not
-    * re-validated, matching Delta's OPTIMIZE. */
+    * re-validated, matching Delta's OPTIMIZE.
+    *
+    * DETERMINISM CONTRACT: validation is a separate pass over the
+    * batch's lineage, re-evaluated by the write that follows — a
+    * NONDETERMINISTIC batch (rand(), sample, shuffling floats into a
+    * different reduction order) can pass the check yet materialize
+    * different rows. Commit deterministic frames (or checkpoint/
+    * persist the batch first); Delta pays the same row-level check
+    * inside its single write pass, a trade this store makes in favor
+    * of keeping validation one fused aggregate. */
   def addConstraint(spark: SparkSession, path: String,
                     name: String, sqlExpr: String): Unit = withLock(path) {
     require(name.matches("[A-Za-z0-9_-]+"), s"constraint name '$name'")

@@ -32,6 +32,15 @@ object DqStream {
   def monitorInto(logPath: String, constraints: Seq[(String, String)])
                  (df: DataFrame, batchId: Long): Unit = {
     require(constraints.nonEmpty, "DqStream: need at least one constraint")
+    // same name contract as SnapshotStore.addConstraint — the two entry
+    // points to violatesCheck must agree. Names become column
+    // identifiers below (alias _v_<name> then col(_v_<name>)): a '.'
+    // or backtick would break resolution at RUNTIME inside the
+    // streaming query; reject it here, at declaration time.
+    constraints.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_-]+"),
+        s"DqStream: constraint name '$n' (allowed: [A-Za-z0-9_-]+)")
+    }
     val report = df.agg(
         count(lit(1)).as("n_rows"),
         constraints.map { case (n, e) =>

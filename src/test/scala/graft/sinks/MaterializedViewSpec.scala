@@ -86,4 +86,33 @@ class MaterializedViewSpec extends SparkSpec {
       "stepped refresh must skip the applied prefix and land only v3")
     assert(SnapshotStore.consumerVersion(base, id) == 3)
   }
+
+  test("rebuild via create with a mid-stream cursor: full view, not the tail delta (r17)") {
+    val base = fresh(); val view = fresh()
+    SnapshotStore.commit(Seq(("a", 1L), ("b", 10L)).toDF("k", "x"), base)
+    MaterializedView.create(spark, base, view, "k", "x")
+    SnapshotStore.commit(Seq(("c", 5L)).toDF("k", "x"), base, SaveMode.Append)
+    assert(MaterializedView.refresh(spark, base, view, "k", "x").nonEmpty)
+
+    // outage scenario: the base advances further, then the operator
+    // REBUILDS via create (the class doc's recommended catch-up path).
+    // The per-view cursor sits mid-stream (v2 of 3) — a cursor-driven
+    // create would aggregate only v3's delta and publish it as the
+    // whole view.
+    SnapshotStore.commit(Seq(("a", 100L), ("d", 7L)).toDF("k", "x"),
+      base, SaveMode.Append)
+    MaterializedView.create(spark, base, view, "k", "x")
+    assert(viewRows(view) == recompute(base),
+      "rebuild must aggregate the full base head, whatever the cursor")
+
+    // cursor-current rebuild (the 'base table is empty' failure shape
+    // before the fix): create again with nothing new to consume
+    MaterializedView.create(spark, base, view, "k", "x")
+    assert(viewRows(view) == recompute(base))
+
+    // and incremental refresh still works after a rebuild
+    SnapshotStore.commit(Seq(("d", 3L)).toDF("k", "x"), base, SaveMode.Append)
+    assert(MaterializedView.refresh(spark, base, view, "k", "x").nonEmpty)
+    assert(viewRows(view) == recompute(base))
+  }
 }
