@@ -968,6 +968,68 @@ object SnapshotStore {
     presentDf(delta, columnMapping(path, toV), extra = Seq("_change"))
   }
 
+  /** The CHANGE FEED for the inclusive version range [fromV, toV] —
+    * the shared semantics behind the registered source's
+    * `readChangeFeed` relation AND the streaming source's micro-batches
+    * (r17). `fromV` is INCLUSIVE (Delta's startingVersion): the diff
+    * baseline is `fromV − 1`, and a feed whose baseline predates
+    * retention (baseline 0, or vacuumed) BOOTSTRAPS with the oldest
+    * retained version's rows as inserts, unioned with the changes from
+    * that anchor forward. */
+  def changeFeed(spark: SparkSession, path: String, fromV: Long, toV: Long,
+                 key: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val baseline = fromV - 1
+    val retained = versions(path)
+    require(retained.nonEmpty && toV >= 1,
+      s"changeFeed: no committed snapshot under $path")
+    val oldest = retained.min
+    require(toV >= oldest,
+      s"changeFeed: endingVersion $toV predates retention " +
+        s"(oldest retained version is $oldest)")
+    if (baseline >= oldest) readChanges(spark, path, baseline, toV, key)
+    else {
+      val anchor = math.min(math.max(oldest, 1L), toV)
+      val boot = read(spark, path, Some(anchor))
+        .withColumn("_change", lit("insert"))
+      if (toV <= anchor) boot
+      else boot.unionByName(readChanges(spark, path, anchor, toV, key),
+        allowMissingColumns = true)
+    }
+  }
+
+  /** Rows APPENDED in (fromV, toV] — the streaming-tail read for
+    * append-mostly tables (Delta's plain `readStream` semantics): the
+    * rows of files the range ADDED, read directly (no diff join).
+    * A range that also REMOVED files saw an update/delete/compaction;
+    * its added files then re-carry old rows, so delivering them as
+    * appends would duplicate — rejected with guidance (Delta's "data
+    * update detected" rule) unless `ignoreChanges` opts into exactly
+    * Delta's relaxation: added-file rows delivered as-is, re-delivery
+    * of rewritten rows accepted by the caller's idempotent sink. */
+  def readAppends(spark: SparkSession, path: String, fromV: Long, toV: Long,
+                  ignoreChanges: Boolean = false): DataFrame = {
+    require(fromV >= 1 && toV >= fromV,
+      s"readAppends: need 1 <= fromV <= toV, got $fromV..$toV")
+    val before = manifest(path, fromV)
+    val after = manifest(path, toV)
+    val added = after.filterNot(before.toSet).sorted
+    if (!ignoreChanges) {
+      val removed = before.filterNot(after.toSet)
+      require(removed.isEmpty,
+        s"readAppends: $path v$fromV..v$toV removed ${removed.size} " +
+          "file(s) (update/delete/compaction) - the appended-rows " +
+          "stream would duplicate rewritten rows; use readChangeFeed " +
+          "for exact deltas, or ignoreChanges to accept re-delivery")
+    }
+    val df =
+      if (added.nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(added: _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(after.headOption.getOrElse(before.head)).limit(0)
+    presentDf(df, columnMapping(path, toV))
+  }
+
   // ——— incremental consumers: checkpointed changelog reads ———
 
   private def consumerFile(path: String, id: String) = {

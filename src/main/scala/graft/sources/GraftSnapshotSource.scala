@@ -42,7 +42,7 @@ import org.apache.spark.sql.types.StructType
   * habit transfers. */
 class GraftSnapshotSource extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -85,6 +85,36 @@ class GraftSnapshotSource extends RelationProvider
       statsKey = parameters.get("statsKey")): Unit
     createRelation(sqlContext, parameters)
   }
+
+  /** `readStream.format("graft")` (r17) — the STREAMING source half of
+    * the registered surface: offsets are snapshot versions, each
+    * micro-batch is the O(changed files) changelog of its version
+    * range, and `option("readChangeFeed", "true")` delivers exact
+    * I/U/D rows with `_change` (`key` selects keyed classification).
+    * Semantics + options: [[org.apache.spark.sql.graft.GraftStreamSource]]. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "graft streaming source derives its schema from the table; " +
+        "do not pass one")
+    val path = pathOf(parameters)
+    (shortName(),
+      org.apache.spark.sql.graft.GraftStreamSource.schemaFor(
+        sqlContext.sparkSession, path,
+        parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    org.apache.spark.sql.graft.GraftStreamSource.fromOptions(
+      sqlContext, pathOf(parameters), parameters)
 
   /** `writeStream.format("graft")` — every micro-batch becomes one
     * APPEND snapshot commit through [[SnapshotStore.streamSink]],
@@ -226,30 +256,10 @@ case class GraftChangesRelation(sqlContext: SQLContext, path: String,
 
   // the version range is pinned at relation construction, so the plan
   // (manifest diff + mergeSchema footer reads) is built once, not per
-  // schema/buildScan call
-  private lazy val changes: DataFrame = {
-    val spark = sqlContext.sparkSession
-    val baseline = fromV - 1
-    val retained = SnapshotStore.versions(path)
-    require(retained.nonEmpty && toV >= 1,
-      s"readChangeFeed: no committed snapshot under $path")
-    val oldest = retained.min
-    require(toV >= oldest,
-      s"readChangeFeed: endingVersion $toV predates retention " +
-        s"(oldest retained version is $oldest)")
-    if (baseline >= oldest)
-      SnapshotStore.readChanges(spark, path, baseline, toV, key)
-    else {
-      val anchor = math.min(math.max(oldest, 1L), toV)
-      val boot = SnapshotStore.read(spark, path, Some(anchor))
-        .withColumn(
-          "_change", org.apache.spark.sql.functions.lit("insert"))
-      if (toV <= anchor) boot
-      else boot.unionByName(
-        SnapshotStore.readChanges(spark, path, anchor, toV, key),
-        allowMissingColumns = true)
-    }
-  }
+  // schema/buildScan call; the semantics live in
+  // SnapshotStore.changeFeed, shared with the STREAMING source (r17)
+  private lazy val changes: DataFrame =
+    SnapshotStore.changeFeed(sqlContext.sparkSession, path, fromV, toV, key)
 
   override def schema: StructType = changes.schema
 

@@ -1,0 +1,178 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sinks.SnapshotStore
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** `spark.readStream.format("graft")` — the streaming CDC source
+  * (r17): version offsets, O(changed files) micro-batches, bootstrap +
+  * per-commit keyed deltas exactly-once across a restart, parity with
+  * the CdcTail consumer, and the append-tail (non-CDF) mode with
+  * Delta's data-update rejection rule. */
+class GraftStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-streamsrc").toString + "/t"
+
+  private def drain(df: DataFrame, ck: String)
+                   (collect: (DataFrame, Long) => Unit) = {
+    val q = df.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch(collect)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  test("readChangeFeed stream: bootstrap + keyed per-commit deltas, exactly-once across restart") {
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(Long, String, String)]]
+    def collect(df: DataFrame, id: Long): Unit = seen.synchronized {
+      val rows = df.select("id", "s", "_change")
+        .as[(Long, String, String)].collect().toSet
+      if (rows.nonEmpty) seen += rows
+    }
+
+    def stream() = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("key", "id")
+      .load(path)
+
+    val ck = java.nio.file.Files.createTempDirectory("graft-ss-ck").toString
+    val q = drain(stream(), ck)(collect)
+    try {
+      // bootstrap: the whole live table as inserts
+      assert(seen.toSeq == Seq(Set((1L, "a", "insert"), (2L, "b", "insert"))))
+
+      // one commit (update + insert) → one exact keyed delta
+      SnapshotStore.commit(
+        Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "s"), path)
+      q.processAllAvailable()
+      assert(seen.size == 2 &&
+        seen(1) == Set((2L, "B", "update"), (3L, "c", "insert")))
+
+      // identical rewrite (compaction shape): offset advances, the
+      // keyed changelog is empty — no delivery
+      SnapshotStore.commit(
+        Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "s"), path)
+      q.processAllAvailable()
+      assert(seen.size == 2)
+    } finally q.stop()
+
+    // restart from the same checkpoint: nothing re-delivers; a commit
+    // made while the stream was DOWN arrives as its own delta
+    SnapshotStore.commit(Seq((2L, "B"), (3L, "c")).toDF("id", "s"), path)
+    val q2 = drain(stream(), ck)(collect)
+    try {
+      assert(seen.size == 3 && seen(2) == Set((1L, "a", "delete")))
+    } finally q2.stop()
+  }
+
+  test("stream deltas match the CdcTail consumer on the same commit history") {
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), path)
+    SnapshotStore.commit(Seq((1L, 10L), (2L, 25L), (3L, 30L)).toDF("id", "x"),
+      path)
+    SnapshotStore.commit(Seq((2L, 25L), (3L, 30L)).toDF("id", "x"), path)
+
+    // batch-consumer truth: bootstrap at v1 + per-version keyed deltas
+    val viaConsumer = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String)]
+    var going = true
+    val cid = "streamsrcparity"
+    while (going) SnapshotStore.consumeChanges(spark, path, cid,
+      Some("id"), maxStep = 1L) match {
+      case (Some(d), to) =>
+        viaConsumer ++= d.select("id", "x", "_change")
+          .as[(Long, Long, String)].collect()
+        SnapshotStore.ackChanges(path, cid, to)
+      case (None, _) => going = false
+    }
+
+    val viaStream = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String)]
+    val ck = java.nio.file.Files.createTempDirectory("graft-ss-ck2").toString
+    val q = drain(
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("key", "id")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerBatch", "1") // the consumer's stepping
+        .load(path), ck) { (df, _) =>
+      viaStream.synchronized {
+        viaStream ++= df.select("id", "x", "_change")
+          .as[(Long, Long, String)].collect()
+      }
+    }
+    try assert(viaStream.sorted.toSeq == viaConsumer.sorted.toSeq)
+    finally q.stop()
+  }
+
+  test("append-mode stream: appended rows only; a rewriting commit fails with guidance unless ignoreChanges") {
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "s"), path)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ck = java.nio.file.Files.createTempDirectory("graft-ss-ck3").toString
+    val q = drain(
+      spark.readStream.format("graft").load(path), ck) { (df, _) =>
+      seen.synchronized { seen ++= df.as[(Long, String)].collect() }
+    }
+    try {
+      assert(seen.toSet == Set((1L, "a")))
+      SnapshotStore.commit(Seq((2L, "b")).toDF("id", "s"), path,
+        SaveMode.Append)
+      q.processAllAvailable()
+      assert(seen.toSet == Set((1L, "a"), (2L, "b")))
+
+      // an OVERWRITE removed files: the append stream must fail fast
+      // (delivering added files would re-deliver rewritten rows)
+      SnapshotStore.commit(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+        .toDF("id", "s"), path, SaveMode.Overwrite)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("readChangeFeed")))
+    } finally q.stop()
+
+    // ignoreChanges: same history streams, rewritten rows re-delivered
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-ss-ck4").toString
+    val q2 = drain(
+      spark.readStream.format("graft").option("ignoreChanges", "true")
+        .load(path), ck2) { (df, _) =>
+      seen2.synchronized { seen2 ++= df.as[(Long, String)].collect() }
+    }
+    try assert(seen2.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    finally q2.stop()
+  }
+
+  test("maxVersionsPerBatch bounds catch-up batches") {
+    val path = fresh()
+    (1 to 4).foreach { i =>
+      SnapshotStore.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"), path,
+        if (i == 1) SaveMode.Overwrite else SaveMode.Append)
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ck = java.nio.file.Files.createTempDirectory("graft-ss-ck5").toString
+    val q = drain(
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("key", "id")
+        .option("startingVersion", "2")
+        .option("maxVersionsPerBatch", "1")
+        .load(path), ck) { (df, _) =>
+      val n = df.count().toInt
+      if (n > 0) batches.synchronized { batches += n }
+    }
+    // versions 2..4 are three single-insert commits; startingVersion=2
+    // is inclusive, so the first batch carries v2 and stepping yields
+    // one insert per batch
+    try assert(batches.toSeq == Seq(1, 1, 1))
+    finally q.stop()
+  }
+}
