@@ -59,24 +59,153 @@ object SnapshotStore {
     else 0L
   }
 
-  private def manifest(path: String, v: Long): Seq[String] = {
+  // ——— manifest log (r17): FULL checkpoints + O(delta) commits ———
+  //
+  // A version's manifest file is either
+  //   FULL : `#ts=<ms>` [`#n=<files>`]           + one path per line
+  //   DELTA: `#ts= #base=<v-1> #depth=<k> #n=`   + `-removed` / `+added` lines
+  // A DELTA records only what the commit CHANGED — an append writes
+  // O(new files), a point merge/delete O(touched files) — and resolves
+  // against its predecessor; every `manifestCheckpointInterval`-th
+  // commit materializes a FULL checkpoint so replay stays O(interval ·
+  // delta) (the Delta-log discipline: JSON delta actions + periodic
+  // parquet checkpoints). Readers are unchanged: [[manifest]] resolves
+  // the chain; a legacy full manifest is just a FULL with no `#n`.
+
+  /** How many DELTA manifests may chain before a commit materializes a
+    * FULL checkpoint. Bounds replay cost and the blast radius of a
+    * vacuumed chain; the amortized commit cost is O(files / interval). */
+  @volatile var manifestCheckpointInterval: Int = 16
+
+  /** Parsed manifest: FULL (`paths` defined) or DELTA (`base` = v−1,
+    * `adds`/`drops` relative to it). `n` is the manifest's recorded
+    * live-file count (absent on legacy fulls). */
+  private case class ManifestInfo(ts: Long, base: Option[Long], depth: Int,
+                                  n: Option[Long], adds: Seq[String],
+                                  drops: Seq[String],
+                                  paths: Option[Seq[String]])
+
+  private def requireManifest(path: String, v: Long): File = {
     val f = manifestFile(path, v)
     require(f.exists(), s"snapshot v$v does not exist under $path")
-    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      .filterNot(_.startsWith("#")) // `#ts=` commit-time header
+    f
+  }
+
+  private def parseHeader(lines: Seq[String]): Map[String, String] =
+    lines.takeWhile(_.startsWith("#")).map { l =>
+      val i = l.indexOf('=')
+      (l.substring(1, i), l.substring(i + 1).trim)
+    }.toMap
+
+  private def parseManifest(f: File): ManifestInfo = {
+    val lines = new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    val hdr = parseHeader(lines)
+    val body = lines.filterNot(_.startsWith("#"))
+    val ts = hdr.get("ts").map(_.toLong).getOrElse(f.lastModified())
+    hdr.get("base") match {
+      case Some(b) =>
+        ManifestInfo(ts, Some(b.toLong),
+          hdr.get("depth").fold(1)(_.toInt), hdr.get("n").map(_.toLong),
+          adds = body.filter(_.startsWith("+")).map(_.substring(1)),
+          drops = body.filter(_.startsWith("-")).map(_.substring(1)),
+          paths = None)
+      case None =>
+        ManifestInfo(ts, None, 0, hdr.get("n").map(_.toLong)
+          .orElse(Some(body.size.toLong)), Nil, Nil, Some(body))
+    }
+  }
+
+  /** Header fields only — stops at the first body line, so probing a
+    * 10⁷-line FULL checkpoint for its depth reads a few bytes. */
+  private def manifestHeader(f: File): Map[String, String] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(f), StandardCharsets.UTF_8))
+    try {
+      val hdr = scala.collection.mutable.Map.empty[String, String]
+      var line = in.readLine()
+      while (line != null && line.trim.startsWith("#")) {
+        val l = line.trim; val i = l.indexOf('=')
+        if (i > 1) hdr(l.substring(1, i)) = l.substring(i + 1).trim
+        line = in.readLine()
+      }
+      hdr.toMap
+    } finally in.close()
+  }
+
+  /** The version's DELTA-chain depth (0 = FULL checkpoint). */
+  private def manifestDepth(path: String, v: Long): Int =
+    manifestHeader(requireManifest(path, v)).get("depth").fold(0)(_.toInt)
+
+  /** Live-file count of version `v` — O(1) from the `#n` header
+    * (legacy fulls fall back to a resolve). */
+  private def nFiles(path: String, v: Long): Long = {
+    val hdr = manifestHeader(requireManifest(path, v))
+    hdr.get("n").map(_.toLong).getOrElse(manifest(path, v).size.toLong)
+  }
+
+  /** The version's complete file list, resolving the delta chain
+    * (replay is bounded by [[manifestCheckpointInterval]]). Driver-side
+    * materialization happens only where an engine NEEDS the paths — to
+    * plan a scan or diff two versions; commits never call this on the
+    * carried set. */
+  private def manifest(path: String, v: Long): Seq[String] = {
+    val m = parseManifest(requireManifest(path, v))
+    m.paths match {
+      case Some(ps) => ps
+      case None =>
+        val base = manifest(path, m.base.get)
+        val dropped = m.drops.toSet
+        (if (dropped.isEmpty) base else base.filterNot(dropped)) ++ m.adds
+    }
+  }
+
+  /** The chain from `v` back to (and excluding) its FULL base:
+    * (fullVersion, deltas oldest→newest). */
+  private def chainOf(path: String, v: Long): (Long, Seq[(Long, ManifestInfo)]) = {
+    var cur = v
+    var deltas = List.empty[(Long, ManifestInfo)]
+    var m = parseManifest(requireManifest(path, cur))
+    while (m.base.isDefined) {
+      deltas = (cur, m) :: deltas
+      cur = m.base.get
+      m = parseManifest(requireManifest(path, cur))
+    }
+    (cur, deltas)
+  }
+
+  /** Net (added, removed) file sets of the range (fromV, toV] in
+    * O(range deltas), when toV's chain passes through fromV — the CDC
+    * fast path that keeps a streaming micro-batch's planning O(delta).
+    * None when a FULL checkpoint intervenes (fall back to the
+    * endpoint set-difference). Files added then dropped inside the
+    * range cancel exactly (paths are write-once UUIDs — never
+    * re-added). */
+  private def changedFiles(path: String, fromV: Long, toV: Long)
+      : Option[(Seq[String], Seq[String])] = {
+    var cur = toV
+    var deltas = List.empty[ManifestInfo]
+    while (cur > fromV) {
+      val m = parseManifest(requireManifest(path, cur))
+      if (m.base.isEmpty) return None // checkpoint inside the range
+      deltas = m :: deltas
+      cur = m.base.get
+    }
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    val removed = scala.collection.mutable.LinkedHashSet.empty[String]
+    deltas.foreach { d =>
+      d.drops.foreach { f => if (!added.remove(f)) removed += f }
+      added ++= d.adds
+    }
+    Some((added.toSeq, removed.toSeq))
   }
 
   /** Commit wall-clock of version `v` (the manifest's `#ts=` header),
     * falling back to the manifest file's mtime for manifests written
     * before the header existed. */
   def commitTime(path: String, v: Long): Long = {
-    val f = manifestFile(path, v)
-    require(f.exists(), s"snapshot v$v does not exist under $path")
-    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .split("\n").find(_.startsWith("#ts="))
-      .map(_.stripPrefix("#ts=").trim.toLong)
-      .getOrElse(f.lastModified())
+    val f = requireManifest(path, v)
+    manifestHeader(f).get("ts").map(_.toLong).getOrElse(f.lastModified())
   }
 
   /** Retained versions, oldest first (vacuumed versions are gone). */
@@ -94,7 +223,7 @@ object SnapshotStore {
     import spark.implicits._
     versions(path).map { v =>
       val b = batchFile(path, v)
-      (v, commitTime(path, v), manifest(path, v).size,
+      (v, commitTime(path, v), nFiles(path, v).toInt,
         if (b.exists())
           Some(new String(Files.readAllBytes(b.toPath),
             StandardCharsets.UTF_8).trim.toLong)
@@ -204,11 +333,11 @@ object SnapshotStore {
       mode match {
         case SaveMode.Append if prev > 0 =>
           val pdf = toPhysicalDf(path, prev, df)
-          commitLocked(pdf, path, manifest(path, prev), batchId,
+          commitLocked(pdf, path, CarryAllExcept(Nil), batchId,
             statsKey.map(physicalOf(path, prev, _)),
             colmap = extendedMapping(columnMapping(path, prev), pdf))
         case _ =>
-          commitLocked(df, path, Nil, batchId, statsKey)
+          commitLocked(df, path, Replace, batchId, statsKey)
       }
     }
 
@@ -355,11 +484,11 @@ object SnapshotStore {
       mode match {
         case SaveMode.Append if cur > 0 => // rebase onto the winner
           val pdf = toPhysicalDf(path, cur, df)
-          commitLocked(pdf, path, manifest(path, cur), batchId,
+          commitLocked(pdf, path, CarryAllExcept(Nil), batchId,
             statsKey.map(physicalOf(path, cur, _)),
             colmap = extendedMapping(columnMapping(path, cur), pdf))
         case _ =>
-          commitLocked(df, path, Nil, batchId, statsKey)
+          commitLocked(df, path, Replace, batchId, statsKey)
       }
     }
 
@@ -386,13 +515,26 @@ object SnapshotStore {
     try { healLocked(path); body } finally { lock.delete(): Unit }
   }
 
-  /** Write `df` as fresh files, carry `carried` forward, publish. When
+  /** How a commit treats the previous version's files. */
+  private sealed trait Carry
+  /** Fresh files REPLACE the table (Overwrite, compaction). */
+  private case object Replace extends Carry
+  /** Carry every previous file EXCEPT `dropped` (appends: Nil;
+    * merge/delete: the touched set) — expressed as a DIFF so the
+    * commit never materializes the carried list: an append is O(new
+    * files) end to end, whatever the table size (r17). */
+  private case class CarryAllExcept(dropped: Seq[String]) extends Carry
+
+  /** Write `df` as fresh files, apply `carry`, publish. When
     * `statsKey` is set, per-file (min, max) ranges of that column are
     * recorded in the version's stats sidecar (one extra skinny agg
     * over the fresh files, grouped by input_file_name) — the footer-
-    * stats layer [[mergeCommit]] prunes with. */
+    * stats layer [[mergeCommit]] prunes with. Carry commits publish a
+    * DELTA manifest + fresh-only stats (O(delta)); every
+    * [[manifestCheckpointInterval]]-th carry materializes a FULL
+    * manifest checkpoint and a consolidated stats checkpoint. */
   private def commitLocked(df: DataFrame, path: String,
-                           carried: Seq[String], batchId: Option[Long],
+                           carry: Carry, batchId: Option[Long],
                            statsKey: Option[String],
                            extraStatsCols: Seq[String] = Nil,
                            colmap: Option[Seq[(String, String)]] = None)
@@ -405,16 +547,34 @@ object SnapshotStore {
     val fresh = Option(dataDir.listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getPath).sorted
+    val isCarry = carry match {
+      case CarryAllExcept(_) => prev > 0
+      case Replace => false
+    }
+    val dropped = carry match {
+      case CarryAllExcept(d) if isCarry => d
+      case _ => Nil
+    }
+    val depth = if (isCarry) manifestDepth(path, prev) + 1 else 0
+    val asDelta = isCarry && depth < manifestCheckpointInterval
     // a carried-only commit (fresh empty) is legal — deleteCommit's
-    // "every touched row deleted" case; a fully-empty table is not
-    require(fresh.nonEmpty || carried.nonEmpty,
-      s"snapshot commit: empty write for $path")
+    // "every touched row deleted" case; a fully-empty table is not.
+    // O(1): counts come from the #n headers, never a list.
+    val newN = (if (isCarry) nFiles(path, prev) - dropped.size else 0L) +
+      fresh.size
+    require(newN > 0, s"snapshot commit: empty write for $path")
+    // the FULL file list is materialized ONLY at checkpoint commits —
+    // the amortized O(files/interval) step (Delta's checkpoint rule)
+    lazy val fullCarried: Seq[String] =
+      if (!isCarry) Nil
+      else if (dropped.isEmpty) manifest(path, prev)
+      else manifest(path, prev).filterNot(dropped.toSet)
     statsKey match {
       case Some(key) =>
         val cols = (key +: extraStatsCols).distinct
         val spark = df.sparkSession
         import org.apache.spark.sql.functions.{input_file_name, min, max,
-          regexp_replace, explode, array, struct, lit, col}
+          explode, array, struct, lit, col}
         import spark.implicits._
         // DISTRIBUTED stats checkpoint (r16): per-file ranges land as a
         // parquet frame (file, column, lo, hi) under the version, never
@@ -466,35 +626,45 @@ object SnapshotStore {
               (p, c, lo, hi)
             }
             .toDF("file", "column", "lo", "hi"))
-        // carried ranges: the PREVIOUS checkpoint minus the files this
-        // commit drops (merge/delete's touched set — small by
-        // construction; empty for appends), restricted to the columns
-        // still tracked. Never collected: frame-to-frame anti-join.
-        val carriedDF: Option[DataFrame] =
-          if (carried.isEmpty || prev == 0) None
-          else statsDF(spark, path, prev).map { prevSt =>
-            val base = prevSt.filter(col("column").isin(cols: _*))
-            val dropped = manifest(path, prev).filterNot(carried.toSet)
-            if (dropped.isEmpty) base
-            else base.join(dropped.toDF("file"), Seq("file"), "left_anti")
+        if (asDelta) {
+          // O(delta): the version's checkpoint holds ONLY the fresh
+          // files' rows; [[statsDF]] resolves the chain. Rows for
+          // since-dropped files are INERT (every consumer joins stats
+          // against an explicit live-file list), so no carried rewrite.
+          freshDF match {
+            case Some(st) =>
+              val parts = math.max(1L,
+                fresh.size.toLong * cols.size / 100000L).toInt
+              st.repartition(parts).write.mode(SaveMode.Overwrite)
+                .parquet(statsCheckDir(path, v).getPath)
+            case None => dropStatsCheckpoint(path, v)
           }
-        (carriedDF.toSeq ++ freshDF.toSeq).reduceOption(_ unionByName _) match {
-          case Some(st) =>
-            // the checkpoint's row count is METADATA-known: (#files ×
-            // #cols). Size the write from it — ~10⁵ rows per output
-            // file — instead of inheriting the shuffle-partition count,
-            // which would write ~32 near-empty files per commit that
-            // every subsequent pruning read must list and open. (At
-            // 10⁷ files × 4 cols this still fans out to ~400 files —
-            // the write and the pruning scan stay distributed.)
-            val rows = (fresh.size + carried.size).toLong * cols.size
-            val parts = math.max(1L, rows / 100000L).toInt
-            st.repartition(parts).write.mode(SaveMode.Overwrite)
-              .parquet(statsCheckDir(path, v).getPath)
-          // nothing to record (carried-only commit over a stats-less
-          // table): make sure no stale checkpoint from a crashed
-          // attempt at this version number survives to prune wrongly
-          case None => dropStatsCheckpoint(path, v)
+        } else {
+          // FULL checkpoint: consolidate the resolved chain — pruned
+          // to files still live (checkpoints must not accumulate
+          // dropped-file garbage across intervals) — plus the fresh
+          // rows. Never collected: frame-to-frame semi-join.
+          val carriedDF: Option[DataFrame] =
+            if (!isCarry) None
+            else statsDF(spark, path, prev).map { prevSt =>
+              prevSt.join(fullCarried.toDF("file"), Seq("file"), "left_semi")
+            }
+          (carriedDF.toSeq ++ freshDF.toSeq)
+            .reduceOption(_ unionByName _) match {
+            case Some(st) =>
+              // the checkpoint's row count is METADATA-known: (#files ×
+              // #cols). Size the write from it — ~10⁵ rows per output
+              // file — instead of inheriting the shuffle-partition
+              // count, which would write ~32 near-empty files per
+              // commit that every subsequent pruning read must list
+              // and open. (At 10⁷ files × 4 cols this still fans out
+              // to ~400 files — the write and the pruning scan stay
+              // distributed.)
+              val parts = math.max(1L, newN * cols.size / 100000L).toInt
+              st.repartition(parts).write.mode(SaveMode.Overwrite)
+                .parquet(statsCheckDir(path, v).getPath)
+            case None => dropStatsCheckpoint(path, v)
+          }
         }
         // constant-size header sidecar: WHICH columns the version
         // tracks (#key= primary, #cols= full list) — the metadata that
@@ -507,10 +677,57 @@ object SnapshotStore {
         // stats artifacts behind; without a statsKey they would be
         // mis-attributed to THIS commit and prune with stale ranges
         dropStatsArtifacts(path, v)
+        if (isCarry) {
+          // an UNTRACKED carry commit must not amputate the table's
+          // pruning layer (r17): carry the header forward so
+          // statsKeyOf/hasStats keep resolving — the fresh files
+          // simply have no recorded ranges (unpruned, never wrong).
+          // A Replace is a genuine reset.
+          val prevHdr = statsFile(path, prev)
+          if (prevHdr.exists())
+            atomicWrite(statsFile(path, v),
+              new String(Files.readAllBytes(prevHdr.toPath),
+                StandardCharsets.UTF_8))
+          // at a checkpoint commit, consolidate the chain's stats by
+          // driver file-copy (chain frames are disjoint by
+          // construction; stale rows are inert) so the new FULL base
+          // is self-contained
+          if (!asDelta) consolidateStatsByCopy(path, prev, v)
+        }
     }
     writeColmap(path, v, colmap) // None also clears a stale crashed one
-    publish(path, v, carried ++ fresh, batchId)
+    if (asDelta)
+      publishDelta(path, v, adds = fresh, drops = dropped,
+        n = newN, depth = depth, batchId = batchId)
+    else
+      publishFull(path, v, fullCarried ++ fresh, batchId)
     v
+  }
+
+  /** Consolidate the stats chain ending at `fromV` into version `atV`'s
+    * checkpoint dir by copying parquet parts (driver IO, no Spark —
+    * usable from vacuum and metadata commits). Chain frames hold
+    * disjoint file sets by construction; rows for since-dropped files
+    * are inert (consumers join against live-file lists). Legacy text
+    * sidecars are left in place (their versions are FULL manifests, so
+    * the chain ends there and [[statsDF]] still unions them). */
+  private def consolidateStatsByCopy(path: String, fromV: Long,
+                                     atV: Long): Unit = {
+    val (fullV, deltas) = chainOf(path, fromV)
+    val srcs = (fullV +: deltas.map(_._1)).map(statsCheckDir(path, _))
+      .filter(_.exists())
+    if (srcs.nonEmpty) {
+      val dst = statsCheckDir(path, atV)
+      dst.mkdirs()
+      srcs.filterNot(_.getPath == dst.getPath).foreach { d =>
+        Option(d.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach { f =>
+            Files.copy(f.toPath, new File(dst, f.getName).toPath,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+      }
+    }
   }
 
   private def statsFile(path: String, v: Long) =
@@ -524,11 +741,10 @@ object SnapshotStore {
   private def statsCheckDir(path: String, v: Long) =
     new File(snapDir(path), f"v$v%08d.statspq")
 
-  /** The version's stats as a FRAME (file, column, lo, hi): the
-    * parquet checkpoint when present, else the legacy text sidecar
-    * parallelized (bounded: legacy sidecars predate the checkpoint
-    * and are sandbox-scale). None when the version tracks no stats. */
-  private def statsDF(spark: SparkSession, path: String, v: Long)
+  /** One chain link's stats frame: the parquet checkpoint when
+    * present, else the legacy text sidecar parallelized (bounded:
+    * legacy sidecars predate the checkpoint and are sandbox-scale). */
+  private def statsFrameAt(spark: SparkSession, path: String, v: Long)
       : Option[DataFrame] = {
     val ck = statsCheckDir(path, v)
     if (ck.exists()) Some(spark.read.parquet(ck.getPath))
@@ -544,19 +760,50 @@ object SnapshotStore {
     }
   }
 
+  /** The version's RESOLVED stats as a frame (file, column, lo, hi):
+    * the union of its manifest chain's checkpoints — the FULL base's
+    * consolidated frame plus each delta commit's fresh-file rows. Rows
+    * for since-dropped files may linger until the next checkpoint
+    * consolidates; they are INERT because every consumer joins stats
+    * against an explicit live-file list (manifest scan or touched
+    * set). None when nothing in the chain tracks stats. */
+  private def statsDF(spark: SparkSession, path: String, v: Long)
+      : Option[DataFrame] = {
+    val (fullV, deltas) = chainOf(path, v)
+    val frames = (fullV +: deltas.map(_._1))
+      .flatMap(statsFrameAt(spark, path, _))
+    frames.reduceOption(_ unionByName _)
+  }
+
   /** The version's manifest as a one-column frame (`file`) — pruning
-    * joins run against this scan, not a driver list. */
+    * joins run against this scan, not a driver list. Chain-resolved
+    * distributed: the FULL base is a text scan, delta adds/drops are
+    * interval-bounded small sets. */
   private def manifestDF(spark: SparkSession, path: String, v: Long)
       : DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.text(manifestFile(path, v).getPath)
+    import spark.implicits._
+    val (fullV, deltas) = chainOf(path, v)
+    val base = spark.read.text(manifestFile(path, fullV).getPath)
       .select(col("value").as("file"))
       .filter(!col("file").startsWith("#") && col("file") =!= "")
+    val adds = deltas.flatMap(_._2.adds)
+    val drops = deltas.flatMap(_._2.drops)
+    val all =
+      if (adds.isEmpty) base
+      else base.unionByName(adds.toDF("file"))
+    if (drops.isEmpty) all
+    // add-then-drop inside the chain cancels here too (write-once
+    // paths are never re-added)
+    else all.join(drops.toDF("file"), Seq("file"), "left_anti")
   }
 
-  /** Whether version `v` records pruning stats in either format. */
-  private def hasStats(path: String, v: Long): Boolean =
-    statsCheckDir(path, v).exists() || statsAllText(path, v).nonEmpty
+  /** Whether version `v`'s chain records pruning stats in any format. */
+  private def hasStats(path: String, v: Long): Boolean = {
+    val (fullV, deltas) = chainOf(path, v)
+    (fullV +: deltas.map(_._1)).exists(w =>
+      statsCheckDir(path, w).exists() || statsAllText(path, w).nonEmpty)
+  }
 
   /** FILE paths of the snapshot that may hold rows with `key` ∈
     * [lo, hi] — the shared distributed prune: manifest scan
@@ -776,9 +1023,10 @@ object SnapshotStore {
         .parquet(manifest(path, v): _*).columns.toSeq.map(c => (c, c)))
 
   /** Publish version v+1 with the SAME files and stats as v and a new
-    * column mapping. Stats artifacts are copied (driver-side file
-    * copy — version-scale metadata, physical column names unchanged);
-    * a crash before the pointer swap rolls back exactly like a data
+    * column mapping — an O(1) DELTA manifest with zero changes (r17);
+    * the stats chain resolves through it (rows for a dropped physical
+    * column linger inert — consumers look up live columns only). A
+    * crash before the pointer swap rolls back exactly like a data
     * commit (heal drops the manifest + sidecar artifacts). */
   private def metadataCommit(path: String, v: Long,
                              mapping: Seq[(String, String)]): Long = {
@@ -806,17 +1054,15 @@ object SnapshotStore {
             (if (kept.size > 1) s"#cols=${kept.mkString(",")}\n" else ""))
       }
     }
-    val ck = statsCheckDir(path, v)
-    if (ck.exists()) {
-      val dst = statsCheckDir(path, nv)
-      dst.mkdirs()
-      Option(ck.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
-        Files.copy(f.toPath, new File(dst, f.getName).toPath,
-          StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
     writeColmap(path, nv, Some(mapping))
-    publish(path, nv, manifest(path, v), None)
+    val depth = manifestDepth(path, v) + 1
+    if (depth < manifestCheckpointInterval)
+      publishDelta(path, nv, adds = Nil, drops = Nil,
+        n = nFiles(path, v), depth = depth, batchId = None)
+    else {
+      consolidateStatsByCopy(path, v, nv)
+      publishFull(path, nv, manifest(path, v), None)
+    }
     nv
   }
 
@@ -889,10 +1135,24 @@ object SnapshotStore {
     import org.apache.spark.sql.functions._
     require(fromV >= 1 && toV >= fromV,
       s"readChanges: need 1 <= fromV <= toV, got $fromV..$toV")
-    val before = manifest(path, fromV)
-    val after = manifest(path, toV)
-    val added = after.filterNot(before.toSet).sorted
-    val removed = before.filterNot(after.toSet).sorted
+    // O(delta) fast path (r17): when toV's manifest chain passes
+    // through fromV, the net added/removed sets are the chain's delta
+    // lines — a streaming micro-batch or stepped consumer plans its
+    // CDC read without materializing either endpoint's file list. A
+    // FULL checkpoint inside the range falls back to the exact
+    // endpoint set-difference.
+    val (added, removed) = changedFiles(path, fromV, toV) match {
+      case Some((a, r)) => (a.sorted, r.sorted)
+      case None =>
+        val before = manifest(path, fromV)
+        val after = manifest(path, toV)
+        (after.filterNot(before.toSet).sorted,
+          before.filterNot(after.toSet).sorted)
+    }
+    // schema anchor for an empty side — only materialized on the
+    // no-change edge (pure metadata commit / identical manifests)
+    lazy val anyFile: String =
+      manifest(path, toV).headOption.getOrElse(manifest(path, fromV).head)
     // mergeSchema on BOTH sides: a CDC range spanning several commits
     // reads schema-heterogeneous file sets, and one-footer inference
     // would nondeterministically drop an evolved column from the delta
@@ -901,7 +1161,7 @@ object SnapshotStore {
       if (fs.nonEmpty)
         spark.read.option("mergeSchema", "true").parquet(fs: _*)
       else spark.read.option("mergeSchema", "true")
-        .parquet(after.headOption.getOrElse(before.head)).limit(0)
+        .parquet(anyFile).limit(0)
     val ins = readFiles(added)
     val del = readFiles(removed)
     require(!ins.columns.contains("_change") && !del.columns.contains("_change"),
@@ -1011,22 +1271,27 @@ object SnapshotStore {
                   ignoreChanges: Boolean = false): DataFrame = {
     require(fromV >= 1 && toV >= fromV,
       s"readAppends: need 1 <= fromV <= toV, got $fromV..$toV")
-    val before = manifest(path, fromV)
-    val after = manifest(path, toV)
-    val added = after.filterNot(before.toSet).sorted
-    if (!ignoreChanges) {
-      val removed = before.filterNot(after.toSet)
+    // same O(delta) fast path as readChanges (r17)
+    val (added, removed) = changedFiles(path, fromV, toV) match {
+      case Some((a, r)) => (a.sorted, r)
+      case None =>
+        val before = manifest(path, fromV)
+        val after = manifest(path, toV)
+        (after.filterNot(before.toSet).sorted,
+          before.filterNot(after.toSet))
+    }
+    if (!ignoreChanges)
       require(removed.isEmpty,
         s"readAppends: $path v$fromV..v$toV removed ${removed.size} " +
           "file(s) (update/delete/compaction) - the appended-rows " +
           "stream would duplicate rewritten rows; use readChangeFeed " +
           "for exact deltas, or ignoreChanges to accept re-delivery")
-    }
     val df =
       if (added.nonEmpty)
         spark.read.option("mergeSchema", "true").parquet(added: _*)
       else spark.read.option("mergeSchema", "true")
-        .parquet(after.headOption.getOrElse(before.head)).limit(0)
+        .parquet(manifest(path, toV).headOption
+          .getOrElse(manifest(path, fromV).head)).limit(0)
     presentDf(df, columnMapping(path, toV))
   }
 
@@ -1159,7 +1424,6 @@ object SnapshotStore {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(path)
     require(v > 0, s"no committed snapshot under $path")
-    val files = manifest(path, v)
     val bounds = df.agg(
       org.apache.spark.sql.functions.min(key).cast("long"),
       org.apache.spark.sql.functions.max(key).cast("long")).head()
@@ -1171,9 +1435,9 @@ object SnapshotStore {
     // matching-key rows then survive the rewrite (a silent lost
     // update). Files with no range for THIS key degrade to "touched";
     // only the touched paths (small by construction for a point-key
-    // batch) are collected.
+    // batch) are collected — the untouched set is never materialized
+    // (the commit is a manifest DELTA, r17).
     val touched = prunedFiles(spark, path, v, key, bLo, bHi)
-    val untouched = files.filterNot(touched.toSet)
     // mergeSchema: touched files may span commits with different
     // schemas (appends add columns); plain parquet inference samples
     // ONE footer and could drop an evolved column from the rewrite.
@@ -1185,7 +1449,7 @@ object SnapshotStore {
     // preserve the pruning layer under whatever column the table
     // already tracks (the merge key may be a different column — same
     // discipline as deleteCommit); a fresh table starts tracking `key`
-    commitLocked(survivors, path, untouched, None,
+    commitLocked(survivors, path, CarryAllExcept(touched), None,
       statsKeyOf(path, v).orElse(Some(key)),
       colmap = extendedMapping(columnMapping(path, v), survivors))
   }
@@ -1298,7 +1562,6 @@ object SnapshotStore {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(path)
     require(v > 0, s"no committed snapshot under $path")
-    val files = manifest(path, v)
     val ks = keys.select(col(key)).distinct()
     val bounds = ks.agg(
       org.apache.spark.sql.functions.min(key).cast("long"),
@@ -1310,7 +1573,6 @@ object SnapshotStore {
     // files whose ts-range happens to be disjoint from the id-bounds;
     // files with no range for THIS key degrade to "touched".
     val touched = prunedFiles(spark, path, v, key, bLo, bHi)
-    val untouched = files.filterNot(touched.toSet)
     if (touched.isEmpty) v // every file disjoint from the key range
     else {
       // mergeSchema for the same reason as mergeCommit: touched files
@@ -1320,7 +1582,7 @@ object SnapshotStore {
         .join(ks, Seq(key), "left_anti")
       // preserve the pruning layer under whatever key the table
       // already tracks (deletes may use a different column)
-      commitLocked(survivors, path, untouched, None,
+      commitLocked(survivors, path, CarryAllExcept(touched), None,
         statsKeyOf(path, v).orElse(Some(key)),
         colmap = columnMapping(path, v))
     }
@@ -1430,11 +1692,28 @@ object SnapshotStore {
     * atomically-written manifest itself — the timestamp time travel
     * ([[readAsOf]]) and [[history]] anchor; a sidecar would add a
     * second crash window, a comment line cannot. */
-  private def publish(path: String, v: Long, files: Seq[String],
-                      batchId: Option[Long]): Unit = {
+  private def publishFull(path: String, v: Long, files: Seq[String],
+                          batchId: Option[Long]): Unit = {
     snapDir(path).mkdirs()
     atomicWrite(manifestFile(path, v),
-      s"#ts=${System.currentTimeMillis()}\n" + files.mkString("\n") + "\n")
+      s"#ts=${System.currentTimeMillis()}\n#n=${files.size}\n" +
+        files.mkString("\n") + "\n")
+    batchId.foreach(b => atomicWrite(batchFile(path, v), b.toString))
+    publishPointer(path, v)
+  }
+
+  /** DELTA publication (r17): the manifest records only what changed —
+    * the O(delta) commit path. Same crash discipline as a FULL
+    * publish. */
+  private def publishDelta(path: String, v: Long, adds: Seq[String],
+                           drops: Seq[String], n: Long, depth: Int,
+                           batchId: Option[Long]): Unit = {
+    snapDir(path).mkdirs()
+    atomicWrite(manifestFile(path, v),
+      s"#ts=${System.currentTimeMillis()}\n#base=${v - 1}\n" +
+        s"#depth=$depth\n#n=$n\n" +
+        (drops.map("-" + _) ++ adds.map("+" + _))
+          .map(_ + "\n").mkString)
     batchId.foreach(b => atomicWrite(batchFile(path, v), b.toString))
     publishPointer(path, v)
   }
@@ -1495,7 +1774,7 @@ object SnapshotStore {
       s"compact: $path tracks pruning stats but no stats key is " +
         "resolvable — pass statsKey (or sortCols) so compaction does " +
         "not silently drop the pruning layer")
-    commitLocked(out, path, Nil, None, key,
+    commitLocked(out, path, Replace, None, key,
       colmap = columnMapping(path, v))
   }
 
@@ -1547,7 +1826,7 @@ object SnapshotStore {
         .sortWithinPartitions("_ck")
         .drop("_ck")
       val key = statsKey.map(physicalOf(path, v, _)).orElse(pDims.headOption)
-      commitLocked(out, path, Nil, None, key,
+      commitLocked(out, path, Replace, None, key,
         extraStatsCols = pDims.filterNot(key.contains),
         colmap = columnMapping(path, v))
     }
@@ -1599,6 +1878,18 @@ object SnapshotStore {
 
   private def vacuumLocked(path: String, v: Long, keepVersions: Int): Long = {
     val keepFrom = math.max(1L, v - keepVersions + 1)
+    // a retained DELTA whose chain crosses the retention boundary must
+    // be materialized before its ancestors die (r17): consolidate the
+    // chain's stats into keepFrom (driver file-copy), then rewrite
+    // keepFrom's manifest as a FULL checkpoint preserving its commit
+    // timestamp — every later retained delta's chain now stops there.
+    if (keepFrom > 1 && manifestDepth(path, keepFrom) > 0) {
+      consolidateStatsByCopy(path, keepFrom, keepFrom)
+      val full = manifest(path, keepFrom)
+      atomicWrite(manifestFile(path, keepFrom),
+        s"#ts=${commitTime(path, keepFrom)}\n#n=${full.size}\n" +
+          full.mkString("\n") + "\n")
+    }
     val live: Set[String] =
       (keepFrom to v).flatMap(ver => manifest(path, ver)).toSet
     var dropped = 0L

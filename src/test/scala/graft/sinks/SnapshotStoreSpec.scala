@@ -833,13 +833,20 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(w.inputFiles.length <= 2)
     assert(w.select("v").as[Long].collect().sorted.toSeq ==
       Seq(15000L, 15003L, 15006L, 15009L))
-    // append carries the previous checkpoint forward frame-to-frame
+    // an append's checkpoint holds ONLY its fresh files' rows (r17:
+    // the O(delta) commit — the chain resolves the rest); pruning
+    // still sees all 1026 ranges through the chain union
     SnapshotStore.commit(
       spark.range(65536, 65600).select(col("id"), (col("id") * 3).as("v"))
         .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
       path, SaveMode.Append, statsKey = Some("id"))
     assert(spark.read.parquet(
-      new java.io.File(snap, "v00000002.statspq").getPath).count() == 1026)
+      new java.io.File(snap, "v00000002.statspq").getPath).count() == 2)
+    // chain-resolved prune: a point read in the APPENDED range opens
+    // ~1 of 1026 files, and one in the BASE range still prunes too
+    val w2 = SnapshotStore.readWhere(spark, path, "id", 65590, 65591)
+    assert(w2.inputFiles.length <= 2)
+    assert(w2.count() == 2)
     // mergeCommit prunes from the checkpoint: a point merge touches
     // ONE of the 1026 files, every other file carried by reference
     val before = SnapshotStore.read(spark, path).inputFiles.toSet
