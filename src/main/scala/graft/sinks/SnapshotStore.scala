@@ -264,9 +264,12 @@ object SnapshotStore {
     val v = version.getOrElse(latestVersion(path))
     require(v > 0, s"no committed snapshot under $path")
     // each version presents ITS OWN column mapping: time travel to a
-    // pre-rename version shows the old name (physical files are shared)
+    // pre-rename version shows the old name (physical files are shared);
+    // deletion-vector masks apply per version too (r17)
     presentDf(
-      spark.read.option("mergeSchema", "true").parquet(manifest(path, v): _*),
+      maskDeleted(spark, path, v,
+        spark.read.option("mergeSchema", "true")
+          .parquet(manifest(path, v): _*)),
       columnMapping(path, v))
   }
 
@@ -310,7 +313,8 @@ object SnapshotStore {
       else
         spark.read.option("mergeSchema", "true")
           .parquet(manifest(path, v): _*).limit(0)
-    presentDf(pruned.filter(col(pk) >= lo && col(pk) <= hi),
+    presentDf(
+      maskDeleted(spark, path, v, pruned.filter(col(pk) >= lo && col(pk) <= hi)),
       columnMapping(path, v))
   }
 
@@ -541,6 +545,10 @@ object SnapshotStore {
       : Long = {
     val prev = latestVersion(path)
     val v = prev + 1
+    // a crashed deleteVectorCommit may have left a tombstone sidecar at
+    // this version number with no manifest (nothing for heal to see) —
+    // it must not attach to THIS commit and mask rows wrongly
+    dropDvDir(path, v)
     val dataDir = new File(new File(path, "data"),
       f"v$v%08d-${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.getPath)
@@ -833,6 +841,15 @@ object SnapshotStore {
     val cm = colmapFile(path, v)
     if (cm.exists()) { cm.delete(): Unit }
     dropStatsCheckpoint(path, v)
+    dropDvDir(path, v)
+  }
+
+  private def dropDvDir(path: String, v: Long): Unit = {
+    val dv = dvDir(path, v)
+    if (dv.exists()) {
+      Option(dv.listFiles()).toSeq.flatten.foreach(_.delete())
+      dv.delete(): Unit
+    }
   }
 
   private def dropStatsCheckpoint(path: String, v: Long): Unit = {
@@ -1031,6 +1048,7 @@ object SnapshotStore {
   private def metadataCommit(path: String, v: Long,
                              mapping: Seq[(String, String)]): Long = {
     val nv = v + 1
+    dropDvDir(path, nv) // stale crashed tombstones (commitLocked rule)
     val st = statsFile(path, v)
     if (st.exists()) {
       // the stats header names PHYSICAL columns; a dropColumn must not
@@ -1074,6 +1092,132 @@ object SnapshotStore {
       case None =>
         val f = colmapFile(path, v)
         if (f.exists()) { f.delete(): Unit }
+    }
+
+  // ——— deletion vectors (r17): row masks instead of file rewrites ———
+
+  private def dvDir(path: String, v: Long) =
+    new File(snapDir(path), f"v$v%08d.dvpq")
+
+  /** Versions ≤ v that recorded deletion-vector tombstones. */
+  private def dvVersionsUpTo(path: String, v: Long): Seq[Long] =
+    Option(snapDir(path).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("v\\d{8}\\.dvpq"))
+      .map(_.stripPrefix("v").stripSuffix(".dvpq").toLong)
+      .filter(_ <= v).sorted
+
+  /** All tombstones visible at version `v`: (file, row_index) rows,
+    * keyed by the scan-reported `_metadata.file_path` string. Rows for
+    * files a later rewrite dropped are INERT — every application is an
+    * anti-join against rows actually read from live files. */
+  private def dvFrame(spark: SparkSession, path: String, v: Long)
+      : Option[DataFrame] = {
+    val dirs = dvVersionsUpTo(path, v).map(dvDir(path, _)).filter(_.exists())
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.getPath): _*))
+  }
+
+  /** Apply version `v`'s deletion vectors to a frame scanned from this
+    * table's parquet files: anti-join on the hidden (_metadata
+    * .file_path, _metadata.row_index) identity — position-stable,
+    * distributed, and a no-op plan when the table has no tombstones.
+    * The tombstone side is small (masked rows, not table rows), so the
+    * anti-join broadcasts. */
+  private def maskDeleted(spark: SparkSession, path: String, v: Long,
+                          df: DataFrame): DataFrame =
+    dvFrame(spark, path, v) match {
+      case None => df
+      case Some(dv) =>
+        import org.apache.spark.sql.functions.col
+        df.withColumn("_dv_file", col("_metadata.file_path"))
+          .withColumn("_dv_row", col("_metadata.row_index"))
+          .join(dv.select(col("file").as("_dv_file"),
+            col("row_index").as("_dv_row")),
+            Seq("_dv_file", "_dv_row"), "left_anti")
+          .drop("_dv_file", "_dv_row")
+    }
+
+  /** Row-level DELETE as a DELETION-VECTOR commit (r17) — the
+    * Delta/Iceberg answer to "a 1-row GDPR takedown in a 1 GB file
+    * costs a 1 GB rewrite" that [[deleteCommit]] pays: matching rows
+    * are MARKED in a per-version (file, row_index) parquet sidecar and
+    * every read path anti-joins the mask; the commit writes ZERO data
+    * files (an O(1) zero-change delta manifest + the tombstone rows).
+    * Stats pruning bounds the position scan to key-overlapping files.
+    * Pinned readers keep their snapshot (masks are versioned — time
+    * travel to a pre-delete version still shows the rows); keyed
+    * [[readChanges]] across the commit emits the masked rows as
+    * `_change='delete'`. Tombstones MATERIALIZE at the next rewrite of
+    * their file ([[compact]], merge/delete rewrites) and ride
+    * [[vacuum]]'s boundary consolidation until then. Masked rows stay
+    * inside per-file min/max stats until materialization — pruning
+    * overcounts, never misses. Keys absent (or already masked) are a
+    * no-op. Returns the new version (== old if nothing matched). */
+  def deleteVectorCommit(spark: SparkSession, path: String, keys: DataFrame,
+                         key: String): Long =
+    withLock(path) {
+      import org.apache.spark.sql.functions.col
+      val v = latestVersion(path)
+      require(v > 0, s"no committed snapshot under $path")
+      val pk = physicalOf(path, v, key)
+      val ks = toPhysicalDf(path, v, keys).select(col(pk)).distinct()
+      val (bLo, bHi) =
+        batchBounds(ks, pk, s"deleteVectorCommit: empty key set for $path")
+      val touched = prunedFiles(spark, path, v, pk, bLo, bHi)
+      if (touched.isEmpty) v
+      else {
+        // positions of matching LIVE rows; rows already masked are
+        // excluded so (file, row) stays unique across all sidecars.
+        // Tombstones carry BOTH path forms: `file` verbatim from
+        // _metadata.file_path (the masking join key) and `path` in
+        // manifest form (what CDC compares against manifest diffs).
+        // `_metadata` must be projected BEFORE any join (it is a
+        // hidden per-relation column), so the already-masked anti-join
+        // is inlined here rather than via maskDeleted.
+        import spark.implicits._
+        val scanned = spark.read.option("mergeSchema", "true")
+          .parquet(touched: _*)
+          .select(col(pk),
+            col("_metadata.file_path").as("file"),
+            col("_metadata.row_index").as("row_index"))
+        val liveRows = dvFrame(spark, path, v) match {
+          case None => scanned
+          case Some(dv) => scanned.join(dv.select("file", "row_index"),
+            Seq("file", "row_index"), "left_anti")
+        }
+        val positions = liveRows
+          .join(ks, Seq(pk), "left_semi")
+          .select("file", "row_index").as[(String, Long)]
+          .map { case (f, r) =>
+            val np = try normalizePath(f)
+                     catch { case _: Exception =>
+                       f.replaceFirst("^file:(//)?", "") }
+            (f, np, r)
+          }.toDF("file", "path", "row_index")
+        if (positions.isEmpty) v // keys absent or already masked
+        else {
+          val nv = v + 1
+          positions.coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(dvDir(path, nv).getPath)
+          // carry the stats header + column mapping like any other
+          // carry commit — the table's tracking must survive
+          val prevHdr = statsFile(path, v)
+          if (prevHdr.exists())
+            atomicWrite(statsFile(path, nv),
+              new String(Files.readAllBytes(prevHdr.toPath),
+                StandardCharsets.UTF_8))
+          writeColmap(path, nv, columnMapping(path, v))
+          val depth = manifestDepth(path, v) + 1
+          if (depth < manifestCheckpointInterval)
+            publishDelta(path, nv, adds = Nil, drops = Nil,
+              n = nFiles(path, v), depth = depth, batchId = None)
+          else {
+            consolidateStatsByCopy(path, v, nv)
+            publishFull(path, nv, manifest(path, v), None)
+          }
+          nv
+        }
+      }
     }
 
   /** Changelog (CDC) read: the row-level DELTA between two committed
@@ -1157,13 +1301,43 @@ object SnapshotStore {
     // reads schema-heterogeneous file sets, and one-footer inference
     // would nondeterministically drop an evolved column from the delta
     // (and from `common`, flipping update/suppressed classification).
-    def readFiles(fs: Seq[String]): DataFrame =
+    // Deletion-vector masks are VERSIONED (r17): the removed side masks
+    // at fromV (rows already dead then were reported in an earlier
+    // delta), the added side at toV (rows added-then-masked inside the
+    // range were never visible at either endpoint).
+    def readFiles(fs: Seq[String], maskV: Long): DataFrame =
       if (fs.nonEmpty)
-        spark.read.option("mergeSchema", "true").parquet(fs: _*)
+        maskDeleted(spark, path, maskV,
+          spark.read.option("mergeSchema", "true").parquet(fs: _*))
       else spark.read.option("mergeSchema", "true")
         .parquet(anyFile).limit(0)
-    val ins = readFiles(added)
-    val del = readFiles(removed)
+    val ins = readFiles(added, toV)
+    // rows TOMBSTONED inside the range in files still carried at toV:
+    // deletes with no file-level change (a deleteVectorCommit's whole
+    // delta). Files the range itself added/removed are handled by the
+    // file diff above; (file,row) uniqueness across sidecars means no
+    // tombstoned row can also be masked at fromV.
+    val dvNewDirs = dvVersionsUpTo(path, toV).filter(_ > fromV)
+      .map(dvDir(path, _)).filter(_.exists())
+    val dvDel: Option[DataFrame] =
+      if (dvNewDirs.isEmpty) None
+      else {
+        import spark.implicits._
+        val dvNew = spark.read.parquet(dvNewDirs.map(_.getPath): _*)
+        val carried = dvNew.select("path").distinct().as[String].collect()
+          .toSeq.filterNot(added.toSet).filterNot(removed.toSet).sorted
+        if (carried.isEmpty) None
+        else Some(
+          spark.read.option("mergeSchema", "true").parquet(carried: _*)
+            .withColumn("_dv_file", col("_metadata.file_path"))
+            .withColumn("_dv_row", col("_metadata.row_index"))
+            .join(dvNew.select(col("file").as("_dv_file"),
+              col("row_index").as("_dv_row")),
+              Seq("_dv_file", "_dv_row"), "left_semi")
+            .drop("_dv_file", "_dv_row"))
+      }
+    val del = dvDel.foldLeft(readFiles(removed, fromV))(
+      _.unionByName(_, allowMissingColumns = true))
     require(!ins.columns.contains("_change") && !del.columns.contains("_change"),
       "readChanges: the table already has a _change column (reserved)")
     // column mapping (r16): classification runs on the STABLE physical
@@ -1288,7 +1462,8 @@ object SnapshotStore {
           "for exact deltas, or ignoreChanges to accept re-delivery")
     val df =
       if (added.nonEmpty)
-        spark.read.option("mergeSchema", "true").parquet(added: _*)
+        maskDeleted(spark, path, toV,
+          spark.read.option("mergeSchema", "true").parquet(added: _*))
       else spark.read.option("mergeSchema", "true")
         .parquet(manifest(path, toV).headOption
           .getOrElse(manifest(path, fromV).head)).limit(0)
@@ -1443,7 +1618,8 @@ object SnapshotStore {
     // ONE footer and could drop an evolved column from the rewrite.
     val survivors =
       if (touched.isEmpty) df
-      else spark.read.option("mergeSchema", "true").parquet(touched: _*)
+      else maskDeleted(spark, path, v, // DV-masked rows must not resurrect
+        spark.read.option("mergeSchema", "true").parquet(touched: _*))
         .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
         .unionByName(df, allowMissingColumns = true)
     // preserve the pruning layer under whatever column the table
@@ -1577,8 +1753,8 @@ object SnapshotStore {
     else {
       // mergeSchema for the same reason as mergeCommit: touched files
       // may carry an evolved column a one-footer sample would drop.
-      val survivors = spark.read.option("mergeSchema", "true")
-        .parquet(touched: _*)
+      val survivors = maskDeleted(spark, path, v, // no DV resurrection
+        spark.read.option("mergeSchema", "true").parquet(touched: _*))
         .join(ks, Seq(key), "left_anti")
       // preserve the pruning layer under whatever key the table
       // already tracks (deletes may use a different column)
@@ -1744,7 +1920,10 @@ object SnapshotStore {
     // (carried=Nil), so a one-footer schema sample of an evolved table
     // would rewrite it without the later-added column and vacuum would
     // then destroy the only files that still had it.
-    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    // deletion vectors MATERIALIZE here: the rewrite reads masked rows
+    // out of existence, and every tombstone becomes inert (r17)
+    val df = maskDeleted(spark, path, v,
+      spark.read.option("mergeSchema", "true").parquet(files: _*))
     // caller-facing names are LOGICAL; the physical frame + stats use
     // the mapped names (identity on an unmapped table)
     val pSort = sortCols.map(physicalOf(path, v, _))
@@ -1819,7 +1998,8 @@ object SnapshotStore {
       val files = manifest(path, v)
       val bytes = files.map(f => new File(f).length()).sum
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      val df = maskDeleted(spark, path, v, // DV materialization, as compact
+        spark.read.option("mergeSchema", "true").parquet(files: _*))
       val pDims = dims.map(physicalOf(path, v, _)) // logical → physical
       val out = withKey(df, pDims)
         .repartitionByRange(nFiles, col("_ck"))
@@ -1889,6 +2069,25 @@ object SnapshotStore {
       atomicWrite(manifestFile(path, keepFrom),
         s"#ts=${commitTime(path, keepFrom)}\n#n=${full.size}\n" +
           full.mkString("\n") + "\n")
+    }
+    // deletion vectors from expiring versions still mask rows in
+    // retained files — consolidate their parts into the boundary
+    // version before the loop below deletes them (r17). Tombstones for
+    // long-dropped files ride along inert until a rewrite+vacuum cycle
+    // retires them.
+    val oldDv = dvVersionsUpTo(path, keepFrom - 1)
+      .map(dvDir(path, _)).filter(_.exists())
+    if (oldDv.nonEmpty) {
+      val dst = dvDir(path, keepFrom)
+      dst.mkdirs()
+      oldDv.filterNot(_.getPath == dst.getPath).foreach { d =>
+        Option(d.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach { f =>
+            Files.copy(f.toPath, new File(dst, f.getName).toPath,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+      }
     }
     val live: Set[String] =
       (keepFrom to v).flatMap(ver => manifest(path, ver)).toSet
