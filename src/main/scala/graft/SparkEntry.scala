@@ -241,6 +241,10 @@ object SparkEntry {
     // SnapshotStore commit v1/v2 -> readChanges CDC -> agg (oracled
     // against the plain full-outer diff, minus the suppressed S row)
     "q_snapshot_cdc"   -> q(Relational.snapshotCdc),
+    // SQL MERGE INTO with conditional matched/not-matched clauses over
+    // the real table layer (r17): first-match-wins UPDATE/DELETE +
+    // filtered INSERT, oracled as a full-outer CASE ladder in DuckDB
+    "q_merge_into"     -> q(Relational.mergeIntoDemo),
     // incremental view maintenance (r16): an aggregate view merged
     // forward from unkeyed CDC deltas only — never re-aggregating the
     // base; the oracle is the FULL recompute, so the gate proves
@@ -2238,6 +2242,38 @@ object SparkEntry {
         |WHERE change != 'S'
         |GROUP BY change
         |ORDER BY change""".stripMargin,
+
+    // MERGE INTO gate: every clause replayed as a FULL OUTER JOIN +
+    // CASE ladder (first-match-wins order preserved); 'drop' is the
+    // filtered-out insert, 'del' the conditional delete
+    "q_merge_into" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |           FROM orders WHERE o_orderkey % 10 < 5),
+        |s AS (SELECT o_orderkey, 'N' AS o_orderstatus,
+        |             o_totalprice * 2 AS o_totalprice
+        |      FROM orders WHERE o_orderkey % 10 BETWEEN 3 AND 7),
+        |m AS (SELECT
+        |    COALESCE(t.o_orderkey, s.o_orderkey) AS k,
+        |    CASE WHEN t.o_orderkey IS NULL THEN
+        |           CASE WHEN s.o_orderkey % 2 = 0 THEN 'ins' ELSE 'drop' END
+        |         WHEN s.o_orderkey IS NULL THEN 'keep'
+        |         WHEN t.o_totalprice < 150000 THEN 'upd'
+        |         WHEN t.o_orderstatus = 'F' THEN 'del'
+        |         ELSE 'keep' END AS act,
+        |    t.o_orderstatus AS tst, t.o_totalprice AS tp,
+        |    s.o_orderstatus AS sst, s.o_totalprice AS sp
+        |  FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey),
+        |fin AS (SELECT k,
+        |    CASE act WHEN 'ins' THEN sst WHEN 'upd' THEN 'U' ELSE tst END
+        |      AS o_orderstatus,
+        |    CASE act WHEN 'ins' THEN sp WHEN 'upd' THEN sp ELSE tp END
+        |      AS price
+        |  FROM m WHERE act NOT IN ('del', 'drop'))
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(k) AS first_key, MAX(k) AS last_key,
+        |  CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // constraint suite replayed verbatim: NOT IN's three-valued logic
     // matches Spark's negated isin (NULL rows count as 0 in both)

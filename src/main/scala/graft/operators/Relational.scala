@@ -437,6 +437,54 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SQL MERGE INTO driven through the REAL table layer (r17,
+    * oracled): an orders slice is committed range-partitioned with the
+    * stats sidecar, then [[graft.sinks.SnapshotStore.mergeInto]]
+    * applies the full conditional-clause form — WHEN MATCHED AND
+    * price-cond THEN UPDATE (first-match-wins over) WHEN MATCHED AND
+    * status-cond THEN DELETE, WHEN NOT MATCHED AND parity-cond THEN
+    * INSERT — and the output aggregates the LIVE table per final
+    * status. The oracle replays every clause as a FULL OUTER JOIN +
+    * CASE ladder in DuckDB, so clause ordering, conditional deletes,
+    * filtered inserts, and the carried untouched rows are all gated on
+    * result equality.
+    *
+    * Scale: the rewrite is stats-pruned to key-overlapping files and
+    * the commit is an O(delta) manifest — at 100 TB a point-key MERGE
+    * rewrites one file, whatever the clause set. */
+  def mergeIntoDemo(t: Tables): DataFrame = {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mrg").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    SnapshotStore.commit(
+      o.filter(col("o_orderkey") % 10 < 5)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      dir, statsKey = Some("o_orderkey"))
+    val source = o
+      .filter(col("o_orderkey") % 10 >= 3 && col("o_orderkey") % 10 <= 7)
+      .select(col("o_orderkey"), lit("N").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    SnapshotStore.mergeInto(t.spark, dir, source, "o_orderkey",
+      matched = Seq(
+        SnapshotStore.MergeUpdate(
+          Map("o_totalprice" -> "s.o_totalprice", "o_orderstatus" -> "'U'"),
+          Some("t.o_totalprice < 150000")),
+        SnapshotStore.MergeDelete(Some("t.o_orderstatus = 'F'"))),
+      notMatched =
+        Some(SnapshotStore.MergeInsert(Some("s.o_orderkey % 2 = 0"))))
+    SnapshotStore.read(t.spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"),
+        sum(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Stats-sidecar scan PLANNING driven through the REAL table layer
     * (r15, oracled): orders are committed range-partitioned WITH the
     * stats sidecar, and a key-range slice is read back via

@@ -1630,6 +1630,134 @@ object SnapshotStore {
       colmap = extendedMapping(columnMapping(path, v), survivors))
   }
 
+  // ——— MERGE INTO with conditional clauses (r17) ———
+
+  /** A `WHEN MATCHED` clause: applied to target rows whose key matched
+    * a source row, in declaration order — first clause whose condition
+    * holds wins (Delta's rule). Conditions and assignment expressions
+    * are SQL over `t.<col>` (target) and `s.<col>` (source). */
+  sealed trait MatchedAction { def condition: Option[String] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col → expr (unassigned
+    * columns keep the target value). */
+  final case class MergeUpdate(set: Map[String, String],
+                               condition: Option[String] = None)
+    extends MatchedAction
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class MergeDelete(condition: Option[String] = None)
+    extends MatchedAction
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT * — source columns land
+    * by name, target columns the source lacks null-fill. */
+  final case class MergeInsert(condition: Option[String] = None)
+
+  /** SQL `MERGE INTO` semantics as a snapshot commit (r17) — the full
+    * conditional form [[mergeCommit]]'s newest-wins upsert cannot
+    * express:
+    *
+    * {{{
+    *   MERGE INTO table t USING source s ON t.key = s.key
+    *   WHEN MATCHED AND <cond₁> THEN UPDATE SET c = <expr>, ...
+    *   WHEN MATCHED AND <cond₂> THEN DELETE
+    *   WHEN NOT MATCHED AND <cond₃> THEN INSERT *
+    * }}}
+    *
+    * Same storage discipline as mergeCommit: stats pruning bounds the
+    * rewrite to key-overlapping files (carried files ride the O(delta)
+    * manifest), deletion-vector masks apply before matching, CHECK
+    * constraints gate the result rows, and keyed CDC classifies the
+    * commit exactly. Matched rows take the FIRST clause whose
+    * condition holds (none → row kept); duplicate source keys are
+    * rejected (a target row matching two source rows has no
+    * deterministic outcome — Delta throws the same error). One target
+    * key may match many target rows; each is acted on independently.
+    * Returns the new version. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                key: String, matched: Seq[MatchedAction],
+                notMatched: Option[MergeInsert] = None): Long =
+    withLock(path) {
+      import org.apache.spark.sql.functions._
+      val v = latestVersion(path)
+      require(v > 0, s"no committed snapshot under $path")
+      require(matched.nonEmpty || notMatched.nonEmpty,
+        "mergeInto: need at least one WHEN clause")
+      val pk = physicalOf(path, v, key)
+      val dups = source.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dups == 0,
+        s"mergeInto: source has duplicate values of '$key' - a target " +
+          "row matching several source rows is nondeterministic")
+      val (bLo, bHi) =
+        batchBounds(source, key, s"mergeInto: empty source for $path")
+      val touched = prunedFiles(spark, path, v, pk, bLo, bHi)
+      val mapping = columnMapping(path, v)
+      // all clause expressions run over LOGICAL names; the commit
+      // translates back at the end
+      val target: DataFrame =
+        if (touched.nonEmpty)
+          presentDf(maskDeleted(spark, path, v,
+            spark.read.option("mergeSchema", "true").parquet(touched: _*)),
+            mapping)
+        else read(spark, path, Some(v)).limit(0)
+      val tCols = target.columns.toSeq
+      require(tCols.contains(key), s"mergeInto: target has no '$key'")
+      val extra = source.columns.toSeq.filterNot(tCols.contains)
+      require(extra.isEmpty,
+        s"mergeInto: source column(s) ${extra.mkString(", ")} not in target")
+      matched.foreach {
+        case MergeUpdate(set, _) =>
+          val bad = set.keys.filterNot(tCols.contains)
+          require(bad.isEmpty,
+            s"mergeInto: UPDATE SET of unknown column(s) ${bad.mkString(", ")}")
+        case _ => ()
+      }
+      val tTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+      val sHave = source.columns.toSet
+
+      val tSide = target.select(col(key).as("_k"),
+        struct(tCols.map(col): _*).as("t"))
+      val sSide = source.select(col(key).as("_k"),
+        struct(source.columns.toSeq.map(col): _*).as("s"))
+      val j = tSide.join(sSide, Seq("_k"), "full")
+
+      def tRow = struct(tCols.map(c => col(s"t.$c").as(c)): _*)
+      def updRow(set: Map[String, String]) = struct(tCols.map { c =>
+        set.get(c) match {
+          case Some(e) => expr(e).cast(tTypes(c)).as(c)
+          case None    => col(s"t.$c").as(c)
+        }
+      }: _*)
+      def insRow = struct(tCols.map { c =>
+        (if (sHave(c)) col(s"s.$c") else lit(null)).cast(tTypes(c)).as(c)
+      }: _*)
+      val nullRow = lit(null).cast(target.schema)
+
+      // first-match-wins: foldRight puts clause 1 outermost
+      val matchedOut = matched.foldRight(tRow: org.apache.spark.sql.Column) {
+        (cl, acc) =>
+          val cond = cl.condition.map(expr).getOrElse(lit(true))
+          val action = cl match {
+            case MergeUpdate(set, _) => updRow(set)
+            case MergeDelete(_)      => nullRow
+          }
+          when(cond, action).otherwise(acc)
+      }
+      val insOut = notMatched.map { ins =>
+        when(ins.condition.map(expr).getOrElse(lit(true)), insRow)
+          .otherwise(nullRow)
+      }.getOrElse(nullRow)
+
+      val outRow = when(col("t").isNotNull && col("s").isNotNull, matchedOut)
+        .when(col("t").isNotNull, tRow)
+        .otherwise(insOut)
+      val result = j.select(outRow.as("_r")).filter(col("_r").isNotNull)
+        .select(tCols.map(c => col(s"_r.$c").as(c)): _*)
+
+      enforceConstraints(result, path) // merged rows enter the table
+      val pResult = toPhysicalDf(path, v, result)
+      commitLocked(pResult, path, CarryAllExcept(touched), None,
+        statsKeyOf(path, v).orElse(Some(pk)),
+        colmap = extendedMapping(mapping, pResult))
+    }
+
   /** Row-level DELETE as a snapshot commit (r15) — the retention /
     * takedown (GDPR) operation every corpus store hits. Same stats
     * pruning as [[mergeCommit]]: only files whose recorded [min, max]

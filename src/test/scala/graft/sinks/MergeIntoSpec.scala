@@ -1,0 +1,102 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** r17 conditional MERGE INTO: clause ordering, filtered inserts,
+  * null-fill, duplicate-source rejection, constraint and
+  * deletion-vector interplay. */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+  import SnapshotStore.{MergeDelete, MergeInsert, MergeUpdate}
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft-mi").toString + "/t"
+
+  private def rows(path: String): Set[(Long, String, Long)] =
+    SnapshotStore.read(spark, path).select("id", "st", "v")
+      .as[(Long, String, Long)].collect().toSet
+
+  test("first-match-wins clause ladder; untouched rows carried; filtered insert; null-fill") {
+    val path = fresh()
+    SnapshotStore.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L), (4L, "c", 40L))
+        .toDF("id", "st", "v"),
+      path, statsKey = Some("id"))
+    // source matches 2,3,4; 5 and 6 are candidate inserts (6 filtered
+    // out); the source has no `st` column → inserts null-fill it
+    SnapshotStore.mergeInto(spark, path,
+      Seq((2L, 200L), (3L, 300L), (4L, 400L), (5L, 500L), (6L, 601L))
+        .toDF("id", "v"),
+      "id",
+      matched = Seq(
+        // both clauses are TRUE for id=3 (st='a' AND v<35) — the first
+        // declared clause must win (update, not delete)
+        MergeUpdate(Map("v" -> "s.v"), Some("t.v < 35")),
+        MergeDelete(Some("t.st = 'a'"))),
+      notMatched = Some(MergeInsert(Some("s.v % 2 = 0"))))
+    val got = SnapshotStore.read(spark, path)
+      .select("id", "st", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, "a", 10L),   // unmatched target: kept (carried file)
+      (2L, "b", 200L),  // matched, v<35 → update
+      (3L, "a", 300L),  // BOTH clauses true → first wins (update)
+      (4L, "c", 40L),   // matched, no clause holds → kept
+      (5L, null, 500L)  // not matched, v even → insert, st null-fills
+      // 6: insert condition false → dropped
+    ))
+  }
+
+  test("conditional delete fires when earlier clauses miss; keyed CDC classifies the merge") {
+    val path = fresh()
+    SnapshotStore.commit(
+      Seq((1L, "a", 100L), (2L, "F", 100L)).toDF("id", "st", "v"), path)
+    SnapshotStore.mergeInto(spark, path,
+      Seq((1L, 0L), (2L, 0L)).toDF("id", "v"), "id",
+      matched = Seq(
+        MergeUpdate(Map("v" -> "t.v + s.v"), Some("t.st = 'zzz'")),
+        MergeDelete(Some("t.st = 'F'"))))
+    assert(rows(path) == Set((1L, "a", 100L)))
+    val cdc = SnapshotStore.readChanges(spark, path, 1, 2, Some("id"))
+      .select("id", "_change").as[(Long, String)].collect().toSet
+    assert(cdc == Set((2L, "delete")))
+  }
+
+  test("duplicate source keys are rejected; empty clause set is rejected") {
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, "a", 1L)).toDF("id", "st", "v"), path)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.mergeInto(spark, path,
+        Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), "id",
+        matched = Seq(MergeUpdate(Map("v" -> "s.v"))))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.mergeInto(spark, path,
+        Seq((1L, 1L)).toDF("id", "v"), "id", matched = Nil)
+    }
+  }
+
+  test("CHECK constraints gate merged rows; DV-masked rows are not matchable") {
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("id", "st", "v"), path, statsKey = Some("id"))
+    SnapshotStore.addConstraint(spark, path, "v-pos", "v > 0")
+    intercept[SnapshotStore.ConstraintViolationException] {
+      SnapshotStore.mergeInto(spark, path,
+        Seq((1L, -5L)).toDF("id", "v"), "id",
+        matched = Seq(MergeUpdate(Map("v" -> "s.v"))))
+    }
+    assert(rows(path) == Set((1L, "a", 10L), (2L, "b", 20L)),
+      "a rejected merge must leave the table untouched")
+    // a DV-masked row no longer matches: the merge's matched clause
+    // misses it and an insert clause treats the key as NOT matched
+    SnapshotStore.deleteVectorCommit(spark, path, Seq(2L).toDF("id"), "id")
+    SnapshotStore.mergeInto(spark, path,
+      Seq((2L, 99L)).toDF("id", "v"), "id",
+      matched = Seq(MergeDelete(None)),
+      notMatched = Some(MergeInsert(None)))
+    assert(rows(path) == Set((1L, "a", 10L), (2L, null, 99L)))
+  }
+}
