@@ -169,6 +169,10 @@ object SparkEntry {
     // WebDataset end-to-end: three real codecs into ustar shards ->
     // loader regroups by key -> per-modality decode, all oracled
     "q_webdataset"     -> q(Multimodal.webdatasetFeatures(_)),
+    // WARC (ISO 28500 / Common Crawl) end-to-end (r17): HTML pages →
+    // per-record-gzip WARC shards → in-plan parse → text extraction,
+    // gated on byte-exact body recovery (md5)
+    "q_warc_extract"   -> q(Multimodal.warcExtract),
     // the .tar.gz-from-DISK loader loop (r15): gzip -> executor-side
     // file writes -> binaryFile re-read -> magic-sniff inflate ->
     // regroup; text modality byte-exact under the DuckDB gate
@@ -3577,6 +3581,23 @@ object SparkEntry {
     // PNG stream, but PNG is lossless and the source color is the first
     // three md5(text) bytes, so decoded pixel stats replay exactly —
     // channel mean r/255 in pure doubles, ITU-R 601 integer luma bin
+    // WARC gate: every column recomputed from documents directly —
+    // the md5 equality proves the build → gzip → parse loop recovers
+    // the body byte-exactly
+    "q_warc_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title></head><body><p>' || text
+        |    || '</p></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, CAST(200 AS INT) AS http_status,
+        |  CAST(strlen(html) AS BIGINT) AS n_body_bytes,
+        |  md5(html) AS body_md5,
+        |  CAST(length(trim(regexp_replace(regexp_replace(
+        |    html, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n_text_chars
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "q_webdataset" ->
       """WITH m AS (SELECT doc_id, length(text) AS n_chars,
         |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS r,

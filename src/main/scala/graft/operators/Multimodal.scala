@@ -564,6 +564,41 @@ object Multimodal {
 
   // ——— WebDataset shards: the three modalities in one container ———
 
+  /** WARC ingest end-to-end (r17, oracled): documents become HTML
+    * pages wrapped in REAL ISO 28500 WARC shards — per-record gzip
+    * members, warcinfo header record, HTTP response payloads (the
+    * Common Crawl layout, [[graft.sources.WarcIngest]]) — then parsed
+    * BACK in-plan and text-extracted (the q_html_extract composition):
+    * per page, status, byte length, body digest, and the tag-stripped
+    * text length. The oracle recomputes every column from the
+    * documents directly, so the whole build → gzip → parse → extract
+    * loop is gated on byte-exact body recovery (md5 equality fails on
+    * any single corrupted byte). */
+  def warcExtract(t: Tables): DataFrame = {
+    val pages = Dedup.spread(t.documents.select(col("doc_id"), col("text")))
+      .select((col("doc_id") % 16).as("shard_id"),
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        concat(lit("<html><head><title>doc "),
+          col("doc_id").cast("string"),
+          lit("</title></head><body><p>"), col("text"),
+          lit("</p></body></html>")).cast("binary").as("body"))
+    graft.sources.WarcIngest
+      .parseWarc(graft.sources.WarcIngest.warcShards(pages,
+        perRecordGzip = true))
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("http_status"),
+        octet_length(col("body")).cast("long").as("n_body_bytes"),
+        md5(col("body")).as("body_md5"),
+        length(trim(regexp_replace(regexp_replace(
+          col("body").cast("string"), "<[^>]*>", " "), "\\s+", " ")))
+          .cast("long").as("n_text_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pack each document as a REAL WebDataset sample — `<id>.txt` +
     * `<id>.png` + `<id>.wav` entries sharing a key inside ustar
     * shards, the layout multimodal training loaders stream. Composes
