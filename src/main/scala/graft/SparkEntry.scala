@@ -221,6 +221,10 @@ object SparkEntry {
     // interval x interval overlap join (r16): both sides are ranges —
     // week-bucketed candidates, counted once in the overlap-start week
     "q_interval_join"  -> q(RangeJoin.intervalJoin),
+    // span-classed interval join (r17): heavy-tailed spans split into
+    // short (bounded grid) / long (broadcast) classes, three
+    // class-disjoint join families partition the pair space
+    "q_interval_join_skew" -> q(RangeJoin.intervalJoinSkew),
     "q_components"     -> q(Components.copurchaseClusters(_)),
     // synchronous LPA, deterministic ties, fixed rounds — trajectory
     // replayed round-by-round in the oracle (the CTE-unroll device)
@@ -1891,6 +1895,29 @@ object SparkEntry {
     // interval overlap join: the oracle replays the DEFINITION (all
     // same-part pairs + the overlap predicate), gating the bucketed
     // plan's week-explode + dedupe-at-overlap-start against the spec
+    // span-classed gate: the oracle is the all-pairs DEFINITION over
+    // the heavy-tailed intervals — proves the short/long class split
+    // partitions the pair space exactly
+    "q_interval_join_skew" ->
+      """WITH iv AS (SELECT l_partkey AS pk,
+        |        l_orderkey * 8 + l_linenumber AS id,
+        |        (l_shipdate::DATE - DATE '1970-01-01') AS s,
+        |        CASE WHEN (l_orderkey * 8 + l_linenumber) % 97 = 0
+        |             THEN 180 + (l_orderkey * 8 + l_linenumber) % 200
+        |             ELSE (l_orderkey * 8 + l_linenumber) % 14 + 1
+        |        END AS tr
+        |      FROM lineitem),
+        |iv2 AS (SELECT pk, id, s, s + tr AS r FROM iv),
+        |pairs AS (SELECT a.pk,
+        |        least(a.r, b.r) - greatest(a.s, b.s) + 1 AS od
+        |      FROM iv2 a JOIN iv2 b ON a.pk = b.pk AND a.id < b.id
+        |      WHERE a.s <= b.r AND b.s <= a.r)
+        |SELECT CAST(pk AS BIGINT) AS p_partkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(od) AS BIGINT) AS overlap_days,
+        |  CAST(MAX(od) AS BIGINT) AS max_overlap
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_interval_join" ->
       """WITH li AS (SELECT l_partkey AS pk,
         |        l_orderkey * 8 + l_linenumber AS id,
