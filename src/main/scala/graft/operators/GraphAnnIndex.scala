@@ -119,6 +119,145 @@ object GraphAnnIndex {
       k, "cosine", -col("d"))
   }
 
+  // ——— PQ-compressed traversal (r17): DiskANN's memory story ———
+
+  /** L2² between two double arrays, in-row. */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), _ + _)
+
+  /** Per-subspace rows of a (vec_id, e) frame: (vec_id, s, sv). */
+  private def subVecs(v: DataFrame, dims: Int, dps: Int): DataFrame =
+    v.select(col("vec_id"), col("e"),
+      explode(sequence(lit(0), lit(dims / dps - 1))).as("s"))
+      .select(col("vec_id"), col("s"),
+        expr(s"slice(e, s * $dps + 1, $dps)").as("sv"))
+
+  /** Train per-subspace PQ codebooks over the STORED vectors and
+    * persist the compressed sidecar (r17): `<prefix>_gpqcent` — the
+    * (s, c, cm) codebook, broadcast-sized always — and
+    * `<prefix>_gpqcodes` — (vec_id, e = int code per subspace),
+    * bucketed like the vectors so traversal reads it in place. With
+    * the defaults a 64-dim float index stores 8 small ints per vector
+    * in the traversal table: ~16× fewer vector bytes moved per hop
+    * (the DiskANN trade — full vectors stay on disk for the final
+    * re-rank only; nCent = 256 is FAISS's canonical PQ8x8 — one byte
+    * of code space per subspace). Codebooks: md5-seeded partition
+    * means, refined by `iters` Lloyd passes — traversal GUIDANCE
+    * only; exactness comes from [[searchPq]]'s re-rank. */
+  def writePq(spark: SparkSession, prefix: String, buckets: Int = 8,
+              dimsPerSub: Int = 8, nCent: Int = 256, iters: Int = 2): Unit = {
+    val v = TableWriter.readTable(spark, s"${prefix}_gvectors")
+    val dims = v.select(size(col("e"))).head().getInt(0)
+    require(dims % dimsPerSub == 0,
+      s"writePq: $dims dims not divisible by $dimsPerSub")
+    val sv = subVecs(v, dims, dimsPerSub).persistTracked()
+    // per-(s, c) member MEAN as a distributive aggregate: posexplode
+    // to (s, c, dim) cells, avg, regroup — map-side combinable, no
+    // collect_list of member vectors (a hot centroid at 10⁹ vectors
+    // would otherwise build one row holding millions of subvectors)
+    val meanPer = (assigned: DataFrame) => assigned
+      .select(col("s"), col("c"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("s"), col("c"), col("i"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("s"), col("c"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+        _.getField("m")).as("cm"))
+    var cent = meanPer(sv.withColumn("c",
+      pmod(conv(substring(md5(concat(col("vec_id").cast("string"),
+        lit(":"), col("s").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(nCent)).cast("int")))
+      .persistTracked()
+    for (_ <- 1 to iters) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d2"), col("c"))
+      val next = meanPer(sv.join(broadcast(cent), Seq("s"))
+        .select(col("vec_id"), col("s"), col("c"), col("sv"),
+          l2(col("sv"), col("cm")).as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("c"), col("sv")))
+        .persistTracked()
+      cent = next
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("c"))
+    val codes = sv.join(broadcast(cent), Seq("s"))
+      .select(col("vec_id"), col("s"), col("c"),
+        l2(col("sv"), col("cm")).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("c")))),
+        _.getField("c")).as("e"))
+    TableWriter.writeBucketed(codes, s"${prefix}_gpqcodes", buckets, "vec_id")
+    TableWriter.writeBucketed(
+      cent.select(col("s"), col("c"), col("cm")),
+      s"${prefix}_gpqcent", 1, "s")
+  }
+
+  /** Beam-search against the stored graph scoring candidates by PQ
+    * ASYMMETRIC DISTANCE (sum of per-subspace LUT lookups over the
+    * candidate's stored code — float vectors never touched during
+    * traversal), then EXACT-re-rank the best `rerank` visited nodes
+    * per query from the full vector table (budget-sized point reads
+    * against the bucketed layout). Output shape = [[search]]. The
+    * probe budget — and therefore the corpus-size independence the
+    * probe cell measures — is identical to the uncompressed search;
+    * only the bytes per scored candidate shrink. */
+  def searchPq(spark: SparkSession, queries: DataFrame, prefix: String,
+               k: Int = 5, beam: Int = 24, hops: Int = 4,
+               rerank: Int = 64): DataFrame = {
+    val edges = TableWriter.readTable(spark, s"${prefix}_gedges")
+    val codes = TableWriter.readTable(spark, s"${prefix}_gpqcodes")
+    val cent = TableWriter.readTable(spark, s"${prefix}_gpqcent")
+    val entry = TableWriter.readTable(spark, s"${prefix}_gentry")
+    val nCent = cent.agg(max(col("c"))).head().getInt(0) + 1
+    val dims = cent.agg(countDistinct(col("s")) * size(first(col("cm"))))
+      .head().getLong(0).toInt
+    val dps = cent.select(size(col("cm"))).head().getInt(0)
+    val q = unitize(queries).persistTracked()
+    // per-query LUT flattened to an array indexed [s · nCent + c] — a
+    // (queries × subspaces × nCent) frame, broadcast always. The grid
+    // is generated DENSE and missing codebook cells (empty Lloyd
+    // clusters) fill with +∞: no stored code references them, but the
+    // positional arithmetic below needs every slot present.
+    val grid = spark.range(dims / dps).select(col("id").cast("int").as("s"))
+      .crossJoin(spark.range(nCent).select(col("id").cast("int").as("c")))
+    val cells = subVecs(q, dims, dps)
+      .join(broadcast(cent), Seq("s"))
+      .select(col("vec_id"), col("s"), col("c"),
+        l2(col("sv"), col("cm")).as("ld"))
+    val lut = q.select(col("vec_id")).crossJoin(broadcast(grid))
+      .join(cells, Seq("vec_id", "s", "c"), "left")
+      .select(col("vec_id"), col("s"), col("c"),
+        coalesce(col("ld"), lit(Double.MaxValue)).as("ld"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("s"), col("c"), col("ld")))),
+        _.getField("ld")).as("e"))
+    // ADC "better": zip the candidate's codes with their subspace
+    // index and sum the LUT lookups (element_at is 1-based)
+    val adc: (Column, Column) => Column = (lutArr, codeArr) =>
+      aggregate(
+        zip_with(codeArr, sequence(lit(0), size(codeArr) - 1),
+          (cc, ss) => element_at(lutArr, (ss * nCent + cc + 1).cast("int"))),
+        lit(0d), _ + _)
+    val visited = GraphAnn.searchGraph(edges, codes, lut, entry, beam, hops,
+      adc, identity)
+    // exact re-rank: full vectors for only the ADC-best candidates
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d"), col("dst"))
+    val cand = visited.filter(col("dst") =!= col("qid"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= rerank)
+      .select(col("qid"), col("dst"))
+    val v = TableWriter.readTable(spark, s"${prefix}_gvectors")
+    val exact = cand
+      .join(v.select(col("vec_id").as("dst"), col("e").as("de")), Seq("dst"))
+      .join(broadcast(q.select(col("vec_id").as("qid"), col("e").as("qe"))),
+        Seq("qid"))
+      .select(col("qid"), col("dst"), better(col("qe"), col("de")).as("d"))
+    GraphAnn.topK(exact, k, "cosine", -col("d"))
+  }
+
   /** Fold a batch of new vectors into the stored graph (the HNSW
     * insert): each new vector's stored-graph neighborhood (via
     * [[search]]'s machinery, budget-bounded) becomes its out-edges,

@@ -57,8 +57,22 @@ object GraphAnnProbe {
         GraphAnnIndex.insert(spark, batch, prefix)
         graft.CacheRegistry.drain()
       }
+      // PQ sidecar (r17): compressed-traversal search at the same
+      // probe budget — expected flat across corpus sizes like the
+      // uncompressed search, with smaller bytes per scored candidate
+      val (_, tPqBuild) = timed {
+        GraphAnnIndex.writePq(spark, prefix)
+        graft.CacheRegistry.drain()
+      }
+      GraphAnnIndex.searchPq(spark, queries, prefix).count()
+      graft.CacheRegistry.drain()
+      val (gotPq, tPq) = timed {
+        GraphAnnIndex.searchPq(spark, queries, prefix).count()
+      }
+      graft.CacheRegistry.drain()
       println(f"GRAPHPROBE n=$n%d build=$tBuild%.2fs " +
-        f"search10=$tSearch%.2fs rows=$got%d insert50=$tInsert%.2fs")
+        f"search10=$tSearch%.2fs rows=$got%d insert50=$tInsert%.2fs " +
+        f"pqbuild=$tPqBuild%.2fs searchpq10=$tPq%.2fs rowspq=$gotPq%d")
     }
 
     cell(sfDir, "gprobe1")
