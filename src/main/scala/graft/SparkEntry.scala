@@ -253,6 +253,10 @@ object SparkEntry {
     // the real table layer (r17): first-match-wins UPDATE/DELETE +
     // filtered INSERT, oracled as a full-outer CASE ladder in DuckDB
     "q_merge_into"     -> q(Relational.mergeIntoDemo),
+    // deletion vectors through the real table layer (r17): mask ->
+    // masked read -> DV-CDC deletes -> compaction materialization,
+    // all replayed by DuckDB as plain order slices
+    "q_snapshot_dv"    -> q(Relational.snapshotDv),
     // incremental view maintenance (r16): an aggregate view merged
     // forward from unkeyed CDC deltas only — never re-aggregating the
     // base; the oracle is the FULL recompute, so the gate proves
@@ -2273,6 +2277,26 @@ object SparkEntry {
         |WHERE change != 'S'
         |GROUP BY change
         |ORDER BY change""".stripMargin,
+
+    // deletion-vector gate: live side = the surviving slice read
+    // through the post-compaction version, delete counts from the
+    // DV commit's keyed CDC (old payload)
+    "q_snapshot_dv" ->
+      """WITH live AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |             WHERE o_orderkey % 11 != 0),
+        |dels AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |         WHERE o_orderkey % 11 = 0),
+        |l AS (SELECT o_orderstatus, COUNT(*) AS n_live,
+        |        MIN(o_orderkey) AS first_live, MAX(o_orderkey) AS last_live
+        |      FROM live GROUP BY o_orderstatus),
+        |d AS (SELECT o_orderstatus, COUNT(*) AS n_deleted
+        |      FROM dels GROUP BY o_orderstatus)
+        |SELECT COALESCE(l.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+        |  CAST(COALESCE(n_live, 0) AS BIGINT) AS n_live,
+        |  first_live, last_live,
+        |  CAST(COALESCE(n_deleted, 0) AS BIGINT) AS n_deleted
+        |FROM l FULL OUTER JOIN d ON l.o_orderstatus = d.o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // MERGE INTO gate: every clause replayed as a FULL OUTER JOIN +
     // CASE ladder (first-match-wins order preserved); 'drop' is the

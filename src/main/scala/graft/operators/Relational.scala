@@ -437,6 +437,49 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DELETION VECTORS driven through the REAL table layer (r17,
+    * oracled): orders are committed range-partitioned with the stats
+    * sidecar, a deterministic key slice is removed via
+    * [[graft.sinks.SnapshotStore.deleteVectorCommit]] — ZERO data
+    * files written, rows masked in the (file, row_index) sidecar —
+    * then the table is COMPACTED (the masks materialize and become
+    * inert). Output joins the live per-status totals (read through
+    * the post-compaction version) with the keyed CDC delete counts of
+    * the DV commit itself (deletes with no file-level change). The
+    * oracle replays both sides as plain order slices, so mask →
+    * masked-read → DV-CDC → materialization is one DuckDB-gated
+    * loop. */
+  def snapshotDv(t: Tables): DataFrame = {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dv").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"))
+    SnapshotStore.commit(
+      o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      dir, statsKey = Some("o_orderkey"))
+    SnapshotStore.deleteVectorCommit(t.spark, dir,
+      o.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")),
+      "o_orderkey")
+    SnapshotStore.compact(t.spark, dir, targetBytes = 16L << 20)
+    val live = SnapshotStore.read(t.spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        min(col("o_orderkey")).as("first_live"),
+        max(col("o_orderkey")).as("last_live"))
+    val dels = SnapshotStore
+      .readChanges(t.spark, dir, 1, 2, Some("o_orderkey"))
+      .filter(col("_change") === "delete")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_deleted"))
+    live.join(dels, Seq("o_orderstatus"), "full")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        col("first_live"), col("last_live"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** SQL MERGE INTO driven through the REAL table layer (r17,
     * oracled): an orders slice is committed range-partitioned with the
     * stats sidecar, then [[graft.sinks.SnapshotStore.mergeInto]]

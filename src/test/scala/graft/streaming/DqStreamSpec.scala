@@ -49,4 +49,14 @@ class DqStreamSpec extends SparkSpec {
       ("id-small", 2L, 4L, 0L, 0L),
       ("v-positive", 2L, 4L, 1L, 1L)))
   }
+
+  test("constraint names share addConstraint's contract: a dotted name is rejected at declaration, not at runtime (r17)") {
+    val log = java.nio.file.Files
+      .createTempDirectory("graft-dqn").toString + "/log"
+    val ex = intercept[IllegalArgumentException] {
+      DqStream.monitorInto(log, Seq("bad.name" -> "v > 0"))(
+        Seq((1L, 1L)).toDF("id", "v"), 0L)
+    }
+    assert(ex.getMessage.contains("bad.name"))
+  }
 }
