@@ -4,6 +4,7 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Versioned snapshot log over parquet — the manifest layer
   * TableWriter.compact's scaladoc points at: its directory-rename swap
@@ -248,17 +249,94 @@ object SnapshotStore {
     vs.max
   }
 
+  // ——— per-version SCHEMA sidecar (r17): O(1) schema resolution +
+  //     Delta-style append-time schema enforcement ———
+
+  /** An append tried to CHANGE an existing column's type. Rejected at
+    * commit time — a type fork written into an immutable file would
+    * poison every later read of the table (Delta enforces the same
+    * rule at write). */
+  final class SchemaMismatchException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  private def schemaFile(path: String, v: Long) =
+    new File(snapDir(path), f"v$v%08d.schema")
+
+  /** Everything nullable, recursively — sidecar schemas must admit the
+    * null-fill of columns absent from older files, and type equality
+    * checks must not trip on nullability alone. */
+  private def deepNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(deepNullable(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(deepNullable(k), deepNullable(v), valueContainsNull = true)
+    case other => other
+  }
+
+  /** The version's PHYSICAL table schema from its sidecar — O(1),
+    * no footer I/O; None on tables written before the sidecar. */
+  private def tableSchemaOpt(path: String, v: Long): Option[StructType] = {
+    val f = schemaFile(path, v)
+    if (!f.exists()) None
+    else Some(DataType.fromJson(new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8)).asInstanceOf[StructType])
+  }
+
+  /** The version's physical schema: sidecar when present, else the
+    * legacy mergeSchema footer sweep (paid once — the next commit
+    * writes the sidecar). */
+  private def tableSchema(spark: SparkSession, path: String, v: Long)
+      : StructType =
+    tableSchemaOpt(path, v).getOrElse(
+      deepNullable(spark.read.option("mergeSchema", "true")
+        .parquet(manifest(path, v): _*).schema).asInstanceOf[StructType])
+
+  /** Read a version's files under ITS schema: sidecar-driven when
+    * present — files missing an evolved column null-fill it exactly
+    * like mergeSchema, but schema resolution is one small file read
+    * instead of an every-footer sweep at every plan (at 10⁵–10⁷ files
+    * the sweep IS the planning cost; Delta stores the schema in the
+    * log for the same reason). Legacy tables fall back to
+    * mergeSchema inference. */
+  private def readVersionFiles(spark: SparkSession, path: String, v: Long,
+                               files: Seq[String]): DataFrame =
+    tableSchemaOpt(path, v) match {
+      case Some(sch) => spark.read.schema(sch).parquet(files: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+    }
+
+  /** Delta's append-time enforcement: a batch column sharing a name
+    * with a table column must keep its exact type; NEW columns extend
+    * the schema (evolution). Returns the merged schema. */
+  private def mergeStrict(prev: StructType, batch: StructType,
+                          path: String): StructType = {
+    val nb = deepNullable(batch).asInstanceOf[StructType]
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    nb.fields.foreach { bf =>
+      prevByName.get(bf.name).foreach { pf =>
+        if (pf.dataType != bf.dataType)
+          throw new SchemaMismatchException(
+            s"commit to $path: column '${bf.name}' is " +
+              s"${pf.dataType.simpleString} in the table but " +
+              s"${bf.dataType.simpleString} in the batch - changing a " +
+              "column's type needs an explicit Overwrite/compact " +
+              "rewrite, never an append (a type fork would poison " +
+              "every later read)")
+      }
+    }
+    val known = prev.fieldNames.toSet
+    StructType(prev.fields ++ nb.fields.filterNot(f => known(f.name)))
+  }
+
   /** Read a snapshot: the latest committed version by default, or an
     * explicit `version` for time travel. The returned frame is pinned
     * to that version's files — later commits and compactions never
     * touch them, so the scan is consistent however long it runs.
-    * `mergeSchema`: appends may evolve the schema between commits, and
-    * parquet's default schema inference samples ONE footer — a table
-    * whose later files gained a column would read back with whichever
-    * schema the sample had. Merging unions the file schemas (older
-    * files null-fill the added columns, the Delta/Iceberg read
-    * semantics); the footer-merge cost is per-FILE, driver-side, and
-    * irrelevant next to the scan. */
+    * Schema: the version's sidecar (older files null-fill evolved
+    * columns — the Delta/Iceberg read semantics — at O(1) planning
+    * cost; legacy tables pay one mergeSchema footer sweep). */
   def read(spark: SparkSession, path: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(path))
@@ -268,8 +346,7 @@ object SnapshotStore {
     // deletion-vector masks apply per version too (r17)
     presentDf(
       maskDeleted(spark, path, v,
-        spark.read.option("mergeSchema", "true")
-          .parquet(manifest(path, v): _*)),
+        readVersionFiles(spark, path, v, manifest(path, v))),
       columnMapping(path, v))
   }
 
@@ -308,11 +385,8 @@ object SnapshotStore {
     // could miss an evolved column (inconsistent schema for the same
     // logical query) or even fail to resolve col(key).
     val pruned =
-      if (kept.nonEmpty)
-        spark.read.option("mergeSchema", "true").parquet(kept: _*)
-      else
-        spark.read.option("mergeSchema", "true")
-          .parquet(manifest(path, v): _*).limit(0)
+      if (kept.nonEmpty) readVersionFiles(spark, path, v, kept)
+      else readVersionFiles(spark, path, v, manifest(path, v)).limit(0)
     presentDf(
       maskDeleted(spark, path, v, pruned.filter(col(pk) >= lo && col(pk) <= hi)),
       columnMapping(path, v))
@@ -549,16 +623,24 @@ object SnapshotStore {
     // this version number with no manifest (nothing for heal to see) —
     // it must not attach to THIS commit and mask rows wrongly
     dropDvDir(path, v)
+    val isCarry = carry match {
+      case CarryAllExcept(_) => prev > 0
+      case Replace => false
+    }
+    // SCHEMA (r17): validate the batch against the table BEFORE any
+    // file is written (a rejected type fork leaves zero garbage), and
+    // carry the merged schema as the new version's sidecar — the O(1)
+    // resolution every read plans from. Replace commits reset it.
+    val newSchema: StructType =
+      if (isCarry) mergeStrict(tableSchema(df.sparkSession, path, prev),
+        df.schema, path)
+      else deepNullable(df.schema).asInstanceOf[StructType]
     val dataDir = new File(new File(path, "data"),
       f"v$v%08d-${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.getPath)
     val fresh = Option(dataDir.listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getPath).sorted
-    val isCarry = carry match {
-      case CarryAllExcept(_) => prev > 0
-      case Replace => false
-    }
     val dropped = carry match {
       case CarryAllExcept(d) if isCarry => d
       case _ => Nil
@@ -704,6 +786,7 @@ object SnapshotStore {
         }
     }
     writeColmap(path, v, colmap) // None also clears a stale crashed one
+    atomicWrite(schemaFile(path, v), newSchema.json)
     if (asDelta)
       publishDelta(path, v, adds = fresh, drops = dropped,
         n = newN, depth = depth, batchId = batchId)
@@ -842,6 +925,8 @@ object SnapshotStore {
     if (cm.exists()) { cm.delete(): Unit }
     dropStatsCheckpoint(path, v)
     dropDvDir(path, v)
+    val sc = schemaFile(path, v)
+    if (sc.exists()) { sc.delete(): Unit }
   }
 
   private def dropDvDir(path: String, v: Long): Unit = {
@@ -1036,8 +1121,7 @@ object SnapshotStore {
   private def mappingOrIdentity(spark: SparkSession, path: String,
                                 v: Long): Seq[(String, String)] =
     columnMapping(path, v).getOrElse(
-      spark.read.option("mergeSchema", "true")
-        .parquet(manifest(path, v): _*).columns.toSeq.map(c => (c, c)))
+      tableSchema(spark, path, v).fieldNames.toSeq.map(c => (c, c)))
 
   /** Publish version v+1 with the SAME files and stats as v and a new
     * column mapping — an O(1) DELTA manifest with zero changes (r17);
@@ -1073,6 +1157,10 @@ object SnapshotStore {
       }
     }
     writeColmap(path, nv, Some(mapping))
+    val sch = schemaFile(path, v)
+    if (sch.exists())
+      atomicWrite(schemaFile(path, nv),
+        new String(Files.readAllBytes(sch.toPath), StandardCharsets.UTF_8))
     val depth = manifestDepth(path, v) + 1
     if (depth < manifestCheckpointInterval)
       publishDelta(path, nv, adds = Nil, drops = Nil,
@@ -1175,8 +1263,7 @@ object SnapshotStore {
         // hidden per-relation column), so the already-masked anti-join
         // is inlined here rather than via maskDeleted.
         import spark.implicits._
-        val scanned = spark.read.option("mergeSchema", "true")
-          .parquet(touched: _*)
+        val scanned = readVersionFiles(spark, path, v, touched)
           .select(col(pk),
             col("_metadata.file_path").as("file"),
             col("_metadata.row_index").as("row_index"))
@@ -1205,6 +1292,11 @@ object SnapshotStore {
           if (prevHdr.exists())
             atomicWrite(statsFile(path, nv),
               new String(Files.readAllBytes(prevHdr.toPath),
+                StandardCharsets.UTF_8))
+          val sch = schemaFile(path, v)
+          if (sch.exists())
+            atomicWrite(schemaFile(path, nv),
+              new String(Files.readAllBytes(sch.toPath),
                 StandardCharsets.UTF_8))
           writeColmap(path, nv, columnMapping(path, v))
           val depth = manifestDepth(path, v) + 1
@@ -1308,9 +1400,8 @@ object SnapshotStore {
     def readFiles(fs: Seq[String], maskV: Long): DataFrame =
       if (fs.nonEmpty)
         maskDeleted(spark, path, maskV,
-          spark.read.option("mergeSchema", "true").parquet(fs: _*))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(anyFile).limit(0)
+          readVersionFiles(spark, path, maskV, fs))
+      else readVersionFiles(spark, path, toV, Seq(anyFile)).limit(0)
     val ins = readFiles(added, toV)
     // rows TOMBSTONED inside the range in files still carried at toV:
     // deletes with no file-level change (a deleteVectorCommit's whole
@@ -1328,7 +1419,7 @@ object SnapshotStore {
           .toSeq.filterNot(added.toSet).filterNot(removed.toSet).sorted
         if (carried.isEmpty) None
         else Some(
-          spark.read.option("mergeSchema", "true").parquet(carried: _*)
+          readVersionFiles(spark, path, toV, carried)
             .withColumn("_dv_file", col("_metadata.file_path"))
             .withColumn("_dv_row", col("_metadata.row_index"))
             .join(dvNew.select(col("file").as("_dv_file"),
@@ -1463,10 +1554,10 @@ object SnapshotStore {
     val df =
       if (added.nonEmpty)
         maskDeleted(spark, path, toV,
-          spark.read.option("mergeSchema", "true").parquet(added: _*))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(manifest(path, toV).headOption
-          .getOrElse(manifest(path, fromV).head)).limit(0)
+          readVersionFiles(spark, path, toV, added))
+      else readVersionFiles(spark, path, toV,
+        Seq(manifest(path, toV).headOption
+          .getOrElse(manifest(path, fromV).head))).limit(0)
     presentDf(df, columnMapping(path, toV))
   }
 
@@ -1619,7 +1710,7 @@ object SnapshotStore {
     val survivors =
       if (touched.isEmpty) df
       else maskDeleted(spark, path, v, // DV-masked rows must not resurrect
-        spark.read.option("mergeSchema", "true").parquet(touched: _*))
+        readVersionFiles(spark, path, v, touched))
         .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
         .unionByName(df, allowMissingColumns = true)
     // preserve the pruning layer under whatever column the table
@@ -1694,7 +1785,7 @@ object SnapshotStore {
       val target: DataFrame =
         if (touched.nonEmpty)
           presentDf(maskDeleted(spark, path, v,
-            spark.read.option("mergeSchema", "true").parquet(touched: _*)),
+            readVersionFiles(spark, path, v, touched)),
             mapping)
         else read(spark, path, Some(v)).limit(0)
       val tCols = target.columns.toSeq
@@ -1882,7 +1973,7 @@ object SnapshotStore {
       // mergeSchema for the same reason as mergeCommit: touched files
       // may carry an evolved column a one-footer sample would drop.
       val survivors = maskDeleted(spark, path, v, // no DV resurrection
-        spark.read.option("mergeSchema", "true").parquet(touched: _*))
+        readVersionFiles(spark, path, v, touched))
         .join(ks, Seq(key), "left_anti")
       // preserve the pruning layer under whatever key the table
       // already tracks (deletes may use a different column)
@@ -2051,7 +2142,7 @@ object SnapshotStore {
     // deletion vectors MATERIALIZE here: the rewrite reads masked rows
     // out of existence, and every tombstone becomes inert (r17)
     val df = maskDeleted(spark, path, v,
-      spark.read.option("mergeSchema", "true").parquet(files: _*))
+      readVersionFiles(spark, path, v, files))
     // caller-facing names are LOGICAL; the physical frame + stats use
     // the mapped names (identity on an unmapped table)
     val pSort = sortCols.map(physicalOf(path, v, _))
@@ -2127,7 +2218,7 @@ object SnapshotStore {
       val bytes = files.map(f => new File(f).length()).sum
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val df = maskDeleted(spark, path, v, // DV materialization, as compact
-        spark.read.option("mergeSchema", "true").parquet(files: _*))
+        readVersionFiles(spark, path, v, files))
       val pDims = dims.map(physicalOf(path, v, _)) // logical → physical
       val out = withKey(df, pDims)
         .repartitionByRange(nFiles, col("_ck"))
