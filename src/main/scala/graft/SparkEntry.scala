@@ -257,6 +257,9 @@ object SparkEntry {
     // masked read -> DV-CDC deletes -> compaction materialization,
     // all replayed by DuckDB as plain order slices
     "q_snapshot_dv"    -> q(Relational.snapshotDv),
+    // version-attributed CDC (r17, Delta CDF's _commit_version):
+    // per-commit keyed deltas stamped with their producing version
+    "q_cdc_versions"   -> q(Relational.cdcVersions),
     // incremental view maintenance (r16): an aggregate view merged
     // forward from unkeyed CDC deltas only — never re-aggregating the
     // base; the oracle is the FULL recompute, so the gate proves
@@ -2277,6 +2280,33 @@ object SparkEntry {
         |WHERE change != 'S'
         |GROUP BY change
         |ORDER BY change""".stripMargin,
+
+    // version-attributed CDC gate: each step diff replayed with its
+    // literal version — v2 is the keyed v1->v2 classification, v3 the
+    // delete slice (survivor rewrites suppressed by keyed hashing)
+    "q_cdc_versions" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |old1 AS (SELECT o_orderkey AS k, o_orderstatus AS st_o, o_totalprice AS pr_o
+        |         FROM o WHERE o_orderkey % 10 != 0),
+        |new2 AS (SELECT o_orderkey AS k, o_orderstatus AS st_n,
+        |                CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |                     ELSE o_totalprice END AS pr_n
+        |         FROM o WHERE o_orderkey % 7 != 0),
+        |d2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS commit_v, COALESCE(old1.k, new2.k) AS k,
+        |    CASE WHEN st_o IS NULL THEN 'I'
+        |         WHEN st_n IS NULL THEN 'D'
+        |         WHEN pr_o IS DISTINCT FROM pr_n OR st_o IS DISTINCT FROM st_n THEN 'U'
+        |         ELSE 'S' END AS change
+        |  FROM old1 FULL OUTER JOIN new2 ON old1.k = new2.k),
+        |d3 AS (
+        |  SELECT CAST(3 AS BIGINT) AS commit_v, k, 'D' AS change
+        |  FROM new2 WHERE k % 13 = 0),
+        |d AS (SELECT * FROM d2 WHERE change != 'S' UNION ALL SELECT * FROM d3)
+        |SELECT commit_v, change, COUNT(*) AS n,
+        |  MIN(k) AS first_key, MAX(k) AS last_key
+        |FROM d GROUP BY commit_v, change
+        |ORDER BY commit_v, change""".stripMargin,
 
     // deletion-vector gate: live side = the surviving slice read
     // through the post-compaction version, delete counts from the

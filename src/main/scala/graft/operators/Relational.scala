@@ -437,6 +437,43 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** VERSION-ATTRIBUTED CDC through the real table layer (r17,
+    * oracled — Delta CDF's `_commit_version` column): three commits
+    * (base, overwrite-with-updates, stats-less key delete) read back
+    * via [[graft.sinks.SnapshotStore.readChangesVersioned]] — one
+    * keyed per-commit delta per version, each row stamped with the
+    * version that produced it (where the coalesced readChanges range
+    * suppresses round trips, the versioned feed attributes every
+    * commit's changes — Delta's semantics). The oracle replays each
+    * step diff with its literal version. */
+  def cdcVersions(t: Tables): DataFrame = {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cdcv").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val v1 = o.filter(col("o_orderkey") % 10 =!= 0)
+    val v2 = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    SnapshotStore.commit(v1, dir)
+    SnapshotStore.commit(v2, dir)
+    SnapshotStore.deleteCommit(t.spark, dir,
+      o.filter(col("o_orderkey") % 13 === 0).select(col("o_orderkey")),
+      "o_orderkey")
+    SnapshotStore
+      .readChangesVersioned(t.spark, dir, 1, 3, Some("o_orderkey"))
+      .select(col("_commit_version").as("commit_v"),
+        expr("CASE _change WHEN 'insert' THEN 'I' WHEN 'delete' THEN 'D' ELSE 'U' END")
+          .as("change"),
+        col("o_orderkey").as("k"))
+      .groupBy(col("commit_v"), col("change"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("first_key"),
+        max(col("k")).as("last_key"))
+      .orderBy(col("commit_v"), col("change"))
+  }
+
   /** DELETION VECTORS driven through the REAL table layer (r17,
     * oracled): orders are committed range-partitioned with the stats
     * sidecar, a deterministic key slice is removed via

@@ -1493,6 +1493,59 @@ object SnapshotStore {
     presentDf(delta, columnMapping(path, toV), extra = Seq("_change"))
   }
 
+  /** VERSION-ATTRIBUTED changelog (r17 — Delta CDF's `_commit_version`
+    * / `_commit_timestamp` columns): per-commit deltas for every
+    * version in (fromV, toV], each row stamped with the version and
+    * commit wall-clock that produced it. Semantics are Delta's: every
+    * COMMIT's changes appear (a row updated at v2 and reverted at v3
+    * shows both updates, where the coalesced [[readChanges]] range
+    * suppresses the round trip). Each step is the O(delta) chain fast
+    * path when available; the plan unions (toV − fromV) step diffs —
+    * bounded by retention, the window this read exists for. */
+  def readChangesVersioned(spark: SparkSession, path: String,
+                           fromV: Long, toV: Long,
+                           key: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV >= 1 && toV > fromV,
+      s"readChangesVersioned: need 1 <= fromV < toV, got $fromV..$toV")
+    ((fromV + 1) to toV).map { w =>
+      readChanges(spark, path, w - 1, w, key)
+        .withColumn("_commit_version", lit(w))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(commitTime(path, w))))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[changeFeed]] with version attribution: the bootstrap (when the
+    * baseline predates retention) stamps the anchor version, the rest
+    * is [[readChangesVersioned]]. */
+  def changeFeedVersioned(spark: SparkSession, path: String,
+                          fromV: Long, toV: Long,
+                          key: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val baseline = fromV - 1
+    val retained = versions(path)
+    require(retained.nonEmpty && toV >= 1,
+      s"changeFeed: no committed snapshot under $path")
+    val oldest = retained.min
+    require(toV >= oldest,
+      s"changeFeed: endingVersion $toV predates retention " +
+        s"(oldest retained version is $oldest)")
+    if (baseline >= oldest) readChangesVersioned(spark, path, baseline, toV, key)
+    else {
+      val anchor = math.min(math.max(oldest, 1L), toV)
+      val boot = read(spark, path, Some(anchor))
+        .withColumn("_change", lit("insert"))
+        .withColumn("_commit_version", lit(anchor))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(commitTime(path, anchor))))
+      if (toV <= anchor) boot
+      else boot.unionByName(
+        readChangesVersioned(spark, path, anchor, toV, key),
+        allowMissingColumns = true)
+    }
+  }
+
   /** The CHANGE FEED for the inclusive version range [fromV, toV] —
     * the shared semantics behind the registered source's
     * `readChangeFeed` relation AND the streaming source's micro-batches

@@ -67,7 +67,12 @@ class GraftSnapshotSource extends RelationProvider
       val from = parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
       val to = parameters.get("endingVersion").map(_.toLong)
         .getOrElse(SnapshotStore.latestVersion(path))
-      GraftChangesRelation(sqlContext, path, from, to, parameters.get("key"))
+      // withCommitVersion (r17): Delta CDF's _commit_version /
+      // _commit_timestamp columns — per-commit attribution instead of
+      // the coalesced range delta
+      GraftChangesRelation(sqlContext, path, from, to, parameters.get("key"),
+        versioned = parameters.get("withCommitVersion")
+          .exists(_.equalsIgnoreCase("true")))
     } else {
       val version = parameters.get("versionAsOf").map(_.toLong)
         .orElse(parameters.get("timestampAsOf").map(ts =>
@@ -104,7 +109,9 @@ class GraftSnapshotSource extends RelationProvider
     (shortName(),
       org.apache.spark.sql.graft.GraftStreamSource.schemaFor(
         sqlContext.sparkSession, path,
-        parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))))
+        parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")),
+        parameters.get("withCommitVersion")
+          .exists(_.equalsIgnoreCase("true"))))
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -251,15 +258,21 @@ case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
   * unioned with the changes from that anchor forward. */
 case class GraftChangesRelation(sqlContext: SQLContext, path: String,
                                 fromV: Long, toV: Long,
-                                key: Option[String])
+                                key: Option[String],
+                                versioned: Boolean = false)
     extends BaseRelation with TableScan {
 
   // the version range is pinned at relation construction, so the plan
-  // (manifest diff + mergeSchema footer reads) is built once, not per
+  // (manifest diff + sidecar schema reads) is built once, not per
   // schema/buildScan call; the semantics live in
-  // SnapshotStore.changeFeed, shared with the STREAMING source (r17)
+  // SnapshotStore.changeFeed(+Versioned), shared with the STREAMING
+  // source (r17)
   private lazy val changes: DataFrame =
-    SnapshotStore.changeFeed(sqlContext.sparkSession, path, fromV, toV, key)
+    if (versioned)
+      SnapshotStore.changeFeedVersioned(sqlContext.sparkSession, path,
+        fromV, toV, key)
+    else
+      SnapshotStore.changeFeed(sqlContext.sparkSession, path, fromV, toV, key)
 
   override def schema: StructType = changes.schema
 

@@ -72,7 +72,8 @@ class GraftStreamSource(
     key: Option[String],
     startingVersion: Option[Long],
     maxVersionsPerBatch: Long,
-    ignoreChanges: Boolean) extends Source {
+    ignoreChanges: Boolean,
+    withCommitVersion: Boolean = false) extends Source {
 
   require(maxVersionsPerBatch >= 1,
     s"maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
@@ -80,10 +81,13 @@ class GraftStreamSource(
     "option key requires readChangeFeed=true (append mode has no diff)")
   require(cdf || startingVersion.isEmpty,
     "option startingVersion requires readChangeFeed=true")
+  require(cdf || !withCommitVersion,
+    "option withCommitVersion requires readChangeFeed=true")
 
   private val spark = sqlContext.sparkSession
 
-  override val schema: StructType = GraftStreamSource.schemaFor(spark, path, cdf)
+  override val schema: StructType =
+    GraftStreamSource.schemaFor(spark, path, cdf, withCommitVersion)
 
   /** Rate-limit cursor: the highest offset this instance has OFFERED.
     * Only a soft bound — on restart it resets and the engine's logged
@@ -118,9 +122,15 @@ class GraftStreamSource(
       case Some(sv) if endV <= sv =>
         // replayed no-op range (engine edge case): schema-true empty
         SnapshotStore.read(spark, path, Some(endV))
-          .withColumn("_change", lit("insert")).limit(0)
+          .withColumn("_change", lit("insert"))
+          .withColumn("_commit_version", lit(endV))
+          .withColumn("_commit_timestamp",
+            org.apache.spark.sql.functions.current_timestamp())
+          .limit(0)
       case Some(sv) =>
-        if (cdf) SnapshotStore.readChanges(spark, path, sv, endV, key)
+        if (cdf && withCommitVersion)
+          SnapshotStore.readChangesVersioned(spark, path, sv, endV, key)
+        else if (cdf) SnapshotStore.readChanges(spark, path, sv, endV, key)
         else SnapshotStore.readAppends(spark, path, sv, endV, ignoreChanges)
       case None =>
         // FIRST batch. CDF + startingVersion: the feed from that
@@ -128,11 +138,19 @@ class GraftStreamSource(
         // as inserts (consumeChanges' rule; in append mode the rows
         // ARE the appends-so-far).
         (cdf, startingVersion) match {
+          case (true, Some(sv)) if withCommitVersion =>
+            SnapshotStore.changeFeedVersioned(spark, path, sv, endV, key)
           case (true, Some(sv)) =>
             SnapshotStore.changeFeed(spark, path, sv, endV, key)
           case (true, None) =>
-            SnapshotStore.read(spark, path, Some(endV))
+            val boot = SnapshotStore.read(spark, path, Some(endV))
               .withColumn("_change", lit("insert"))
+            if (withCommitVersion)
+              boot.withColumn("_commit_version", lit(endV))
+                .withColumn("_commit_timestamp",
+                  lit(new java.sql.Timestamp(
+                    SnapshotStore.commitTime(path, endV))))
+            else boot
           case (false, _) =>
             SnapshotStore.read(spark, path, Some(endV))
         }
@@ -166,10 +184,18 @@ object GraftStreamSource {
     * changes what batches produce and fails the query — restart to
     * pick up the new shape (Delta's behavior). */
   def schemaFor(spark: org.apache.spark.sql.SparkSession, path: String,
-                cdf: Boolean): StructType = {
+                cdf: Boolean, withCommitVersion: Boolean = false)
+      : StructType = {
     val base = SnapshotStore.read(spark, path).schema
-    if (cdf) StructType(base.fields :+ StructField("_change", StringType))
-    else base
+    if (!cdf) base
+    else {
+      val c = StructType(base.fields :+ StructField("_change", StringType))
+      if (!withCommitVersion) c
+      else StructType(c.fields :+
+        StructField("_commit_version", org.apache.spark.sql.types.LongType) :+
+        StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Build from DataStreamReader options (the provider's createSource). */
@@ -183,5 +209,7 @@ object GraftStreamSource {
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch")
         .map(_.toLong).getOrElse(Long.MaxValue),
       ignoreChanges =
-        parameters.get("ignoreChanges").exists(_.equalsIgnoreCase("true")))
+        parameters.get("ignoreChanges").exists(_.equalsIgnoreCase("true")),
+      withCommitVersion = parameters.get("withCommitVersion")
+        .exists(_.equalsIgnoreCase("true")))
 }

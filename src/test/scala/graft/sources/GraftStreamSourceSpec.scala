@@ -152,6 +152,47 @@ class GraftStreamSourceSpec extends SparkSpec {
     finally q2.stop()
   }
 
+  test("withCommitVersion: every delivered row is stamped with its producing version (r17)") {
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "s"), path)          // v1
+    SnapshotStore.commit(Seq((1L, "A"), (2L, "b")).toDF("id", "s"), path) // v2
+    SnapshotStore.commit(Seq((2L, "b")).toDF("id", "s"), path)          // v3
+
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    val ck = java.nio.file.Files.createTempDirectory("graft-ss-ckv").toString
+    val q = drain(
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("key", "id")
+        .option("startingVersion", "1")
+        .option("withCommitVersion", "true")
+        .load(path), ck) { (df, _) =>
+      seen.synchronized {
+        seen ++= df.select("id", "_change", "_commit_version")
+          .as[(Long, String, Long)].collect()
+      }
+    }
+    try {
+      assert(seen.sorted.toSeq == Seq(
+        (1L, "delete", 3L),   // v3 removed id 1
+        (1L, "insert", 1L),   // v1 bootstrap
+        (1L, "update", 2L),   // v2 changed it
+        (2L, "insert", 2L)))
+      // the batch relation agrees with the stream
+      SnapshotStore.commit(Seq((2L, "B")).toDF("id", "s"), path)        // v4
+      val batch = spark.read.format("graft")
+        .option("readChangeFeed", "true").option("key", "id")
+        .option("startingVersion", "4")
+        .option("withCommitVersion", "true")
+        .load(path)
+        .select("id", "_change", "_commit_version")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(batch == Seq((2L, "update", 4L)))
+      q.processAllAvailable()
+      assert(seen.size == 5 && seen.last == ((2L, "update", 4L)))
+    } finally q.stop()
+  }
+
   test("maxVersionsPerBatch bounds catch-up batches") {
     val path = fresh()
     (1 to 4).foreach { i =>
