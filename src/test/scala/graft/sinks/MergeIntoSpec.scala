@@ -78,6 +78,47 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("SQL-text MERGE INTO parses the full clause ladder and commits (r17)") {
+    val path = fresh()
+    SnapshotStore.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "F", 30L))
+        .toDF("id", "st", "v"), path)
+    Seq((2L, 200L), (3L, 0L), (4L, 400L), (5L, 401L)).toDF("id", "v")
+      .createOrReplaceTempView("merge_src")
+    val v = graft.GraftSql.merge(spark,
+      s"""MERGE INTO '$path' AS t USING merge_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.v < 25 THEN UPDATE SET v = s.v + 1, st = 'U'
+         |WHEN MATCHED AND t.st = 'F' THEN DELETE
+         |WHEN NOT MATCHED AND s.v % 2 = 0 THEN INSERT *;""".stripMargin)
+    assert(v == 2)
+    val got = SnapshotStore.read(spark, path)
+      .select("id", "st", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, "a", 10L),    // unmatched target kept
+      (2L, "U", 201L),   // first clause: UPDATE SET with expression
+      // 3: second clause fired (st = 'F') -> deleted
+      (4L, null, 400L))) // filtered insert; 5 filtered out (odd)
+
+    // subquery source + parse errors
+    val v2 = graft.GraftSql.merge(spark,
+      s"""MERGE INTO '$path' t
+         |USING (SELECT 9 AS id, 99 AS v) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(v2 == 3)
+    assert(SnapshotStore.read(spark, path).filter(col("id") === 9).count() == 1)
+    intercept[IllegalArgumentException] {
+      graft.GraftSql.merge(spark, s"MERGE INTO '$path' t USING merge_src s " +
+        "ON t.id = s.other WHEN MATCHED THEN DELETE")
+    }
+    intercept[IllegalArgumentException] {
+      graft.GraftSql.merge(spark, "UPSERT INTO nope")
+    }
+  }
+
   test("CHECK constraints gate merged rows; DV-masked rows are not matchable") {
     val path = fresh()
     SnapshotStore.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
