@@ -63,26 +63,6 @@ object RangeJoin {
       .orderBy(col("purchase_id"))
   }
 
-  /** INTERVAL × INTERVAL overlap join (the temporal-join shape
-    * [[clicksBefore]] doesn't cover — both sides are ranges, not a
-    * point probing a window): per part, all pairs of shipments whose
-    * in-transit intervals [ship, ship+transit] overlapped, aggregated
-    * to (pairs, total/max overlap days). Transit is an id-derived
-    * deterministic integer, so the whole join is exact epoch-day
-    * arithmetic both engines replay.
-    *
-    * Plan: intervals explode to their covered WEEK buckets (span ≤ 28
-    * days ⇒ ≤ 5 buckets — the bounded-span premise every bucketed
-    * interval join needs) and candidates come from the (part, week)
-    * equi-join; a pair sharing several weeks is COUNTED ONCE, in the
-    * week its overlap STARTS (max(s_a, s_b) lies in both intervals,
-    * so both sides are guaranteed present in that bucket — the
-    * standard dedupe that avoids a DISTINCT over the candidate set).
-    * Never all-pairs: a hot part is still bounded per (part, week)
-    * cell, and AQE splits residual skew. The oracle replays the
-    * DEFINITION (all same-part pairs + overlap predicate) rather than
-    * the bucketing, so the gate proves the bucketed plan equals the
-    * semantic spec. */
   /** SPAN-CLASSED interval×interval overlap pairs (r17) — the total
     * form of the bucketed join, valid for ANY span distribution where
     * [[intervalJoin]]'s single-grid plan assumes bounded spans (an
@@ -174,6 +154,27 @@ object RangeJoin {
       .orderBy(col("p_partkey"))
   }
 
+  /** INTERVAL × INTERVAL overlap join (the temporal-join shape
+    * [[clicksBefore]] doesn't cover — both sides are ranges, not a
+    * point probing a window): per part, all pairs of shipments whose
+    * in-transit intervals [ship, ship+transit] overlapped, aggregated
+    * to (pairs, total/max overlap days). Transit is an id-derived
+    * deterministic integer, so the whole join is exact epoch-day
+    * arithmetic both engines replay.
+    *
+    * Plan: intervals explode to their covered WEEK buckets (span ≤ 28
+    * days ⇒ ≤ 5 buckets — the bounded-span premise every single-grid
+    * bucketed interval join needs; [[spanClassedPairs]] is the TOTAL
+    * form for unbounded/heavy-tailed spans) and candidates come from the (part, week)
+    * equi-join; a pair sharing several weeks is COUNTED ONCE, in the
+    * week its overlap STARTS (max(s_a, s_b) lies in both intervals,
+    * so both sides are guaranteed present in that bucket — the
+    * standard dedupe that avoids a DISTINCT over the candidate set).
+    * Never all-pairs: a hot part is still bounded per (part, week)
+    * cell, and AQE splits residual skew. The oracle replays the
+    * DEFINITION (all same-part pairs + overlap predicate) rather than
+    * the bucketing, so the gate proves the bucketed plan equals the
+    * semantic spec. */
   def intervalJoin(t: Tables): DataFrame = {
     val base = t.lineitem.select(
         col("l_partkey").cast("long").as("pk"),

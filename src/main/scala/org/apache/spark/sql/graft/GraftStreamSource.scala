@@ -9,6 +9,8 @@ package org.apache.spark.sql.graft
 
 import graft.sinks.SnapshotStore
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
+  ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -73,7 +75,8 @@ class GraftStreamSource(
     startingVersion: Option[Long],
     maxVersionsPerBatch: Long,
     ignoreChanges: Boolean,
-    withCommitVersion: Boolean = false) extends Source {
+    withCommitVersion: Boolean = false)
+  extends Source with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerBatch >= 1,
     s"maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
@@ -95,10 +98,37 @@ class GraftStreamSource(
     * cap, Delta's wrinkle too); −1 = nothing offered yet. */
   private var lastPlanned: Long = -1L
 
+  /** Trigger.AvailableNow (the KafkaSource pattern): the engine calls
+    * [[prepareForTriggerAvailableNow]] once at query start; every
+    * offset offered afterwards is CAPPED at the head pinned there, so
+    * the query drains exactly the backlog that existed at start and
+    * terminates — the scheduled-batch-job consumption shape. */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(SnapshotStore.latestVersion(path))
+
+  /** Admission-control surface (the engine prefers this over
+    * [[getOffset]] when present): same offer rule, explicit start. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit)
+      : OffsetV2 = {
+    if (lastPlanned < 0 && startOffset != null)
+      lastPlanned = startOffset.json.trim.toLong
+    getOffset.orNull
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val head = SnapshotStore.latestVersion(path)
+    if (head == 0L) null else GraftStreamOffset(head)
+  }
+
   private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
 
   override def getOffset: Option[OffsetV1] = {
-    val head = SnapshotStore.latestVersion(path)
+    val head0 = SnapshotStore.latestVersion(path)
+    val head = availableNowCap.fold(head0)(math.min(_, head0))
     if (head == 0L) None
     else {
       // the cap's baseline: the last offer; before any offer, the

@@ -193,6 +193,48 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates (batch-job CDC consumption)") {
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "s"), path)
+    SnapshotStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ck = java.nio.file.Files.createTempDirectory("graft-ss-an").toString
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("key", "id")
+      .load(path)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.select("id", "_change").as[(Long, String)].collect()
+        }
+        ()
+      }.start()
+    // AvailableNow terminates on its own once the backlog drains — the
+    // scheduled-ingest shape (run a batch job, consume everything new,
+    // exit) without a polling driver
+    assert(q.awaitTermination(120000), "AvailableNow query must terminate")
+    assert(seen.toSet == Set((1L, "insert"), (2L, "insert")))
+    // a later commit is NOT consumed (the query is gone) until the
+    // next scheduled run, which resumes from the checkpoint
+    SnapshotStore.commit(Seq((1L, "a"), (2L, "B")).toDF("id", "s"), path)
+    val q2 = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("key", "id")
+      .load(path)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.select("id", "_change").as[(Long, String)].collect()
+        }
+        ()
+      }.start()
+    assert(q2.awaitTermination(120000))
+    assert(seen.drop(2).toSeq == Seq((2L, "update")))
+  }
+
   test("maxVersionsPerBatch bounds catch-up batches") {
     val path = fresh()
     (1 to 4).foreach { i =>
