@@ -1816,7 +1816,8 @@ object SnapshotStore {
     * Returns the new version. */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
                 key: String, matched: Seq[MatchedAction],
-                notMatched: Option[MergeInsert] = None): Long =
+                notMatched: Option[MergeInsert] = None,
+                schemaEvolution: Boolean = false): Long =
     withLock(path) {
       import org.apache.spark.sql.functions._
       val v = latestVersion(path)
@@ -1841,11 +1842,23 @@ object SnapshotStore {
             readVersionFiles(spark, path, v, touched)),
             mapping)
         else read(spark, path, Some(v)).limit(0)
-      val tCols = target.columns.toSeq
-      require(tCols.contains(key), s"mergeInto: target has no '$key'")
-      val extra = source.columns.toSeq.filterNot(tCols.contains)
-      require(extra.isEmpty,
-        s"mergeInto: source column(s) ${extra.mkString(", ")} not in target")
+      val tCols0 = target.columns.toSeq
+      require(tCols0.contains(key), s"mergeInto: target has no '$key'")
+      val extra = source.columns.toSeq.filterNot(tCols0.contains)
+      require(schemaEvolution || extra.isEmpty,
+        s"mergeInto: source column(s) ${extra.mkString(", ")} not in " +
+          "target - pass schemaEvolution = true to let the merge extend " +
+          "the table schema (Delta's autoMerge)")
+      // schema EVOLUTION (Delta's autoMerge): source-only columns
+      // extend the target — existing rows null-fill them, the commit's
+      // schema sidecar records the union
+      val sTypes = source.schema.fields.map(f => f.name -> f.dataType).toMap
+      val target0 = target
+      val targetE =
+        if (extra.isEmpty) target0
+        else target0.select((tCols0.map(col) ++ extra.map(c =>
+          lit(null).cast(sTypes(c)).as(c))): _*)
+      val tCols = tCols0 ++ extra
       matched.foreach {
         case MergeUpdate(set, _) =>
           val bad = set.keys.filterNot(tCols.contains)
@@ -1853,10 +1866,10 @@ object SnapshotStore {
             s"mergeInto: UPDATE SET of unknown column(s) ${bad.mkString(", ")}")
         case _ => ()
       }
-      val tTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+      val tTypes = targetE.schema.fields.map(f => f.name -> f.dataType).toMap
       val sHave = source.columns.toSet
 
-      val tSide = target.select(col(key).as("_k"),
+      val tSide = targetE.select(col(key).as("_k"),
         struct(tCols.map(col): _*).as("t"))
       val sSide = source.select(col(key).as("_k"),
         struct(source.columns.toSeq.map(col): _*).as("s"))
@@ -1872,7 +1885,7 @@ object SnapshotStore {
       def insRow = struct(tCols.map { c =>
         (if (sHave(c)) col(s"s.$c") else lit(null)).cast(tTypes(c)).as(c)
       }: _*)
-      val nullRow = lit(null).cast(target.schema)
+      val nullRow = lit(null).cast(targetE.schema)
 
       // first-match-wins: foldRight puts clause 1 outermost
       val matchedOut = matched.foldRight(tRow: org.apache.spark.sql.Column) {
@@ -2326,6 +2339,47 @@ object SnapshotStore {
   def vacuum(path: String, keepVersions: Int = 2): Long = withLock(path) {
     val v = latestVersion(path)
     if (v == 0) 0L else vacuumLocked(path, v, keepVersions)
+  }
+
+  /** [[vacuum]] + deletion-vector GC (r17): after the retention sweep,
+    * tombstone rows whose FILE appears in no retained manifest are
+    * dropped (they became inert when a rewrite replaced their file and
+    * would otherwise ride the boundary consolidation forever); a
+    * retained dv sidecar that empties out is deleted. Needs a session
+    * for the parquet rewrites — the driverless overload above keeps
+    * the copy-forward behavior. Tombstones are only ever FILTERED per
+    * sidecar, never moved across versions (moving a later version's
+    * mask earlier would corrupt time travel). Returns dropped data
+    * files, like vacuum. */
+  def vacuum(spark: SparkSession, path: String,
+             keepVersions: Int): Long = withLock(path) {
+    val v = latestVersion(path)
+    if (v == 0) 0L
+    else {
+      val dropped = vacuumLocked(path, v, keepVersions)
+      val keepFrom = math.max(1L, v - keepVersions + 1)
+      import spark.implicits._
+      val live = (keepFrom to v).flatMap(manifest(path, _)).distinct
+      dvVersionsUpTo(path, v).foreach { w =>
+        val d = dvDir(path, w)
+        if (d.exists()) {
+          val rows = spark.read.parquet(d.getPath)
+          val kept = rows.join(live.toDF("path"), Seq("path"), "left_semi")
+          val (n0, n1) = (rows.count(), kept.count())
+          if (n1 == 0L) dropDvDir(path, w)
+          else if (n1 < n0) {
+            // rewrite via a sibling dir + swap (a parquet read cannot
+            // overwrite its own input)
+            val tmp = new File(d.getParentFile, d.getName + ".gc")
+            kept.coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(tmp.getPath)
+            dropDvDir(path, w)
+            require(tmp.renameTo(d), s"dv gc: rename failed for $d")
+          }
+        }
+      }
+      dropped
+    }
   }
 
   private def vacuumLocked(path: String, v: Long, keepVersions: Int): Long = {

@@ -114,6 +114,33 @@ class DeletionVectorSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("vacuum(spark) GC retires tombstones whose files were rewritten away (r17)") {
+    val path = fresh()
+    seed(path)                                                        // v1
+    SnapshotStore.deleteVectorCommit(spark, path, Seq(7L).toDF("id"),
+      "id")                                                           // v2
+    SnapshotStore.compact(spark, path, targetBytes = 1L << 30)       // v3
+    SnapshotStore.commit(Seq((500L, 1L)).toDF("id", "v"), path,
+      SaveMode.Append)                                               // v4
+    SnapshotStore.deleteVectorCommit(spark, path, Seq(500L).toDF("id"),
+      "id")                                                           // v5
+    // retention keeps v3..v5: the v2 tombstone's file was compacted
+    // away (inert), the v5 tombstone masks a live file (must survive)
+    SnapshotStore.vacuum(spark, path, keepVersions = 3)
+    val snap = new java.io.File(path, "_snapshots")
+    def dvDirs = Option(snap.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".dvpq")).map(_.getName).sorted
+    assert(dvDirs == Seq("v00000005.dvpq"),
+      s"inert tombstones must be GC'd, live ones kept: $dvDirs")
+    assert(SnapshotStore.read(spark, path).count() == 99,
+      "GC must not change what reads see")
+    assert(SnapshotStore.read(spark, path)
+      .filter(col("id") === 500).isEmpty)
+    assert(SnapshotStore.read(spark, path, Some(4L))
+      .filter(col("id") === 500).count() == 1,
+      "time travel before the masking version still shows the row")
+  }
+
   test("streaming CDC source delivers DV deletes") {
     val path = fresh()
     seed(path)

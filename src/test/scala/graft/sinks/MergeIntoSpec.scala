@@ -119,6 +119,38 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: source-only columns extend the table; old rows null-fill (r17)") {
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("id", "st", "v"), path)
+    // without the flag: rejected with guidance
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotStore.mergeInto(spark, path,
+        Seq((2L, 99L, "x")).toDF("id", "v", "tag"), "id",
+        matched = Seq(SnapshotStore.MergeUpdate(Map("v" -> "s.v"))))
+    }
+    assert(ex.getMessage.contains("schemaEvolution"))
+    // with it: the new column lands on updated + inserted rows, nulls
+    // elsewhere; the schema sidecar records the union
+    SnapshotStore.mergeInto(spark, path,
+      Seq((2L, 99L, "x"), (3L, 30L, "y")).toDF("id", "v", "tag"), "id",
+      matched = Seq(SnapshotStore.MergeUpdate(
+        Map("v" -> "s.v", "tag" -> "s.tag"))),
+      notMatched = Some(SnapshotStore.MergeInsert(None)),
+      schemaEvolution = true)
+    val got = SnapshotStore.read(spark, path)
+      .select("id", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got == Set((1L, 10L, null), (2L, 99L, "x"), (3L, 30L, "y")))
+    assert(SnapshotStore.read(spark, path).columns.toSeq ==
+      Seq("id", "st", "v", "tag"))
+    // and plain appends keep working under the evolved schema
+    SnapshotStore.commit(Seq((4L, "c", 40L)).toDF("id", "st", "v"), path,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(SnapshotStore.read(spark, path).count() == 4)
+  }
+
   test("CHECK constraints gate merged rows; DV-masked rows are not matchable") {
     val path = fresh()
     SnapshotStore.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
