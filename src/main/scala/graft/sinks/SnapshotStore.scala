@@ -406,7 +406,6 @@ object SnapshotStore {
              batchId: Option[Long] = None,
              statsKey: Option[String] = None): Long =
     withLock(path) {
-      enforceConstraints(df, path)
       val prev = latestVersion(path)
       mode match {
         case SaveMode.Append if prev > 0 =>
@@ -420,7 +419,9 @@ object SnapshotStore {
     }
 
   /** A commit batch violated a table CHECK constraint; the table is
-    * untouched (validation runs before any file is written). */
+    * untouched (validation runs on the MATERIALIZED fresh files before
+    * the manifest publishes — r17's write-then-validate-then-publish —
+    * and a rejected batch's files are deleted on the spot). */
   final class ConstraintViolationException(msg: String)
     extends IllegalArgumentException(msg)
 
@@ -448,14 +449,13 @@ object SnapshotStore {
     * rewrite-only maintenance (compaction, delete survivors) is not
     * re-validated, matching Delta's OPTIMIZE.
     *
-    * DETERMINISM CONTRACT: validation is a separate pass over the
-    * batch's lineage, re-evaluated by the write that follows — a
-    * NONDETERMINISTIC batch (rand(), sample, shuffling floats into a
-    * different reduction order) can pass the check yet materialize
-    * different rows. Commit deterministic frames (or checkpoint/
-    * persist the batch first); Delta pays the same row-level check
-    * inside its single write pass, a trade this store makes in favor
-    * of keeping validation one fused aggregate. */
+    * Enforcement is WRITE-THEN-VALIDATE-THEN-PUBLISH (r17): the fused
+    * aggregate runs over the MATERIALIZED fresh files, so the checked
+    * rows are exactly the rows the manifest publishes — safe for
+    * nondeterministic batches (rand(), sample, order-dependent float
+    * reductions), where a pre-write check of the batch's lineage could
+    * pass one evaluation and commit another. A violation deletes the
+    * fresh files and aborts with the table untouched. */
   def addConstraint(spark: SparkSession, path: String,
                     name: String, sqlExpr: String): Unit = withLock(path) {
     require(name.matches("[A-Za-z0-9_-]+"), s"constraint name '$name'")
@@ -507,19 +507,6 @@ object SnapshotStore {
       n -> Option(row.get(i + 1)).fold(0L)(_.asInstanceOf[Long]) }
   }
 
-  /** Gate a commit batch on the table's constraints (logical names —
-    * called with the caller-facing frame, before any physical
-    * translation or file write). */
-  private def enforceConstraints(df: DataFrame, path: String): Unit = {
-    val cs = tableConstraints(path)
-    if (cs.nonEmpty) {
-      val bad = violationCounts(df, cs).filter(_._2 > 0)
-      if (bad.nonEmpty) throw new ConstraintViolationException(
-        s"commit to $path rejected: " + bad.map { case (n, c) =>
-          s"$c rows violate '$n'" }.mkString("; "))
-    }
-  }
-
   /** A concurrent commit advanced the table past the version this
     * writer prepared against, and the commit cannot be auto-rebased
     * (non-append semantics). Re-read the new snapshot and retry. */
@@ -558,7 +545,6 @@ object SnapshotStore {
         throw new VersionConflictException(
           s"snapshot commit: $path advanced to v$cur (prepared against " +
             s"v$expectedVersion) — re-read and retry")
-      enforceConstraints(df, path) // optimistic writers add rows too
       mode match {
         case SaveMode.Append if cur > 0 => // rebase onto the winner
           val pdf = toPhysicalDf(path, cur, df)
@@ -615,7 +601,8 @@ object SnapshotStore {
                            carry: Carry, batchId: Option[Long],
                            statsKey: Option[String],
                            extraStatsCols: Seq[String] = Nil,
-                           colmap: Option[Seq[(String, String)]] = None)
+                           colmap: Option[Seq[(String, String)]] = None,
+                           validate: Boolean = true)
       : Long = {
     val prev = latestVersion(path)
     val v = prev + 1
@@ -641,6 +628,30 @@ object SnapshotStore {
     val fresh = Option(dataDir.listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getPath).sorted
+    // WRITE-THEN-VALIDATE-THEN-PUBLISH (r17, closing the r16 advice):
+    // CHECK constraints are enforced on the MATERIALIZED files, so the
+    // checked rows are exactly the rows the manifest will publish — a
+    // nondeterministic batch (rand(), sample, order-dependent float
+    // reductions) can no longer pass validation on one evaluation and
+    // commit different rows on another. A violation deletes the fresh
+    // files and aborts with the table untouched (nothing references
+    // them yet). Rewrite-only commits (compaction, delete survivors)
+    // skip the pass — Delta's OPTIMIZE rule — via validate = false.
+    if (validate && fresh.nonEmpty) {
+      val cs = tableConstraints(path)
+      if (cs.nonEmpty) {
+        val freshLogical = presentDf(
+          df.sparkSession.read.parquet(fresh: _*), colmap)
+        val bad = violationCounts(freshLogical, cs).filter(_._2 > 0)
+        if (bad.nonEmpty) {
+          Option(dataDir.listFiles()).toSeq.flatten.foreach(_.delete())
+          dataDir.delete(): Unit
+          throw new ConstraintViolationException(
+            s"commit to $path rejected: " + bad.map { case (nm, c) =>
+              s"$c rows violate '$nm'" }.mkString("; "))
+        }
+      }
+    }
     val dropped = carry match {
       case CarryAllExcept(d) if isCarry => d
       case _ => Nil
@@ -1694,7 +1705,6 @@ object SnapshotStore {
   def mergeCommit(spark: SparkSession, path: String, df: DataFrame,
                   key: String): Long =
     withLock(path) {
-      enforceConstraints(df, path) // upsert rows enter the table
       val v = latestVersion(path)
       mergeLocked(spark, path, toPhysicalDf(path, v, df),
         physicalOf(path, v, key))
@@ -1734,7 +1744,6 @@ object SnapshotStore {
       if (cur != expectedVersion)
         requireDisjointSince(spark, path, expectedVersion, cur, pk,
           batchBounds(pdf, pk, s"mergeCommitIf: empty batch for $path"))
-      enforceConstraints(df, path) // upsert rows enter the table
       mergeLocked(spark, path, pdf, pk)
     }
 
@@ -1908,7 +1917,6 @@ object SnapshotStore {
       val result = j.select(outRow.as("_r")).filter(col("_r").isNotNull)
         .select(tCols.map(c => col(s"_r.$c").as(c)): _*)
 
-      enforceConstraints(result, path) // merged rows enter the table
       val pResult = toPhysicalDf(path, v, result)
       commitLocked(pResult, path, CarryAllExcept(touched), None,
         statsKeyOf(path, v).orElse(Some(pk)),
@@ -2045,7 +2053,8 @@ object SnapshotStore {
       // already tracks (deletes may use a different column)
       commitLocked(survivors, path, CarryAllExcept(touched), None,
         statsKeyOf(path, v).orElse(Some(key)),
-        colmap = columnMapping(path, v))
+        colmap = columnMapping(path, v),
+        validate = false) // rewrite-only: no new rows enter (OPTIMIZE rule)
     }
   }
 
@@ -2239,7 +2248,8 @@ object SnapshotStore {
         "resolvable — pass statsKey (or sortCols) so compaction does " +
         "not silently drop the pruning layer")
     commitLocked(out, path, Replace, None, key,
-      colmap = columnMapping(path, v))
+      colmap = columnMapping(path, v),
+      validate = false) // rewrite-only: no new rows enter (OPTIMIZE rule)
   }
 
   /** Z-ORDER compaction (Delta's OPTIMIZE ZORDER BY as a snapshot
@@ -2293,7 +2303,8 @@ object SnapshotStore {
       val key = statsKey.map(physicalOf(path, v, _)).orElse(pDims.headOption)
       commitLocked(out, path, Replace, None, key,
         extraStatsCols = pDims.filterNot(key.contains),
-        colmap = columnMapping(path, v))
+        colmap = columnMapping(path, v),
+        validate = false) // rewrite-only (OPTIMIZE rule)
     }
 
   /** Hilbert-clustered compaction — [[compactZOrdered]]'s 2-D sibling

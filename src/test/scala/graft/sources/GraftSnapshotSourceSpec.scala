@@ -223,4 +223,31 @@ class GraftSnapshotSourceSpec extends SparkSpec {
       .write.format("graft").mode(SaveMode.Append).save(path)
     assert(SnapshotStore.latestVersion(path) == 3)
   }
+
+  test("write-then-validate-then-publish: a NONDETERMINISTIC violating batch is rejected on its materialized rows, zero garbage left (r17)") {
+    val path = fresh()
+    Seq((1L, 10L)).toDF("id", "v").write.format("graft").save(path)
+    SnapshotStore.addConstraint(spark, path, "v-positive", "v > 0")
+    def dataDirs = Option(new java.io.File(path, "data").listFiles())
+      .toSeq.flatten.map(_.getName).toSet
+    val before = dataDirs
+    // the batch's lineage is nondeterministic (rand()); its
+    // materialization always violates — the r16-advice hazard was a
+    // pre-write check evaluating DIFFERENT rows than the write
+    intercept[SnapshotStore.ConstraintViolationException] {
+      SnapshotStore.commit(
+        spark.range(3).select(col("id"),
+          (-org.apache.spark.sql.functions.rand() - 1.0).cast("long")
+            .as("v")),
+        path, SaveMode.Append)
+    }
+    assert(SnapshotStore.latestVersion(path) == 1)
+    assert(dataDirs == before,
+      "a rejected batch must leave no orphan data directory")
+    assert(SnapshotStore.read(spark, path).count() == 1)
+    // rewrite-only maintenance is NOT re-validated (Delta's OPTIMIZE
+    // rule): compaction of a passing table under its constraint works
+    SnapshotStore.compact(spark, path, targetBytes = 1L << 30)
+    assert(SnapshotStore.read(spark, path).count() == 1)
+  }
 }
