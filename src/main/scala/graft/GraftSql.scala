@@ -51,14 +51,31 @@ object GraftSql {
   def merge(spark: SparkSession, sql: String): Long = {
     import graft.sinks.SnapshotStore
     val s = sql.trim.stripSuffix(";")
-    val head = ("""(?is)^MERGE\s+INTO\s+'([^']+)'(?:\s+AS)?\s+t\s+""" +
-      """USING\s+(.+?)(?:\s+AS)?\s+s\s+""" +
-      """ON\s+t\.(\w+)\s*=\s*s\.(\w+)\s*(WHEN\s.*)$""").r
-    val (path, sourceTxt, keyT, keyS, clausesTxt) = s match {
-      case head(p, src, kt, ks, rest) => (p, src.trim, kt, ks, rest)
+    // head: everything up to USING is regular; the USING operand is
+    // parsed with the paren-aware scanner (a subquery may contain
+    // ' AS s ' or ' ON ' internally — a flat regex would cut there)
+    val intro = """(?is)^MERGE\s+INTO\s+'([^']+)'(?:\s+AS)?\s+t\s+USING\s+(.*)$""".r
+    val (path, afterUsing) = s match {
+      case intro(p, rest) => (p, rest.trim)
       case _ => throw new IllegalArgumentException(
         "GraftSql.merge: expected MERGE INTO '<path>' [AS] t USING " +
           "<view|(subquery)> [AS] s ON t.<key> = s.<key> WHEN ...")
+    }
+    val (sourceTxt, afterSource) =
+      if (afterUsing.startsWith("(")) {
+        val close = matchingParen(afterUsing, 0)
+        (afterUsing.substring(0, close + 1), afterUsing.substring(close + 1))
+      } else {
+        val i = afterUsing.indexWhere(_.isWhitespace)
+        require(i > 0, "GraftSql.merge: nothing after USING")
+        afterUsing.splitAt(i)
+      }
+    val tail = """(?is)^\s*(?:AS\s+)?s\s+ON\s+t\.(\w+)\s*=\s*s\.(\w+)\s*(WHEN\s.*)$""".r
+    val (keyT, keyS, clausesTxt) = afterSource match {
+      case tail(kt, ks, rest) => (kt, ks, rest)
+      case _ => throw new IllegalArgumentException(
+        "GraftSql.merge: expected [AS] s ON t.<key> = s.<key> WHEN ... " +
+          s"after the USING operand, got: ${afterSource.trim.take(80)}")
     }
     require(keyT == keyS,
       s"GraftSql.merge: ON must equi-join one shared key column, got " +
@@ -67,25 +84,50 @@ object GraftSql {
       if (sourceTxt.startsWith("(")) spark.sql(
         sourceTxt.stripPrefix("(").stripSuffix(")"))
       else spark.table(sourceTxt)
-    // split the WHEN ladder; each clause parses independently
-    val clauseRe =
-      """(?is)WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+""" +
-        """(UPDATE\s+SET\s+(.*?)|DELETE|INSERT\s+\*)\s*(?=WHEN\s|$)"""
-    val found = clauseRe.r.findAllMatchIn(clausesTxt).toSeq
-    require(found.nonEmpty && found.map(_.matched.length).sum >=
-      clausesTxt.trim.length - 5,
-      s"GraftSql.merge: unparseable WHEN clause(s) in: $clausesTxt")
+    // split the WHEN ladder at TOP-LEVEL `WHEN` keywords — the scanner
+    // tracks parens, quotes, and CASE…END nesting, so a clause
+    // condition or SET expression containing CASE WHEN … THEN parses
+    // intact (r18, closing the flat-regex mis-tokenization); coverage
+    // is exact by construction (the splits partition the string).
+    val clauses = splitAtTopLevelWhen(clausesTxt)
+    require(clauses.nonEmpty,
+      s"GraftSql.merge: no WHEN clause in: ${clausesTxt.take(80)}")
     var matched = Seq.empty[SnapshotStore.MatchedAction]
     var notMatched: Option[SnapshotStore.MergeInsert] = None
-    found.foreach { m =>
-      val isNot = m.group(1) != null
-      val cond = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
-      val action = m.group(3).trim
-      (isNot, action.toUpperCase.take(6)) match {
-        case (false, u) if u.startsWith("UPDATE") =>
-          // SET a = <expr>, b = <expr> — split on top-level commas
-          // (commas inside parens/quotes belong to the expression)
-          val sets = splitTopLevel(m.group(4)).map { kv =>
+    val clauseHead = """(?is)^WHEN\s+(NOT\s+)?MATCHED\s*(.*)$""".r
+    clauses.foreach { c =>
+      val (isNot, rest) = c match {
+        case clauseHead(n, r) => (n != null, r)
+        case _ => throw new IllegalArgumentException(
+          s"GraftSql.merge: unparseable WHEN clause '${c.take(60)}'")
+      }
+      // the clause's own THEN is the first top-level THEN (CASE-depth
+      // 0) — an inner CASE WHEN…THEN never terminates the condition
+      val ti = topLevelKeywordIndex(rest, "THEN")
+      require(ti >= 0, s"GraftSql.merge: clause without THEN: '${c.take(60)}'")
+      val condPart = rest.take(ti).trim
+      val cond =
+        if (condPart.isEmpty) None
+        else {
+          require(condPart.toUpperCase.startsWith("AND") &&
+            (condPart.length == 3 || condPart(3).isWhitespace),
+            s"GraftSql.merge: expected AND <cond> before THEN, got '$condPart'")
+          Some(condPart.drop(3).trim).filter(_.nonEmpty)
+        }
+      val action = rest.drop(ti + 4).trim
+      val u = action.toUpperCase
+      (isNot, u) match {
+        case (false, a) if a.startsWith("UPDATE") =>
+          val setTxt = """(?is)^UPDATE\s+SET\s+(.*)$""".r
+          val items = action match {
+            case setTxt(body) => splitTopLevel(body)
+            case _ => throw new IllegalArgumentException(
+              s"GraftSql.merge: malformed UPDATE clause '${action.take(60)}'")
+          }
+          // SET a = <expr>, … — split on top-level commas (commas in
+          // parens/quotes belong to the expression); the LHS is a bare
+          // column name, so the first '=' is the assignment
+          val sets = items.map { kv =>
             val i = kv.indexOf('=')
             require(i > 0, s"GraftSql.merge: malformed SET item '$kv'")
             kv.take(i).trim -> kv.drop(i + 1).trim
@@ -93,15 +135,78 @@ object GraftSql {
           matched :+= SnapshotStore.MergeUpdate(sets.toMap, cond)
         case (false, "DELETE") =>
           matched :+= SnapshotStore.MergeDelete(cond)
-        case (true, "INSERT") =>
+        case (true, a) if a.matches("""INSERT\s*\*""") =>
           require(notMatched.isEmpty,
             "GraftSql.merge: at most one WHEN NOT MATCHED clause")
           notMatched = Some(SnapshotStore.MergeInsert(cond))
         case _ => throw new IllegalArgumentException(
-          s"GraftSql.merge: unsupported clause '${m.matched.take(60)}'")
+          s"GraftSql.merge: unsupported clause '${c.take(60)}'")
       }
     }
     SnapshotStore.mergeInto(spark, path, source, keyT, matched, notMatched)
+  }
+
+  /** Index of the close paren matching the open paren at `open`,
+    * quote-aware. */
+  private def matchingParen(s: String, open: Int): Int = {
+    require(s(open) == '(', s"expected '(' at $open")
+    var depth = 0; var inQ = false; var i = open
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"GraftSql.merge: unbalanced parens in '${s.take(60)}'")
+  }
+
+  /** Case-insensitive word occurrences of `kw` in `s` that sit at
+    * paren-depth 0, outside single quotes, and outside any CASE…END
+    * expression. */
+  private def topLevelKeywordIndices(s: String, kw: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0; var caseDepth = 0; var inQ = false; var i = 0
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    def wordAt(j: Int, w: String): Boolean =
+      j + w.length <= s.length &&
+        s.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !isWordChar(s(j - 1))) &&
+        (j + w.length == s.length || !isWordChar(s(j + w.length)))
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => inQ = !inQ; i += 1
+        case '(' if !inQ => depth += 1; i += 1
+        case ')' if !inQ => depth -= 1; i += 1
+        case _ if !inQ && depth == 0 && wordAt(i, "CASE") =>
+          caseDepth += 1; i += 4
+        case _ if !inQ && depth == 0 && caseDepth > 0 && wordAt(i, "END") =>
+          caseDepth -= 1; i += 3
+        case _ if !inQ && depth == 0 && caseDepth == 0 && wordAt(i, kw) =>
+          out += i; i += kw.length
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def topLevelKeywordIndex(s: String, kw: String): Int =
+    topLevelKeywordIndices(s, kw).headOption.getOrElse(-1)
+
+  /** Partition `s` into WHEN clauses at top-level WHEN keywords; the
+    * splits cover the string exactly (no coverage heuristic needed). */
+  private def splitAtTopLevelWhen(s: String): Seq[String] = {
+    val starts = topLevelKeywordIndices(s, "WHEN")
+    require(starts.headOption.contains(s.indexWhere(!_.isWhitespace)),
+      s"GraftSql.merge: expected WHEN at the start of: ${s.trim.take(60)}")
+    starts.zipAll(starts.drop(1), -1, s.length).map {
+      case (a, b) => s.substring(a, b).trim
+    }
   }
 
   /** Split on commas not nested in parens or single quotes. */

@@ -2082,7 +2082,49 @@ object SnapshotStore {
     withLock(path)(()) // withLock heals before the (empty) body
   }
 
+  private def deleteDirRec(d: File): Unit =
+    if (d.exists()) {
+      Option(d.listFiles()).toSeq.flatten.foreach(_.delete())
+      d.delete(): Unit
+    }
+
+  /** Resolve a crashed DV-GC swap (r18). The swap protocol is
+    * write `.gc` → rename live aside to `.old` → promote `.gc` →
+    * delete `.old`, so the leftovers identify the crash point exactly:
+    *   - `.old` + live present: crashed after the promote — drop `.old`;
+    *   - `.old` + `.gc`, live missing: crashed mid-swap — promote
+    *     `.gc` (it is the complete GC'd rewrite), then drop `.old`;
+    *   - `.old` alone, live missing: unreachable under the protocol,
+    *     healed defensively by restoring `.old` (pre-GC tombstones —
+    *     a superset, conservative: masks more never less);
+    *   - `.gc` alone with live present: crashed before the swap —
+    *     the rewrite is garbage, drop it.
+    * The dv-sidecar name filter (`v\\d{8}\\.dvpq` exact-match) never
+    * sees `.gc`/`.old` dirs, so readers are correct at every point. */
+  private def healDvGc(path: String): Unit = {
+    val sd = snapDir(path)
+    Option(sd.listFiles()).toSeq.flatten.foreach { f =>
+      val n = f.getName
+      if (n.matches("v\\d{8}\\.dvpq\\.old")) {
+        val live = new File(sd, n.stripSuffix(".old"))
+        val gc = new File(sd, n.stripSuffix(".old") + ".gc")
+        if (live.exists()) deleteDirRec(f)
+        else if (gc.exists()) {
+          require(gc.renameTo(live), s"dv gc heal: promote failed for $gc")
+          deleteDirRec(f)
+        } else require(f.renameTo(live), s"dv gc heal: restore failed for $f")
+      }
+    }
+    Option(sd.listFiles()).toSeq.flatten.foreach { f =>
+      val n = f.getName
+      if (n.matches("v\\d{8}\\.dvpq\\.gc") &&
+          new File(sd, n.stripSuffix(".gc")).exists())
+        deleteDirRec(f)
+    }
+  }
+
   private def healLocked(path: String): Unit = {
+    healDvGc(path)
     val v = latestVersion(path) + 1
     val mf = manifestFile(path, v)
     if (mf.exists()) {
@@ -2379,13 +2421,23 @@ object SnapshotStore {
           val (n0, n1) = (rows.count(), kept.count())
           if (n1 == 0L) dropDvDir(path, w)
           else if (n1 < n0) {
-            // rewrite via a sibling dir + swap (a parquet read cannot
-            // overwrite its own input)
+            // CRASH-SAFE swap (r18): write the GC'd rows to a sibling
+            // `.gc` dir (a parquet read cannot overwrite its own
+            // input), move the LIVE dir aside to `.old`, promote `.gc`,
+            // then drop `.old`. Every intermediate state is healable
+            // ([[healDvGc]], run at each lock acquisition): the live
+            // tombstones are never in a deleted-but-not-yet-replaced
+            // window — the previous delete-then-rename ordering could
+            // permanently lose live deletion vectors on a crash and
+            // resurrect masked (e.g. GDPR-deleted) rows.
             val tmp = new File(d.getParentFile, d.getName + ".gc")
+            val old = new File(d.getParentFile, d.getName + ".old")
+            deleteDirRec(tmp); deleteDirRec(old) // stale healable leftovers
             kept.coalesce(1).write.mode(SaveMode.Overwrite)
               .parquet(tmp.getPath)
-            dropDvDir(path, w)
-            require(tmp.renameTo(d), s"dv gc: rename failed for $d")
+            require(d.renameTo(old), s"dv gc: rename-aside failed for $d")
+            require(tmp.renameTo(d), s"dv gc: promote failed for $d")
+            deleteDirRec(old)
           }
         }
       }

@@ -130,6 +130,11 @@ class GraftStreamSource(
     val head0 = SnapshotStore.latestVersion(path)
     val head = availableNowCap.fold(head0)(math.min(_, head0))
     if (head == 0L) None
+    // a startingVersion ABOVE the head is a future version: idle (no
+    // batch) until it is committed — Delta waits the same way; offering
+    // the head would plan changeFeed(sv, head) with fromV > toV and
+    // fail the query on a configuration that is merely early (r18).
+    else if (lastPlanned < 0 && startingVersion.exists(_ > head)) None
     else {
       // the cap's baseline: the last offer; before any offer, the
       // startingVersion's predecessor (its backlog steps in bounded
@@ -150,13 +155,11 @@ class GraftStreamSource(
     lastPlanned = math.max(lastPlanned, endV) // restart: resume the cap here
     val batch: DataFrame = start.map(versionOf) match {
       case Some(sv) if endV <= sv =>
-        // replayed no-op range (engine edge case): schema-true empty
-        SnapshotStore.read(spark, path, Some(endV))
-          .withColumn("_change", lit("insert"))
-          .withColumn("_commit_version", lit(endV))
-          .withColumn("_commit_timestamp",
-            org.apache.spark.sql.functions.current_timestamp())
-          .limit(0)
+        // replayed no-op range (engine edge case): schema-true empty —
+        // built from the PINNED schema directly, so asStreaming's
+        // divergence check (r18) sees exactly the declared columns
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(sv) =>
         if (cdf && withCommitVersion)
           SnapshotStore.readChangesVersioned(spark, path, sv, endV, key)
@@ -191,8 +194,33 @@ class GraftStreamSource(
   /** Rebase a BATCH plan onto its executed RDD as a STREAMING frame
     * with the source's declared schema (column order enforced — the
     * engine unions batches positionally). Rows are copied out of the
-    * reused unsafe buffers before they cross the boundary. */
+    * reused unsafe buffers before they cross the boundary.
+    *
+    * SCHEMA-EVOLUTION CONTRACT (r18, Delta's rule): the schema is
+    * pinned at stream start; a mid-stream commit that ADDS, RENAMES,
+    * or DROPS a column makes the batch's columns diverge from the pin
+    * and FAILS the query with a restart message — silently projecting
+    * the pinned subset would drop the added column from every batch
+    * (data loss the consumer cannot detect), and a positional union
+    * against a renamed/dropped shape would misattribute columns.
+    * Restarting re-pins the live schema; a CDF restart from a fresh
+    * checkpoint replays history under the new shape. */
   private def asStreaming(df: DataFrame): DataFrame = {
+    val pinned = schema.fieldNames.toSet
+    val extra = df.columns.filterNot(pinned)
+    val missing = schema.fieldNames.filterNot(df.columns.toSet)
+    if (extra.nonEmpty || missing.nonEmpty)
+      throw new IllegalStateException(
+        s"graft stream source: the schema of $path evolved mid-stream (" +
+          (if (extra.nonEmpty)
+            s"column(s) ${extra.mkString(", ")} added since stream start"
+          else "") +
+          (if (extra.nonEmpty && missing.nonEmpty) "; " else "") +
+          (if (missing.nonEmpty)
+            s"pinned column(s) ${missing.mkString(", ")} renamed or dropped"
+          else "") +
+          ") - the stream's schema is pinned at start; restart the " +
+          "query (CDF: from a new checkpoint) to pick up the new shape")
     val aligned = df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
     val rdd = aligned.queryExecution.toRdd.map(_.copy())
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -210,9 +238,10 @@ class GraftStreamSource(
 object GraftStreamSource {
 
   /** The stream's FIXED schema: the live table's columns (+ `_change`
-    * in CDF mode). Pinned at stream start; a mid-stream rename/drop
-    * changes what batches produce and fails the query — restart to
-    * pick up the new shape (Delta's behavior). */
+    * in CDF mode). Pinned at stream start; ANY mid-stream schema
+    * change — a column added, renamed, or dropped — fails the query
+    * with a restart message (asStreaming's divergence check, r18;
+    * Delta's behavior). Restart to pick up the new shape. */
   def schemaFor(spark: org.apache.spark.sql.SparkSession, path: String,
                 cdf: Boolean, withCommitVersion: Boolean = false)
       : StructType = {

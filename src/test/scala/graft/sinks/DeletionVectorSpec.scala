@@ -141,6 +141,80 @@ class DeletionVectorSpec extends SparkSpec {
       "time travel before the masking version still shows the row")
   }
 
+  test("DV GC swap is crash-safe: every intermediate state heals (r18)") {
+    import java.io.File
+    def cpDir(src: File, dst: File): Unit = {
+      dst.mkdirs()
+      Option(src.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
+        java.nio.file.Files.copy(f.toPath, new File(dst, f.getName).toPath)
+      }
+    }
+    def masked(path: String): Boolean =
+      SnapshotStore.read(spark, path).filter(col("id") === 7).isEmpty
+
+    // one table per fabricated crash state; heal = any lock
+    // acquisition (recoverCommit) — the swap protocol is
+    // write .gc → live→.old → .gc→live → drop .old
+    def mk(): (String, File) = {
+      val path = fresh()
+      seed(path)
+      SnapshotStore.deleteVectorCommit(spark, path, Seq(7L).toDF("id"), "id")
+      val live = new File(new File(path, "_snapshots"), "v00000002.dvpq")
+      assert(live.exists() && masked(path))
+      (path, live)
+    }
+
+    // crash between rename-aside and promote: .old + .gc, live missing
+    locally {
+      val (path, live) = mk()
+      val old = new File(live.getParentFile, live.getName + ".old")
+      val gc = new File(live.getParentFile, live.getName + ".gc")
+      cpDir(live, gc) // the completed GC rewrite (here: identical content)
+      assert(live.renameTo(old))
+      SnapshotStore.recoverCommit(path)
+      assert(live.exists() && !old.exists() && !gc.exists() && masked(path))
+    }
+    // crash after promote, before dropping .old
+    locally {
+      val (path, live) = mk()
+      val old = new File(live.getParentFile, live.getName + ".old")
+      cpDir(live, old)
+      SnapshotStore.recoverCommit(path)
+      assert(live.exists() && !old.exists() && masked(path))
+    }
+    // crash before any rename: stale .gc next to the live dir
+    locally {
+      val (path, live) = mk()
+      val gc = new File(live.getParentFile, live.getName + ".gc")
+      cpDir(live, gc)
+      SnapshotStore.recoverCommit(path)
+      assert(live.exists() && !gc.exists() && masked(path))
+    }
+    // defensive: .old alone (protocol-unreachable) restores pre-GC
+    locally {
+      val (path, live) = mk()
+      val old = new File(live.getParentFile, live.getName + ".old")
+      assert(live.renameTo(old))
+      SnapshotStore.recoverCommit(path)
+      assert(live.exists() && !old.exists() && masked(path))
+    }
+    // and the real swap leaves no residue and keeps masks exact
+    locally {
+      val (path, live) = mk()
+      SnapshotStore.compact(spark, path, targetBytes = 1L << 30)   // v3
+      SnapshotStore.commit(Seq((500L, 1L)).toDF("id", "v"), path,
+        SaveMode.Append)                                           // v4
+      SnapshotStore.deleteVectorCommit(spark, path, Seq(500L).toDF("id"),
+        "id")                                                      // v5
+      SnapshotStore.vacuum(spark, path, keepVersions = 3)
+      val names = Option(live.getParentFile.listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.contains(".dvpq"))
+      assert(names.forall(n => n.endsWith(".dvpq")), s"residue: $names")
+      assert(SnapshotStore.read(spark, path)
+        .filter(col("id") === 500).isEmpty)
+    }
+  }
+
   test("streaming CDC source delivers DV deletes") {
     val path = fresh()
     seed(path)

@@ -119,6 +119,33 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("SQL-text MERGE: CASE WHEN in conditions/SET and ' AS s ' inside a subquery parse intact (r18)") {
+    val path = fresh()
+    SnapshotStore.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "st", "v"), path)
+    // the USING subquery contains ' AS s ' internally (the r17 flat
+    // regex could cut the source at an internal alias); the UPDATE SET
+    // and the clause condition both contain CASE WHEN … THEN (the r17
+    // clause regex stopped at the inner THEN)
+    val v = graft.GraftSql.merge(spark,
+      s"""MERGE INTO '$path' t
+         |USING (SELECT s.id, s.v FROM (SELECT 1 AS id, 100 AS v
+         |       UNION ALL SELECT 2 AS id, 7 AS v) AS s WHERE s.id > 0) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND CASE WHEN t.v < 15 THEN true ELSE s.v > 50 END
+         |  THEN UPDATE SET v = CASE WHEN s.v > 50 THEN s.v ELSE t.v + s.v END,
+         |       st = 'X'
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(v == 2)
+    val got = SnapshotStore.read(spark, path)
+      .select("id", "st", "v").as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "X", 100L),  // matched, cond true via t.v < 15, CASE picks s.s
+      // 2: first clause cond false (v=20, s=7) -> second clause DELETE
+      (3L, "c", 30L)))  // untouched
+  }
+
   test("schema evolution: source-only columns extend the table; old rows null-fill (r17)") {
     val path = fresh()
     SnapshotStore.commit(Seq((1L, "a", 10L), (2L, "b", 20L))

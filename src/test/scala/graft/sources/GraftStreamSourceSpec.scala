@@ -258,4 +258,72 @@ class GraftStreamSourceSpec extends SparkSpec {
     try assert(batches.toSeq == Seq(1, 1, 1))
     finally q.stop()
   }
+
+  test("startingVersion above the head idles until that version is committed (r18)") {
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "s"), path) // v1
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val ck = java.nio.file.Files.createTempDirectory("graft-ss-ck6").toString
+    val q = drain(
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("key", "id")
+        .option("startingVersion", "3")
+        .load(path), ck) { (df, _) =>
+      seen.synchronized {
+        seen ++= df.select("id", "s", "_change")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      }
+    }
+    try {
+      // v3 does not exist yet: the stream must idle, not fail
+      // (Delta waits for a future startingVersion the same way)
+      assert(q.exception.isEmpty && seen.isEmpty)
+      SnapshotStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path) // v2
+      q.processAllAvailable()
+      assert(q.exception.isEmpty && seen.isEmpty, "still below startingVersion")
+      SnapshotStore.commit(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), path) // v3
+      q.processAllAvailable()
+      // delivery starts AT v3: exactly its keyed delta
+      assert(seen.toSet == Set((3L, "c", "insert")))
+    } finally q.stop()
+  }
+
+  test("mid-stream schema evolution fails with a restart message, CDF and append modes (r18)") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    // CDF mode: a column ADDED mid-stream must fail the query (the
+    // pinned schema cannot carry it; silently dropping it would be
+    // undetectable data loss), with restart guidance in the message.
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "s"), path)
+    val ck = java.nio.file.Files.createTempDirectory("graft-ss-ck7").toString
+    val q = drain(
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("key", "id")
+        .load(path), ck) { (_, _) => () }
+    try {
+      assert(q.exception.isEmpty)
+      SnapshotStore.commit(
+        Seq((2L, "b", 9L)).toDF("id", "s", "extra"), path, SaveMode.Append)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      val msg = e.getCause.getMessage
+      assert(msg.contains("evolved mid-stream") && msg.contains("extra") &&
+        msg.contains("restart"), msg)
+    } finally q.stop()
+
+    // append mode: same contract
+    val path2 = fresh()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "s"), path2)
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-ss-ck8").toString
+    val q2 = drain(
+      spark.readStream.format("graft").load(path2), ck2) { (_, _) => () }
+    try {
+      assert(q2.exception.isEmpty)
+      SnapshotStore.commit(
+        Seq((2L, "b", 9L)).toDF("id", "s", "extra"), path2, SaveMode.Append)
+      val e2 = intercept[StreamingQueryException] { q2.processAllAvailable() }
+      assert(e2.getCause.getMessage.contains("evolved mid-stream"),
+        e2.getCause.getMessage)
+    } finally q2.stop()
+  }
 }
