@@ -275,6 +275,9 @@ object SparkEntry {
     // stats-sidecar scan planning (r15): file-level range pruning on
     // the READ path (readWhere), oracled vs a plain WHERE over orders
     "q_snapshot_prune" -> q(Relational.snapshotPrune),
+    // all-column stats (r18): readWhere pruning on a column the
+    // caller never declared as the stats key, oracled
+    "q_snapshot_prune_multi" -> q(Relational.snapshotPruneMulti),
     "q6_forecast"      -> q(Relational.q6Forecast),
     "q4_priority"      -> q(Relational.q4Priority),
     "q12_shipmode"     -> q(Relational.q12Shipmode),
@@ -2430,6 +2433,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_orderkey BETWEEN 100 AND 4000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // all-column stats gate (r18): the filter column is NOT the
+    // declared stats key — pruning + residual filter must still match
+    // the plain WHERE
+    "q_snapshot_prune_multi" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice >= 1000 AND o_totalprice <= 50000
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 

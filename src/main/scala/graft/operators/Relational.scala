@@ -597,6 +597,37 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** ALL-COLUMN stats pruning through the REAL table layer (r18,
+    * oracled — Delta's collect-stats-on-every-column default): orders
+    * are committed clustered by o_totalprice but stats-tracked with
+    * statsKey = o_orderkey — and the read filters on o_totalprice, a
+    * column the caller never declared. The r18 all-column checkpoint
+    * records (lo, hi) for every eligible column at commit, so
+    * [[graft.sinks.SnapshotStore.readWhere]] on ANY filtered column
+    * file-prunes (SnapshotStoreSpec pins the inputFiles subset); the
+    * oracle replays the range as a plain WHERE. At 100 TB this is the
+    * difference between "pruning works only on the one column the
+    * writer thought of" and "every dashboard filter prunes". */
+  def snapshotPruneMulti(t: Tables): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prunem").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    graft.sinks.SnapshotStore.commit(
+      o.repartitionByRange(8, col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice"),
+      dir, statsKey = Some("o_orderkey"))
+    graft.sinks.SnapshotStore
+      .readWhere(t.spark, dir, "o_totalprice", 1000L, 50000L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** INCREMENTAL VIEW MAINTENANCE driven through the REAL table layer
     * (r16, oracled): a per-status (count, exact-cents sum) aggregate
     * view of an orders table is maintained across THREE commits —

@@ -1,8 +1,6 @@
 package graft.sinks
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
@@ -47,17 +45,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * Delta/Iceberg commit rule). */
 object SnapshotStore {
 
-  private def snapDir(path: String) = new File(path, "_snapshots")
+  /** The metadata store for a table root (r18): every manifest /
+    * pointer / lock / sidecar byte moves through [[LogStore]], so a
+    * table root may live on any Hadoop FileSystem — `hdfs://`,
+    * object stores — not just POSIX disk. Resolved per call (the
+    * registry is a scheme switch + a test seam; stores are
+    * stateless). */
+  private def store(path: String): LogStore = LogStore.forPath(path)
+
+  private def snapDir(path: String) =
+    store(path).child(path, "_snapshots")
   private def manifestFile(path: String, v: Long) =
-    new File(snapDir(path), f"v$v%08d.manifest")
-  private def latestFile(path: String) = new File(snapDir(path), "_latest")
+    store(path).child(snapDir(path), f"v$v%08d.manifest")
+  private def latestFile(path: String) =
+    store(path).child(snapDir(path), "_latest")
 
   /** The committed version, or 0 if the table has no snapshot yet. */
   def latestVersion(path: String): Long = {
+    val st = store(path)
     val f = latestFile(path)
-    if (f.exists()) new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8).trim.toLong
-    else 0L
+    if (st.exists(f)) st.readString(f).trim.toLong else 0L
   }
 
   // ——— manifest log (r17): FULL checkpoints + O(delta) commits ———
@@ -86,9 +93,9 @@ object SnapshotStore {
                                   drops: Seq[String],
                                   paths: Option[Seq[String]])
 
-  private def requireManifest(path: String, v: Long): File = {
+  private def requireManifest(path: String, v: Long): String = {
     val f = manifestFile(path, v)
-    require(f.exists(), s"snapshot v$v does not exist under $path")
+    require(store(path).exists(f), s"snapshot v$v does not exist under $path")
     f
   }
 
@@ -98,12 +105,12 @@ object SnapshotStore {
       (l.substring(1, i), l.substring(i + 1).trim)
     }.toMap
 
-  private def parseManifest(f: File): ManifestInfo = {
-    val lines = new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  private def parseManifest(st: LogStore, f: String): ManifestInfo = {
+    val lines = st.readString(f)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     val hdr = parseHeader(lines)
     val body = lines.filterNot(_.startsWith("#"))
-    val ts = hdr.get("ts").map(_.toLong).getOrElse(f.lastModified())
+    val ts = hdr.get("ts").map(_.toLong).getOrElse(st.lastModified(f))
     hdr.get("base") match {
       case Some(b) =>
         ManifestInfo(ts, Some(b.toLong),
@@ -119,9 +126,9 @@ object SnapshotStore {
 
   /** Header fields only — stops at the first body line, so probing a
     * 10⁷-line FULL checkpoint for its depth reads a few bytes. */
-  private def manifestHeader(f: File): Map[String, String] = {
+  private def manifestHeader(st: LogStore, f: String): Map[String, String] = {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      new java.io.FileInputStream(f), StandardCharsets.UTF_8))
+      st.open(f), StandardCharsets.UTF_8))
     try {
       val hdr = scala.collection.mutable.Map.empty[String, String]
       var line = in.readLine()
@@ -136,12 +143,13 @@ object SnapshotStore {
 
   /** The version's DELTA-chain depth (0 = FULL checkpoint). */
   private def manifestDepth(path: String, v: Long): Int =
-    manifestHeader(requireManifest(path, v)).get("depth").fold(0)(_.toInt)
+    manifestHeader(store(path), requireManifest(path, v))
+      .get("depth").fold(0)(_.toInt)
 
   /** Live-file count of version `v` — O(1) from the `#n` header
     * (legacy fulls fall back to a resolve). */
   private def nFiles(path: String, v: Long): Long = {
-    val hdr = manifestHeader(requireManifest(path, v))
+    val hdr = manifestHeader(store(path), requireManifest(path, v))
     hdr.get("n").map(_.toLong).getOrElse(manifest(path, v).size.toLong)
   }
 
@@ -151,7 +159,7 @@ object SnapshotStore {
     * plan a scan or diff two versions; commits never call this on the
     * carried set. */
   private def manifest(path: String, v: Long): Seq[String] = {
-    val m = parseManifest(requireManifest(path, v))
+    val m = parseManifest(store(path), requireManifest(path, v))
     m.paths match {
       case Some(ps) => ps
       case None =>
@@ -164,13 +172,14 @@ object SnapshotStore {
   /** The chain from `v` back to (and excluding) its FULL base:
     * (fullVersion, deltas oldest→newest). */
   private def chainOf(path: String, v: Long): (Long, Seq[(Long, ManifestInfo)]) = {
+    val st = store(path)
     var cur = v
     var deltas = List.empty[(Long, ManifestInfo)]
-    var m = parseManifest(requireManifest(path, cur))
+    var m = parseManifest(st, requireManifest(path, cur))
     while (m.base.isDefined) {
       deltas = (cur, m) :: deltas
       cur = m.base.get
-      m = parseManifest(requireManifest(path, cur))
+      m = parseManifest(st, requireManifest(path, cur))
     }
     (cur, deltas)
   }
@@ -187,7 +196,7 @@ object SnapshotStore {
     var cur = toV
     var deltas = List.empty[ManifestInfo]
     while (cur > fromV) {
-      val m = parseManifest(requireManifest(path, cur))
+      val m = parseManifest(store(path), requireManifest(path, cur))
       if (m.base.isEmpty) return None // checkpoint inside the range
       deltas = m :: deltas
       cur = m.base.get
@@ -205,14 +214,16 @@ object SnapshotStore {
     * falling back to the manifest file's mtime for manifests written
     * before the header existed. */
   def commitTime(path: String, v: Long): Long = {
+    val st = store(path)
     val f = requireManifest(path, v)
-    manifestHeader(f).get("ts").map(_.toLong).getOrElse(f.lastModified())
+    manifestHeader(st, f).get("ts").map(_.toLong)
+      .getOrElse(st.lastModified(f))
   }
 
   /** Retained versions, oldest first (vacuumed versions are gone). */
   def versions(path: String): Seq[Long] =
-    Option(snapDir(path).listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.matches("v\\d{8}\\.manifest"))
+    store(path).list(snapDir(path))
+      .map(_.name).filter(_.matches("v\\d{8}\\.manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
       .filter(_ <= latestVersion(path)) // an unpublished manifest is not history
       .sorted
@@ -222,13 +233,11 @@ object SnapshotStore {
     * metadata only (manifest-count rows), the DESCRIBE HISTORY shape. */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    val st = store(path)
     versions(path).map { v =>
       val b = batchFile(path, v)
       (v, commitTime(path, v), nFiles(path, v).toInt,
-        if (b.exists())
-          Some(new String(Files.readAllBytes(b.toPath),
-            StandardCharsets.UTF_8).trim.toLong)
-        else None)
+        if (st.exists(b)) Some(st.readString(b).trim.toLong) else None)
     }.toDF("version", "commit_ts", "n_files", "batch_id")
   }
 
@@ -260,7 +269,7 @@ object SnapshotStore {
     extends IllegalArgumentException(msg)
 
   private def schemaFile(path: String, v: Long) =
-    new File(snapDir(path), f"v$v%08d.schema")
+    store(path).child(snapDir(path), f"v$v%08d.schema")
 
   /** Everything nullable, recursively — sidecar schemas must admit the
     * null-fill of columns absent from older files, and type equality
@@ -277,10 +286,10 @@ object SnapshotStore {
   /** The version's PHYSICAL table schema from its sidecar — O(1),
     * no footer I/O; None on tables written before the sidecar. */
   private def tableSchemaOpt(path: String, v: Long): Option[StructType] = {
+    val st = store(path)
     val f = schemaFile(path, v)
-    if (!f.exists()) None
-    else Some(DataType.fromJson(new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8)).asInstanceOf[StructType])
+    if (!st.exists(f)) None
+    else Some(DataType.fromJson(st.readString(f)).asInstanceOf[StructType])
   }
 
   /** The version's physical schema: sidecar when present, else the
@@ -425,14 +434,16 @@ object SnapshotStore {
   final class ConstraintViolationException(msg: String)
     extends IllegalArgumentException(msg)
 
-  private def constraintsFile(path: String) = new File(path, "_constraints")
+  private def constraintsFile(path: String) =
+    store(path).child(path, "_constraints")
 
   /** The table's CHECK constraints, oldest first: (name, boolean SQL
     * expression over LOGICAL column names). */
   def tableConstraints(path: String): Seq[(String, String)] = {
+    val st = store(path)
     val f = constraintsFile(path)
-    if (!f.exists()) Nil
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+    if (!st.exists(f)) Nil
+    else st.readString(f)
       .split("\n").toSeq.filter(_.nonEmpty)
       .map { l => val Array(n, e) = l.split("\t", 2); (n, e) }
   }
@@ -483,13 +494,13 @@ object SnapshotStore {
   /** Remove a named constraint (no-op if absent). */
   def dropConstraint(path: String, name: String): Unit = withLock(path) {
     val kept = tableConstraints(path).filterNot(_._1 == name)
-    if (kept.isEmpty) { constraintsFile(path).delete(): Unit }
+    if (kept.isEmpty) { store(path).delete(constraintsFile(path)): Unit }
     else writeConstraints(path, kept)
   }
 
   private def writeConstraints(path: String,
                                cs: Seq[(String, String)]): Unit =
-    atomicWrite(constraintsFile(path),
+    store(path).writeAtomic(constraintsFile(path),
       cs.map { case (n, e) => s"$n\t$e\n" }.mkString)
 
   /** One fused aggregate pass: per-constraint violation counts over
@@ -565,18 +576,19 @@ object SnapshotStore {
   @volatile var lockWaitMs: Long = 60000L
 
   private def withLock[A](path: String)(body: => A): A = {
-    val lock = new File(path.stripSuffix("/") + ".snapshot-lock")
-    new File(path).mkdirs()
+    val st = store(path)
+    val lock = path.stripSuffix("/") + ".snapshot-lock"
+    st.mkdirs(path)
     val deadline = System.nanoTime() + lockWaitMs * 1000000L
-    var acquired = lock.createNewFile()
+    var acquired = st.putIfAbsent(lock)
     while (!acquired && System.nanoTime() < deadline) {
       Thread.sleep(100)
-      acquired = lock.createNewFile()
+      acquired = st.putIfAbsent(lock)
     }
     if (!acquired)
       throw new java.io.IOException(
-        s"snapshot commit: ${lock.getName} held for over ${lockWaitMs} ms — concurrent writer (or crashed one; remove the lock after inspection)")
-    try { healLocked(path); body } finally { lock.delete(): Unit }
+        s"snapshot commit: $lock held for over ${lockWaitMs} ms — concurrent writer (or crashed one; remove the lock after inspection)")
+    try { healLocked(path); body } finally { st.delete(lock): Unit }
   }
 
   /** How a commit treats the previous version's files. */
@@ -622,12 +634,19 @@ object SnapshotStore {
       if (isCarry) mergeStrict(tableSchema(df.sparkSession, path, prev),
         df.schema, path)
       else deepNullable(df.schema).asInstanceOf[StructType]
-    val dataDir = new File(new File(path, "data"),
+    val st = store(path)
+    val dataDir = st.child(st.child(path, "data"),
       f"v$v%08d-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.getPath)
-    val fresh = Option(dataDir.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getPath).sorted
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    // manifests record NORMALIZED paths (file: URIs decoded to plain
+    // paths, other schemes verbatim) so they compare equal with the
+    // normalized forms the stats/DV layers derive from
+    // input_file_name()/_metadata — whichever store listed them (a
+    // Hadoop store returns qualified file:/ URIs, the local store
+    // plain paths).
+    val fresh = st.list(dataDir)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+      .map(e => normalizePathSafe(e.path)).sorted
     // WRITE-THEN-VALIDATE-THEN-PUBLISH (r17, closing the r16 advice):
     // CHECK constraints are enforced on the MATERIALIZED files, so the
     // checked rows are exactly the rows the manifest will publish — a
@@ -644,8 +663,7 @@ object SnapshotStore {
           df.sparkSession.read.parquet(fresh: _*), colmap)
         val bad = violationCounts(freshLogical, cs).filter(_._2 > 0)
         if (bad.nonEmpty) {
-          Option(dataDir.listFiles()).toSeq.flatten.foreach(_.delete())
-          dataDir.delete(): Unit
+          st.deleteRecursively(dataDir)
           throw new ConstraintViolationException(
             s"commit to $path rejected: " + bad.map { case (nm, c) =>
               s"$c rows violate '$nm'" }.mkString("; "))
@@ -672,10 +690,25 @@ object SnapshotStore {
       else manifest(path, prev).filterNot(dropped.toSet)
     statsKey match {
       case Some(key) =>
-        val cols = (key +: extraStatsCols).distinct
+        val declared = (key +: extraStatsCols).distinct
+        // ALL-COLUMN stats (r18, Delta's default-32 rule): beyond the
+        // declared key(s), record ranges for EVERY other eligible
+        // top-level column (numeric or string) of the batch, capped at
+        // 32 columns total — a readWhere / mergeCommit / deleteCommit
+        // filtering on ANY of them then file-prunes instead of
+        // scanning the table. The cost is aggregates, not passes: the
+        // skinny per-file agg below is one map-side job whatever the
+        // column count.
+        val statTypes = df.schema.fields
+          .map(f => f.name -> f.dataType).toMap
+        val auto = df.schema.fields.filter { f =>
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            f.dataType == org.apache.spark.sql.types.StringType
+        }.map(_.name).filterNot(declared.contains)
+        val cols = (declared ++ auto).take(32)
         val spark = df.sparkSession
         import org.apache.spark.sql.functions.{input_file_name, min, max,
-          explode, array, struct, lit, col}
+          explode, array, struct, lit, col, when, floor, ceil, coalesce}
         import spark.implicits._
         // DISTRIBUTED stats checkpoint (r16): per-file ranges land as a
         // parquet frame (file, column, lo, hi) under the version, never
@@ -683,19 +716,48 @@ object SnapshotStore {
         // DataFrame, and every pruning read is a scan of it (the
         // Delta-checkpoint shape). Fresh ranges: one skinny agg over
         // the fresh files for ALL tracked columns, exploded to rows.
-        // try_cast BEFORE the aggregate, not after: range stats are
+        // Casting happens BEFORE the aggregate: range stats are
         // integral-only (the whole pruning layer compares long
-        // windows), so a non-numeric stats column must DEGRADE to "no
-        // range recorded" (file unpruned, never wrong, same as the
-        // all-null rule below) rather than fail the commit with an
-        // ANSI cast error. Order matters: min/max on the RAW column
-        // then a cast would record LEXICOGRAPHIC extremes for
-        // numeric-looking strings ("30" < "5") — a wrong range that
-        // silently prunes matching files; casting first makes the
-        // extremes numeric or null, never wrong.
+        // windows), so min/max on the RAW column then a cast would
+        // record LEXICOGRAPHIC extremes for numeric-looking strings
+        // ("30" < "5") — a wrong range that silently prunes matching
+        // files. The cast is dtype-aware and CONSERVATIVE (r18):
+        //  - integral columns cast exactly;
+        //  - fractional/decimal/string columns WIDEN — floor for lo,
+        //    ceil for hi — because a truncate-toward-zero cast records
+        //    lo = 0 for min = −0.5 and would wrongly prune hi < 0
+        //    queries (strings try the exact long cast first so huge
+        //    integer ids never round through double);
+        //  - any row whose value fails the cast poisons the column's
+        //    range for that FILE (the bad_i flag below): recording the
+        //    extremes of only the castable rows would under-cover and
+        //    prune files that still hold matching rows. No range →
+        //    unpruned, never wrong.
+        def isIntegral(dt: org.apache.spark.sql.types.DataType) = dt match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        def loC(c: String) = statTypes(c) match {
+          case dt if isIntegral(dt) => col(c).cast("long")
+          case org.apache.spark.sql.types.StringType =>
+            coalesce(col(c).try_cast("long"),
+              floor(col(c).try_cast("double")).try_cast("long"))
+          case _ => floor(col(c).try_cast("double")).try_cast("long")
+        }
+        def hiC(c: String) = statTypes(c) match {
+          case dt if isIntegral(dt) => col(c).cast("long")
+          case org.apache.spark.sql.types.StringType =>
+            coalesce(col(c).try_cast("long"),
+              ceil(col(c).try_cast("double")).try_cast("long"))
+          case _ => ceil(col(c).try_cast("double")).try_cast("long")
+        }
         val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(min(col(c).try_cast("long")).as(s"lo_$i"),
-            max(col(c).try_cast("long")).as(s"hi_$i")) }
+          Seq(min(loC(c)).as(s"lo_$i"), max(hiC(c)).as(s"hi_$i"),
+            max(when(col(c).isNotNull && loC(c).isNull, 1)
+              .otherwise(0)).as(s"bad_$i")) }
         val freshDF: Option[DataFrame] =
           if (fresh.isEmpty) None
           else Some(spark.read.parquet(fresh: _*)
@@ -703,12 +765,16 @@ object SnapshotStore {
             .agg(aggs.head, aggs.tail: _*)
             .select(col("f"),
               explode(array(cols.zipWithIndex.map { case (c, i) =>
-                struct(lit(c).as("column"), col(s"lo_$i").as("lo"),
-                  col(s"hi_$i").as("hi")) }: _*)).as("st"))
+                struct(lit(c).as("column"),
+                  when(col(s"bad_$i") === 1, lit(null))
+                    .otherwise(col(s"lo_$i")).as("lo"),
+                  when(col(s"bad_$i") === 1, lit(null))
+                    .otherwise(col(s"hi_$i")).as("hi")) }: _*)).as("st"))
             .select(col("f"), col("st.column").as("column"),
               col("st.lo").as("lo"), col("st.hi").as("hi"))
-            // an all-null file/column has no range — no row, file
-            // degrades to unpruned exactly like the no-stats case
+            // an all-null or uncastable file/column has no range — no
+            // row, file degrades to unpruned exactly like the no-stats
+            // case
             .filter(col("lo").isNotNull && col("hi").isNotNull)
             // input_file_name yields a PERCENT-ENCODED file: URI;
             // manifests hold decoded plain paths (File.getPath). A
@@ -737,7 +803,7 @@ object SnapshotStore {
               val parts = math.max(1L,
                 fresh.size.toLong * cols.size / 100000L).toInt
               st.repartition(parts).write.mode(SaveMode.Overwrite)
-                .parquet(statsCheckDir(path, v).getPath)
+                .parquet(statsCheckDir(path, v))
             case None => dropStatsCheckpoint(path, v)
           }
         } else {
@@ -763,7 +829,7 @@ object SnapshotStore {
               // distributed.)
               val parts = math.max(1L, newN * cols.size / 100000L).toInt
               st.repartition(parts).write.mode(SaveMode.Overwrite)
-                .parquet(statsCheckDir(path, v).getPath)
+                .parquet(statsCheckDir(path, v))
             case None => dropStatsCheckpoint(path, v)
           }
         }
@@ -785,10 +851,8 @@ object SnapshotStore {
           // simply have no recorded ranges (unpruned, never wrong).
           // A Replace is a genuine reset.
           val prevHdr = statsFile(path, prev)
-          if (prevHdr.exists())
-            atomicWrite(statsFile(path, v),
-              new String(Files.readAllBytes(prevHdr.toPath),
-                StandardCharsets.UTF_8))
+          if (st.exists(prevHdr))
+            atomicWrite(statsFile(path, v), st.readString(prevHdr))
           // at a checkpoint commit, consolidate the chain's stats by
           // driver file-copy (chain frames are disjoint by
           // construction; stale rows are inert) so the new FULL base
@@ -815,25 +879,23 @@ object SnapshotStore {
     * the chain ends there and [[statsDF]] still unions them). */
   private def consolidateStatsByCopy(path: String, fromV: Long,
                                      atV: Long): Unit = {
+    val st = store(path)
     val (fullV, deltas) = chainOf(path, fromV)
     val srcs = (fullV +: deltas.map(_._1)).map(statsCheckDir(path, _))
-      .filter(_.exists())
+      .filter(st.exists)
     if (srcs.nonEmpty) {
       val dst = statsCheckDir(path, atV)
-      dst.mkdirs()
-      srcs.filterNot(_.getPath == dst.getPath).foreach { d =>
-        Option(d.listFiles()).toSeq.flatten
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .foreach { f =>
-            Files.copy(f.toPath, new File(dst, f.getName).toPath,
-              StandardCopyOption.REPLACE_EXISTING)
-          }
+      st.mkdirs(dst)
+      srcs.filterNot(_ == dst).foreach { d =>
+        st.list(d)
+          .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+          .foreach(e => st.copyFile(e.path, st.child(dst, e.name)))
       }
     }
   }
 
   private def statsFile(path: String, v: Long) =
-    new File(snapDir(path), f"v$v%08d.stats")
+    store(path).child(snapDir(path), f"v$v%08d.stats")
 
   /** The version's parquet stats CHECKPOINT (r16): per-file (column,
     * lo, hi) range rows, written distributed at commit time and read
@@ -841,7 +903,7 @@ object SnapshotStore {
     * per-file stats (the Delta checkpoint discipline; at 10⁵–10⁷
     * files the pruning scan itself must be a Spark job). */
   private def statsCheckDir(path: String, v: Long) =
-    new File(snapDir(path), f"v$v%08d.statspq")
+    store(path).child(snapDir(path), f"v$v%08d.statspq")
 
   /** One chain link's stats frame: the parquet checkpoint when
     * present, else the legacy text sidecar parallelized (bounded:
@@ -849,7 +911,7 @@ object SnapshotStore {
   private def statsFrameAt(spark: SparkSession, path: String, v: Long)
       : Option[DataFrame] = {
     val ck = statsCheckDir(path, v)
-    if (ck.exists()) Some(spark.read.parquet(ck.getPath))
+    if (store(path).exists(ck)) Some(spark.read.parquet(ck))
     else {
       val legacy = statsAllText(path, v)
       if (legacy.isEmpty) None
@@ -886,7 +948,7 @@ object SnapshotStore {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val (fullV, deltas) = chainOf(path, v)
-    val base = spark.read.text(manifestFile(path, fullV).getPath)
+    val base = spark.read.text(manifestFile(path, fullV))
       .select(col("value").as("file"))
       .filter(!col("file").startsWith("#") && col("file") =!= "")
     val adds = deltas.flatMap(_._2.adds)
@@ -904,7 +966,8 @@ object SnapshotStore {
   private def hasStats(path: String, v: Long): Boolean = {
     val (fullV, deltas) = chainOf(path, v)
     (fullV +: deltas.map(_._1)).exists(w =>
-      statsCheckDir(path, w).exists() || statsAllText(path, w).nonEmpty)
+      store(path).exists(statsCheckDir(path, w)) ||
+        statsAllText(path, w).nonEmpty)
   }
 
   /** FILE paths of the snapshot that may hold rows with `key` ∈
@@ -930,35 +993,30 @@ object SnapshotStore {
   }
 
   private def dropStatsArtifacts(path: String, v: Long): Unit = {
-    val f = statsFile(path, v)
-    if (f.exists()) { f.delete(): Unit }
-    val cm = colmapFile(path, v)
-    if (cm.exists()) { cm.delete(): Unit }
+    val st = store(path)
+    st.delete(statsFile(path, v)): Unit
+    st.delete(colmapFile(path, v)): Unit
     dropStatsCheckpoint(path, v)
     dropDvDir(path, v)
-    val sc = schemaFile(path, v)
-    if (sc.exists()) { sc.delete(): Unit }
+    st.delete(schemaFile(path, v)): Unit
   }
 
-  private def dropDvDir(path: String, v: Long): Unit = {
-    val dv = dvDir(path, v)
-    if (dv.exists()) {
-      Option(dv.listFiles()).toSeq.flatten.foreach(_.delete())
-      dv.delete(): Unit
-    }
-  }
+  private def dropDvDir(path: String, v: Long): Unit =
+    store(path).deleteRecursively(dvDir(path, v))
 
-  private def dropStatsCheckpoint(path: String, v: Long): Unit = {
-    val d = statsCheckDir(path, v)
-    if (d.exists()) {
-      Option(d.listFiles()).toSeq.flatten.foreach(_.delete())
-      d.delete(): Unit
-    }
-  }
+  private def dropStatsCheckpoint(path: String, v: Long): Unit =
+    store(path).deleteRecursively(statsCheckDir(path, v))
 
   /** input_file_name() yields a file: URI; manifests hold plain paths. */
   private def normalizePath(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  /** [[normalizePath]] with the raw-strip fallback for strings
+    * URI.create rejects — the shared rule for every path that must
+    * compare equal with a manifest line. */
+  private def normalizePathSafe(p: String): String =
+    try normalizePath(p)
+    catch { case _: Exception => p.replaceFirst("^file:(//)?", "") }
 
   /** LEGACY text-sidecar body reader: per-file ranges keyed (column,
     * file). Versions written since r16 keep only the #key=/#cols=
@@ -968,11 +1026,11 @@ object SnapshotStore {
     * column; multi-column sidecars tag each line. */
   private def statsAllText(path: String, v: Long)
       : Map[(String, String), (Long, Long)] = {
+    val st = store(path)
     val f = statsFile(path, v)
-    if (!f.exists()) Map.empty
+    if (!st.exists(f)) Map.empty
     else {
-      val lines = new String(Files.readAllBytes(f.toPath),
-        StandardCharsets.UTF_8).split("\n").toSeq.map(_.trim)
+      val lines = st.readString(f).split("\n").toSeq.map(_.trim)
         .filter(_.nonEmpty)
       val primary = lines.find(_.startsWith("#key="))
         .map(_.stripPrefix("#key=").trim).getOrElse("")
@@ -987,9 +1045,10 @@ object SnapshotStore {
   /** The column a version's stats sidecar tracks (its `#key=` header),
     * if any — lets maintenance commits preserve the pruning layer. */
   private def statsKeyOf(path: String, v: Long): Option[String] = {
+    val st = store(path)
     val f = statsFile(path, v)
-    if (!f.exists()) None
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+    if (!st.exists(f)) None
+    else st.readString(f)
       .split("\n").find(_.startsWith("#key="))
       .map(_.stripPrefix("#key=").trim).filter(_.nonEmpty)
   }
@@ -997,7 +1056,7 @@ object SnapshotStore {
   // ——— column mapping (r16): rename/drop without rewriting data ———
 
   private def colmapFile(path: String, v: Long) =
-    new File(snapDir(path), f"v$v%08d.colmap")
+    store(path).child(snapDir(path), f"v$v%08d.colmap")
 
   /** The version's COLUMN MAPPING — ordered (logical, physical) pairs
     * (Delta/Iceberg column mapping): data files store columns under
@@ -1006,10 +1065,10 @@ object SnapshotStore {
     * None = no mapping layer (identity — every table starts here and
     * pays zero cost until the first rename/drop). */
   def columnMapping(path: String, v: Long): Option[Seq[(String, String)]] = {
+    val st = store(path)
     val f = colmapFile(path, v)
-    if (!f.exists()) None
-    else Some(new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8).split("\n").toSeq
+    if (!st.exists(f)) None
+    else Some(st.readString(f).split("\n").toSeq
       .map(_.trim).filter(_.nonEmpty)
       .map { l => val a = l.split("\t"); (a(0), a(1)) })
   }
@@ -1143,9 +1202,10 @@ object SnapshotStore {
   private def metadataCommit(path: String, v: Long,
                              mapping: Seq[(String, String)]): Long = {
     val nv = v + 1
+    val lst = store(path)
     dropDvDir(path, nv) // stale crashed tombstones (commitLocked rule)
     val st = statsFile(path, v)
-    if (st.exists()) {
+    if (lst.exists(st)) {
       // the stats header names PHYSICAL columns; a dropColumn must not
       // carry a dropped column forward as the tracked key — the next
       // mergeCommit/deleteCommit would aggregate min/max over a column
@@ -1153,8 +1213,7 @@ object SnapshotStore {
       // new mapping still presents; promote the first survivor to
       // #key= if the key itself was dropped; no survivors → no header.
       val live = mapping.map(_._2).toSet
-      val lines = new String(Files.readAllBytes(st.toPath),
-        StandardCharsets.UTF_8).split("\n")
+      val lines = lst.readString(st).split("\n")
       val key = lines.find(_.startsWith("#key="))
         .map(_.stripPrefix("#key=").trim).filter(_.nonEmpty)
       val cols = lines.find(_.startsWith("#cols="))
@@ -1169,9 +1228,8 @@ object SnapshotStore {
     }
     writeColmap(path, nv, Some(mapping))
     val sch = schemaFile(path, v)
-    if (sch.exists())
-      atomicWrite(schemaFile(path, nv),
-        new String(Files.readAllBytes(sch.toPath), StandardCharsets.UTF_8))
+    if (lst.exists(sch))
+      atomicWrite(schemaFile(path, nv), lst.readString(sch))
     val depth = manifestDepth(path, v) + 1
     if (depth < manifestCheckpointInterval)
       publishDelta(path, nv, adds = Nil, drops = Nil,
@@ -1189,19 +1247,18 @@ object SnapshotStore {
       case Some(m) => atomicWrite(colmapFile(path, v),
         m.map { case (l, p) => s"$l\t$p" }.mkString("\n") + "\n")
       case None =>
-        val f = colmapFile(path, v)
-        if (f.exists()) { f.delete(): Unit }
+        store(path).delete(colmapFile(path, v)): Unit
     }
 
   // ——— deletion vectors (r17): row masks instead of file rewrites ———
 
   private def dvDir(path: String, v: Long) =
-    new File(snapDir(path), f"v$v%08d.dvpq")
+    store(path).child(snapDir(path), f"v$v%08d.dvpq")
 
   /** Versions ≤ v that recorded deletion-vector tombstones. */
   private def dvVersionsUpTo(path: String, v: Long): Seq[Long] =
-    Option(snapDir(path).listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.matches("v\\d{8}\\.dvpq"))
+    store(path).list(snapDir(path))
+      .map(_.name).filter(_.matches("v\\d{8}\\.dvpq"))
       .map(_.stripPrefix("v").stripSuffix(".dvpq").toLong)
       .filter(_ <= v).sorted
 
@@ -1211,9 +1268,10 @@ object SnapshotStore {
     * anti-join against rows actually read from live files. */
   private def dvFrame(spark: SparkSession, path: String, v: Long)
       : Option[DataFrame] = {
-    val dirs = dvVersionsUpTo(path, v).map(dvDir(path, _)).filter(_.exists())
+    val dirs = dvVersionsUpTo(path, v).map(dvDir(path, _))
+      .filter(store(path).exists)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_.getPath): _*))
+    else Some(spark.read.parquet(dirs: _*))
   }
 
   /** Apply version `v`'s deletion vectors to a frame scanned from this
@@ -1295,20 +1353,17 @@ object SnapshotStore {
         if (positions.isEmpty) v // keys absent or already masked
         else {
           val nv = v + 1
+          val lst = store(path)
           positions.coalesce(1).write.mode(SaveMode.Overwrite)
-            .parquet(dvDir(path, nv).getPath)
+            .parquet(dvDir(path, nv))
           // carry the stats header + column mapping like any other
           // carry commit — the table's tracking must survive
           val prevHdr = statsFile(path, v)
-          if (prevHdr.exists())
-            atomicWrite(statsFile(path, nv),
-              new String(Files.readAllBytes(prevHdr.toPath),
-                StandardCharsets.UTF_8))
+          if (lst.exists(prevHdr))
+            atomicWrite(statsFile(path, nv), lst.readString(prevHdr))
           val sch = schemaFile(path, v)
-          if (sch.exists())
-            atomicWrite(schemaFile(path, nv),
-              new String(Files.readAllBytes(sch.toPath),
-                StandardCharsets.UTF_8))
+          if (lst.exists(sch))
+            atomicWrite(schemaFile(path, nv), lst.readString(sch))
           writeColmap(path, nv, columnMapping(path, v))
           val depth = manifestDepth(path, v) + 1
           if (depth < manifestCheckpointInterval)
@@ -1420,12 +1475,12 @@ object SnapshotStore {
     // file diff above; (file,row) uniqueness across sidecars means no
     // tombstoned row can also be masked at fromV.
     val dvNewDirs = dvVersionsUpTo(path, toV).filter(_ > fromV)
-      .map(dvDir(path, _)).filter(_.exists())
+      .map(dvDir(path, _)).filter(store(path).exists)
     val dvDel: Option[DataFrame] =
       if (dvNewDirs.isEmpty) None
       else {
         import spark.implicits._
-        val dvNew = spark.read.parquet(dvNewDirs.map(_.getPath): _*)
+        val dvNew = spark.read.parquet(dvNewDirs: _*)
         val carried = dvNew.select("path").distinct().as[String].collect()
           .toSeq.filterNot(added.toSet).filterNot(removed.toSet).sorted
         if (carried.isEmpty) None
@@ -1629,15 +1684,14 @@ object SnapshotStore {
 
   private def consumerFile(path: String, id: String) = {
     require(id.matches("[A-Za-z0-9_-]+"), s"consumer id '$id'")
-    new File(new File(path, "_consumers"), id)
+    store(path).child(store(path).child(path, "_consumers"), id)
   }
 
   /** The last version consumer `id` acknowledged, or 0 (nothing). */
   def consumerVersion(path: String, id: String): Long = {
+    val st = store(path)
     val f = consumerFile(path, id)
-    if (f.exists()) new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8).trim.toLong
-    else 0L
+    if (st.exists(f)) st.readString(f).trim.toLong else 0L
   }
 
   /** Incremental-ETL read: everything that changed since consumer `id`
@@ -2061,7 +2115,7 @@ object SnapshotStore {
   // ——— streaming integration: exactly-once foreachBatch commits ———
 
   private def batchFile(path: String, v: Long) =
-    new File(snapDir(path), f"v$v%08d.batch")
+    store(path).child(snapDir(path), f"v$v%08d.batch")
 
   /** Complete or roll back a crashed publish. The publish sequence is
     * data → manifest → batch sidecar → pointer (each file landing via
@@ -2078,15 +2132,9 @@ object SnapshotStore {
     * recorded iff its rows are (or will be, after this heal) visible.
     * Idempotent; takes the writer lock. */
   def recoverCommit(path: String): Unit = {
-    if (!snapDir(path).exists()) return
+    if (!store(path).exists(snapDir(path))) return
     withLock(path)(()) // withLock heals before the (empty) body
   }
-
-  private def deleteDirRec(d: File): Unit =
-    if (d.exists()) {
-      Option(d.listFiles()).toSeq.flatten.foreach(_.delete())
-      d.delete(): Unit
-    }
 
   /** Resolve a crashed DV-GC swap (r18). The swap protocol is
     * write `.gc` → rename live aside to `.old` → promote `.gc` →
@@ -2100,40 +2148,46 @@ object SnapshotStore {
     *   - `.gc` alone with live present: crashed before the swap —
     *     the rewrite is garbage, drop it.
     * The dv-sidecar name filter (`v\\d{8}\\.dvpq` exact-match) never
-    * sees `.gc`/`.old` dirs, so readers are correct at every point. */
+    * sees `.gc`/`.old` dirs, so readers are correct at every point.
+    * On a store without a rename primitive the swap itself never runs
+    * (vacuum keeps the sidecar whole — see the GC site), so only
+    * rename-capable stores can leave these states. */
   private def healDvGc(path: String): Unit = {
+    val st = store(path)
     val sd = snapDir(path)
-    Option(sd.listFiles()).toSeq.flatten.foreach { f =>
-      val n = f.getName
+    st.list(sd).foreach { e =>
+      val n = e.name
       if (n.matches("v\\d{8}\\.dvpq\\.old")) {
-        val live = new File(sd, n.stripSuffix(".old"))
-        val gc = new File(sd, n.stripSuffix(".old") + ".gc")
-        if (live.exists()) deleteDirRec(f)
-        else if (gc.exists()) {
-          require(gc.renameTo(live), s"dv gc heal: promote failed for $gc")
-          deleteDirRec(f)
-        } else require(f.renameTo(live), s"dv gc heal: restore failed for $f")
+        val live = st.child(sd, n.stripSuffix(".old"))
+        val gc = st.child(sd, n.stripSuffix(".old") + ".gc")
+        if (st.exists(live)) st.deleteRecursively(e.path)
+        else if (st.exists(gc)) {
+          require(st.rename(gc, live), s"dv gc heal: promote failed for $gc")
+          st.deleteRecursively(e.path)
+        } else require(st.rename(e.path, live),
+          s"dv gc heal: restore failed for ${e.path}")
       }
     }
-    Option(sd.listFiles()).toSeq.flatten.foreach { f =>
-      val n = f.getName
+    st.list(sd).foreach { e =>
+      val n = e.name
       if (n.matches("v\\d{8}\\.dvpq\\.gc") &&
-          new File(sd, n.stripSuffix(".gc")).exists())
-        deleteDirRec(f)
+          st.exists(st.child(sd, n.stripSuffix(".gc"))))
+        st.deleteRecursively(e.path)
     }
   }
 
   private def healLocked(path: String): Unit = {
     healDvGc(path)
+    val st = store(path)
     val v = latestVersion(path) + 1
     val mf = manifestFile(path, v)
-    if (mf.exists()) {
-      if (batchFile(path, v).exists()) publishPointer(path, v) // roll forward
+    if (st.exists(mf)) {
+      if (st.exists(batchFile(path, v))) publishPointer(path, v) // roll forward
       else {
         // roll back: the stats artifacts written before the manifest
         // must go too, or the NEXT commit at this version number would
         // inherit stale pruning ranges
-        mf.delete()
+        st.delete(mf)
         dropStatsArtifacts(path, v)
       }
     }
@@ -2144,11 +2198,10 @@ object SnapshotStore {
     * with [[recoverCommit]]'s heal rule, a batch id is observable here
     * iff its rows are visible — the replay-detection invariant. */
   def lastStreamBatch(path: String): Long = {
-    val d = snapDir(path)
-    Option(d.listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".batch"))
-      .map(f => new String(Files.readAllBytes(f.toPath),
-        StandardCharsets.UTF_8).trim.toLong)
+    val st = store(path)
+    st.list(snapDir(path))
+      .filter(_.name.endsWith(".batch"))
+      .map(e => st.readString(e.path).trim.toLong)
       .foldLeft(-1L)(math.max)
   }
 
@@ -2185,15 +2238,12 @@ object SnapshotStore {
     }
   }
 
-  /** Every publication file lands via write-to-tmp + atomic rename, so
-    * existence implies completeness (the heal rule depends on it). */
-  private def atomicWrite(target: File, content: String): Unit = {
-    target.getParentFile.mkdirs()
-    val tmp = new File(target.getParentFile, target.getName + ".tmp")
-    Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, target.toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Every publication file lands via the store's atomic-publish
+    * contract (write-tmp + rename on POSIX/HDFS; all-or-nothing PUT on
+    * object stores), so existence implies completeness (the heal rule
+    * depends on it). */
+  private def atomicWrite(target: String, content: String): Unit =
+    LogStore.forPath(target).writeAtomic(target, content)
 
   private def publishPointer(path: String, v: Long): Unit =
     atomicWrite(latestFile(path), v.toString)
@@ -2206,7 +2256,7 @@ object SnapshotStore {
     * second crash window, a comment line cannot. */
   private def publishFull(path: String, v: Long, files: Seq[String],
                           batchId: Option[Long]): Unit = {
-    snapDir(path).mkdirs()
+    store(path).mkdirs(snapDir(path))
     atomicWrite(manifestFile(path, v),
       s"#ts=${System.currentTimeMillis()}\n#n=${files.size}\n" +
         files.mkString("\n") + "\n")
@@ -2220,7 +2270,7 @@ object SnapshotStore {
   private def publishDelta(path: String, v: Long, adds: Seq[String],
                            drops: Seq[String], n: Long, depth: Int,
                            batchId: Option[Long]): Unit = {
-    snapDir(path).mkdirs()
+    store(path).mkdirs(snapDir(path))
     atomicWrite(manifestFile(path, v),
       s"#ts=${System.currentTimeMillis()}\n#base=${v - 1}\n" +
         s"#depth=$depth\n#n=$n\n" +
@@ -2250,7 +2300,7 @@ object SnapshotStore {
     val v = latestVersion(path)
     require(v > 0, s"no committed snapshot under $path")
     val files = manifest(path, v)
-    val bytes = files.map(f => new File(f).length()).sum
+    val bytes = files.map(store(path).length).sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     // mergeSchema is load-bearing here: compaction REPLACES the table
     // (carried=Nil), so a one-footer schema sample of an evolved table
@@ -2333,7 +2383,7 @@ object SnapshotStore {
       val v = latestVersion(path)
       require(v > 0, s"no committed snapshot under $path")
       val files = manifest(path, v)
-      val bytes = files.map(f => new File(f).length()).sum
+      val bytes = files.map(store(path).length).sum
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val df = maskDeleted(spark, path, v, // DV materialization, as compact
         readVersionFiles(spark, path, v, files))
@@ -2412,15 +2462,16 @@ object SnapshotStore {
       val dropped = vacuumLocked(path, v, keepVersions)
       val keepFrom = math.max(1L, v - keepVersions + 1)
       import spark.implicits._
+      val st = store(path)
       val live = (keepFrom to v).flatMap(manifest(path, _)).distinct
       dvVersionsUpTo(path, v).foreach { w =>
         val d = dvDir(path, w)
-        if (d.exists()) {
-          val rows = spark.read.parquet(d.getPath)
+        if (st.exists(d)) {
+          val rows = spark.read.parquet(d)
           val kept = rows.join(live.toDF("path"), Seq("path"), "left_semi")
           val (n0, n1) = (rows.count(), kept.count())
           if (n1 == 0L) dropDvDir(path, w)
-          else if (n1 < n0) {
+          else if (n1 < n0 && st.renameSupported) {
             // CRASH-SAFE swap (r18): write the GC'd rows to a sibling
             // `.gc` dir (a parquet read cannot overwrite its own
             // input), move the LIVE dir aside to `.old`, promote `.gc`,
@@ -2429,15 +2480,20 @@ object SnapshotStore {
             // tombstones are never in a deleted-but-not-yet-replaced
             // window — the previous delete-then-rename ordering could
             // permanently lose live deletion vectors on a crash and
-            // resurrect masked (e.g. GDPR-deleted) rows.
-            val tmp = new File(d.getParentFile, d.getName + ".gc")
-            val old = new File(d.getParentFile, d.getName + ".old")
-            deleteDirRec(tmp); deleteDirRec(old) // stale healable leftovers
-            kept.coalesce(1).write.mode(SaveMode.Overwrite)
-              .parquet(tmp.getPath)
-            require(d.renameTo(old), s"dv gc: rename-aside failed for $d")
-            require(tmp.renameTo(d), s"dv gc: promote failed for $d")
-            deleteDirRec(old)
+            // resurrect masked (e.g. GDPR-deleted) rows. On a store
+            // WITHOUT a rename primitive (object stores) the partial
+            // shrink is SKIPPED: a multi-object delete+copy swap cannot
+            // be made reader-atomic there, and the inert rows it would
+            // remove are harmless (masked-row-sized; every consumer
+            // anti-joins against live files) — only the fully-inert
+            // whole-sidecar drop above runs.
+            val tmp = d + ".gc"
+            val old = d + ".old"
+            st.deleteRecursively(tmp); st.deleteRecursively(old)
+            kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+            require(st.rename(d, old), s"dv gc: rename-aside failed for $d")
+            require(st.rename(tmp, d), s"dv gc: promote failed for $d")
+            st.deleteRecursively(old)
           }
         }
       }
@@ -2464,18 +2520,16 @@ object SnapshotStore {
     // version before the loop below deletes them (r17). Tombstones for
     // long-dropped files ride along inert until a rewrite+vacuum cycle
     // retires them.
+    val st = store(path)
     val oldDv = dvVersionsUpTo(path, keepFrom - 1)
-      .map(dvDir(path, _)).filter(_.exists())
+      .map(dvDir(path, _)).filter(st.exists)
     if (oldDv.nonEmpty) {
       val dst = dvDir(path, keepFrom)
-      dst.mkdirs()
-      oldDv.filterNot(_.getPath == dst.getPath).foreach { d =>
-        Option(d.listFiles()).toSeq.flatten
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .foreach { f =>
-            Files.copy(f.toPath, new File(dst, f.getName).toPath,
-              StandardCopyOption.REPLACE_EXISTING)
-          }
+      st.mkdirs(dst)
+      oldDv.filterNot(_ == dst).foreach { d =>
+        st.list(d)
+          .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+          .foreach(e => st.copyFile(e.path, st.child(dst, e.name)))
       }
     }
     val live: Set[String] =
@@ -2483,22 +2537,23 @@ object SnapshotStore {
     var dropped = 0L
     // delete expired manifests + their stats sidecars
     (1L until keepFrom).foreach { ver =>
-      val f = manifestFile(path, ver)
-      if (f.exists()) { f.delete(); () }
+      st.delete(manifestFile(path, ver)): Unit
       dropStatsArtifacts(path, ver) // header + parquet checkpoint
       // keep .batch sidecars even when expired: replay detection must
       // survive retention, or a vacuumed table re-ingests an old batch
     }
-    // delete unreferenced data files, then empty version dirs
-    val dataRoot = new File(path, "data")
-    Option(dataRoot.listFiles()).toSeq.flatten.filter(_.isDirectory)
+    // delete unreferenced data files, then empty version dirs —
+    // comparisons run on NORMALIZED paths (manifests hold that form;
+    // a Hadoop store lists qualified file:/ URIs)
+    val dataRoot = st.child(path, "data")
+    st.list(dataRoot).filter(_.isDir)
       .foreach { d =>
-        Option(d.listFiles()).toSeq.flatten
-          .filter(f => f.isFile && !live.contains(f.getPath))
-          .foreach { f => if (f.delete()) dropped += 1 }
-        val left = Option(d.listFiles()).toSeq.flatten
-        if (left.forall(f => !f.getName.endsWith(".parquet"))) {
-          left.foreach(_.delete()); d.delete(): Unit
+        st.list(d.path)
+          .filter(e => !e.isDir && !live.contains(normalizePathSafe(e.path)))
+          .foreach { e => if (st.delete(e.path)) dropped += 1 }
+        val left = st.list(d.path)
+        if (left.forall(e => !e.name.endsWith(".parquet"))) {
+          left.foreach(e => st.delete(e.path)); st.deleteRecursively(d.path)
         }
       }
     dropped

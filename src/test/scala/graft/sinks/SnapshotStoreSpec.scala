@@ -10,6 +10,49 @@ class SnapshotStoreSpec extends SparkSpec {
   private def freshTable(): String =
     java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
 
+  test("all-column stats: readWhere prunes on a column the writer never declared (r18)") {
+    val path = freshTable()
+    // clustered by v, stats-DECLARED on id only — the r18 all-column
+    // checkpoint must record v's ranges anyway
+    SnapshotStore.commit(
+      spark.range(0, 1000).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(8, col("v")).sortWithinPartitions("v"),
+      path, statsKey = Some("id"))
+    val full = SnapshotStore.read(spark, path)
+    val narrow = SnapshotStore.readWhere(spark, path, "v", 30L, 90L)
+    assert(narrow.inputFiles.length < full.inputFiles.length,
+      s"${narrow.inputFiles.length} vs ${full.inputFiles.length}: " +
+        "the undeclared column's stats must file-prune")
+    assert(narrow.select("id").as[Long].collect().toSet ==
+      (10L to 30L).toSet)
+
+    // conservative cast rules: a fractional column widens (floor/ceil)
+    // and an overflowing value poisons its file's range — the file
+    // degrades to unpruned instead of losing the row
+    val path2 = freshTable()
+    SnapshotStore.commit(
+      Seq((1L, 1.5), (2L, 2.5)).toDF("id", "d").repartition(1), path2,
+      statsKey = Some("id"))
+    // a long-overflowing value must stay SOUND whichever cast
+    // semantics the session runs: legacy try_cast saturates the range
+    // end to ±Long.MaxValue (covers everything), ANSI try_cast nulls
+    // it and the bad-row flag drops the file's range (kept unpruned).
+    // Either way the file's in-window rows are always found.
+    SnapshotStore.commit(
+      Seq((3L, 5.0), (4L, 1e300)).toDF("id", "d").repartition(1), path2,
+      SaveMode.Append, statsKey = Some("id"))
+    val mid = SnapshotStore.readWhere(spark, path2, "d", 4L, 6L)
+    assert(mid.select("id").as[Long].collect().toSet == Set(3L))
+    assert(mid.inputFiles.length == 1,
+      s"${mid.inputFiles.length}: the [1,3]-range file must prune out")
+    // the fractional file's widened range (floor 1.5 = 1, ceil 2.5 = 3)
+    // admits the low query; the overflow file prunes out (saturated
+    // lo = 5 > 2) or rides along rangeless — both sound
+    val low = SnapshotStore.readWhere(spark, path2, "d", 1L, 2L)
+    assert(low.select("id").as[Long].collect().toSet == Set(1L))
+    assert(low.inputFiles.length <= 2, s"${low.inputFiles.length}")
+  }
+
   test("commit / append / time-travel read") {
     val path = freshTable()
     val v1 = SnapshotStore.commit(
@@ -824,9 +867,12 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ck.exists() && ck.isDirectory)
     val headerOnly = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(snap, "v00000001.stats").toPath), "UTF-8")
-    assert(headerOnly.trim == "#key=id") // no per-file body lines
-    // the checkpoint holds one range row per file
-    assert(spark.read.parquet(ck.getPath).count() == 1024)
+    // no per-file body lines; the header records the declared key plus
+    // the auto-extended all-column list (r18)
+    assert(headerOnly.trim == "#key=id\n#cols=id,v")
+    // the checkpoint holds one range row per (file × tracked column) —
+    // two columns since the r18 all-column extension
+    assert(spark.read.parquet(ck.getPath).count() == 2048)
     // readWhere: distributed prune → a point-range scan opens ~1 of
     // 1024 files and answers exactly
     val w = SnapshotStore.readWhere(spark, path, "id", 5000, 5003)
@@ -841,7 +887,7 @@ class SnapshotStoreSpec extends SparkSpec {
         .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
       path, SaveMode.Append, statsKey = Some("id"))
     assert(spark.read.parquet(
-      new java.io.File(snap, "v00000002.statspq").getPath).count() == 2)
+      new java.io.File(snap, "v00000002.statspq").getPath).count() == 4)
     // chain-resolved prune: a point read in the APPENDED range opens
     // ~1 of 1026 files, and one in the BASE range still prunes too
     val w2 = SnapshotStore.readWhere(spark, path, "id", 65590, 65591)

@@ -22,6 +22,20 @@ class TableTortureSpec extends SparkSpec {
     java.nio.file.Files.createTempDirectory("graft-torture").toString + "/t"
 
   test("29-step interleaving of every mutating op matches the model at every step") {
+    tortureWalk()
+  }
+
+  test("the same walk through a NO-RENAME object-store-semantics LogStore (r18)") {
+    // the metadata layer must survive a store with no atomic-rename
+    // primitive: publishes become direct PUTs (all-or-nothing by the
+    // store contract), locks become exclusive creates, and the DV-GC
+    // partial shrink is skipped. Any rename attempt fails the walk.
+    LogStore.overrideStore = Some(ObjectStoreSimLogStore)
+    try tortureWalk()
+    finally LogStore.overrideStore = None
+  }
+
+  private def tortureWalk(): Unit = {
     val path = fresh()
     // model: id -> v (single value column keeps the model exact)
     var model = Map.empty[Long, Long]
