@@ -146,6 +146,25 @@ object GraftSql {
     SnapshotStore.mergeInto(spark, path, source, keyT, matched, notMatched)
   }
 
+  /** SQL-text RESTORE (r18) — the statement form of
+    * [[graft.sinks.SnapshotStore.restore]], matching MERGE's surface:
+    *
+    * {{{ RESTORE TABLE '<table path>' TO VERSION [AS OF] <n> }}}
+    *
+    * Republishes the version as the new head (metadata-only commit,
+    * deletion-vector reset, keyed CDC classifies the rollback).
+    * Returns the new version. */
+  def restore(spark: SparkSession, sql: String): Long = {
+    val re = ("""(?is)^RESTORE\s+TABLE\s+'([^']+)'\s+TO\s+VERSION""" +
+      """(?:\s+AS\s+OF)?\s+(\d+)\s*;?\s*$""").r
+    sql.trim match {
+      case re(p, v) => graft.sinks.SnapshotStore.restore(spark, p, v.toLong)
+      case _ => throw new IllegalArgumentException(
+        "GraftSql.restore: expected RESTORE TABLE '<path>' TO VERSION " +
+          "[AS OF] <n>")
+    }
+  }
+
   /** Index of the close paren matching the open paren at `open`,
     * quote-aware. */
   private def matchingParen(s: String, open: Int): Int = {

@@ -278,6 +278,12 @@ object SparkEntry {
     // all-column stats (r18): readWhere pruning on a column the
     // caller never declared as the stats key, oracled
     "q_snapshot_prune_multi" -> q(Relational.snapshotPruneMulti),
+    // partitionBy + equality elimination (r18): value-clustered
+    // commit, readWhereEq partition prune, oracled
+    "q_snapshot_partition" -> q(Relational.snapshotPartition),
+    // RESTORE as a commit (r18): rollback diff (resurrected DV masks,
+    // dropped appends) + restored live state, oracled
+    "q_restore" -> q(Relational.restoreDemo),
     "q6_forecast"      -> q(Relational.q6Forecast),
     "q4_priority"      -> q(Relational.q4Priority),
     "q12_shipmode"     -> q(Relational.q12Shipmode),
@@ -2433,6 +2439,36 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_orderkey BETWEEN 100 AND 4000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // RESTORE gate (r18): the rollback's keyed CDC — resurrected
+    // DV-masked rows as inserts, rolled-back appended rows as
+    // deletes — plus the restored live totals
+    "q_restore" ->
+      """WITH i AS (
+        |  SELECT 'I' AS change, COUNT(*) AS n,
+        |    MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+        |  FROM orders WHERE o_orderkey % 10 != 0 AND o_orderkey % 11 = 0),
+        |d AS (
+        |  SELECT 'D' AS change, COUNT(*) AS n,
+        |    MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |l AS (
+        |  SELECT 'LIVE' AS change, COUNT(*) AS n,
+        |    MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+        |  FROM orders WHERE o_orderkey % 10 != 0)
+        |SELECT * FROM i UNION ALL SELECT * FROM d UNION ALL SELECT * FROM l
+        |ORDER BY change""".stripMargin,
+
+    // partitioned-table equality gate (r18): partitionBy commit +
+    // readWhereEq must match the plain WHERE
+    "q_snapshot_partition" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 

@@ -628,6 +628,84 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** PARTITIONED-table equality pruning through the REAL table layer
+    * (r18, oracled): orders are committed with `partitionBy =
+    * o_orderstatus` — the table layer clusters rows so each status
+    * value lands in contiguous files and records per-file
+    * lexicographic value ranges — and the read is
+    * [[graft.sinks.SnapshotStore.readWhereEq]] on one status value:
+    * partition ELIMINATION without a Hive directory layout
+    * (SnapshotStoreSpec pins the files-opened subset at 10×
+    * partitions). The oracle replays the equality as a plain WHERE.
+    * At 100 TB this is the date-partition prune every warehouse query
+    * runs first. */
+  def snapshotPartition(t: Tables): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-part").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    graft.sinks.SnapshotStore.commit(o, dir,
+      statsKey = Some("o_orderkey"),
+      partitionBy = Seq("o_orderstatus"))
+    // appends re-cluster by the declared partition columns — the
+    // second slice's files stay prunable too
+    graft.sinks.SnapshotStore.readWhereEq(
+        t.spark, dir, "o_orderstatus", "F")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** RESTORE through the REAL table layer (r18, oracled — Delta's
+    * RESTORE TABLE): v1 commits an orders slice; v2 masks a key slice
+    * via deletion vectors (zero data files); v3 appends a disjoint
+    * slice; then [[graft.sinks.SnapshotStore.restore]] republishes v1
+    * as the new head — a metadata-only commit whose reset marker
+    * RESURRECTS the masked rows and whose manifest drops the appended
+    * files. The output is the keyed CDC classification of the restore
+    * commit itself (resurrections = inserts through the reset-aware
+    * arm; rolled-back appends = deletes) unioned with the live table's
+    * totals, so the oracle gates BOTH the rollback diff and the
+    * restored state. At 100 TB a restore costs one manifest write —
+    * the immutable-file dividend. */
+  def restoreDemo(t: Tables): DataFrame = {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-restore").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"))
+    SnapshotStore.commit(
+      o.filter(col("o_orderkey") % 10 =!= 0)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      dir, statsKey = Some("o_orderkey"))                          // v1
+    SnapshotStore.deleteVectorCommit(t.spark, dir,
+      o.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")),
+      "o_orderkey")                                                // v2
+    SnapshotStore.commit(o.filter(col("o_orderkey") % 10 === 0), dir,
+      org.apache.spark.sql.SaveMode.Append)                        // v3
+    SnapshotStore.restore(t.spark, dir, 1L)                        // v4
+    val cdc = SnapshotStore
+      .readChanges(t.spark, dir, 3, 4, Some("o_orderkey"))
+      .select(
+        expr("CASE _change WHEN 'insert' THEN 'I' WHEN 'delete' THEN 'D' ELSE 'U' END")
+          .as("change"),
+        col("o_orderkey").as("k"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("first_key"),
+        max(col("k")).as("last_key"))
+    val live = SnapshotStore.read(t.spark, dir)
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+      .select(lit("LIVE").as("change"), col("n"), col("first_key"),
+        col("last_key"))
+    cdc.unionByName(live).orderBy(col("change"))
+  }
+
   /** INCREMENTAL VIEW MAINTENANCE driven through the REAL table layer
     * (r16, oracled): a per-status (count, exact-cents sum) aggregate
     * view of an orders table is maintained across THREE commits —

@@ -258,6 +258,68 @@ object SnapshotStore {
     vs.max
   }
 
+  /** RESTORE — republish version `version` as the table's NEW head
+    * (r18; Delta's RESTORE TABLE ... TO VERSION AS OF, the standard
+    * recovery verb after a bad commit). A metadata-only commit:
+    *
+    *   - the new head's manifest is version's file list as a FULL
+    *     checkpoint (zero data rewritten — restore at 100 TB costs one
+    *     manifest write, the immutable-file dividend);
+    *   - schema / column-mapping / stats sidecars are carried from the
+    *     restored version (its chain stats consolidated);
+    *   - deletion vectors RESET: the masks visible at `version` are
+    *     consolidated into the new head's own sidecar behind a reset
+    *     marker, so masks added by the rolled-back commits stop
+    *     applying — their rows RESURRECT, exactly the restored state —
+    *     while time travel to any pre-restore version still sees its
+    *     own masks;
+    *   - keyed [[readChanges]] across the restore classifies the diff
+    *     exactly (rolled-back inserts become deletes, rolled-back
+    *     deletes become inserts, rolled-back updates revert), with
+    *     resurrection handled by the reset-aware CDC arms.
+    *
+    * Vacuum semantics are unchanged: retention counts versions from
+    * the new head, so the rolled-back versions age out normally.
+    * Requires `version` to still be retained. Restoring the current
+    * head is a no-op. Returns the new version. */
+  def restore(spark: SparkSession, path: String, version: Long): Long =
+    withLock(path) {
+      val head = latestVersion(path)
+      require(head > 0, s"no committed snapshot under $path")
+      require(versions(path).contains(version),
+        s"restore: v$version is not retained under $path")
+      if (version == head) head
+      else {
+        val st = store(path)
+        val nv = head + 1
+        dropStatsArtifacts(path, nv) // crashed-commit leftovers
+        atomicWrite(schemaFile(path, nv),
+          tableSchema(spark, path, version).json)
+        writeColmap(path, nv, columnMapping(path, version))
+        val hdr = statsFile(path, version)
+        if (st.exists(hdr)) atomicWrite(statsFile(path, nv),
+          st.readString(hdr))
+        consolidateStatsByCopy(path, version, nv)
+        // consolidate the masks visible AT the restored version into
+        // the new head's sidecar, then plant the reset marker — the
+        // marker also kills (version, head] masks when the restored
+        // version had none
+        val dvs = dvVersionsUpTo(path, version)
+          .map(dvDir(path, _)).filter(st.exists)
+        if (dvs.nonEmpty) {
+          val dst = dvDir(path, nv)
+          st.mkdirs(dst)
+          dvs.foreach { d =>
+            st.list(d).filter(e => !e.isDir && e.name.endsWith(".parquet"))
+              .foreach(e => st.copyFile(e.path, st.child(dst, e.name)))
+          }
+        }
+        atomicWrite(dvBaseFile(path, nv), "")
+        publishFull(path, nv, manifest(path, version), None)
+        nv
+      }
+    }
+
   // ——— per-version SCHEMA sidecar (r17): O(1) schema resolution +
   //     Delta-style append-time schema enforcement ———
 
@@ -401,6 +463,31 @@ object SnapshotStore {
       columnMapping(path, v))
   }
 
+  /** EQUALITY scan planning for string/partition columns (r18): rows
+    * of the snapshot with `key` = `value`, reading only the files
+    * whose recorded range — lexicographic (slo, shi) for string
+    * columns, numeric (lo, hi) when the value parses — can contain
+    * the value. With [[commit]]'s `partitionBy` clustering, a
+    * partition value lands in few contiguous files, so this is
+    * PARTITION ELIMINATION at any scale without a directory layout:
+    * the first prune a date-partitioned 100 TB query needs. Files
+    * without a provable range are kept (degrade, never wrong); the
+    * residual equality filter stays in the scan. */
+  def readWhereEq(spark: SparkSession, path: String, key: String,
+                  value: String, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.getOrElse(latestVersion(path))
+    require(v > 0, s"no committed snapshot under $path")
+    val pk = physicalOf(path, v, key)
+    val kept = prunedFilesEq(spark, path, v, pk, value)
+    val pruned =
+      if (kept.nonEmpty) readVersionFiles(spark, path, v, kept)
+      else readVersionFiles(spark, path, v, manifest(path, v)).limit(0)
+    presentDf(
+      maskDeleted(spark, path, v, pruned.filter(col(pk) === value)),
+      columnMapping(path, v))
+  }
+
   /** Write `df` as the table's next version. `mode=Overwrite` replaces
     * the table contents; `mode=Append` carries the previous manifest's
     * files forward and adds the new ones (an append commits in O(new
@@ -413,17 +500,50 @@ object SnapshotStore {
   def commit(df: DataFrame, path: String,
              mode: SaveMode = SaveMode.Overwrite,
              batchId: Option[Long] = None,
-             statsKey: Option[String] = None): Long =
+             statsKey: Option[String] = None,
+             partitionBy: Seq[String] = Nil): Long =
     withLock(path) {
+      import org.apache.spark.sql.functions.col
       val prev = latestVersion(path)
       mode match {
         case SaveMode.Append if prev > 0 =>
-          val pdf = toPhysicalDf(path, prev, df)
+          val pdf0 = toPhysicalDf(path, prev, df)
+          // a PARTITIONED table re-clusters every append by its
+          // declared partition columns (r18): the batch's rows land in
+          // value-contiguous files, so the per-file string/numeric
+          // ranges stay tight and equality pruning keeps eliminating —
+          // the append-side half of partitionBy (Hive writes the dirs;
+          // here the ranges are the partitions).
+          val parts = partsOf(path, prev)
+          val pdf =
+            if (parts.isEmpty || !parts.forall(pdf0.columns.contains)) pdf0
+            else pdf0.repartitionByRange(parts.map(col): _*)
+              .sortWithinPartitions(parts.map(col): _*)
+          // an append to a stats-TRACKED table keeps recording ranges
+          // for its fresh files by default (r18) — otherwise every
+          // appended file is permanently unprunable until a compaction
+          // (a caller's explicit statsKey still wins)
           commitLocked(pdf, path, CarryAllExcept(Nil), batchId,
-            statsKey.map(physicalOf(path, prev, _)),
+            statsKey.map(physicalOf(path, prev, _))
+              .orElse(statsKeyOf(path, prev)),
             colmap = extendedMapping(columnMapping(path, prev), pdf))
         case _ =>
-          commitLocked(df, path, Replace, batchId, statsKey)
+          // partitionBy (r18): cluster the table by the partition
+          // columns — each value lands in few contiguous files, the
+          // stats checkpoint records per-file value ranges, and
+          // [[readWhereEq]] / the registered source's equality
+          // pushdown prune to ~that partition's files. Declared once
+          // at table (re)creation; appends re-cluster automatically.
+          require(partitionBy.forall(df.columns.contains),
+            s"commit: partitionBy ${partitionBy.mkString(",")} not all in " +
+              s"batch columns ${df.columns.mkString(",")}")
+          val out =
+            if (partitionBy.isEmpty) df
+            else df.repartitionByRange(partitionBy.map(col): _*)
+              .sortWithinPartitions(partitionBy.map(col): _*)
+          commitLocked(out, path, Replace, batchId,
+            statsKey.orElse(partitionBy.headOption),
+            partitionCols = partitionBy)
       }
     }
 
@@ -614,7 +734,8 @@ object SnapshotStore {
                            statsKey: Option[String],
                            extraStatsCols: Seq[String] = Nil,
                            colmap: Option[Seq[(String, String)]] = None,
-                           validate: Boolean = true)
+                           validate: Boolean = true,
+                           partitionCols: Seq[String] = Nil)
       : Long = {
     val prev = latestVersion(path)
     val v = prev + 1
@@ -754,10 +875,26 @@ object SnapshotStore {
               ceil(col(c).try_cast("double")).try_cast("long"))
           case _ => ceil(col(c).try_cast("double")).try_cast("long")
         }
+        // STRING (lexicographic) ranges ride the same checkpoint (r18):
+        // for string columns — partition values, categories, date
+        // strings — per-file min/max of the RAW string is recorded as
+        // (slo, shi). Lexicographic extremes are sound for EQUALITY
+        // pruning (value ∈ file ⟹ slo ≤ value ≤ shi), which is what
+        // [[readWhereEq]] and the registered source's string-equality
+        // pushdown prune with — partition elimination without a Hive
+        // directory layout (the Iceberg hidden-partitioning argument:
+        // value ranges per file subsume dir-per-value, with no
+        // small-files explosion at high cardinality).
+        val isStr = (c: String) =>
+          statTypes(c) == org.apache.spark.sql.types.StringType
         val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
           Seq(min(loC(c)).as(s"lo_$i"), max(hiC(c)).as(s"hi_$i"),
             max(when(col(c).isNotNull && loC(c).isNull, 1)
-              .otherwise(0)).as(s"bad_$i")) }
+              .otherwise(0)).as(s"bad_$i")) ++
+          (if (isStr(c))
+            Seq(min(col(c)).as(s"slo_$i"), max(col(c)).as(s"shi_$i"))
+          else Nil)
+        }
         val freshDF: Option[DataFrame] =
           if (fresh.isEmpty) None
           else Some(spark.read.parquet(fresh: _*)
@@ -769,30 +906,33 @@ object SnapshotStore {
                   when(col(s"bad_$i") === 1, lit(null))
                     .otherwise(col(s"lo_$i")).as("lo"),
                   when(col(s"bad_$i") === 1, lit(null))
-                    .otherwise(col(s"hi_$i")).as("hi")) }: _*)).as("st"))
+                    .otherwise(col(s"hi_$i")).as("hi"),
+                  (if (isStr(c)) col(s"slo_$i")
+                   else lit(null).cast("string")).as("slo"),
+                  (if (isStr(c)) col(s"shi_$i")
+                   else lit(null).cast("string")).as("shi")) }: _*)).as("st"))
             .select(col("f"), col("st.column").as("column"),
-              col("st.lo").as("lo"), col("st.hi").as("hi"))
-            // an all-null or uncastable file/column has no range — no
-            // row, file degrades to unpruned exactly like the no-stats
-            // case
-            .filter(col("lo").isNotNull && col("hi").isNotNull)
+              col("st.lo").as("lo"), col("st.hi").as("hi"),
+              col("st.slo").as("slo"), col("st.shi").as("shi"))
+            // an all-null or uncastable file/column has no range in
+            // EITHER form — no row, file degrades to unpruned exactly
+            // like the no-stats case
+            .filter((col("lo").isNotNull && col("hi").isNotNull) ||
+              (col("slo").isNotNull && col("shi").isNotNull))
             // input_file_name yields a PERCENT-ENCODED file: URI;
-            // manifests hold decoded plain paths (File.getPath). A
-            // scheme-strip regexp alone would leave %20 etc. in place
-            // and the pruning joins would never match on tables whose
-            // path needs encoding — decode through URI.getPath (the
+            // manifests hold decoded plain paths. A scheme-strip
+            // regexp alone would leave %20 etc. in place and the
+            // pruning joins would never match on tables whose path
+            // needs encoding — decode through URI.getPath (the
             // normalizePath rule), with a raw-strip fallback for any
             // string URI.create rejects. One typed map over the
             // skinny metadata frame.
-            .as[(String, String, Long, Long)]
-            .map { case (f, c, lo, hi) =>
-              val p =
-                try normalizePath(f)
-                catch { case _: Exception =>
-                  f.replaceFirst("^file:(//)?", "") }
-              (p, c, lo, hi)
+            .as[(String, String, Option[Long], Option[Long],
+                 Option[String], Option[String])]
+            .map { case (f, c, lo, hi, slo, shi) =>
+              (normalizePathSafe(f), c, lo, hi, slo, shi)
             }
-            .toDF("file", "column", "lo", "hi"))
+            .toDF("file", "column", "lo", "hi", "slo", "shi"))
         if (asDelta) {
           // O(delta): the version's checkpoint holds ONLY the fresh
           // files' rows; [[statsDF]] resolves the chain. Rows for
@@ -834,11 +974,19 @@ object SnapshotStore {
           }
         }
         // constant-size header sidecar: WHICH columns the version
-        // tracks (#key= primary, #cols= full list) — the metadata that
-        // lets maintenance commits keep recording the pruning layer
+        // tracks (#key= primary, #cols= full list, #parts= partition
+        // columns, r18) — the metadata that lets maintenance commits
+        // keep recording the pruning layer and appends keep
+        // re-clustering
+        val headerParts: Seq[String] =
+          if (partitionCols.nonEmpty) partitionCols
+          else if (isCarry) partsOf(path, prev)
+          else Nil
         atomicWrite(statsFile(path, v),
           s"#key=$key\n" +
-            (if (cols.size > 1) s"#cols=${cols.mkString(",")}\n" else ""))
+            (if (cols.size > 1) s"#cols=${cols.mkString(",")}\n" else "") +
+            (if (headerParts.nonEmpty)
+              s"#parts=${headerParts.mkString(",")}\n" else ""))
       case None =>
         // a crashed, rolled-back commit at this version may have left
         // stats artifacts behind; without a statsKey they would be
@@ -910,16 +1058,26 @@ object SnapshotStore {
     * legacy sidecars predate the checkpoint and are sandbox-scale). */
   private def statsFrameAt(spark: SparkSession, path: String, v: Long)
       : Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
     val ck = statsCheckDir(path, v)
-    if (store(path).exists(ck)) Some(spark.read.parquet(ck))
-    else {
-      val legacy = statsAllText(path, v)
-      if (legacy.isEmpty) None
+    val frame =
+      if (store(path).exists(ck)) Some(spark.read.parquet(ck))
       else {
-        import spark.implicits._
-        Some(legacy.toSeq
-          .map { case ((c, f), (lo, hi)) => (f, c, lo, hi) }
-          .toDF("file", "column", "lo", "hi"))
+        val legacy = statsAllText(path, v)
+        if (legacy.isEmpty) None
+        else {
+          import spark.implicits._
+          Some(legacy.toSeq
+            .map { case ((c, f), (lo, hi)) => (f, c, lo, hi) }
+            .toDF("file", "column", "lo", "hi"))
+        }
+      }
+    // checkpoints written before the r18 string-range columns
+    // null-fill them, so chain unions stay schema-aligned
+    frame.map { df =>
+      Seq("slo", "shi").foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast("string"))
       }
     }
   }
@@ -992,12 +1150,40 @@ object SnapshotStore {
     }
   }
 
+  /** FILE paths that may hold rows with `key` = `value` — the
+    * EQUALITY prune behind [[readWhereEq]] and the registered source's
+    * string-equality pushdown (r18). A file is skipped only when a
+    * recorded range PROVABLY excludes the value: the lexicographic
+    * (slo, shi) string range, or — when the value parses as a long —
+    * the numeric (lo, hi) range. No range (or no stats at all) keeps
+    * the file, never a wrong answer. Same distributed join as
+    * [[prunedFiles]]; only survivors reach the driver. */
+  private def prunedFilesEq(spark: SparkSession, path: String, v: Long,
+                            key: String, value: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    statsDF(spark, path, v) match {
+      case None => manifest(path, v)
+      case Some(st) =>
+        val vnum = scala.util.Try(value.toLong).toOption
+        val exclStr = col("slo").isNotNull &&
+          (lit(value) < col("slo") || lit(value) > col("shi"))
+        val exclNum = vnum.map(n => col("lo").isNotNull &&
+          (lit(n) < col("lo") || lit(n) > col("hi"))).getOrElse(lit(false))
+        manifestDF(spark, path, v)
+          .join(st.filter(col("column") === key), Seq("file"), "left")
+          .filter(!(exclStr || exclNum) || col("column").isNull)
+          .select("file").distinct().as[String].collect().toSeq.sorted
+    }
+  }
+
   private def dropStatsArtifacts(path: String, v: Long): Unit = {
     val st = store(path)
     st.delete(statsFile(path, v)): Unit
     st.delete(colmapFile(path, v)): Unit
     dropStatsCheckpoint(path, v)
     dropDvDir(path, v)
+    st.delete(dvBaseFile(path, v)): Unit // a crashed restore's marker
     st.delete(schemaFile(path, v)): Unit
   }
 
@@ -1039,6 +1225,32 @@ object SnapshotStore {
         if (a.length == 3) (primary, a(0)) -> (a(1).toLong, a(2).toLong)
         else (a(1), a(0)) -> (a(2).toLong, a(3).toLong)
       }.toMap
+    }
+  }
+
+  /** PHYSICAL partition columns of version `v` (the `#parts=` header
+    * line), Nil when the table is unpartitioned. */
+  private def partsOf(path: String, v: Long): Seq[String] = {
+    val st = store(path)
+    val f = statsFile(path, v)
+    if (v < 1 || !st.exists(f)) Nil
+    else st.readString(f).split("\n").find(_.startsWith("#parts="))
+      .map(_.stripPrefix("#parts=").trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Nil)
+  }
+
+  /** The table's declared partition columns at a version, as LOGICAL
+    * names (r18). Empty when unpartitioned. */
+  def partitionColumns(path: String, version: Option[Long] = None)
+      : Seq[String] = {
+    val v = version.getOrElse(latestVersion(path))
+    if (v < 1) Nil
+    else {
+      val m = columnMapping(path, v)
+      partsOf(path, v).flatMap(p => m match {
+        case None => Some(p)
+        case Some(mm) => mm.collectFirst { case (l, ph) if ph == p => l }
+      })
     }
   }
 
@@ -1220,10 +1432,15 @@ object SnapshotStore {
         .map(_.stripPrefix("#cols=").trim.split(",").toSeq)
         .getOrElse(key.toSeq)
       val kept = (key.toSeq ++ cols).distinct.filter(live)
+      // partition columns persist through rename/drop commits too —
+      // minus any physical column the new mapping no longer presents
+      val keptParts = partsOf(path, v).filter(live)
       kept.headOption.foreach { nk =>
         atomicWrite(statsFile(path, nv),
           s"#key=$nk\n" +
-            (if (kept.size > 1) s"#cols=${kept.mkString(",")}\n" else ""))
+            (if (kept.size > 1) s"#cols=${kept.mkString(",")}\n" else "") +
+            (if (keptParts.nonEmpty)
+              s"#parts=${keptParts.mkString(",")}\n" else ""))
       }
     }
     writeColmap(path, nv, Some(mapping))
@@ -1255,12 +1472,32 @@ object SnapshotStore {
   private def dvDir(path: String, v: Long) =
     store(path).child(snapDir(path), f"v$v%08d.dvpq")
 
-  /** Versions ≤ v that recorded deletion-vector tombstones. */
-  private def dvVersionsUpTo(path: String, v: Long): Seq[Long] =
+  /** Deletion-vector RESET marker (r18, written by [[restore]]): the
+    * masks visible at version v are the sidecars in [base, v] where
+    * base is the newest marker ≤ v — a restore consolidates the
+    * restored version's masks into ITS OWN sidecar and plants a
+    * marker, so the rolled-back versions' masks stop applying from
+    * the restore forward while time travel BEFORE it still unions
+    * from the previous base. */
+  private def dvBaseFile(path: String, v: Long) =
+    store(path).child(snapDir(path), f"v$v%08d.dvbase")
+
+  /** Reset-marker versions ≤ v, ascending. */
+  private def dvBaseVersionsUpTo(path: String, v: Long): Seq[Long] =
+    store(path).list(snapDir(path))
+      .map(_.name).filter(_.matches("v\\d{8}\\.dvbase"))
+      .map(_.stripPrefix("v").stripSuffix(".dvbase").toLong)
+      .filter(_ <= v).sorted
+
+  /** Versions whose deletion-vector tombstones are VISIBLE at version
+    * `v`: sidecars in [newest reset marker ≤ v, v]. */
+  private def dvVersionsUpTo(path: String, v: Long): Seq[Long] = {
+    val base = dvBaseVersionsUpTo(path, v).lastOption.getOrElse(0L)
     store(path).list(snapDir(path))
       .map(_.name).filter(_.matches("v\\d{8}\\.dvpq"))
       .map(_.stripPrefix("v").stripSuffix(".dvpq").toLong)
-      .filter(_ <= v).sorted
+      .filter(w => w <= v && w >= base).sorted
+  }
 
   /** All tombstones visible at version `v`: (file, row_index) rows,
     * keyed by the scan-reported `_metadata.file_path` string. Rows for
@@ -1474,13 +1711,28 @@ object SnapshotStore {
     // delta). Files the range itself added/removed are handled by the
     // file diff above; (file,row) uniqueness across sidecars means no
     // tombstoned row can also be masked at fromV.
+    // a RESTORE inside the range (r18) resets the mask base: sidecars
+    // after the reset may RE-CARRY masks already active at fromV (the
+    // restore's consolidated copy) — anti-join them away; and masks
+    // active at fromV but gone at toV (rolled back by the restore)
+    // RESURRECT their rows as inserts.
+    val resetInRange =
+      dvBaseVersionsUpTo(path, toV).exists(r => r > fromV)
     val dvNewDirs = dvVersionsUpTo(path, toV).filter(_ > fromV)
       .map(dvDir(path, _)).filter(store(path).exists)
     val dvDel: Option[DataFrame] =
       if (dvNewDirs.isEmpty) None
       else {
         import spark.implicits._
-        val dvNew = spark.read.parquet(dvNewDirs: _*)
+        val dvNew0 = spark.read.parquet(dvNewDirs: _*)
+        val dvNew =
+          if (!resetInRange) dvNew0
+          else dvFrame(spark, path, fromV) match {
+            case Some(old) => dvNew0.join(
+              old.select("file", "row_index"),
+              Seq("file", "row_index"), "left_anti")
+            case None => dvNew0
+          }
         val carried = dvNew.select("path").distinct().as[String].collect()
           .toSeq.filterNot(added.toSet).filterNot(removed.toSet).sorted
         if (carried.isEmpty) None
@@ -1493,9 +1745,35 @@ object SnapshotStore {
               Seq("_dv_file", "_dv_row"), "left_semi")
             .drop("_dv_file", "_dv_row"))
       }
+    // resurrection arm: only a restore can UNMASK rows in place (files
+    // the range itself added/removed ride the file diff)
+    val dvRes: Option[DataFrame] =
+      if (!resetInRange) None
+      else dvFrame(spark, path, fromV).flatMap { old =>
+        import spark.implicits._
+        val gone = dvFrame(spark, path, toV) match {
+          case Some(nw) => old.join(nw.select("file", "row_index"),
+            Seq("file", "row_index"), "left_anti")
+          case None => old
+        }
+        val carried = gone.select("path").distinct().as[String].collect()
+          .toSeq.filterNot(added.toSet).filterNot(removed.toSet).sorted
+        if (carried.isEmpty) None
+        else Some(
+          readVersionFiles(spark, path, toV, carried)
+            .withColumn("_dv_file", col("_metadata.file_path"))
+            .withColumn("_dv_row", col("_metadata.row_index"))
+            .join(gone.select(col("file").as("_dv_file"),
+              col("row_index").as("_dv_row")),
+              Seq("_dv_file", "_dv_row"), "left_semi")
+            .drop("_dv_file", "_dv_row"))
+      }
+    val ins1 = dvRes.foldLeft(ins)(
+      _.unionByName(_, allowMissingColumns = true))
     val del = dvDel.foldLeft(readFiles(removed, fromV))(
       _.unionByName(_, allowMissingColumns = true))
-    require(!ins.columns.contains("_change") && !del.columns.contains("_change"),
+    require(!ins1.columns.contains("_change") &&
+      !del.columns.contains("_change"),
       "readChanges: the table already has a _change column (reserved)")
     // column mapping (r16): classification runs on the STABLE physical
     // names (a rename between fromV and toV is a metadata-only commit —
@@ -1507,7 +1785,7 @@ object SnapshotStore {
         // allowMissingColumns: versions may differ in schema (columns
         // added between commits) — the missing side null-fills, the
         // Delta CDF convention.
-        ins.withColumn("_change", lit("insert"))
+        ins1.withColumn("_change", lit("insert"))
           .unionByName(del.withColumn("_change", lit("delete")),
             allowMissingColumns = true)
       case Some(k) =>
@@ -1526,7 +1804,7 @@ object SnapshotStore {
         // depth — to its entry array sorted by key before hashing.
         // Scalars/structs/arrays pass through (parquet order is the
         // row's order, already deterministic).
-        val insCols = ins.columns.toSeq
+        val insCols = ins1.columns.toSeq
         val delCols = del.columns.toSeq
         val cols = insCols ++ delCols.filterNot(insCols.contains)
         require(insCols.contains(k) && delCols.contains(k),
@@ -1543,7 +1821,7 @@ object SnapshotStore {
             sha2(to_json(struct(common.map(c =>
               canonicalize(col(c), byName(c)).as(c)): _*)), 256).as(s"_h_$tag"))
         }
-        side(del, "o").join(side(ins, "n"), Seq("_k"), "full")
+        side(del, "o").join(side(ins1, "n"), Seq("_k"), "full")
           .withColumn("_change",
             when(col("_row_o").isNull, "insert")
               .when(col("_row_n").isNull, "delete")
@@ -2341,7 +2619,8 @@ object SnapshotStore {
         "not silently drop the pruning layer")
     commitLocked(out, path, Replace, None, key,
       colmap = columnMapping(path, v),
-      validate = false) // rewrite-only: no new rows enter (OPTIMIZE rule)
+      validate = false, // rewrite-only: no new rows enter (OPTIMIZE rule)
+      partitionCols = partsOf(path, v)) // marker survives compaction
   }
 
   /** Z-ORDER compaction (Delta's OPTIMIZE ZORDER BY as a snapshot
@@ -2396,7 +2675,8 @@ object SnapshotStore {
       commitLocked(out, path, Replace, None, key,
         extraStatsCols = pDims.filterNot(key.contains),
         colmap = columnMapping(path, v),
-        validate = false) // rewrite-only (OPTIMIZE rule)
+        validate = false, // rewrite-only (OPTIMIZE rule)
+        partitionCols = partsOf(path, v))
     }
 
   /** Hilbert-clustered compaction — [[compactZOrdered]]'s 2-D sibling
@@ -2521,7 +2801,15 @@ object SnapshotStore {
     // long-dropped files ride along inert until a rewrite+vacuum cycle
     // retires them.
     val st = store(path)
+    // reset-aware (r18): only masks still VISIBLE at keepFrom cross
+    // the boundary — dirs behind a restore's reset marker at keepFrom
+    // are dead there and must not resurrect via consolidation; an
+    // expiring marker migrates to keepFrom so the visibility cut
+    // survives retention.
+    val baseAtKeep = dvBaseVersionsUpTo(path, keepFrom)
+      .lastOption.getOrElse(0L)
     val oldDv = dvVersionsUpTo(path, keepFrom - 1)
+      .filter(_ >= baseAtKeep)
       .map(dvDir(path, _)).filter(st.exists)
     if (oldDv.nonEmpty) {
       val dst = dvDir(path, keepFrom)
@@ -2532,6 +2820,8 @@ object SnapshotStore {
           .foreach(e => st.copyFile(e.path, st.child(dst, e.name)))
       }
     }
+    if (baseAtKeep > 0 && baseAtKeep < keepFrom)
+      atomicWrite(dvBaseFile(path, keepFrom), "")
     val live: Set[String] =
       (keepFrom to v).flatMap(ver => manifest(path, ver)).toSet
     var dropped = 0L

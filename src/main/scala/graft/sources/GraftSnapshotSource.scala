@@ -226,14 +226,32 @@ case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
       .headOption.map { case (c, (lo, hi)) => (c, lo, hi) }
   }
 
+  /** STRING equality pushdown (r18): a pushed `col = 'value'` on a
+    * string column drives [[SnapshotStore.readWhereEq]]'s
+    * lexicographic-range prune — partition elimination for tables
+    * committed with `partitionBy` (each value clustered into few
+    * files). Preferred over a numeric window when both exist on a
+    * partition column: equality is the tighter prune. */
+  private def stringEqOf(filters: Array[Filter]): Option[(String, String)] =
+    filters.collectFirst {
+      case EqualTo(c, v: String) if schema.fieldNames.contains(c) &&
+        SnapshotStore.partitionColumns(path).contains(c) => (c, v)
+    }.orElse(filters.collectFirst {
+      case EqualTo(c, v: String) if schema.fieldNames.contains(c) => (c, v)
+    })
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val spark = sqlContext.sparkSession
     val version = currentVersion
-    val base = boundsOf(filters) match {
-      case Some((key, lo, hi)) if schema.fieldNames.contains(key) =>
-        SnapshotStore.readWhere(spark, path, key, lo, hi, Some(version))
-      case _ => SnapshotStore.read(spark, path, Some(version))
+    val base = stringEqOf(filters) match {
+      case Some((key, value)) =>
+        SnapshotStore.readWhereEq(spark, path, key, value, Some(version))
+      case None => boundsOf(filters) match {
+        case Some((key, lo, hi)) if schema.fieldNames.contains(key) =>
+          SnapshotStore.readWhere(spark, path, key, lo, hi, Some(version))
+        case _ => SnapshotStore.read(spark, path, Some(version))
+      }
     }
     // empty projection = bare count(*): Spark wants 0-field rows
     if (requiredColumns.isEmpty) base.select().rdd

@@ -53,6 +53,54 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(low.inputFiles.length <= 2, s"${low.inputFiles.length}")
   }
 
+  test("partitionBy: equality opens only that partition's files at 10x partitions (r18)") {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "40")
+    // AQE would coalesce this toy table into one file (the 64 MB
+    // advisory dwarfs it); at real scale partitions stay separate
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val path = freshTable()
+      def slice(a: Long, b: Long) = spark.range(a, b)
+        .select(col("id"),
+          format_string("p%03d", col("id") % 40).as("p"))
+      SnapshotStore.commit(slice(0, 10000), path,
+        statsKey = Some("id"), partitionBy = Seq("p"))
+      assert(SnapshotStore.partitionColumns(path) == Seq("p"))
+      val full = SnapshotStore.read(spark, path).inputFiles.length
+      assert(full >= 10, s"$full files: need real partition spread")
+      val one = SnapshotStore.readWhereEq(spark, path, "p", "p007")
+      assert(one.count() == 250)
+      assert(one.inputFiles.length * 10 <= full,
+        s"${one.inputFiles.length} of $full: equality must open ~one " +
+          "partition's files")
+      // appends RE-CLUSTER by the declared partition columns: the new
+      // slice's files prune too
+      SnapshotStore.commit(slice(10000, 12000), path, SaveMode.Append)
+      val two = SnapshotStore.readWhereEq(spark, path, "p", "p007")
+      assert(two.count() == 300)
+      val fullTwo = SnapshotStore.read(spark, path).inputFiles.length
+      assert(two.inputFiles.length * 10 <= fullTwo,
+        s"${two.inputFiles.length} of $fullTwo after append")
+      // numeric equality through the same surface (value parses):
+      // answers exactly (id ranges span the p-clustering here, so the
+      // win is correctness + degrade, not pruning)
+      val byId = SnapshotStore.readWhereEq(spark, path, "id", "7")
+      assert(byId.count() == 1)
+      // a rename keeps the partition declaration (logical name moves)
+      SnapshotStore.renameColumn(spark, path, "p", "part")
+      assert(SnapshotStore.partitionColumns(path) == Seq("part"))
+      assert(SnapshotStore.readWhereEq(spark, path, "part", "p007")
+        .count() == 300)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        prevCoalesce)
+    }
+  }
+
   test("commit / append / time-travel read") {
     val path = freshTable()
     val v1 = SnapshotStore.commit(

@@ -159,11 +159,34 @@ class TableTortureSpec extends SparkSpec {
     dv(45L)
     merge((45L, 451L)) // re-insert a previously DV-masked key
     check("reinsert masked key")
+    // RESTORE mid-walk (r18): mutate past a saved version, roll back —
+    // the model snaps back and the keyed-CDC check gates the rollback
+    // diff (dropped merge file, resurrected DV mask) automatically
+    val (savedModel, savedV) = (model, SnapshotStore.latestVersion(path))
+    merge((300L, 3001L))
+    dv(10L)
+    SnapshotStore.restore(spark, path, savedV)
+    model = savedModel; check("restore")
+
     // stream batches land exactly once
     SnapshotStore.streamSink(path)(df(Seq((46L, 460L))), 900L)
     model += ((46L, 460L)); check("stream batch")
     SnapshotStore.streamSink(path)(df(Seq((46L, 460L))), 900L) // replay
     check("stream replay skipped")
+    // PARTITIONED overwrite mid-walk (r18): same rows re-clustered by
+    // the value column — keyed CDC must suppress the identical
+    // rewrite, later appends re-cluster, readWhereEq answers
+    SnapshotStore.commit(df(model.toSeq), path, SaveMode.Overwrite,
+      statsKey = Some("id"), partitionBy = Seq(valName))
+    check("partitioned overwrite")
+    append((47L, 470L))
+    locally {
+      val v470 = SnapshotStore
+        .readWhereEq(spark, path, valName, "470")
+        .select(col("id")).as[Long].collect().toSet
+      assert(v470 == model.filter(_._2 == 470L).keySet,
+        s"readWhereEq after partitioned overwrite: $v470")
+    }
     del((1 to 20).map(_.toLong): _*)
     dv((21 to 30).map(_.toLong): _*)
     SnapshotStore.compact(spark, path, targetBytes = 1L << 20,

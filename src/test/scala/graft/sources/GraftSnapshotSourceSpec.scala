@@ -69,6 +69,25 @@ class GraftSnapshotSourceSpec extends SparkSpec {
     assert(bySeq == Set((1005L, "hi5")))
   }
 
+  test("string equality pushdown prunes to the partition's files (r18)") {
+    val path = fresh()
+    // two value-disjoint files: partitions a* and b*
+    Seq.tabulate(50)(i => (i.toLong, s"a$i")).toDF("id", "p")
+      .coalesce(1).write.format("graft").option("statsKey", "id").save(path)
+    Seq.tabulate(50)(i => (100L + i, s"b$i")).toDF("id", "p")
+      .coalesce(1).write.format("graft").option("statsKey", "id")
+      .mode(SaveMode.Append).save(path)
+    // through the registered source: a pushed p = 'b5' must answer
+    // exactly and delegate to the equality prune (readWhereEq parity)
+    val got = spark.read.format("graft").load(path)
+      .filter(col("p") === "b5").as[(Long, String)].collect().toSet
+    assert(got == Set((105L, "b5")))
+    // the prune itself: readWhereEq opens only the b-file
+    val eq = SnapshotStore.readWhereEq(spark, path, "p", "b5")
+    assert(eq.inputFiles.length == 1,
+      s"${eq.inputFiles.length}: the a-file's [a0,a9] range excludes b5")
+  }
+
   test("explain shows the pushed filters reaching the graft relation") {
     val path = fresh()
     Seq((1L, "a")).toDF("id", "s")
