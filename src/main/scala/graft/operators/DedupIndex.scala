@@ -79,6 +79,37 @@ object DedupIndex {
     TableWriter.appendBucketed(shingles, s"${prefix}_shingles", buckets, "dup_of")
   }
 
+  // ——— delete propagation (r18): the GDPR path for stored indexes ———
+
+  private def deadTable(prefix: String) = s"${prefix}_dead"
+
+  private[operators] def deadIds(spark: SparkSession, prefix: String)
+      : Option[DataFrame] =
+    if (spark.catalog.tableExists(deadTable(prefix)))
+      Some(TableWriter.readTable(spark, deadTable(prefix)))
+    else None
+
+  /** Propagate a corpus DELETE into the stored index (r18): the keys —
+    * e.g. a [[graft.sinks.SnapshotStore]] CDC delta's `delete` rows —
+    * land in a tiny `<prefix>_dead` tombstone table (O(batch), no
+    * index read), and every [[probe]] anti-joins candidates against it
+    * at ADMISSION (broadcast-sized — tombstones are bounded by the
+    * compaction cadence), so a deleted document is never returned as a
+    * dup_of again the moment the delete lands. [[compactIndex]]
+    * MATERIALIZES the tombstones — dead rows drop out of the bucketed
+    * rewrite it already does and the tombstone table is cleared — the
+    * deletion-vector discipline applied to the index: mark O(batch)
+    * now, rewrite O(index) only at maintenance. (Deleting in place is
+    * not O(batch) here by construction: a doc's band keys hash across
+    * ALL `bk` buckets, so an eager rewrite would touch every bucket.)
+    * `keys` is any single-column frame of doc ids. */
+  def delete(spark: SparkSession, keys: DataFrame, prefix: String): Unit = {
+    val k = keys.select(col(keys.columns.head).as("dup_of")).distinct()
+    if (spark.catalog.tableExists(deadTable(prefix)))
+      TableWriter.appendBucketed(k, deadTable(prefix), 1, "dup_of")
+    else TableWriter.writeBucketed(k, deadTable(prefix), 1, "dup_of")
+  }
+
   /** Compact an appended index back to ONE file per bucket. A generic
     * parquet-dir compaction (TableWriter.compact) would corrupt a
     * bucketed table — the file→bucket mapping is encoded in the file
@@ -110,11 +141,20 @@ object DedupIndex {
       // survives and each write task holds exactly one bucket.
       val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
         .filter(col("col_name") === "Location").head.getString(1)
-      val rewritten = spark.read.parquet(loc).repartition(buckets, col(key))
+      // tombstone MATERIALIZATION (r18): dead docs drop out of the
+      // rewrite — both tables key rows by dup_of, one broadcast
+      // anti-join each
+      val raw = spark.read.parquet(loc)
+      val rewritten = deadIds(spark, prefix)
+        .fold(raw)(d => raw.join(broadcast(d), Seq("dup_of"), "left_anti"))
+        .repartition(buckets, col(key))
       TableWriter.writeBucketed(rewritten, tmp, buckets, key)
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     }
+    // tombstones materialized: clear them
+    if (spark.catalog.tableExists(deadTable(prefix)))
+      spark.sql(s"DROP TABLE ${deadTable(prefix)}"): Unit
   }
 
   /** Probe a batch of documents against a stored index. Returns
@@ -129,9 +169,13 @@ object DedupIndex {
       .select(col("doc_id").as("new_doc"),
         explode(Dedup.bandKeysStr(col("sig"), bands, numPerm / bands)).as("bk"))
       .select(col("new_doc"), flatBk(col("bk")).as("bk"))
-    val cand = bandedB
+    val cand0 = bandedB
       .join(TableWriter.readTable(spark, s"${prefix}_bands"), Seq("bk"))
       .select(col("new_doc"), col("dup_of")).distinct()
+    // deleted docs never come back as dup targets (r18): admission-time
+    // anti-join against the tombstones — broadcast-sized
+    val cand = deadIds(spark, prefix)
+      .fold(cand0)(d => cand0.join(broadcast(d), Seq("dup_of"), "left_anti"))
     cand
       .join(shB.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), Seq("new_doc"))
       .join(TableWriter.readTable(spark, s"${prefix}_shingles")

@@ -79,8 +79,31 @@ object EmbedIndex {
     TableWriter.appendBucketed(vec, s"${prefix}_evectors", buckets, "dup_of")
   }
 
+  // ——— delete propagation (r18): [[DedupIndex.delete]]'s contract ———
+
+  private def deadTable(prefix: String) = s"${prefix}_edead"
+
+  private[operators] def deadIds(spark: SparkSession, prefix: String)
+      : Option[DataFrame] =
+    if (spark.catalog.tableExists(deadTable(prefix)))
+      Some(TableWriter.readTable(spark, deadTable(prefix)))
+    else None
+
+  /** Propagate a corpus delete into the stored embedding index:
+    * O(batch) tombstone append; [[probe]] anti-joins candidates at
+    * admission; [[compactIndex]] materializes. Same reasoning as
+    * [[DedupIndex.delete]] — a vector's LSH keys hash across all `bk`
+    * buckets, so eager removal would touch every bucket. */
+  def delete(spark: SparkSession, keys: DataFrame, prefix: String): Unit = {
+    val k = keys.select(col(keys.columns.head).as("dup_of")).distinct()
+    if (spark.catalog.tableExists(deadTable(prefix)))
+      TableWriter.appendBucketed(k, deadTable(prefix), 1, "dup_of")
+    else TableWriter.writeBucketed(k, deadTable(prefix), 1, "dup_of")
+  }
+
   /** Compact appended index tables back to one file per bucket —
-    * identical contract to [[DedupIndex.compactIndex]]. */
+    * identical contract to [[DedupIndex.compactIndex]], r18: dead
+    * vectors materialize out of the rewrite, tombstones cleared. */
   def compactIndex(spark: SparkSession, prefix: String,
                    buckets: Int = 8): Unit = {
     for ((table, key) <- Seq(s"${prefix}_ebuckets" -> "bk",
@@ -88,11 +111,16 @@ object EmbedIndex {
       val tmp = s"${table}_compact_tmp"
       val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
         .filter(col("col_name") === "Location").head.getString(1)
-      val rewritten = spark.read.parquet(loc).repartition(buckets, col(key))
+      val raw = spark.read.parquet(loc)
+      val rewritten = deadIds(spark, prefix)
+        .fold(raw)(d => raw.join(broadcast(d), Seq("dup_of"), "left_anti"))
+        .repartition(buckets, col(key))
       TableWriter.writeBucketed(rewritten, tmp, buckets, key)
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     }
+    if (spark.catalog.tableExists(deadTable(prefix)))
+      spark.sql(s"DROP TABLE ${deadTable(prefix)}"): Unit
   }
 
   /** Probe a batch of vectors against a stored index. Returns
@@ -118,9 +146,12 @@ object EmbedIndex {
             col("b0").bitwiseXOR(lit(1L << j))): _*)).as("b"))
         .select(col("new_vec"),
           concat_ws(":", col("tb"), col("b").cast("string")).as("bk"))
-    val cand = probed
+    val cand0 = probed
       .join(TableWriter.readTable(spark, s"${prefix}_ebuckets"), Seq("bk"))
       .select(col("new_vec"), col("dup_of")).distinct()
+    // deleted vectors never come back as dup targets (r18)
+    val cand = deadIds(spark, prefix)
+      .fold(cand0)(d => cand0.join(broadcast(d), Seq("dup_of"), "left_anti"))
     cand
       .join(vec.select(col("dup_of").as("new_vec"), col("m").as("ma"),
         col("aa")), Seq("new_vec"))

@@ -74,12 +74,45 @@ object GraphAnnIndex {
     TableWriter.writeBucketed(entry, s"${prefix}_gentry", 1, "vec_id")
   }
 
+  // ——— delete propagation (r18): tombstoned vertices ———
+
+  private def deadTable(prefix: String) = s"${prefix}_gdead"
+
+  private[operators] def deadIds(spark: SparkSession, prefix: String)
+      : Option[DataFrame] =
+    if (spark.catalog.tableExists(deadTable(prefix)))
+      Some(TableWriter.readTable(spark, deadTable(prefix)))
+    else None
+
+  /** Propagate a corpus delete into the stored graph (r18, the
+    * filtered-DiskANN delete rule): the keys land in a tombstone
+    * table (O(batch)); every search still TRAVERSES tombstoned
+    * vertices — removing them from the walk would fragment the graph
+    * into islands the entry points cannot reach — but excludes them
+    * at ADMISSION, so a deleted vector is never returned.
+    * [[compactIndex]] materializes: dead vertices and their edges
+    * leave the stored tables and the surviving nodes re-rank. */
+  def delete(spark: SparkSession, keys: DataFrame, prefix: String): Unit = {
+    val k = keys.select(col(keys.columns.head).as("vec_id")).distinct()
+    if (spark.catalog.tableExists(deadTable(prefix)))
+      TableWriter.appendBucketed(k, deadTable(prefix), 1, "vec_id")
+    else TableWriter.writeBucketed(k, deadTable(prefix), 1, "vec_id")
+  }
+
+  /** Exclude tombstoned vertices from a visited/result frame keyed by
+    * `dst` — broadcast-sized admission filter. */
+  private def noDead(spark: SparkSession, prefix: String, df: DataFrame)
+      : DataFrame =
+    deadIds(spark, prefix).fold(df)(d =>
+      df.join(broadcast(d.select(col("vec_id").as("dst"))),
+        Seq("dst"), "left_anti"))
+
   /** Beam-search `queries` (vec_id, embedding — ids are the CALLER's
     * labels, must not collide with indexed ids) against the stored
     * graph. Returns (query_id, rank, neighbor_id, cosine), the
     * [[GraphAnn.knnGraphFp]] shape. The stored side joins run against
     * the bucketed layout — no index-side Exchange, only frontier keys
-    * move. */
+    * move. Tombstoned vertices are traversed but never returned. */
   def search(spark: SparkSession, queries: DataFrame, prefix: String,
              k: Int = 5, beam: Int = 12, hops: Int = 4): DataFrame = {
     val edges = TableWriter.readTable(spark, s"${prefix}_gedges")
@@ -90,7 +123,7 @@ object GraphAnnIndex {
     // it in place through the bucketed layout is the whole point
     val visited = GraphAnn.searchGraph(edges, v, q, entry, beam, hops,
       better, identity)
-    GraphAnn.topK(visited, k, "cosine", -col("d"))
+    GraphAnn.topK(noDead(spark, prefix, visited), k, "cosine", -col("d"))
   }
 
   /** FILTERED search (the filtered-DiskANN / vector-store rule):
@@ -115,7 +148,8 @@ object GraphAnnIndex {
     val visited = GraphAnn.searchGraph(edges, v, q, entry, beam, hops,
       better, identity)
     val admissible = meta.filter(pred).select(col("vec_id").as("dst"))
-    GraphAnn.topK(visited.join(admissible, Seq("dst"), "left_semi"),
+    GraphAnn.topK(
+      noDead(spark, prefix, visited.join(admissible, Seq("dst"), "left_semi")),
       k, "cosine", -col("d"))
   }
 
@@ -246,7 +280,7 @@ object GraphAnnIndex {
     // exact re-rank: full vectors for only the ADC-best candidates
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("d"), col("dst"))
-    val cand = visited.filter(col("dst") =!= col("qid"))
+    val cand = noDead(spark, prefix, visited.filter(col("dst") =!= col("qid")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= rerank)
       .select(col("qid"), col("dst"))
     val v = TableWriter.readTable(spark, s"${prefix}_gvectors")
@@ -283,19 +317,50 @@ object GraphAnnIndex {
     * .compactIndex]]'s contract plus the degree restore. */
   def compactIndex(spark: SparkSession, prefix: String, buckets: Int = 8,
                    degree: Int = 10): Unit = {
-    val v = TableWriter.readTable(spark, s"${prefix}_gvectors")
-    val ranked = GraphAnn.bestPerSrc(
-        TableWriter.readTable(spark, s"${prefix}_gedges").distinct(),
-        v, degree, better, identity)
+    // tombstone MATERIALIZATION (r18): dead vertices leave the vector
+    // table and every edge touching one leaves the graph before the
+    // degree re-rank — the surviving nodes re-pick their best edges
+    // from live neighbors only
+    val v0 = TableWriter.readTable(spark, s"${prefix}_gvectors")
+    val e0 = TableWriter.readTable(spark, s"${prefix}_gedges").distinct()
+    val (v, edgesLive) = deadIds(spark, prefix) match {
+      case None => (v0, e0)
+      case Some(d) =>
+        (v0.join(broadcast(d), Seq("vec_id"), "left_anti"),
+          e0.join(broadcast(d.select(col("vec_id").as("src"))),
+              Seq("src"), "left_anti")
+            .join(broadcast(d.select(col("vec_id").as("dst"))),
+              Seq("dst"), "left_anti"))
+    }
+    val ranked = GraphAnn.bestPerSrc(edgesLive, v, degree, better, identity)
       .select(col("src"), col("dst"))
-    for ((table, key, df) <- Seq(
-        (s"${prefix}_gedges", "src", ranked),
-        (s"${prefix}_gvectors", "vec_id", v))) {
+    // entry points must stay LIVE vertices: drop dead ones and top the
+    // set back up from the smallest surviving ids (the writeIndex
+    // convention) so searches never seed on a removed vector
+    val entry0 = TableWriter.readTable(spark, s"${prefix}_gentry")
+    val nEntry = math.max(1L, entry0.count()).toInt
+    // MATERIALIZED on the driver (entry sets are a handful of rows)
+    // before the loop below drops the tables these plans read from
+    val entryPlan = deadIds(spark, prefix) match {
+      case None => entry0
+      case Some(d) =>
+        val kept = entry0.join(broadcast(d), Seq("vec_id"), "left_anti")
+        if (kept.count() >= 1) kept
+        else v.select(col("vec_id")).orderBy(col("vec_id")).limit(nEntry)
+    }
+    val entryLive = spark.createDataFrame(
+      java.util.Arrays.asList(entryPlan.collect(): _*), entryPlan.schema)
+    for ((table, key, bk, df) <- Seq(
+        (s"${prefix}_gedges", "src", buckets, ranked),
+        (s"${prefix}_gvectors", "vec_id", buckets, v),
+        (s"${prefix}_gentry", "vec_id", 1, entryLive))) {
       val tmp = s"${table}_compact_tmp"
       TableWriter.writeBucketed(
-        df.repartition(buckets, col(key)), tmp, buckets, key)
+        df.repartition(bk, col(key)), tmp, bk, key)
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     }
+    if (spark.catalog.tableExists(deadTable(prefix)))
+      spark.sql(s"DROP TABLE ${deadTable(prefix)}"): Unit
   }
 }
