@@ -488,6 +488,32 @@ object SnapshotStore {
       columnMapping(path, v))
   }
 
+  /** STRING-RANGE scan planning (r18): rows with `key` ∈ [lo, hi]
+    * lexicographically — the date-string window every warehouse table
+    * filters by first (`day BETWEEN '2024-01-01' AND '2024-01-31'`).
+    * Prunes with the same per-file (slo, shi) ranges as
+    * [[readWhereEq]]; ISO date strings order lexicographically ≡
+    * chronologically, so on a `partitionBy(day)` table this is
+    * date-partition elimination. Files without a provable range are
+    * kept; the residual BETWEEN stays in the scan. */
+  def readWhereBetween(spark: SparkSession, path: String, key: String,
+                       lo: String, hi: String,
+                       version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.getOrElse(latestVersion(path))
+    require(v > 0, s"no committed snapshot under $path")
+    require(lo <= hi, s"readWhereBetween: lo '$lo' > hi '$hi'")
+    val pk = physicalOf(path, v, key)
+    val kept = prunedFilesStr(spark, path, v, pk, lo, hi)
+    val pruned =
+      if (kept.nonEmpty) readVersionFiles(spark, path, v, kept)
+      else readVersionFiles(spark, path, v, manifest(path, v)).limit(0)
+    presentDf(
+      maskDeleted(spark, path, v,
+        pruned.filter(col(pk) >= lo && col(pk) <= hi)),
+      columnMapping(path, v))
+  }
+
   /** Write `df` as the table's next version. `mode=Overwrite` replaces
     * the table contents; `mode=Append` carries the previous manifest's
     * files forward and adds the new ones (an append commits in O(new
@@ -1173,6 +1199,27 @@ object SnapshotStore {
         manifestDF(spark, path, v)
           .join(st.filter(col("column") === key), Seq("file"), "left")
           .filter(!(exclStr || exclNum) || col("column").isNull)
+          .select("file").distinct().as[String].collect().toSeq.sorted
+    }
+  }
+
+  /** FILE paths that may hold rows with `key` ∈ [lo, hi]
+    * lexicographically — [[readWhereBetween]]'s prune: a file is
+    * skipped only when its recorded string range provably misses the
+    * window. */
+  private def prunedFilesStr(spark: SparkSession, path: String, v: Long,
+                             key: String, lo: String, hi: String)
+      : Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    statsDF(spark, path, v) match {
+      case None => manifest(path, v)
+      case Some(st) =>
+        val excl = col("slo").isNotNull &&
+          (col("slo") > lit(hi) || col("shi") < lit(lo))
+        manifestDF(spark, path, v)
+          .join(st.filter(col("column") === key), Seq("file"), "left")
+          .filter(!excl || col("column").isNull)
           .select("file").distinct().as[String].collect().toSeq.sorted
     }
   }

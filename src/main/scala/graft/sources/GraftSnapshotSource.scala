@@ -240,6 +240,31 @@ case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
       case EqualTo(c, v: String) if schema.fieldNames.contains(c) => (c, v)
     })
 
+  /** String WINDOW extraction (r18): fold pushed string comparisons
+    * into per-column lexicographic [lo, hi] windows — the date-string
+    * BETWEEN every warehouse query runs. Only columns with BOTH bounds
+    * qualify (a half-open string window barely prunes); the first such
+    * column drives [[SnapshotStore.readWhereBetween]]. */
+  private def strBoundsOf(filters: Array[Filter])
+      : Option[(String, String, String)] = {
+    val lo = scala.collection.mutable.Map.empty[String, String]
+    val hi = scala.collection.mutable.Map.empty[String, String]
+    def raise(m: scala.collection.mutable.Map[String, String], c: String,
+              v: String, takeMax: Boolean): Unit =
+      m(c) = m.get(c).fold(v)(prev =>
+        if ((v > prev) == takeMax) v else prev)
+    filters.foreach {
+      case GreaterThan(c, v: String)        => raise(lo, c, v, takeMax = true)
+      case GreaterThanOrEqual(c, v: String) => raise(lo, c, v, takeMax = true)
+      case LessThan(c, v: String)           => raise(hi, c, v, takeMax = false)
+      case LessThanOrEqual(c, v: String)    => raise(hi, c, v, takeMax = false)
+      case _ => ()
+    }
+    lo.keySet.intersect(hi.keySet).toSeq.sorted.headOption
+      .filter(c => schema.fieldNames.contains(c) && lo(c) <= hi(c))
+      .map(c => (c, lo(c), hi(c)))
+  }
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val spark = sqlContext.sparkSession
@@ -250,7 +275,12 @@ case class GraftSnapshotRelation(sqlContext: SQLContext, path: String,
       case None => boundsOf(filters) match {
         case Some((key, lo, hi)) if schema.fieldNames.contains(key) =>
           SnapshotStore.readWhere(spark, path, key, lo, hi, Some(version))
-        case _ => SnapshotStore.read(spark, path, Some(version))
+        case _ => strBoundsOf(filters) match {
+          case Some((key, lo, hi)) =>
+            SnapshotStore.readWhereBetween(spark, path, key, lo, hi,
+              Some(version))
+          case None => SnapshotStore.read(spark, path, Some(version))
+        }
       }
     }
     // empty projection = bare count(*): Spark wants 0-field rows

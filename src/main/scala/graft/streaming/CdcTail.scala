@@ -42,7 +42,10 @@ object CdcTail {
   def tail(spark: SparkSession, path: String, consumerId: String,
            key: Option[String] = None)
           (process: (DataFrame, Long) => Unit): DataStreamWriter[_] = {
-    val snaps = new java.io.File(path, "_snapshots").getPath
+    // string join, not java.io.File: the table root may be
+    // scheme-qualified (hdfs://, the r18 LogStore surface) and File
+    // would collapse the double slash
+    val snaps = path.stripSuffix("/") + "/_snapshots"
     spark.readStream
       .option("pathGlobFilter", "v*.manifest")
       .text(snaps)

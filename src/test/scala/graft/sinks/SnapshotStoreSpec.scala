@@ -89,6 +89,15 @@ class SnapshotStoreSpec extends SparkSpec {
       // win is correctness + degrade, not pruning)
       val byId = SnapshotStore.readWhereEq(spark, path, "id", "7")
       assert(byId.count() == 1)
+      // string-RANGE prune (r18): the date-BETWEEN shape — a
+      // lexicographic window over the partition column opens only the
+      // window's files
+      val win = SnapshotStore
+        .readWhereBetween(spark, path, "p", "p005", "p008")
+      assert(win.count() == 4 * 300)
+      assert(win.inputFiles.length * 5 <= fullTwo,
+        s"${win.inputFiles.length} of $fullTwo: the window must prune")
+
       // a rename keeps the partition declaration (logical name moves)
       SnapshotStore.renameColumn(spark, path, "p", "part")
       assert(SnapshotStore.partitionColumns(path) == Seq("part"))

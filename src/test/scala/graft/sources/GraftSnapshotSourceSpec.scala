@@ -86,6 +86,15 @@ class GraftSnapshotSourceSpec extends SparkSpec {
     val eq = SnapshotStore.readWhereEq(spark, path, "p", "b5")
     assert(eq.inputFiles.length == 1,
       s"${eq.inputFiles.length}: the a-file's [a0,a9] range excludes b5")
+
+    // string WINDOW pushdown (the date-BETWEEN shape): both bounds on
+    // one string column drive readWhereBetween's lexicographic prune
+    val win = spark.read.format("graft").load(path)
+      .filter(col("p") >= "b0" && col("p") <= "b9")
+    assert(win.count() == 50)
+    val bw = SnapshotStore.readWhereBetween(spark, path, "p", "b0", "b9")
+    assert(bw.inputFiles.length == 1,
+      s"${bw.inputFiles.length}: the window excludes the a-file")
   }
 
   test("explain shows the pushed filters reaching the graft relation") {

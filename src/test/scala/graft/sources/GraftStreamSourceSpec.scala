@@ -289,6 +289,37 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a RESTORE mid-stream delivers the rollback diff as one exact delta (r18)") {
+    val path = fresh()
+    SnapshotStore.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path) // v1
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(Long, String, String)]]
+    val ck = java.nio.file.Files.createTempDirectory("graft-ss-ck9").toString
+    val q = drain(
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("key", "id")
+        .load(path), ck) { (df, _) =>
+      seen.synchronized {
+        val rows = df.select("id", "s", "_change")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .toSet
+        if (rows.nonEmpty) seen += rows
+      }
+    }
+    try {
+      SnapshotStore.commit(
+        Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "s"), path) // v2
+      q.processAllAvailable()
+      assert(seen.last == Set((2L, "B", "update"), (3L, "c", "insert")))
+      SnapshotStore.restore(spark, path, 1L)                        // v3
+      q.processAllAvailable()
+      // the rollback arrives as its own keyed delta: the update
+      // reverts, the rolled-back insert deletes
+      assert(seen.last == Set((2L, "b", "update"), (3L, "c", "delete")),
+        seen.last.toString)
+    } finally q.stop()
+  }
+
   test("mid-stream schema evolution fails with a restart message, CDF and append modes (r18)") {
     import org.apache.spark.sql.streaming.StreamingQueryException
     // CDF mode: a column ADDED mid-stream must fail the query (the
