@@ -165,6 +165,53 @@ object GraftSql {
     }
   }
 
+  /** SQL-text row-level DELETE (r18) — the statement form of
+    * [[graft.sinks.SnapshotStore.deleteWhere]]:
+    *
+    * {{{ DELETE FROM '<table path>' WHERE <cond> }}}
+    *
+    * Rows where the predicate is TRUE leave the table (NULL keeps the
+    * row); only files holding a match are rewritten. Returns the
+    * committed version. */
+  def delete(spark: SparkSession, sql: String): Long = {
+    val re = """(?is)^DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    sql.trim match {
+      case re(p, cond) => graft.sinks.SnapshotStore.deleteWhere(spark, p, cond)
+      case _ => throw new IllegalArgumentException(
+        "GraftSql.delete: expected DELETE FROM '<path>' WHERE <cond>")
+    }
+  }
+
+  /** SQL-text row-level UPDATE (r18) — the statement form of
+    * [[graft.sinks.SnapshotStore.updateWhere]]:
+    *
+    * {{{ UPDATE '<table path>' SET col = <expr>, ... WHERE <cond> }}}
+    *
+    * Assignments/condition are SQL over the table's logical columns;
+    * the WHERE is found with the CASE-aware scanner, so CASE WHEN …
+    * END expressions in SET parse intact. Returns the version. */
+  def update(spark: SparkSession, sql: String): Long = {
+    val s = sql.trim.stripSuffix(";")
+    val head = """(?is)^UPDATE\s+'([^']+)'\s+SET\s+(.*)$""".r
+    val (path, rest) = s match {
+      case head(p, r) => (p, r)
+      case _ => throw new IllegalArgumentException(
+        "GraftSql.update: expected UPDATE '<path>' SET col = <expr>, " +
+          "... WHERE <cond>")
+    }
+    val wi = topLevelKeywordIndex(rest, "WHERE")
+    require(wi >= 0, "GraftSql.update: missing WHERE (a full-table " +
+      "update must say WHERE true explicitly)")
+    val sets = splitTopLevel(rest.take(wi)).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"GraftSql.update: malformed SET item '$kv'")
+      kv.take(i).trim -> kv.drop(i + 1).trim
+    }
+    val cond = rest.drop(wi + 5).trim
+    require(cond.nonEmpty, "GraftSql.update: empty WHERE condition")
+    graft.sinks.SnapshotStore.updateWhere(spark, path, sets.toMap, cond)
+  }
+
   /** Index of the close paren matching the open paren at `open`,
     * quote-aware. */
   private def matchingParen(s: String, open: Int): Int = {

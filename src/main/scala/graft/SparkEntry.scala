@@ -284,6 +284,10 @@ object SparkEntry {
     // RESTORE as a commit (r18): rollback diff (resurrected DV masks,
     // dropped appends) + restored live state, oracled
     "q_restore" -> q(Relational.restoreDemo),
+    // predicate row-level verbs (r18): DELETE FROM ... WHERE and
+    // UPDATE ... SET ... WHERE statements, oracled
+    "q_delete_where" -> q(Relational.deleteWhereDemo),
+    "q_update_where" -> q(Relational.updateWhereDemo),
     "q6_forecast"      -> q(Relational.q6Forecast),
     "q4_priority"      -> q(Relational.q4Priority),
     "q12_shipmode"     -> q(Relational.q12Shipmode),
@@ -2440,6 +2444,45 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey BETWEEN 100 AND 4000
         |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // predicate DELETE gate (r18): the statement's predicate replayed
+    // as a plain WHERE NOT; delete counts carry the OLD payload
+    "q_delete_where" ->
+      """WITH live AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE NOT (o_totalprice > 150000 AND o_orderstatus = 'O')),
+        |dels AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_totalprice > 150000 AND o_orderstatus = 'O'),
+        |l AS (SELECT o_orderstatus, COUNT(*) AS n_live,
+        |        MIN(o_orderkey) AS first_live, MAX(o_orderkey) AS last_live
+        |      FROM live GROUP BY o_orderstatus),
+        |d AS (SELECT o_orderstatus, COUNT(*) AS n_deleted
+        |      FROM dels GROUP BY o_orderstatus)
+        |SELECT COALESCE(l.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+        |  CAST(COALESCE(n_live, 0) AS BIGINT) AS n_live,
+        |  first_live, last_live,
+        |  CAST(COALESCE(n_deleted, 0) AS BIGINT) AS n_deleted
+        |FROM l FULL OUTER JOIN d ON l.o_orderstatus = d.o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // predicate UPDATE gate (r18): the assignment replayed as a CASE;
+    // the CDC update window cross-joined onto every group row
+    "q_update_where" ->
+      """WITH f AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+        |         THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+        |         THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_updated,
+        |        MIN(o_orderkey) AS first_upd, MAX(o_orderkey) AS last_upd
+        |      FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  n_updated, first_upd, last_upd
+        |FROM f CROSS JOIN u
+        |GROUP BY o_orderstatus, n_updated, first_upd, last_upd
         |ORDER BY o_orderstatus""".stripMargin,
 
     // RESTORE gate (r18): the rollback's keyed CDC — resurrected

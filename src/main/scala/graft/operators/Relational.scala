@@ -706,6 +706,82 @@ object Relational {
     cdc.unionByName(live).orderBy(col("change"))
   }
 
+  /** Predicate DELETE through the REAL table layer (r18, oracled —
+    * Delta's `DELETE FROM t WHERE cond`, the statement every retention
+    * policy runs): orders are committed range-partitioned, then
+    * [[graft.sinks.SnapshotStore.deleteWhere]] removes rows by an
+    * arbitrary multi-column predicate — one skinny scan finds the
+    * touched files, only they are rewritten (disjoint files carried in
+    * the O(delta) manifest). Output: live per-status totals + the
+    * keyed CDC delete counts; the oracle replays the predicate as a
+    * plain WHERE NOT. */
+  def deleteWhereDemo(t: Tables): DataFrame = {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-delw").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    SnapshotStore.commit(
+      o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      dir, statsKey = Some("o_orderkey"))
+    graft.GraftSql.delete(t.spark,
+      s"DELETE FROM '$dir' WHERE o_totalprice > 150000 AND " +
+        "o_orderstatus = 'O'")
+    val live = SnapshotStore.read(t.spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        min(col("o_orderkey")).as("first_live"),
+        max(col("o_orderkey")).as("last_live"))
+    val dels = SnapshotStore
+      .readChanges(t.spark, dir, 1, 2, Some("o_orderkey"))
+      .filter(col("_change") === "delete")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_deleted"))
+    live.join(dels, Seq("o_orderstatus"), "full")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        col("first_live"), col("last_live"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Predicate UPDATE through the REAL table layer (r18, oracled —
+    * Delta's `UPDATE t SET c = expr WHERE cond`): a conditional
+    * repricing over the committed orders table — touched files
+    * rewritten with the assignment applied to matching rows (cast back
+    * to the column type), untouched files carried, CHECK-constraint
+    * validation on the materialized result, keyed CDC classifying the
+    * updates. The oracle replays the assignment as a CASE. */
+  def updateWhereDemo(t: Tables): DataFrame = {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-updw").toString + "/t"
+    val o = t.orders.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    SnapshotStore.commit(
+      o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      dir, statsKey = Some("o_orderkey"))
+    graft.GraftSql.update(t.spark,
+      s"UPDATE '$dir' SET o_totalprice = o_totalprice * 2, " +
+        "o_orderstatus = 'U' " +
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    val upd = SnapshotStore
+      .readChanges(t.spark, dir, 1, 2, Some("o_orderkey"))
+      .filter(col("_change") === "update")
+      .agg(count(lit(1)).as("n_updated"),
+        min(col("o_orderkey")).as("first_upd"),
+        max(col("o_orderkey")).as("last_upd"))
+    SnapshotStore.read(t.spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("sum_cents"))
+      .crossJoin(upd)
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** INCREMENTAL VIEW MAINTENANCE driven through the REAL table layer
     * (r16, oracled): a per-status (count, exact-cents sum) aggregate
     * view of an orders table is maintained across THREE commits —

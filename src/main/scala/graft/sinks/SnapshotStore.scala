@@ -2437,6 +2437,106 @@ object SnapshotStore {
     }
   }
 
+  // ——— predicate row-level verbs (r18): Delta's DELETE/UPDATE WHERE ———
+
+  /** FILE paths holding ≥ 1 live row matching `cond` (a boolean SQL
+    * expression over LOGICAL column names), plus the matching-row
+    * predicate rebuilt for reuse. ONE skinny scan: Catalyst prunes the
+    * read to `_metadata.file_path` + the predicate's columns; only the
+    * touched PATHS reach the driver (the minimum a rewrite plan
+    * needs). Arbitrary predicates cannot stats-prune in general — this
+    * is Delta's own DELETE-WHERE shape: scan to find touched files,
+    * rewrite only them. */
+  private def touchedByPredicate(spark: SparkSession, path: String, v: Long,
+                                 cond: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val scanned = readVersionFiles(spark, path, v, manifest(path, v))
+      .withColumn("_t_file", col("_metadata.file_path"))
+    val masked = dvFrame(spark, path, v) match {
+      case None => scanned
+      case Some(dv) => scanned
+        .withColumn("_t_row", col("_metadata.row_index"))
+        .join(dv.select(col("file").as("_t_file"),
+          col("row_index").as("_t_row")), Seq("_t_file", "_t_row"),
+          "left_anti")
+        .drop("_t_row")
+    }
+    presentDf(masked, columnMapping(path, v), extra = Seq("_t_file"))
+      .filter(expr(cond))
+      .select("_t_file").distinct().as[String].collect().toSeq
+      .map(normalizePathSafe).sorted
+  }
+
+  /** Row-level DELETE by PREDICATE (r18 — Delta's
+    * `DELETE FROM t WHERE cond`): rows where `cond` is TRUE leave the
+    * table (NULL keeps the row, SQL semantics); only files holding a
+    * matching row are rewritten, every disjoint file is carried by
+    * reference in the O(delta) manifest. `cond` is SQL over LOGICAL
+    * column names. Keyed CDC classifies the deletions; carried-file
+    * rows never appear in the delta. No matching row → no new
+    * version. Returns the (possibly unchanged) version. */
+  def deleteWhere(spark: SparkSession, path: String, cond: String): Long =
+    withLock(path) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val v = latestVersion(path)
+      require(v > 0, s"no committed snapshot under $path")
+      val touched = touchedByPredicate(spark, path, v, cond)
+      if (touched.isEmpty) v
+      else {
+        val mapping = columnMapping(path, v)
+        val survivors = presentDf(
+          maskDeleted(spark, path, v,
+            readVersionFiles(spark, path, v, touched)), mapping)
+          .filter(not(coalesce(expr(cond), lit(false))))
+        commitLocked(toPhysicalDf(path, v, survivors), path,
+          CarryAllExcept(touched), None, statsKeyOf(path, v),
+          colmap = mapping,
+          validate = false) // rewrite-only: no new rows (OPTIMIZE rule)
+      }
+    }
+
+  /** Row-level UPDATE by PREDICATE (r18 — Delta's
+    * `UPDATE t SET c = expr WHERE cond`): rows where `cond` is TRUE
+    * get `set`'s assignments applied (expressions are SQL over the
+    * table's logical columns, cast back to each column's type);
+    * everything else — including the untouched files, carried by
+    * reference — is unchanged. CHECK constraints validate the
+    * materialized result (an update CAN introduce violating values,
+    * unlike a pure rewrite). Keyed CDC classifies the updates with
+    * identical-value assignments suppressed. Returns the version. */
+  def updateWhere(spark: SparkSession, path: String,
+                  set: Map[String, String], cond: String): Long =
+    withLock(path) {
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+      require(set.nonEmpty, "updateWhere: empty SET")
+      val v = latestVersion(path)
+      require(v > 0, s"no committed snapshot under $path")
+      val touched = touchedByPredicate(spark, path, v, cond)
+      if (touched.isEmpty) v
+      else {
+        val mapping = columnMapping(path, v)
+        val current = presentDf(
+          maskDeleted(spark, path, v,
+            readVersionFiles(spark, path, v, touched)), mapping)
+        val bad = set.keys.filterNot(current.columns.contains)
+        require(bad.isEmpty,
+          s"updateWhere: SET of unknown column(s) ${bad.mkString(", ")}")
+        val types = current.schema.fields.map(f => f.name -> f.dataType).toMap
+        val hit = coalesce(expr(cond), lit(false))
+        val rewritten = current.select(current.columns.toSeq.map { c =>
+          set.get(c) match {
+            case Some(e) =>
+              when(hit, expr(e).cast(types(c))).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        commitLocked(toPhysicalDf(path, v, rewritten), path,
+          CarryAllExcept(touched), None, statsKeyOf(path, v),
+          colmap = mapping) // validate: updates can violate constraints
+      }
+    }
+
   // ——— streaming integration: exactly-once foreachBatch commits ———
 
   private def batchFile(path: String, v: Long) =
