@@ -212,6 +212,79 @@ object GraftSql {
     graft.sinks.SnapshotStore.updateWhere(spark, path, sets.toMap, cond)
   }
 
+  /** SQL-text maintenance statements (r18) — completing the table
+    * DDL/DML surface so every table-layer verb is reachable as a
+    * statement (the Delta statement set):
+    *
+    * {{{
+    *   OPTIMIZE '<path>' [ZORDER BY (c1, c2[, ...])]
+    *   VACUUM '<path>' [RETAIN <n> VERSIONS]
+    *   DESCRIBE HISTORY '<path>'
+    * }}}
+    *
+    * OPTIMIZE without ZORDER compacts sorted by the table's stats key
+    * when one is tracked; with ZORDER it is the multi-dim clustered
+    * rewrite. VACUUM defaults to 2 retained versions and runs the
+    * deletion-vector GC overload. Returns the new version (OPTIMIZE),
+    * dropped file count (VACUUM). */
+  def optimize(spark: SparkSession, sql: String): Long = {
+    import graft.sinks.SnapshotStore
+    val z = ("""(?is)^OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*""" +
+      """\(\s*([\w\s,]+?)\s*\)\s*;?\s*$""").r
+    val plain = """(?is)^OPTIMIZE\s+'([^']+)'\s*;?\s*$""".r
+    sql.trim match {
+      case z(p, dims) =>
+        SnapshotStore.compactZOrdered(spark, p,
+          dims.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case plain(p) => SnapshotStore.compact(spark, p)
+      case _ => throw new IllegalArgumentException(
+        "GraftSql.optimize: expected OPTIMIZE '<path>' [ZORDER BY (c, ...)]")
+    }
+  }
+
+  def vacuum(spark: SparkSession, sql: String): Long = {
+    import graft.sinks.SnapshotStore
+    val re = ("""(?is)^VACUUM\s+'([^']+)'""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
+    sql.trim match {
+      case re(p, n) =>
+        SnapshotStore.vacuum(spark, p, Option(n).map(_.toInt).getOrElse(2))
+      case _ => throw new IllegalArgumentException(
+        "GraftSql.vacuum: expected VACUUM '<path>' [RETAIN <n> VERSIONS]")
+    }
+  }
+
+  def describeHistory(spark: SparkSession, sql: String): DataFrame = {
+    val re = """(?is)^DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*$""".r
+    sql.trim match {
+      case re(p) => graft.sinks.SnapshotStore.history(spark, p)
+      case _ => throw new IllegalArgumentException(
+        "GraftSql.describeHistory: expected DESCRIBE HISTORY '<path>'")
+    }
+  }
+
+  /** Statement DISPATCH (r18): route any graft table statement to its
+    * handler by leading keyword — one entry point for a SQL shell.
+    * Mutations return a 1-row (version) frame; DESCRIBE HISTORY
+    * returns the history frame. */
+  def statement(spark: SparkSession, sql: String): DataFrame = {
+    import spark.implicits._
+    val s = sql.trim
+    val kw = s.takeWhile(!_.isWhitespace).toUpperCase
+    kw match {
+      case "MERGE"    => Seq(merge(spark, s)).toDF("version")
+      case "RESTORE"  => Seq(restore(spark, s)).toDF("version")
+      case "UPDATE"   => Seq(update(spark, s)).toDF("version")
+      case "DELETE"   => Seq(delete(spark, s)).toDF("version")
+      case "OPTIMIZE" => Seq(optimize(spark, s)).toDF("version")
+      case "VACUUM"   => Seq(vacuum(spark, s)).toDF("dropped_files")
+      case "DESCRIBE" => describeHistory(spark, s)
+      case _ => throw new IllegalArgumentException(
+        s"GraftSql.statement: unsupported statement '$kw' - " +
+          "MERGE/RESTORE/UPDATE/DELETE/OPTIMIZE/VACUUM/DESCRIBE HISTORY")
+    }
+  }
+
   /** Index of the close paren matching the open paren at `open`,
     * quote-aware. */
   private def matchingParen(s: String, open: Int): Int = {

@@ -85,6 +85,14 @@ object SnapshotStore {
     * vacuumed chain; the amortized commit cost is O(files / interval). */
   @volatile var manifestCheckpointInterval: Int = 16
 
+  /** Cap on the TOTAL number of columns the all-column stats layer
+    * tracks per commit (r18; Delta's
+    * `dataSkippingNumIndexedCols = 32` knob). Declared keys always
+    * record; the auto-extension fills up to this cap. Lower it on
+    * very wide tables where the per-commit stats aggregate dominates
+    * commit latency. */
+  @volatile var statsAutoColumns: Int = 32
+
   /** Parsed manifest: FULL (`paths` defined) or DELTA (`base` = v−1,
     * `adds`/`drops` relative to it). `n` is the manifest's recorded
     * live-file count (absent on legacy fulls). */
@@ -852,10 +860,11 @@ object SnapshotStore {
           f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
             f.dataType == org.apache.spark.sql.types.StringType
         }.map(_.name).filterNot(declared.contains)
-        val cols = (declared ++ auto).take(32)
+        val cols = (declared ++ auto).take(math.max(declared.size,
+          statsAutoColumns))
         val spark = df.sparkSession
         import org.apache.spark.sql.functions.{input_file_name, min, max,
-          explode, array, struct, lit, col, when, floor, ceil, coalesce}
+          explode, array, struct, lit, col, when, floor, ceil}
         import spark.implicits._
         // DISTRIBUTED stats checkpoint (r16): per-file ranges land as a
         // parquet frame (file, column, lo, hi) under the version, never
@@ -887,19 +896,26 @@ object SnapshotStore {
                org.apache.spark.sql.types.LongType => true
           case _ => false
         }
+        // EXCEPTION-FREE casts only (r18 hot-path rule): a try_cast
+        // that fails per row is exception-driven control flow — on a
+        // mostly-non-numeric string column that is an exception STORM
+        // (measured ~1 s per 150k-row stats job), so string columns
+        // record ONLY their lexicographic range below (equality /
+        // BETWEEN pruning — the partition shapes) and never attempt
+        // numeric parsing; fractional columns gate the long cast
+        // behind an in-range check (NaN/overflow → null → the bad
+        // flag degrades the file to rangeless — never an error,
+        // never an exception).
+        val safeLong = 9.2e18 // inside ±2^63, margin for double rounding
+        def bounded(x: org.apache.spark.sql.Column) =
+          when(x.between(-safeLong, safeLong), x.cast("long"))
         def loC(c: String) = statTypes(c) match {
           case dt if isIntegral(dt) => col(c).cast("long")
-          case org.apache.spark.sql.types.StringType =>
-            coalesce(col(c).try_cast("long"),
-              floor(col(c).try_cast("double")).try_cast("long"))
-          case _ => floor(col(c).try_cast("double")).try_cast("long")
+          case _ => bounded(floor(col(c).cast("double")))
         }
         def hiC(c: String) = statTypes(c) match {
           case dt if isIntegral(dt) => col(c).cast("long")
-          case org.apache.spark.sql.types.StringType =>
-            coalesce(col(c).try_cast("long"),
-              ceil(col(c).try_cast("double")).try_cast("long"))
-          case _ => ceil(col(c).try_cast("double")).try_cast("long")
+          case _ => bounded(ceil(col(c).cast("double")))
         }
         // STRING (lexicographic) ranges ride the same checkpoint (r18):
         // for string columns — partition values, categories, date
@@ -913,13 +929,17 @@ object SnapshotStore {
         // small-files explosion at high cardinality).
         val isStr = (c: String) =>
           statTypes(c) == org.apache.spark.sql.types.StringType
+        // integral columns never fail their exact cast, string columns
+        // never attempt one — the bad flag exists only where it can
+        // fire (fractional)
         val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-          Seq(min(loC(c)).as(s"lo_$i"), max(hiC(c)).as(s"hi_$i"),
-            max(when(col(c).isNotNull && loC(c).isNull, 1)
-              .otherwise(0)).as(s"bad_$i")) ++
-          (if (isStr(c))
+          if (isStr(c))
             Seq(min(col(c)).as(s"slo_$i"), max(col(c)).as(s"shi_$i"))
-          else Nil)
+          else
+            Seq(min(loC(c)).as(s"lo_$i"), max(hiC(c)).as(s"hi_$i")) ++
+              (if (isIntegral(statTypes(c))) Nil
+               else Seq(max(when(col(c).isNotNull && loC(c).isNull, 1)
+                 .otherwise(0)).as(s"bad_$i")))
         }
         val freshDF: Option[DataFrame] =
           if (fresh.isEmpty) None
@@ -928,11 +948,14 @@ object SnapshotStore {
             .agg(aggs.head, aggs.tail: _*)
             .select(col("f"),
               explode(array(cols.zipWithIndex.map { case (c, i) =>
+                def guarded(x: org.apache.spark.sql.Column) =
+                  if (isIntegral(statTypes(c))) x
+                  else when(col(s"bad_$i") === 1, lit(null)).otherwise(x)
                 struct(lit(c).as("column"),
-                  when(col(s"bad_$i") === 1, lit(null))
-                    .otherwise(col(s"lo_$i")).as("lo"),
-                  when(col(s"bad_$i") === 1, lit(null))
-                    .otherwise(col(s"hi_$i")).as("hi"),
+                  (if (isStr(c)) lit(null).cast("long")
+                   else guarded(col(s"lo_$i"))).as("lo"),
+                  (if (isStr(c)) lit(null).cast("long")
+                   else guarded(col(s"hi_$i"))).as("hi"),
                   (if (isStr(c)) col(s"slo_$i")
                    else lit(null).cast("string")).as("slo"),
                   (if (isStr(c)) col(s"shi_$i")
@@ -1537,11 +1560,14 @@ object SnapshotStore {
       .filter(_ <= v).sorted
 
   /** Versions whose deletion-vector tombstones are VISIBLE at version
-    * `v`: sidecars in [newest reset marker ≤ v, v]. */
+    * `v`: sidecars in [newest reset marker ≤ v, v]. One directory
+    * listing serves both the markers and the sidecars. */
   private def dvVersionsUpTo(path: String, v: Long): Seq[Long] = {
-    val base = dvBaseVersionsUpTo(path, v).lastOption.getOrElse(0L)
-    store(path).list(snapDir(path))
-      .map(_.name).filter(_.matches("v\\d{8}\\.dvpq"))
+    val names = store(path).list(snapDir(path)).map(_.name)
+    val base = names.filter(_.matches("v\\d{8}\\.dvbase"))
+      .map(_.stripPrefix("v").stripSuffix(".dvbase").toLong)
+      .filter(_ <= v).sorted.lastOption.getOrElse(0L)
+    names.filter(_.matches("v\\d{8}\\.dvpq"))
       .map(_.stripPrefix("v").stripSuffix(".dvpq").toLong)
       .filter(w => w <= v && w >= base).sorted
   }

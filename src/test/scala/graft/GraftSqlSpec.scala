@@ -12,6 +12,47 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.count() == 3)
   }
 
+  test("table maintenance statements: OPTIMIZE / VACUUM / DESCRIBE HISTORY / dispatch (r18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sqlstmt").toString + "/t"
+    graft.sinks.SnapshotStore.commit(
+      spark.range(0, 200).select(col("id"), (col("id") * 2).as("v"))
+        .repartition(8),
+      path, statsKey = Some("id"))
+    graft.sinks.SnapshotStore.commit(
+      Seq((500L, 1L)).toDF("id", "v"), path,
+      org.apache.spark.sql.SaveMode.Append)
+    val before = graft.sinks.SnapshotStore.read(spark, path)
+      .inputFiles.length
+    // OPTIMIZE compacts (statsKey-tracked coalesce path)
+    val v3 = GraftSql.optimize(spark, s"OPTIMIZE '$path'")
+    assert(v3 == 3L)
+    assert(graft.sinks.SnapshotStore.read(spark, path)
+      .inputFiles.length < before)
+    assert(graft.sinks.SnapshotStore.read(spark, path).count() == 201)
+    // ZORDER variant
+    val v4 = GraftSql.optimize(spark,
+      s"OPTIMIZE '$path' ZORDER BY (id, v)")
+    assert(v4 == 4L)
+    assert(graft.sinks.SnapshotStore.read(spark, path).count() == 201)
+    // VACUUM RETAIN through the statement; history shrinks to the window
+    val dropped = GraftSql.vacuum(spark, s"VACUUM '$path' RETAIN 2 VERSIONS")
+    assert(dropped > 0)
+    val hist = GraftSql.describeHistory(spark, s"DESCRIBE HISTORY '$path'")
+    assert(hist.select("version").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L))
+    // unified dispatch: a mutation returns its version as a frame
+    assert(GraftSql.statement(spark, s"DELETE FROM '$path' WHERE id >= 100")
+      .as[Long].head() == 5L)
+    assert(GraftSql.statement(spark, s"DESCRIBE HISTORY '$path'")
+      .count() == 3)
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "TRUNCATE 'nope'")
+    }
+  }
+
   test("custom expressions registered for SQL (simhash, rolling hashes)") {
     GraftSql.register(spark, sfDir)
     val r = spark.sql(
