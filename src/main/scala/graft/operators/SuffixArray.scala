@@ -44,17 +44,138 @@ object SuffixArray {
       .select(col("doc_id"), (col("off0") + 1).cast("long").as("off"),
         ascii(col("ch")).cast("long").as("rank"))
 
-  /** Prefix-doubling ranks after `rounds` rounds: equal `rank` ⟺ the
-    * suffixes at those positions agree on their first 2^rounds
-    * characters (comparing end-of-document as a sentinel). Ranks are
-    * DENSE and order-isomorphic to 2^rounds-prefix order. */
-  def buildRanks(docs: DataFrame, rounds: Int): DataFrame =
-    withLoopTuning(docs) { (r0, round) =>
+  /** Prefix-doubling EQUALITY ranks after `rounds` rounds: equal
+    * `rank` ⟺ the suffixes at those positions agree on their first
+    * 2^rounds characters (comparing end-of-document as a sentinel —
+    * two positions group together only when their characters AND
+    * lengths agree). `rank` is an OPAQUE equality key (a long, or a
+    * two-long struct for the final round) — NOT order-isomorphic;
+    * the consumers ([[repeatedSpansDocs]], [[saDedup]]) only ever
+    * group by it, and [[suffixArray]] keeps the classic
+    * order-isomorphic dense-rank loop.
+    *
+    * r18 optimization (guide §2.4 — remove shuffles outright), two
+    * published prefix-doubling refinements:
+    *  1. WORD-WIDTH SEEDING (the k-mer bucket-sort init of practical
+    *     SA builders, e.g. Flick & Aluru 2015 §4 pack initial k-mers
+    *     into machine words): round 0 ranks the 8-char WINDOW at each
+    *     position (dense rank over distinct windows — binary string
+    *     order of the truncated window is exactly the sentinel
+    *     comparison, shorter-prefix-first), so the loop starts at
+    *     step=8 instead of step=1 — three full doubling rounds
+    *     (3 shuffles + a range re-rank each) never run.
+    *  2. PACKED RE-RANK ELISION: a doubling round only needs ranks
+    *     DENSE when a later round must pair them again within long
+    *     range; while the current bound m satisfies (m+2)² < 2⁶³ the
+    *     (rank, rank₂) pair packs injectively into one long
+    *     (rank·(m+2) + rank₂+1) — the distinct + globalRowNumber +
+    *     join-back of that round disappears. The FINAL round needs no
+    *     rank at all: the (rank, rank₂) struct IS the group key.
+    *     Ranks re-densify (classic re-rank) only when the bound would
+    *     overflow — at 100 TB (n ≈ 10¹⁴ chars > 3·10⁹) every round
+    *     re-densifies and the wire cost reverts to the documented
+    *     ~20 bytes/char/round; at any n the results are identical.
+    *
+    * Registered instances (rounds=4: seed + 1 struct round; rounds=5:
+    * seed + 1 packed + 1 struct round) run 2 corpus shuffles + one
+    * distinct-window re-rank instead of 4-5 rounds × (3 shuffles + a
+    * range re-rank). Oracled end-to-end: q_repeated_spans /
+    * q_sa_dedup group raw substrings in DuckDB, so a wrong rank
+    * anywhere splits or merges a group. */
+  def buildRanks(docs: DataFrame, rounds: Int): DataFrame = {
+    val span = 1L << rounds
+    val seedLen = math.min(span, 8L).toInt
+    withSeedTuning(docs, seedLen) { (r0, n) =>
       var r = r0
-      var step = 1L
-      for (_ <- 1 to rounds) { r = round(r, step); step *= 2 }
+      var step = seedLen.toLong
+      var bound = n.toDouble // max value a current rank can hold
+      while (step < span) {
+        val right = r.select(col("doc_id"), (col("off") - step).as("off"),
+          col("rank").as("r2"))
+        val paired = r.join(right, Seq("doc_id", "off"), "left")
+        if (step * 2 >= span) {
+          // final round: the pair is the equality key — no re-rank.
+          // Checkpointed so multi-consumer plans (saDedup reads the
+          // group frame twice) don't recompute the join.
+          val out = paired.select(col("doc_id"), col("off"),
+            struct(col("rank").as("r1"),
+              coalesce(col("r2"), lit(-1L)).as("r2")).as("rank"))
+            .localCheckpoint()
+          Components.freeCheckpoint(r)
+          r = out
+        } else if (bound + 2 < 3.0e9) {
+          // packed round: injective (rank, r2) → one long; missing r2
+          // (suffix runs off the document) packs as 0, present as
+          // r2+1 ≥ 1 — the sentinel stays distinct from every rank
+          val m = lit(math.round(bound) + 2)
+          val out = paired.select(col("doc_id"), col("off"),
+            (col("rank") * m + coalesce(col("r2") + lit(1L), lit(0L)))
+              .as("rank"))
+            .localCheckpoint()
+          Components.freeCheckpoint(r)
+          r = out
+          bound = (bound + 2) * (bound + 2)
+        } else {
+          r = doubleRoundPaired(r, paired)
+          bound = n.toDouble
+        }
+        step *= 2
+      }
       r
     }
+  }
+
+  /** Classic dense re-rank of a pre-paired round (the overflow arm of
+    * [[buildRanks]]): distinct (rank, r2) pairs → globalRowNumber →
+    * join back. Identical to [[doubleRound]] with the pairing hoisted. */
+  private def doubleRoundPaired(r: DataFrame, paired0: DataFrame): DataFrame = {
+    val paired = paired0.select(col("doc_id"), col("off"), col("rank"),
+      coalesce(col("r2"), lit(-1L)).as("r2"))
+    val groups = Curation.globalRowNumber(
+        paired.select(col("rank"), col("r2")).distinct(),
+        col("rank"), col("r2"))
+      .withColumnRenamed("_rn", "nrank")
+    val out = paired.join(groups, Seq("rank", "r2"))
+      .select(col("doc_id"), col("off"), col("nrank").as("rank"))
+      .localCheckpoint()
+    Components.freeCheckpoint(r)
+    out
+  }
+
+  /** Seed-at-word-width variant of [[withLoopTuning]]: same child
+    * session + shuffle sizing, but round 0 is the dense rank of the
+    * `seedLen`-char window at each position instead of single char
+    * codes. Binary string order of the truncated window ≡ the −1
+    * sentinel comparison (a window shorter than `seedLen` IS the
+    * suffix, and a proper prefix sorts before every extension), so
+    * window equality ⟺ first min(seedLen, remaining) chars AND
+    * length equal — exactly the seed the doubling invariant needs.
+    * Passes the corpus char count `n` to the body (the pack bound). */
+  private def withSeedTuning(docs: DataFrame, seedLen: Int)(
+      body: (DataFrame, Long) => DataFrame): DataFrame = {
+    val n = docs.agg(coalesce(sum(length(col("text"))), lit(0L)).cast("long"))
+      .head.getLong(0)
+    val parts = math.max(8L, math.min(20000L, n / 250000L + 1)).toInt
+    val loopSpark = docs.sparkSession.newSession()
+    loopSpark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    if (n < 4000000L) loopSpark.conf.set("spark.sql.adaptive.enabled", "false")
+    val wins = Dedup.spread(docs.select(col("doc_id"), col("text")))
+      .filter(length(col("text")) >= 1) // sequence(1, len) must ascend
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
+      .select(col("doc_id"), col("i").cast("long").as("off"),
+        col("text").substr(col("i"), lit(seedLen)).as("w"))
+    val w0 = loopSpark.createDataFrame(wins.rdd, wins.schema)
+      .localCheckpoint() // eager — the one materialization of the window table
+    val groups = Curation.globalRowNumber(
+        w0.select(col("w")).distinct(), col("w"))
+      .withColumnRenamed("_rn", "rank")
+    val r0 = w0.join(groups, Seq("w"))
+      .select(col("doc_id"), col("off"), col("rank"))
+      .localCheckpoint()
+    Components.freeCheckpoint(w0)
+    body(r0, n)
+  }
 
   /** The Components loop discipline for the doubling rounds: size the
     * per-round shuffles to the CHAR table (a (doc,off,rank) row is
