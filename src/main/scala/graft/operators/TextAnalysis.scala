@@ -457,24 +457,37 @@ object TextAnalysis {
     val bench = sh.filter(col("doc_id") % 100 === 0)
       .select(col("shingle")).distinct().persistTracked()
     val corpus = sh.filter(col("doc_id") % 100 =!= 0)
-    val bits = (0 until kHashes).map(r => bench.select(pos(r).as("bit")))
-      .reduce(_ unionAll _).distinct()
-    val probes = (0 until kHashes).map(r =>
-        corpus.select(col("doc_id"), col("shingle"),
-          lit(r).as("r"), pos(r).as("bit")))
-      .reduce(_ unionAll _)
-    val positive = probes.join(bits, Seq("bit"))
-      .groupBy(col("doc_id"), col("shingle"))
-      .agg(countDistinct(col("r")).as("nr"))
+    val posArray = array((0 until kHashes).map(r => pos(r)): _*)
+    val bits = bench.select(explode(posArray).as("bit")).distinct()
+    // r18 (guide §2.3 — shuffle fewer bytes; §1.2 order: fix the
+    // algorithm before the per-task work): the bloom verdict is a
+    // function of the SHINGLE alone, so the k md5 probes run once per
+    // DISTINCT corpus shingle instead of once per (doc, shingle) row
+    // (k unionAll copies of the corpus frame before), and the verdict
+    // plus the exact bench membership ride back to the corpus in ONE
+    // equi-join — the per-doc report then needs a single corpus-sized
+    // aggregate instead of three (probe groupBy, semi-join groupBy,
+    // outer join).
+    val s = corpus.select(col("shingle")).distinct()
+    val posS = s
+      .select(col("shingle"), posexplode(posArray).as(Seq("r", "bit")))
+      .join(bits, Seq("bit"))
+      .groupBy(col("shingle")).agg(countDistinct(col("r")).as("nr"))
       .filter(col("nr") === kHashes)
-    val nb = positive.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_bloom"))
-    val nt = corpus.join(bench, Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_true"))
-    nb.join(nt, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_bloom"),
-        coalesce(col("n_true"), lit(0L)).as("n_true"),
-        (col("n_bloom") - coalesce(col("n_true"), lit(0L))).as("n_false_pos"))
+      .select(col("shingle"), lit(1L).as("p"))
+    val flags = s
+      .join(posS, Seq("shingle"), "left")
+      .join(bench.select(col("shingle"), lit(1L).as("tr")),
+        Seq("shingle"), "left")
+      .select(col("shingle"), coalesce(col("p"), lit(0L)).as("p"),
+        coalesce(col("tr"), lit(0L)).as("tr"))
+    corpus.join(flags, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("p")).as("n_bloom"), sum(col("tr")).as("n_true"))
+      .filter(col("n_bloom") > 0) // bloom admits every true positive,
+      // so exactly the docs the former inner per-pair count produced
+      .select(col("doc_id"), col("n_bloom"), col("n_true"),
+        (col("n_bloom") - col("n_true")).as("n_false_pos"))
       .orderBy(col("doc_id"))
   }
 
@@ -513,20 +526,30 @@ object TextAnalysis {
     val posArray = array((0 until kHashes).map(r => pos(r)): _*)
     val bits = bench.select(explode(posArray).as("bit"))
       .distinct().persistTracked() // count + probe join
-    val probes = corpus.select(col("doc_id"), col("shingle"),
-      posexplode(posArray).as(Seq("r", "bit")))
-    val nbTot = probes.join(bits, Seq("bit"))
-      .groupBy(col("doc_id"), col("shingle"))
-      .agg(countDistinct(col("r")).as("nr"))
+    // r18: same distinct-shingle probe restructure as
+    // [[bloomDecontaminate]] — the k md5 probes run per DISTINCT
+    // corpus shingle, and nb/nt/np collapse to ONE corpus aggregate.
+    val s = corpus.select(col("shingle")).distinct()
+    val posS = s
+      .select(col("shingle"), posexplode(posArray).as(Seq("r", "bit")))
+      .join(bits, Seq("bit"))
+      .groupBy(col("shingle")).agg(countDistinct(col("r")).as("nr"))
       .filter(col("nr") === kHashes)
-      .agg(count(lit(1)).cast("long").as("nb"))
-    val ntTot = corpus.join(bench, Seq("shingle"), "left_semi")
-      .agg(count(lit(1)).cast("long").as("nt"))
-    val npTot = corpus.agg(count(lit(1)).cast("long").as("np"))
+      .select(col("shingle"), lit(1L).as("p"))
+    val flags = s
+      .join(posS, Seq("shingle"), "left")
+      .join(bench.select(col("shingle"), lit(1L).as("tr")),
+        Seq("shingle"), "left")
+      .select(col("shingle"), coalesce(col("p"), lit(0L)).as("p"),
+        coalesce(col("tr"), lit(0L)).as("tr"))
+    val tot = corpus.join(flags, Seq("shingle"))
+      .agg(sum(col("p")).cast("long").as("nb"),
+        sum(col("tr")).cast("long").as("nt"),
+        count(lit(1)).cast("long").as("np"))
     val f = s"(CAST(bits_set AS DOUBLE) / $mBits.0)"
     bits.agg(count(lit(1)).cast("long").as("bits_set"))
       .crossJoin(bench.agg(count(lit(1)).cast("long").as("bench_shingles")))
-      .crossJoin(nbTot).crossJoin(ntTot).crossJoin(npTot)
+      .crossJoin(tot)
       .select(lit(mBits.toLong).as("m_bits"), lit(kHashes.toLong).as("k_hashes"),
         col("bench_shingles"), col("bits_set"),
         expr(s"bits_set * 1000000 DIV $mBits").as("fill_ppm"),
