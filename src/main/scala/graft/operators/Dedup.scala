@@ -1195,23 +1195,43 @@ object Dedup {
       .persistTracked() // feeds df, prefix, and in-row verification
     val toks = sets.select(col("doc_id"), col("s"), explode(col("arr")).as("w"))
     val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val pos = toks.join(dfreq, Seq("w"))
+    // r18 (guide §2.3 — narrower types through the shuffles): assign
+    // each bigram a GLOBAL dense rarity rank wid (row number in
+    // (df, w) order over the vocabulary-sized df frame — the same
+    // total order as before, so every position p and therefore every
+    // candidate is unchanged); the per-doc rank window then sorts
+    // longs instead of bigram strings and the prefix self-join hashes
+    // an 8-byte key instead of a ~20-byte string.
+    val wids = Curation.globalRowNumber(dfreq, col("df"), col("w"))
+      .select(col("w"), col("_rn").as("wid"))
+    val pos = toks.join(wids, Seq("w"))
+      .select(col("doc_id"), col("s"), col("wid"))
       .withColumn("p", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("wid"))))
     val pref = pos.filter(col("p") <= col("s") - expr("(9 * s + 9) DIV 10") + 1)
-    val cand = pref.select(col("w"), col("doc_id").as("doc_a"),
+      .persistTracked() // self-joined: rank the corpus once, not twice
+    val cand = pref.select(col("wid"), col("doc_id").as("doc_a"),
         col("s").as("sa"), col("p").as("pa"))
-      .join(pref.select(col("w"), col("doc_id").as("doc_b"),
-        col("s").as("sb"), col("p").as("pb")), Seq("w"))
+      .join(pref.select(col("wid"), col("doc_id").as("doc_b"),
+        col("s").as("sb"), col("p").as("pb")), Seq("wid"))
       .filter(col("doc_a") < col("doc_b") &&
         col("sb") * 10 >= col("sa") * 9 && col("sa") * 10 >= col("sb") * 9 &&
         least(col("sa") - col("pa"), col("sb") - col("pb")) + 1 >=
           expr("(9 * (sa + sb) + 18) DIV 19"))
       .select(col("doc_a"), col("doc_b")).distinct()
+    // r18: verify on the wid-encoded sets — the encoding is bijective,
+    // so |A∩B| and |A| are unchanged, while the candidate joins ship
+    // 8-byte longs instead of ~20-byte bigram strings and
+    // array_intersect compares longs. The encoded arrays group out of
+    // `pos`, which the rank window already partitioned by doc_id —
+    // zero additional Exchange (guide §2.4).
+    val enc = pos.groupBy(col("doc_id"))
+      .agg(collect_list(col("wid")).as("arr"))
+      .persistTracked() // both verify joins read it; doc-sized frame
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("arr").as("la")),
+      .join(enc.select(col("doc_id").as("doc_a"), col("arr").as("la")),
         Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("arr").as("lb")),
+      .join(enc.select(col("doc_id").as("doc_b"), col("arr").as("lb")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("la"), col("lb"))).cast("long").as("inter"),
