@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheRegistry.Tracked
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -91,8 +92,11 @@ object RangeJoin {
   def spanClassedPairs(iv: DataFrame, threshold: Long,
                        maxLongRows: Long = 2000000L): DataFrame = {
     val span = col("r") - col("s")
-    val short = iv.filter(span <= threshold)
-    val longTail = iv.filter(span > threshold)
+    // r18: the input feeds the short grid (self-joined), the long-tail
+    // count guard and three join families — materialize it once
+    val ivP = iv.persistTracked()
+    val short = ivP.filter(span <= threshold)
+    val longTail = ivP.filter(span > threshold)
     val nLong = longTail.count()
     require(nLong <= maxLongRows,
       s"spanClassedPairs: $nLong intervals exceed span $threshold - too " +
@@ -184,6 +188,7 @@ object RangeJoin {
       .withColumn("r", col("s") + col("tr"))
     val weeks = base.withColumn("w",
       explode(sequence(expr("s DIV 7"), expr("r DIV 7"))))
+      .persistTracked() // self-joined: scan + week fan-out once, not twice
     val lhs = weeks.select(col("pk"), col("w"), col("id").as("id_a"),
       col("s").as("s_a"), col("r").as("r_a"))
     val rhs = weeks.select(col("pk"), col("w"), col("id").as("id_b"),
