@@ -723,6 +723,8 @@ object Similarity {
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
     val assign = dist.withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1).select(col("vec_id"), col("b"))
+      .persistTracked() // r18: residual build + ADC join both read it —
+      // unpersisted, the corpus×nlist argmin window ran once per use
     // residual SUBSPACE rows: dims/dimsPerSub per vector (one row per
     // CODE), sliced from the in-row residual array
     val resid = subRows(
@@ -754,6 +756,8 @@ object Similarity {
       .withColumnRenamed("rv", "rcm")
     val rcent = rcent0.join(m1, Seq("s", "c"), "left")
       .select(col("s"), col("c"), coalesce(col("rcm"), col("rc")).as("rc"))
+      .persistTracked() // r18: codebook-sized frame whose LINEAGE is a
+      // full Lloyd round — codes + query LUT both broadcast it
     val codes = resid.join(broadcast(rcent), Seq("s"))
       .select(col("vec_id"), col("s"), col("c"),
         l2vL(col("rv"), col("rc")).as("rd2"))
@@ -883,6 +887,8 @@ object Similarity {
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("b"))
     val assign = dist.withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1).select(col("vec_id"), col("b"))
+      .persistTracked() // r18: callers join it 2-3× — unpersisted, the
+      // corpus×nlist argmin window ran once per use
     val probes = dist.filter(col("vec_id") < nQueries)
       .withColumn("rn", row_number().over(aw)).filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("b"))
@@ -962,6 +968,8 @@ object Similarity {
         col("rv").as("rcm"))
     val rcent = rcent0.join(m1v, Seq("s", "c"), "left")
       .select(col("s"), col("c"), coalesce(col("rcm"), col("rc")).as("rc"))
+      .persistTracked() // r18: codes + query LUT both broadcast it —
+      // its lineage is a full Lloyd round
     val codes = resid.join(broadcast(rcent), Seq("s"))
       .select(col("vec_id"), col("s"), col("c"),
         l2v(col("rv"), col("rc")).as("rd2"))
