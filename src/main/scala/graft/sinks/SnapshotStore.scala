@@ -53,6 +53,23 @@ object SnapshotStore {
     * stateless). */
   private def store(path: String): LogStore = LogStore.forPath(path)
 
+  /** Run `f` with adaptive execution disabled on the session (saved
+    * and restored — the GraphAnn.run pattern). METADATA-plane actions
+    * only: the frames under these jobs are manifest/stats/tombstone-
+    * sized by construction (≤ files × tracked columns rows), so AQE's
+    * per-stage re-planning buys nothing and costs one extra scheduled
+    * job per query stage — measured at sf0.1, the commit verb chain
+    * drops from 38 to ~26 jobs and ~15% wall (tools.CommitProbe).
+    * Data-plane jobs — the user batch write, delete rewrites,
+    * compaction, the DV position join against the table — keep AQE:
+    * runtime skew/broadcast decisions matter there at scale. */
+  private def withMetaConf[A](spark: org.apache.spark.sql.SparkSession)(
+      f: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   private def snapDir(path: String) =
     store(path).child(path, "_snapshots")
   private def manifestFile(path: String, v: Long) =
@@ -662,12 +679,12 @@ object SnapshotStore {
   private def violationCounts(df: DataFrame,
                               cs: Seq[(String, String)]): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.{lit, sum, when}
-    val row = df.agg(
+    val row = withMetaConf(df.sparkSession)(df.agg(
       lit(1).as("_one"),
       cs.map { case (n, e) =>
         sum(when(graft.operators.DataQuality.violatesCheck(e), 1L)
           .otherwise(0L)).as(s"_v_$n")
-      }: _*).collect().head
+      }: _*).collect().head)
     cs.zipWithIndex.map { case ((n, _), i) =>
       n -> Option(row.get(i + 1)).fold(0L)(_.asInstanceOf[Long]) }
   }
@@ -991,8 +1008,9 @@ object SnapshotStore {
             case Some(st) =>
               val parts = math.max(1L,
                 fresh.size.toLong * cols.size / 100000L).toInt
-              st.repartition(parts).write.mode(SaveMode.Overwrite)
-                .parquet(statsCheckDir(path, v))
+              withMetaConf(spark)(st.repartition(parts)
+                .write.mode(SaveMode.Overwrite)
+                .parquet(statsCheckDir(path, v)))
             case None => dropStatsCheckpoint(path, v)
           }
         } else {
@@ -1017,8 +1035,9 @@ object SnapshotStore {
               // to ~400 files — the write and the pruning scan stay
               // distributed.)
               val parts = math.max(1L, newN * cols.size / 100000L).toInt
-              st.repartition(parts).write.mode(SaveMode.Overwrite)
-                .parquet(statsCheckDir(path, v))
+              withMetaConf(spark)(st.repartition(parts)
+                .write.mode(SaveMode.Overwrite)
+                .parquet(statsCheckDir(path, v)))
             case None => dropStatsCheckpoint(path, v)
           }
         }
@@ -1191,11 +1210,11 @@ object SnapshotStore {
     statsDF(spark, path, v) match {
       case None => manifest(path, v)
       case Some(st) =>
-        manifestDF(spark, path, v)
+        withMetaConf(spark)(manifestDF(spark, path, v)
           .join(st.filter(col("column") === key), Seq("file"), "left")
           .filter(col("lo").isNull ||
             (col("hi") >= lo && col("lo") <= hi))
-          .select("file").distinct().as[String].collect().toSeq.sorted
+          .select("file").distinct().as[String].collect().toSeq.sorted)
     }
   }
 
@@ -1219,10 +1238,10 @@ object SnapshotStore {
           (lit(value) < col("slo") || lit(value) > col("shi"))
         val exclNum = vnum.map(n => col("lo").isNotNull &&
           (lit(n) < col("lo") || lit(n) > col("hi"))).getOrElse(lit(false))
-        manifestDF(spark, path, v)
+        withMetaConf(spark)(manifestDF(spark, path, v)
           .join(st.filter(col("column") === key), Seq("file"), "left")
           .filter(!(exclStr || exclNum) || col("column").isNull)
-          .select("file").distinct().as[String].collect().toSeq.sorted
+          .select("file").distinct().as[String].collect().toSeq.sorted)
     }
   }
 
@@ -1240,10 +1259,10 @@ object SnapshotStore {
       case Some(st) =>
         val excl = col("slo").isNotNull &&
           (col("slo") > lit(hi) || col("shi") < lit(lo))
-        manifestDF(spark, path, v)
+        withMetaConf(spark)(manifestDF(spark, path, v)
           .join(st.filter(col("column") === key), Seq("file"), "left")
           .filter(!excl || col("column").isNull)
-          .select("file").distinct().as[String].collect().toSeq.sorted
+          .select("file").distinct().as[String].collect().toSeq.sorted)
     }
   }
 
@@ -1651,6 +1670,8 @@ object SnapshotStore {
           case Some(dv) => scanned.join(dv.select("file", "row_index"),
             Seq("file", "row_index"), "left_anti")
         }
+        // r18: persisted — the empty-set probe and the sidecar write
+        // otherwise each re-run the table scan + mask + key semi-join
         val positions = liveRows
           .join(ks, Seq(pk), "left_semi")
           .select("file", "row_index").as[(String, Long)]
@@ -1659,7 +1680,8 @@ object SnapshotStore {
                      catch { case _: Exception =>
                        f.replaceFirst("^file:(//)?", "") }
             (f, np, r)
-          }.toDF("file", "path", "row_index")
+          }.toDF("file", "path", "row_index").persist()
+        try {
         if (positions.isEmpty) v // keys absent or already masked
         else {
           val nv = v + 1
@@ -1685,6 +1707,7 @@ object SnapshotStore {
           }
           nv
         }
+        } finally positions.unpersist(false)
       }
     }
 
