@@ -1109,7 +1109,10 @@ object Dedup {
     val pairs = minhashPairs(t.documents, shingleHash = md5Hash31,
       bandKeyOf = bandKeysStr).select(col("doc_a"), col("doc_b"))
     val sh = shingled(t.documents, 3)
+      .persistTracked() // r18: signature build + both exact-side joins
     val sig = minhashSignatures(sh, 32, md5Hash31)
+      .persistTracked() // r18: joined per pair side — unpersisted, the
+      // 32-hash signature pass ran once per side
     pairs
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))

@@ -1390,6 +1390,8 @@ object Similarity {
     val scored = pairs.join(dx, Seq("src_id")).join(dy, Seq("tgt_id"))
       .select(col("src_id"), col("tgt_id"), col("cos_ppm"),
         (lit(2L * k) * col("cos_ppm") - col("dx") - col("dy")).as("margin2k"))
+      .persistTracked() // r18: forward AND backward best read it —
+      // unpersisted, the two margin joins ran once per direction
     val mf = Window.partitionBy(col("src_id"))
       .orderBy(col("margin2k").desc, col("tgt_id"))
     val mb = Window.partitionBy(col("tgt_id"))

@@ -231,6 +231,8 @@ object TextAnalysis {
     // repeats map-side so the corpus-count shuffle and the count-back
     // join move collapsed rows, never raw occurrences
     val dg = sp.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c_dg"))
+      .persistTracked() // r18: corpus-count agg + count-back join both
+      // read it — unpersisted, the shingle explode + agg ran twice
     val c = dg.groupBy(col("g")).agg(sum(col("c_dg")).as("cg"))
     dg.join(c, Seq("g"))
       .groupBy(col("doc_id"))
@@ -254,6 +256,7 @@ object TextAnalysis {
     // lot within a doc, so per-(doc, bigram) counts go through the
     // shuffles instead of raw occurrences
     val db = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c_db"))
+      .persistTracked() // r18: same two-consumer shape as dupSpans
     val c = db.groupBy(col("bigram")).agg(sum(col("c_db")).as("cb"))
     db.join(c, Seq("bigram"))
       .groupBy(col("doc_id"))
@@ -412,6 +415,8 @@ object TextAnalysis {
     // broadcast when it genuinely fits (it does at every tested SF);
     // a forced hint here is a driver OOM at 100 TB, not a speedup.
     val kept = sh.join(hubs, Seq("shingle"), "left_anti")
+      .persistTracked() // r18: bench + corpus slices both read it —
+      // unpersisted, the df agg + anti-join ran once per slice
     val bench = kept.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("bench_doc"), col("shingle"))
     val corpus = kept.filter(col("doc_id") % 100 =!= 0)
@@ -1581,6 +1586,8 @@ object TextAnalysis {
       .withColumn("rl", row_number().over(wLang).cast("long"))
       .filter(col("rl") <= profileN)
       .select(col("cls"), col("g"), col("rl"))
+      .persistTracked() // r18: gain join + class spine both read it —
+      // unpersisted, the profile agg + rank window ran per consumer
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
     val docProf = grams.filter(col("doc_id") % 2 === 1)
